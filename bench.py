@@ -1,0 +1,78 @@
+#!/usr/bin/env python3
+"""Benchmark headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total_sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>}
+
+Each query materializes fully through the noop sink (no driver collect —
+measures the distributed plan, not result serialization).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "pricing_summary",
+    "resample_5m",
+    "resample_1d",
+    "vwap",
+    "daily_summary",
+    "availability_summary",
+    "top_customers",
+    "regional_revenue",
+    "snapshot_diff",
+    "latest_event_per_user",
+    "sma_20",
+    "volatility_20",
+    "gap_days",
+    "exact_dedup",
+    "quality_score",
+    "lang_id_scores",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from marketpipe_spark.plans import registry
+    from marketpipe_spark.session import get_spark
+
+    spark = get_spark("marketpipe-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = registry.spark_queries()
+    # Warm the JVM/codegen path once on the smallest query.
+    qs["pricing_summary"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in qs:
+            continue
+        t0 = time.time()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,426 @@
+"""MarketPipe-semantics queries over the driver's ``events`` stream mapped to
+OHLCV bars. Each reproduces an operator from SURVEY §2 with a DuckDB oracle."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..functions import NS_PER_DAY, NS_PER_SEC, DAILY_LABEL_OFFSET_NS
+from ..operators.resample import resample_daily, resample_intraday
+from .registry import SQL_BARS, bars, register
+
+
+def _bars_core(spark, sf_dir):
+    return bars(spark, sf_dir).select(
+        "symbol", "ts_ns", "open", "high", "low", "close", "volume"
+    )
+
+
+# ---------------------------------------------------------------------------
+# A1 — intraday resample (reference: aggregation/domain/services.py:31-45)
+
+def _resample_sql(window_ns: int) -> str:
+    return f"""
+WITH {SQL_BARS},
+b AS (SELECT symbol, ts_ns - (ts_ns % {window_ns}) AS bucket,
+             ts_ns, open, high, low, close, volume FROM bars)
+SELECT symbol, bucket AS ts_ns,
+       min_by(open, ts_ns) AS open, max(high) AS high, min(low) AS low,
+       max_by(close, ts_ns) AS close, CAST(SUM(volume) AS BIGINT) AS volume
+FROM b GROUP BY symbol, bucket
+"""
+
+
+@register(
+    "resample_5m",
+    _resample_sql(300 * NS_PER_SEC),
+    doc="A1 intraday OHLCV resample, 5m frame (services.py:31-45)",
+    tags=("agg", "core"),
+)
+def q_resample_5m(spark, sf_dir):
+    return resample_intraday(_bars_core(spark, sf_dir), 300)
+
+
+@register(
+    "resample_1h",
+    _resample_sql(3600 * NS_PER_SEC),
+    doc="A1 intraday OHLCV resample, 1h frame",
+    tags=("agg", "core"),
+)
+def q_resample_1h(spark, sf_dir):
+    return resample_intraday(_bars_core(spark, sf_dir), 3600)
+
+
+# ---------------------------------------------------------------------------
+# A2 — daily resample labeled 13:30 UTC (services.py:16-30)
+
+SQL_RESAMPLE_1D = f"""
+WITH {SQL_BARS},
+b AS (SELECT symbol, ts_ns - (ts_ns % {NS_PER_DAY}) + {DAILY_LABEL_OFFSET_NS} AS label,
+             ts_ns, open, high, low, close, volume FROM bars)
+SELECT symbol, label AS ts_ns,
+       min_by(open, ts_ns) AS open, max(high) AS high, min(low) AS low,
+       max_by(close, ts_ns) AS close, CAST(SUM(volume) AS BIGINT) AS volume
+FROM b GROUP BY symbol, label
+"""
+
+
+@register("resample_1d", SQL_RESAMPLE_1D, doc="A2 daily resample @ 13:30 UTC label", tags=("agg", "core"))
+def q_resample_1d(spark, sf_dir):
+    return resample_daily(_bars_core(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# A4 — VWAP (reference: domain/services.py:38-76): price falls back to
+# typical (H+L+C)/3; zero-volume bars skipped.
+
+SQL_VWAP = f"""
+WITH {SQL_BARS}
+SELECT symbol,
+       CAST(SUM(CASE WHEN volume > 0
+                     THEN CAST(((high + low + close) / 3.0) * volume AS DECIMAL(38,6)) END)
+            AS DOUBLE)
+       / CAST(CAST(SUM(CASE WHEN volume > 0 THEN volume END) AS BIGINT) AS DOUBLE)
+       AS vwap,
+       CAST(SUM(CASE WHEN volume > 0 THEN volume END) AS BIGINT) AS total_volume
+FROM bars GROUP BY symbol
+"""
+
+
+@register("vwap", SQL_VWAP, doc="A4 VWAP with typical-price fallback (domain/services.py:38-76)", tags=("agg",))
+def q_vwap(spark, sf_dir):
+    b = _bars_core(spark, sf_dir)
+    pv = ((F.col("high") + F.col("low") + F.col("close")) / F.lit(3.0)) * F.col("volume")
+    pos = F.col("volume") > 0
+    sum_pv = F.sum(F.when(pos, pv.cast("decimal(38,6)"))).cast("double")
+    sum_v = F.sum(F.when(pos, F.col("volume")))
+    return b.groupBy("symbol").agg(
+        (sum_pv / sum_v.cast("double")).alias("vwap"),
+        sum_v.alias("total_volume"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A5 — daily summary (reference: domain/services.py:78-139)
+
+SQL_DAILY_SUMMARY = f"""
+WITH {SQL_BARS},
+b AS (SELECT *, ts_ns - (ts_ns % {NS_PER_DAY}) AS day_ns FROM bars)
+SELECT symbol,
+       CAST(make_timestamp(day_ns // 1000) AS DATE) AS trading_date,
+       min_by(open, ts_ns) AS open, max(high) AS high, min(low) AS low,
+       max_by(close, ts_ns) AS close,
+       CAST(SUM(volume) AS BIGINT) AS volume,
+       COUNT(*) AS bar_count,
+       MIN(ts_ns) AS first_bar_ns, MAX(ts_ns) AS last_bar_ns
+FROM b GROUP BY symbol, day_ns
+"""
+
+
+@register("daily_summary", SQL_DAILY_SUMMARY, doc="A5 daily summary (domain/services.py:78-139)", tags=("agg",))
+def q_daily_summary(spark, sf_dir):
+    b = _bars_core(spark, sf_dir).withColumn(
+        "day_ns", F.col("ts_ns") - F.col("ts_ns") % F.lit(NS_PER_DAY)
+    )
+    return (
+        b.groupBy("symbol", "day_ns")
+        .agg(
+            F.min_by("open", "ts_ns").alias("open"),
+            F.max("high").alias("high"),
+            F.min("low").alias("low"),
+            F.max_by("close", "ts_ns").alias("close"),
+            F.sum("volume").alias("volume"),
+            F.count(F.lit(1)).alias("bar_count"),
+            F.min("ts_ns").alias("first_bar_ns"),
+            F.max("ts_ns").alias("last_bar_ns"),
+        )
+        .select(
+            "symbol",
+            F.to_date(F.timestamp_micros((F.col("day_ns") / F.lit(1000)).cast("long"))).alias(
+                "trading_date"
+            ),
+            "open", "high", "low", "close", "volume", "bar_count",
+            "first_bar_ns", "last_bar_ns",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A6 — data-availability summary: UNION ALL of frames → per (frame, symbol)
+# distinct days + row counts (reference: duckdb_views.py:128-162)
+
+SQL_AVAILABILITY = f"""
+WITH {SQL_BARS},
+f5 AS (SELECT symbol, ts_ns - (ts_ns % {300 * NS_PER_SEC}) AS b FROM bars),
+f1h AS (SELECT symbol, ts_ns - (ts_ns % {3600 * NS_PER_SEC}) AS b FROM bars),
+f1d AS (SELECT symbol, ts_ns - (ts_ns % {NS_PER_DAY}) AS b FROM bars),
+u AS (
+  SELECT '5m' AS frame, symbol, b FROM (SELECT DISTINCT symbol, b FROM f5)
+  UNION ALL
+  SELECT '1h' AS frame, symbol, b FROM (SELECT DISTINCT symbol, b FROM f1h)
+  UNION ALL
+  SELECT '1d' AS frame, symbol, b FROM (SELECT DISTINCT symbol, b FROM f1d)
+)
+SELECT frame, symbol,
+       COUNT(DISTINCT b - (b % {NS_PER_DAY})) AS days,
+       COUNT(*) AS row_count
+FROM u GROUP BY frame, symbol
+"""
+
+
+@register("availability_summary", SQL_AVAILABILITY, doc="A6 per-frame availability (duckdb_views.py:128-162)", tags=("agg", "setop"))
+def q_availability(spark, sf_dir):
+    b = _bars_core(spark, sf_dir)
+    parts = []
+    for frame, sec in (("5m", 300), ("1h", 3600), ("1d", 86400)):
+        w = sec * NS_PER_SEC
+        parts.append(
+            b.select("symbol", (F.col("ts_ns") - F.col("ts_ns") % F.lit(w)).alias("b"))
+            .distinct()
+            .withColumn("frame", F.lit(frame))
+        )
+    u = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    return u.groupBy("frame", "symbol").agg(
+        F.countDistinct(F.col("b") - F.col("b") % F.lit(NS_PER_DAY)).alias("days"),
+        F.count(F.lit(1)).alias("row_count"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A8 — bucketed trend: hourly avg/count (reference: metrics.py:218-248,
+# rebuilt as one pass instead of N queries)
+
+SQL_BUCKETED_TREND = f"""
+WITH {SQL_BARS}
+SELECT symbol, ts_ns - (ts_ns % {3600 * NS_PER_SEC}) AS bucket_ns,
+       CAST(SUM(CAST(close AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS avg_value,
+       COUNT(*) AS n
+FROM bars GROUP BY symbol, bucket_ns
+"""
+
+
+@register("bucketed_trend", SQL_BUCKETED_TREND, doc="A8 bucketed trend agg (metrics.py:218-248)", tags=("agg",))
+def q_bucketed_trend(spark, sf_dir):
+    b = _bars_core(spark, sf_dir)
+    w = 3600 * NS_PER_SEC
+    return b.groupBy((F.col("ts_ns") - F.col("ts_ns") % F.lit(w)).alias("bucket_ns"), "symbol").agg(
+        (F.sum(F.col("close").cast("decimal(38,6)")).cast("double") / F.count(F.lit(1))).alias(
+            "avg_value"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    ).select("symbol", "bucket_ns", "avg_value", "n")
+
+
+# ---------------------------------------------------------------------------
+# A7 — windowed metric average (reference: metrics.py:201-216)
+
+SQL_METRICS_AVG = f"""
+WITH {SQL_BARS}
+SELECT CAST(SUM(CAST(close AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS avg_value,
+       COUNT(*) AS n
+FROM bars WHERE symbol = 'click' AND ts_ns >= 1704500000000000000
+"""
+
+
+@register("metrics_avg_window", SQL_METRICS_AVG, doc="A7 avg over time window (metrics.py:201-216)", tags=("agg", "filter"))
+def q_metrics_avg(spark, sf_dir):
+    b = _bars_core(spark, sf_dir).filter(
+        (F.col("symbol") == "click") & (F.col("ts_ns") >= 1704500000000000000)
+    )
+    return b.agg(
+        (F.sum(F.col("close").cast("decimal(38,6)")).cast("double") / F.count(F.lit(1))).alias(
+            "avg_value"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W3/W1 — latest-version-per-key via dedup rank
+# (reference: create_symbol_views.sql:16-37, symbol_normalizer.sql:25-43)
+
+SQL_LATEST_EVENT = f"""
+WITH {SQL_BARS},
+r AS (SELECT user_id, ts_ns, symbol, close, event_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts_ns DESC, event_id DESC) AS rn
+      FROM bars)
+SELECT user_id, ts_ns, symbol AS last_event_type, close AS last_value
+FROM r WHERE rn = 1
+"""
+
+
+@register("latest_event_per_user", SQL_LATEST_EVENT, doc="W1/W3 latest-per-key dedup rank", tags=("window",))
+def q_latest_event(spark, sf_dir):
+    b = bars(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy(F.desc("ts_ns"), F.desc("event_id"))
+    return (
+        b.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "ts_ns",
+            F.col("symbol").alias("last_event_type"),
+            F.col("close").alias("last_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# W4 — simple moving average, trailing N bars, NULL until N samples
+# (reference: domain/services.py:284-326). Decimal window sum keeps the
+# sliding aggregation order-independent (DuckDB uses segment trees).
+
+SQL_SMA = f"""
+WITH {SQL_BARS},
+r AS (SELECT symbol, ts_ns, close,
+             SUM(CAST(FLOOR(close * 1e6) AS BIGINT))
+               OVER (PARTITION BY symbol ORDER BY ts_ns
+                     ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS s,
+             COUNT(*) OVER (PARTITION BY symbol ORDER BY ts_ns
+                            ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS c
+      FROM bars)
+SELECT symbol, ts_ns, close,
+       CASE WHEN c >= 20 THEN CAST(s AS DOUBLE) / 1e6 / 20.0 END AS sma_20
+FROM r
+"""
+
+
+@register("sma_20", SQL_SMA, doc="W4 trailing-20 SMA (domain/services.py:284-326)", tags=("window",))
+def q_sma(spark, sf_dir):
+    # Sliding sums run as scaled-long fixed point (µ-price quantization):
+    # exact and order-independent like decimal, but stays on the codegen
+    # long-sum fast path — decimal(38,*) window frames hit the BigDecimal
+    # interpreted path and were ~40× slower.
+    b = _bars_core(spark, sf_dir)
+    w = W.partitionBy("symbol").orderBy("ts_ns").rowsBetween(-19, 0)
+    s = F.sum(F.floor(F.col("close") * F.lit(1e6)).cast("long")).over(w)
+    c = F.count(F.lit(1)).over(w)
+    return b.select(
+        "symbol",
+        "ts_ns",
+        "close",
+        F.when(c >= 20, s.cast("double") / F.lit(1e6) / F.lit(20.0)).alias("sma_20"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W5 — rolling volatility over trailing-20 simple returns
+# (reference: domain/services.py:328-371 uses ln returns; the oracle query
+# uses simple returns because libm ln differs across engines by ULPs — the
+# ln variant is covered by unit tests). Returns are winsorized at ±100 to
+# bound the fixed-point range; variance comes from exact scaled-long sliding
+# sums (decimal window frames are interpreted BigDecimal — ~40× slower — and
+# Spark's shortest-repr double→decimal cast can disagree with DuckDB's
+# exact-expansion cast in the last digit).
+
+SQL_VOLATILITY = f"""
+WITH {SQL_BARS},
+r AS (SELECT symbol, ts_ns, close,
+             LAG(close) OVER (PARTITION BY symbol ORDER BY ts_ns) AS prev
+      FROM bars),
+x AS (SELECT symbol, ts_ns,
+             LEAST(GREATEST(close / prev - 1.0, -100.0), 100.0) AS ret
+      FROM r WHERE prev IS NOT NULL AND prev > 0),
+s AS (SELECT symbol, ts_ns,
+             SUM(CAST(FLOOR(ret * 1e8) AS BIGINT))
+               OVER (PARTITION BY symbol ORDER BY ts_ns
+                     ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS sr,
+             SUM(CAST(FLOOR(ret * ret * 1e8) AS BIGINT))
+               OVER (PARTITION BY symbol ORDER BY ts_ns
+                     ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS srr,
+             COUNT(*) OVER (PARTITION BY symbol ORDER BY ts_ns
+                            ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS c
+      FROM x)
+SELECT symbol, ts_ns,
+       CASE WHEN c >= 20 THEN
+         sqrt((CAST(srr AS DOUBLE) / 1e8
+               - (CAST(sr AS DOUBLE) / 1e8) * (CAST(sr AS DOUBLE) / 1e8) / 20.0) / 19.0)
+       END AS vol_20
+FROM s
+"""
+
+
+@register("volatility_20", SQL_VOLATILITY, doc="W5 rolling volatility (domain/services.py:328-371)", tags=("window",))
+def q_volatility(spark, sf_dir):
+    b = _bars_core(spark, sf_dir)
+    wo = W.partitionBy("symbol").orderBy("ts_ns")
+    r = b.withColumn("prev", F.lag("close").over(wo)).filter(
+        F.col("prev").isNotNull() & (F.col("prev") > 0)
+    )
+    ret = F.least(
+        F.greatest(F.col("close") / F.col("prev") - F.lit(1.0), F.lit(-100.0)), F.lit(100.0)
+    )
+    x = r.select("symbol", "ts_ns", ret.alias("ret"))
+    wf = wo.rowsBetween(-19, 0)
+    # Scaled-long fixed point (see q_sma): exact sliding sums on the codegen
+    # fast path instead of interpreted BigDecimal frames.
+    sr = F.sum(F.floor(F.col("ret") * F.lit(1e8)).cast("long")).over(wf).cast("double") / F.lit(1e8)
+    srr = (
+        F.sum(F.floor(F.col("ret") * F.col("ret") * F.lit(1e8)).cast("long")).over(wf).cast("double")
+        / F.lit(1e8)
+    )
+    c = F.count(F.lit(1)).over(wf)
+    return x.select(
+        "symbol",
+        "ts_ns",
+        F.when(c >= 20, F.sqrt((srr - sr * sr / F.lit(20.0)) / F.lit(19.0))).alias("vol_20"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W6 + validation rule 7 — extreme movement vs previous close
+# (reference: validation/domain/services.py:89-109)
+
+SQL_EXTREME_MOVEMENT = f"""
+WITH {SQL_BARS},
+r AS (SELECT symbol, ts_ns, open,
+             LAG(close) OVER (PARTITION BY symbol ORDER BY ts_ns) AS prev_close
+      FROM bars)
+SELECT symbol, ts_ns, open, prev_close
+FROM r
+WHERE prev_close IS NOT NULL AND prev_close > 0
+  AND abs(open - prev_close) / prev_close > 0.5
+"""
+
+
+@register("extreme_movement", SQL_EXTREME_MOVEMENT, doc="validation rule 7: >50% jump vs prev close", tags=("window", "validation"))
+def q_extreme_movement(spark, sf_dir):
+    b = _bars_core(spark, sf_dir)
+    wo = W.partitionBy("symbol").orderBy("ts_ns")
+    r = b.withColumn("prev_close", F.lag("close").over(wo))
+    # try_divide: ANSI-safe — Spark may reorder conjuncts, so the prev>0
+    # guard alone doesn't protect a plain division from DIVIDE_BY_ZERO.
+    return r.filter(
+        F.col("prev_close").isNotNull()
+        & (F.col("prev_close") > 0)
+        & (F.try_divide(F.abs(F.col("open") - F.col("prev_close")), F.col("prev_close")) > 0.5)
+    ).select("symbol", "ts_ns", "open", "prev_close")
+
+
+# ---------------------------------------------------------------------------
+# P7/K2 — keep-last dedup: one row per (symbol, 5m bucket), latest wins
+# (reference: parquet_engine.py:156-173 drop_duplicates keep="last")
+
+SQL_KEEP_LAST = f"""
+WITH {SQL_BARS},
+b AS (SELECT symbol, ts_ns - (ts_ns % {300 * NS_PER_SEC}) AS bucket, ts_ns, close, event_id,
+             ROW_NUMBER() OVER (PARTITION BY symbol, ts_ns - (ts_ns % {300 * NS_PER_SEC})
+                                ORDER BY ts_ns DESC, event_id DESC) AS rn
+      FROM bars)
+SELECT symbol, bucket AS ts_ns, close AS last_close FROM b WHERE rn = 1
+"""
+
+
+@register("dedup_keep_last", SQL_KEEP_LAST, doc="P7 keep-last dedup (parquet_engine.py:156-173)", tags=("dedup", "window"))
+def q_keep_last(spark, sf_dir):
+    b = bars(spark, sf_dir)
+    bucket = (F.col("ts_ns") - F.col("ts_ns") % F.lit(300 * NS_PER_SEC)).alias("bucket")
+    w = W.partitionBy("symbol", "bucket").orderBy(F.desc("ts_ns"), F.desc("event_id"))
+    return (
+        b.select("symbol", bucket, "ts_ns", "close", "event_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("symbol", F.col("bucket").alias("ts_ns"), F.col("close").alias("last_close"))
+    )

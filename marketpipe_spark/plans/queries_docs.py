@@ -1,0 +1,164 @@
+"""Training-data pipeline operators over the ``documents`` table: text
+analysis, fingerprinting, exact dedup. (Near-dup/minhash and embedding
+similarity live in queries_sim.py.)
+
+These extend the reference's data-quality surface (SURVEY §2.7 validation,
+K5 reports) to the document/text domain a large-scale pipeline needs. All
+expressions are JVM-side built-ins — no Python UDFs on the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .registry import register, t
+
+#: Stopword alternation shared by Spark and the DuckDB oracle (both engines'
+#: regex dialects treat this pattern identically).
+STOPWORDS_RE = r"\b(the|a|of|and|to|in|is)\b"
+PUNCT_RE = r"[.,!?;:]"
+TOKEN_SPLIT_RE = r"\s+"
+
+
+# ---------------------------------------------------------------------------
+# Token counting (whitespace tokenizer)
+
+SQL_TOKEN_COUNT = r"""
+SELECT doc_id,
+       CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       lang, source
+FROM documents
+"""
+
+
+@register("token_count", SQL_TOKEN_COUNT, doc="whitespace token count per document", tags=("text",))
+def q_token_count(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), TOKEN_SPLIT_RE)).cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+        "lang",
+        "source",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quality scoring: length/punctuation/stopword ratios, composite score
+
+SQL_QUALITY_SCORE = r"""
+WITH s AS (
+  SELECT doc_id, lang,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+         CAST(len(regexp_extract_all(lower(text), '[.,!?;:]')) AS BIGINT) AS n_punct,
+         CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is)\b')) AS BIGINT) AS n_stop
+  FROM documents
+)
+SELECT doc_id, lang, n_chars, n_tokens,
+       CAST(n_punct AS DOUBLE) / n_chars AS punct_ratio,
+       CAST(n_stop AS DOUBLE) / n_tokens AS stopword_ratio,
+       CAST(n_chars AS DOUBLE) / n_tokens AS avg_token_len,
+       CASE WHEN n_tokens >= 20 AND CAST(n_stop AS DOUBLE) / n_tokens > 0.05 THEN 1 ELSE 0 END AS quality_pass
+FROM s
+"""
+
+
+@register("quality_score", SQL_QUALITY_SCORE, doc="doc quality heuristics: punct/stopword/length ratios", tags=("text",))
+def q_quality_score(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    s = d.select(
+        "doc_id",
+        "lang",
+        F.length("text").cast("long").alias("n_chars"),
+        F.size(F.split(F.trim(F.col("text")), TOKEN_SPLIT_RE)).cast("long").alias("n_tokens"),
+        F.regexp_count(F.lower(F.col("text")), F.lit(PUNCT_RE)).cast("long").alias("n_punct"),
+        F.regexp_count(F.lower(F.col("text")), F.lit(STOPWORDS_RE)).cast("long").alias("n_stop"),
+    )
+    stop_ratio = F.col("n_stop").cast("double") / F.col("n_tokens")
+    return s.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        "n_tokens",
+        (F.col("n_punct").cast("double") / F.col("n_chars")).alias("punct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        (F.col("n_chars").cast("double") / F.col("n_tokens")).alias("avg_token_len"),
+        F.when((F.col("n_tokens") >= 20) & (stop_ratio > 0.05), 1).otherwise(0).alias("quality_pass"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprinting (normalize → md5) + exact dedup on the fingerprint
+# (the text-domain analog of the bars keep-last dedup, parquet_engine.py:156-173)
+
+SQL_FINGERPRINT = """
+SELECT doc_id, md5(lower(trim(text))) AS fingerprint
+FROM documents
+"""
+
+
+@register("fingerprint", SQL_FINGERPRINT, doc="document fingerprint: md5 of normalized text", tags=("text", "dedup"))
+def q_fingerprint(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return d.select("doc_id", F.md5(F.encode(F.lower(F.trim(F.col("text"))), "UTF-8")).alias("fingerprint"))
+
+
+SQL_EXACT_DEDUP = """
+SELECT md5(lower(trim(text))) AS fingerprint,
+       CAST(MIN(doc_id) AS BIGINT) AS canonical_doc_id,
+       COUNT(*) AS n_copies
+FROM documents
+GROUP BY fingerprint
+"""
+
+
+@register("exact_dedup", SQL_EXACT_DEDUP, doc="exact dedup: hash-groupBy canonical doc per fingerprint", tags=("dedup",))
+def q_exact_dedup(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.md5(F.encode(F.lower(F.trim(F.col("text"))), "UTF-8")).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("canonical_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Language ID: character-bigram profile heuristic. Scores each language by
+# counting occurrences of its signature character sequences; deterministic
+# and SQL-expressible so both engines agree exactly.
+
+_LANG_SIGS = {
+    "en": ["th", "he", "in", "er", "an"],
+    "de": ["ch", "ei", "en", "sch", "und"],
+    "fr": ["le", "ou", "es", "que", "eau"],
+    "es": ["os", "la", "el", "ción", "que"],
+    "zh": ["de", "sh", "zh", "ng", "xi"],
+}
+
+
+def _sig_pattern(lang: str) -> str:
+    return "(" + "|".join(_LANG_SIGS[lang]) + ")"
+
+
+SQL_LANG_ID = (
+    "WITH s AS (SELECT doc_id, lang AS lang_label, lower(text) AS lt FROM documents)\n"
+    "SELECT doc_id, lang_label,\n"
+    + ",\n".join(
+        f"       CAST(len(regexp_extract_all(lt, '{_sig_pattern(lang)}')) AS BIGINT) AS score_{lang}"
+        for lang in _LANG_SIGS
+    )
+    + "\nFROM s"
+)
+
+
+@register("lang_id_scores", SQL_LANG_ID, doc="language-ID n-gram signature scores per document", tags=("text",))
+def q_lang_id(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    s = d.select("doc_id", F.col("lang").alias("lang_label"), F.lower(F.col("text")).alias("lt"))
+    cols = ["doc_id", "lang_label"] + [
+        F.regexp_count(F.col("lt"), F.lit(_sig_pattern(lang))).cast("long").alias(f"score_{lang}")
+        for lang in _LANG_SIGS
+    ]
+    return s.select(*cols)

@@ -1,0 +1,313 @@
+"""Relational queries over the TPC-H-ish driver tables.
+
+MarketPipe's ``query`` command passes arbitrary SQL to its engine
+(reference: src/marketpipe/cli/query.py:11-40), so general relational
+capability — scans, predicates, joins, aggregation, top-k — is part of the
+supported surface. These queries exercise that surface plus the internal
+join/window shapes (J1-J5, W2, A9) on driver data.
+
+Scale notes: dimension joins (nation/region/customer-at-sf) are marked
+``broadcast``; fact-side aggregations pre-aggregate before joining where it
+shrinks the shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from .registry import register, t
+
+
+# ---------------------------------------------------------------------------
+# Flagship — pricing summary (TPC-H Q1 shape): wide aggregate over the
+# biggest fact table; the reference analog is the per-frame OHLCV rollup.
+
+SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(38,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(38,6))) AS DOUBLE) AS sum_charge,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(38,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS avg_price,
+       CAST(SUM(CAST(l_discount AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register("pricing_summary", SQL_PRICING_SUMMARY, doc="TPC-H Q1-shape wide aggregate (flagship)", tags=("agg", "core"))
+def q_pricing_summary(spark, sf_dir):
+    l = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2000-12-01 00:00:00").cast("timestamp_ntz")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    n = F.count(F.lit(1))
+    sum_qty = F.sum(F.col("l_quantity").cast("decimal(38,2)")).cast("double")
+    sum_price = F.sum(F.col("l_extendedprice").cast("decimal(38,6)")).cast("double")
+    return l.groupBy("l_returnflag", "l_linestatus").agg(
+        sum_qty.alias("sum_qty"),
+        sum_price.alias("sum_base_price"),
+        F.sum(disc_price.cast("decimal(38,6)")).cast("double").alias("sum_disc_price"),
+        F.sum(charge.cast("decimal(38,6)")).cast("double").alias("sum_charge"),
+        (sum_qty / n).alias("avg_qty"),
+        (sum_price / n).alias("avg_price"),
+        (F.sum(F.col("l_discount").cast("decimal(38,6)")).cast("double") / n).alias("avg_disc"),
+        n.alias("count_order"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins + top-k: revenue per customer (J-shape; O4 display limit).
+# Pre-aggregates lineitem per order BEFORE joining (shrinks the join input),
+# then broadcasts the customer dimension at bench scale.
+
+SQL_TOP_CUSTOMERS = """
+WITH rev AS (
+  SELECT o_custkey,
+         SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS r
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY o_custkey
+)
+SELECT c_custkey, c_name, CAST(r AS DOUBLE) AS revenue
+FROM rev JOIN customer ON o_custkey = c_custkey
+ORDER BY revenue DESC, c_custkey
+LIMIT 10
+"""
+
+
+@register("top_customers", SQL_TOP_CUSTOMERS, doc="join + top-k revenue per customer", tags=("join", "topk"))
+def q_top_customers(spark, sf_dir):
+    l = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    rev = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(38,6)")).alias("r")
+        )
+    )
+    return (
+        rev.join(F.broadcast(c), rev.o_custkey == c.c_custkey)
+        .select("c_custkey", "c_name", F.col("r").cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multi-join star query: revenue by region/nation (broadcast dims).
+
+SQL_REGIONAL_REVENUE = """
+SELECT r_name AS region, n_name AS nation,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+@register("regional_revenue", SQL_REGIONAL_REVENUE, doc="star join over 5 tables, broadcast dims", tags=("join", "agg"))
+def q_regional_revenue(spark, sf_dir):
+    l = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(38,6)"))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# J1 — semi-join (IN-subquery shape, reference: scd_writer.py:128-153)
+
+SQL_SEMI_JOIN = """
+SELECT o_orderstatus, COUNT(*) AS n
+FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
+GROUP BY o_orderstatus
+"""
+
+
+@register("semi_join_rich_customers", SQL_SEMI_JOIN, doc="J1 semi-join via IN-subquery (scd_writer.py:128-153)", tags=("join",))
+def q_semi_join(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9000).select("c_custkey")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left_semi")
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# J3/O7 — gap detection: expected-day set minus observed-day set
+# (reference: ingestion/services/gap_detector.py:33-44,62-104)
+
+SQL_GAP_DAYS = """
+WITH rng AS (
+  SELECT CAST(MIN(o_orderdate) AS DATE) AS lo, CAST(MAX(o_orderdate) AS DATE) AS hi
+  FROM orders
+),
+days AS (
+  SELECT CAST(UNNEST(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day FROM rng
+),
+present AS (
+  SELECT DISTINCT CAST(o_orderdate AS DATE) AS day FROM orders WHERE o_orderstatus = 'P'
+)
+SELECT day FROM days
+WHERE day NOT IN (SELECT day FROM present)
+"""
+
+
+@register("gap_days", SQL_GAP_DAYS, doc="J3 missing-day detection (gap_detector.py:33-44)", tags=("join", "antijoin"))
+def q_gap_days(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    rng = o.agg(
+        F.min(F.to_date("o_orderdate")).alias("lo"), F.max(F.to_date("o_orderdate")).alias("hi")
+    )
+    days = rng.select(F.explode(F.sequence("lo", "hi")).alias("day"))
+    present = (
+        o.filter(F.col("o_orderstatus") == "P").select(F.to_date("o_orderdate").alias("day")).distinct()
+    )
+    return days.join(present, "day", "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# J2 — snapshot diff: classify insert/update/delete/unchanged via full outer
+# join on the natural key (reference: symbol_pipeline.py:65-134). The
+# "snapshot" is a deterministic mutation of customer: every 10th key changes
+# acctbal, every 17th key is dropped.
+
+SQL_SNAPSHOT_DIFF = """
+WITH snapshot AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 100.0 ELSE c_acctbal END AS acctbal
+  FROM customer WHERE c_custkey % 17 <> 0
+),
+d AS (
+  SELECT CASE
+           WHEN m.c_custkey IS NULL THEN 'insert'
+           WHEN s.c_custkey IS NULL THEN 'delete'
+           WHEN s.acctbal <> m.c_acctbal THEN 'update'
+           ELSE 'unchanged'
+         END AS change_type
+  FROM snapshot s
+  FULL OUTER JOIN customer m ON s.c_custkey = m.c_custkey
+)
+SELECT change_type, COUNT(*) AS n FROM d GROUP BY change_type
+"""
+
+
+@register("snapshot_diff", SQL_SNAPSHOT_DIFF, doc="J2 SCD snapshot diff classification (symbol_pipeline.py:65-134)", tags=("join", "scd"))
+def q_snapshot_diff(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    snap = c.filter(F.col("c_custkey") % 17 != 0).select(
+        F.col("c_custkey").alias("s_key"),
+        F.when(F.col("c_custkey") % 10 == 0, F.col("c_acctbal") + 100.0)
+        .otherwise(F.col("c_acctbal"))
+        .alias("acctbal"),
+    )
+    m = c.select(F.col("c_custkey").alias("m_key"), "c_acctbal")
+    d = snap.join(m, snap.s_key == m.m_key, "full_outer").select(
+        F.when(F.col("m_key").isNull(), "insert")
+        .when(F.col("s_key").isNull(), "delete")
+        .when(F.col("acctbal") != F.col("c_acctbal"), "update")
+        .otherwise("unchanged")
+        .alias("change_type")
+    )
+    return d.groupBy("change_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# W2 — global dense surrogate IDs (reference: symbol_normalizer.sql:47-53).
+# Single-partition window — documented bound: fine for dimension-scale input
+# (~10^4 rows); never use on a fact table.
+
+SQL_SURROGATE_IDS = """
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY c_name) AS BIGINT) AS id, c_custkey, c_name
+FROM customer
+"""
+
+
+@register("surrogate_ids", SQL_SURROGATE_IDS, doc="W2 dense surrogate IDs (symbol_normalizer.sql:47-53)", tags=("window",))
+def q_surrogate_ids(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    return c.select(
+        F.row_number().over(W.orderBy("c_name")).cast("long").alias("id"), "c_custkey", "c_name"
+    )
+
+
+# ---------------------------------------------------------------------------
+# A9 — per-column null ratio in one pass (reference: symbol_pipeline.py:140-170)
+
+SQL_NULL_RATIO = """
+SELECT CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS null_custkey,
+       CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS null_status,
+       CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS null_price,
+       CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS null_date,
+       COUNT(*) AS n
+FROM orders
+"""
+
+
+@register("null_ratio", SQL_NULL_RATIO, doc="A9 one-pass per-column null ratios (symbol_pipeline.py:140-170)", tags=("agg", "profiling"))
+def q_null_ratio(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    n = F.count(F.lit(1))
+
+    def ratio(c):
+        return (F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).cast("double") / n)
+
+    return o.agg(
+        ratio("o_custkey").alias("null_custkey"),
+        ratio("o_orderstatus").alias("null_status"),
+        ratio("o_totalprice").alias("null_price"),
+        ratio("o_orderdate").alias("null_date"),
+        n.alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# P1/P2/S2 — projection + range predicate + sort (reference: loader.py:184-192)
+
+SQL_RANGE_SCAN = """
+SELECT event_id, epoch_ns(ts) AS ts_ns, event_type, value
+FROM events
+WHERE epoch_ns(ts) BETWEEN 1704500000000000000 AND 1705000000000000000
+  AND event_type = 'purchase'
+"""
+
+
+@register("range_scan", SQL_RANGE_SCAN, doc="S2/P2 pushdown scan: project + ts BETWEEN + symbol filter (loader.py:184-192)", tags=("scan", "filter"))
+def q_range_scan(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        (F.col("ts") - F.col("ts") % F.lit(1000)).alias("ts_ns"),
+        "event_type",
+        "value",
+    ).filter(
+        F.col("ts_ns").between(1704500000000000000, 1705000000000000000)
+        & (F.col("event_type") == "purchase")
+    )

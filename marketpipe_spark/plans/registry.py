@@ -1,0 +1,111 @@
+"""Named query registry — the driver-facing correctness surface.
+
+Each entry pairs a Spark DataFrame plan with an equivalent ANSI-SQL oracle
+string (run by DuckDB over the same parquet). The driver compares row count,
+schema, and an order-insensitive value hash, so every query here is engineered
+for **bit-stable parity**:
+
+- Double sums cross shuffle partitions in Spark but run single-threaded in
+  DuckDB; doubles are summed as ``DECIMAL(38, s)`` casts in BOTH engines
+  (exact, order-independent), then cast back to double (deterministic).
+- ``ts_ns`` is µs-quantized: DuckDB reads parquet TIMESTAMP(NANOS) at µs
+  precision, so Spark truncates ``ts - ts % 1000`` to match.
+- DuckDB ``SUM(BIGINT)`` returns HUGEINT → oracle casts back to BIGINT.
+- Window/rank queries use total orders (unique tie-breakers) only.
+- Ordered first/last inside GROUP BY = ``min_by``/``max_by`` in both engines.
+
+The *bars* model maps the driver's ``events`` stream onto the reference's
+OHLCV bar shape (symbol=event_type, ts_ns=event time, prices=value,
+volume=event_id%1000) so the reference's operators (SURVEY §2) are exercised
+on driver-provided data. The reference semantics each query reproduces are
+cited as (reference: path:line).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import tune
+
+# ---------------------------------------------------------------------------
+# table access
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver table (tuning the session first — the driver may hand
+    us a vanilla SparkSession that can't read TIMESTAMP(NANOS) parquet)."""
+    tune(spark)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → OHLCV bar shape (µs-quantized ts_ns for oracle parity)."""
+    ev = t(spark, sf_dir, "events")
+    ts_ns = (F.col("ts") - F.col("ts") % F.lit(1000)).alias("ts_ns")
+    return ev.select(
+        F.col("event_type").alias("symbol"),
+        ts_ns,
+        F.col("value").alias("open"),
+        F.col("value").alias("high"),
+        F.col("value").alias("low"),
+        F.col("value").alias("close"),
+        (F.col("event_id") % F.lit(1000)).alias("volume"),
+        F.col("event_id"),
+        F.col("user_id"),
+    )
+
+
+#: Shared oracle CTE mirroring :func:`bars`.
+SQL_BARS = """
+bars AS (
+  SELECT event_type AS symbol,
+         epoch_ns(ts) AS ts_ns,
+         value AS open, value AS high, value AS low, value AS close,
+         event_id % 1000 AS volume,
+         event_id, user_id
+  FROM events
+)
+"""
+
+
+@dataclass
+class Query:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    sql: str | None  # None → non-SQL-expressible (driver does rows-only check)
+    doc: str = ""
+    tags: tuple[str, ...] = field(default=())
+
+
+_REGISTRY: dict[str, Query] = {}
+
+
+def register(name: str, sql: str | None, doc: str = "", tags: tuple[str, ...] = ()):
+    def deco(fn):
+        _REGISTRY[name] = Query(name, fn, sql, doc, tags)
+        return fn
+
+    return deco
+
+
+def all_queries() -> dict[str, Query]:
+    # Import sibling modules for their registration side effects.
+    from . import queries_bars, queries_docs, queries_tpch  # noqa: F401
+
+    return dict(_REGISTRY)
+
+
+def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {k: q.fn for k, q in all_queries().items()}
+
+
+def oracle_sqls() -> dict[str, str]:
+    return {k: q.sql for k, q in all_queries().items() if q.sql is not None}
