@@ -1,0 +1,175 @@
+"""Partitioned Parquet lake: the reference's storage engine re-expressed as
+Spark table ops.
+
+Reference layout (parquet_engine.py:19-31,88-95):
+``<root>/frame=<f>/symbol=<S>/date=<YYYY-MM-DD>/<job_id>.parquet``.
+Spark keeps the same Hive partitioning (frame/symbol/date) — partition
+pruning then makes per-(symbol, day) access free, which is the property all
+the reference's manual path-walking code (S3-S5) was hand-building.
+
+Write semantics reproduced:
+- K1/K3 partitioned write (zstd; task-commit protocol replaces the
+  reference's inter-process file locks, parquet_engine.py:97-99)
+- K2 upsert-append with keep-last dedup on (symbol, ts_ns)
+  (parquet_engine.py:127-182) via dynamic partition overwrite
+- K7 retention pruning by partition date (cli/prune.py:17-36)
+
+Scale: dynamic partition overwrite touches only the partitions present in
+the incoming batch; a 100 TB lake ingesting one day rewrites one day.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from .functions import trading_date
+from .session import tune
+
+
+def with_partition_cols(bars: DataFrame, frame: str, ingest_id: str | None = None) -> DataFrame:
+    out = (
+        bars.withColumn("frame", F.lit(frame))
+        .withColumn("date", trading_date("ts_ns"))
+    )
+    if ingest_id is not None:
+        out = out.withColumn("ingest_id", F.lit(ingest_id))
+    return out
+
+
+def write_bars(
+    bars: DataFrame,
+    root: str,
+    frame: str,
+    mode: str = "append",
+    ingest_id: str | None = None,
+) -> None:
+    """K1/K3 — land bars into the partitioned lake."""
+    tune(bars.sparkSession)
+    (
+        with_partition_cols(bars, frame, ingest_id)
+        .repartition("frame", "symbol", "date")  # one writer task per partition
+        .sortWithinPartitions("ts_ns")  # reference sorts within file (engine:162-164)
+        .write.mode(mode)
+        .partitionBy("frame", "symbol", "date")
+        .parquet(root)
+    )
+
+
+def read_bars(
+    spark: SparkSession,
+    root: str,
+    frame: str | None = None,
+    symbols: list[str] | None = None,
+    start_ns: int | None = None,
+    end_ns: int | None = None,
+) -> DataFrame:
+    """S1-S5 — partition-pruned scan of the lake.
+
+    Filters on frame/symbol/date prune partitions; the ts_ns range predicate
+    additionally pushes to parquet row groups (the reference's
+    ``WHERE ts_ns BETWEEN`` pushdown, loader.py:184-192).
+    """
+    df = tune(spark).read.parquet(root)
+    if frame is not None:
+        df = df.filter(F.col("frame") == frame)
+    if symbols:
+        df = df.filter(F.col("symbol").isin([s.upper() for s in symbols]))
+    if start_ns is not None:
+        df = df.filter(F.col("ts_ns") >= start_ns)
+        df = df.filter(F.col("date") >= dt.datetime.fromtimestamp(start_ns / 1e9, dt.timezone.utc).date())
+    if end_ns is not None:
+        df = df.filter(F.col("ts_ns") <= end_ns)
+        df = df.filter(F.col("date") <= dt.datetime.fromtimestamp(end_ns / 1e9, dt.timezone.utc).date())
+    return df
+
+
+def upsert_bars(new_bars: DataFrame, root: str, frame: str, ingest_id: str | None = None) -> None:
+    """K2/P7 — append with keep-last dedup on (symbol, ts_ns).
+
+    The reference reads the partition file, concats, drops duplicate ts
+    keeping the last, and rewrites (parquet_engine.py:127-182). Spark
+    version: union the affected partitions with the new batch, keep the
+    newest row per key, and dynamically overwrite ONLY those partitions.
+    """
+    spark = new_bars.sparkSession
+    tune(spark)
+    staged = with_partition_cols(new_bars, frame, ingest_id).withColumn("_gen", F.lit(1))
+
+    try:
+        existing = spark.read.parquet(root).filter(F.col("frame") == frame)
+    except Exception:  # first write into an empty lake
+        write_bars(new_bars, root, frame, mode="append", ingest_id=ingest_id)
+        return
+
+    # Prune to the partitions the batch touches (broadcast semi-join on the
+    # partition keys — tiny), so a one-day upsert reads one day.
+    touched = staged.select("symbol", "date").distinct()
+    existing = existing.join(F.broadcast(touched), ["symbol", "date"], "left_semi")
+    for c in staged.columns:
+        if c not in existing.columns and c != "_gen":
+            existing = existing.withColumn(c, F.lit(None))
+    existing = existing.withColumn("_gen", F.lit(0)).select(*staged.columns)
+
+    keep_last = W.partitionBy("symbol", "ts_ns").orderBy(F.desc("_gen"))
+    merged = (
+        existing.unionByName(staged)
+        .withColumn("_rn", F.row_number().over(keep_last))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_gen")
+    )
+    (
+        merged.repartition("frame", "symbol", "date")
+        .sortWithinPartitions("ts_ns")
+        .write.mode("overwrite")  # dynamic: only touched partitions rewritten
+        .partitionBy("frame", "symbol", "date")
+        .parquet(root)
+    )
+
+
+AGE_RE = re.compile(r"^(\d+)([dmy])$")
+
+
+def age_to_cutoff(expr: str, today: dt.date | None = None) -> dt.date:
+    """K7 — '30d'/'18m'/'5y' age expressions → cutoff date
+    (reference: cli/prune.py:17-36)."""
+    m = AGE_RE.match(expr.strip().lower())
+    if not m:
+        raise ValueError(f"bad age expression {expr!r}; expected like '30d', '18m', '5y'")
+    n, unit = int(m.group(1)), m.group(2)
+    today = today or dt.date.today()
+    if unit == "d":
+        return today - dt.timedelta(days=n)
+    if unit == "m":
+        month = today.month - n
+        year = today.year + (month - 1) // 12
+        month = (month - 1) % 12 + 1
+        return dt.date(year, month, min(today.day, 28))
+    return dt.date(today.year - n, today.month, today.day)
+
+
+def prune_bars(
+    spark: SparkSession, root: str, older_than: str, dry_run: bool = False
+) -> list[str]:
+    """K7 — delete lake partitions older than the cutoff; returns the list of
+    partition paths affected (reference: cli/prune.py:41-225)."""
+    import glob
+    import shutil
+
+    cutoff = age_to_cutoff(older_than)
+    doomed = []
+    for p in sorted(glob.glob(f"{root}/frame=*/symbol=*/date=*")):
+        date_str = p.rsplit("date=", 1)[-1]
+        try:
+            d = dt.date.fromisoformat(date_str)
+        except ValueError:
+            continue
+        if d < cutoff:
+            doomed.append(p)
+            if not dry_run:
+                shutil.rmtree(p)
+    return doomed
