@@ -1,0 +1,282 @@
+"""Deduplication operators: exact, keep-last, MinHash+LSH, SimHash, n-gram
+Jaccard, embedding-cosine near-dup.
+
+The reference's dedup surface is keep-last on (symbol, ts_ns)
+(parquet_engine.py:156-173) and aggregate-level duplicate rejection
+(aggregates.py:109-115); this module extends it with the document-level
+near-dup family a large-scale training-data pipeline needs.
+
+Scale design:
+- All hashing is ``xxhash64`` (JVM-side, codegen).  No Python UDFs.
+- MinHash signatures are one wide aggregation (num_perm ``min`` columns) over
+  exploded shingles: shuffle keyed by doc_id only.
+- LSH banding turns O(n²) pair generation into an equi-join on
+  (band_id, band_hash) — the classic shuffle-friendly formulation; band
+  buckets with pathological fan-out are capped (``max_bucket``) like any
+  production LSH to bound skew.
+- Verification joins candidate pairs back to shingle sets and computes true
+  Jaccard — only on candidates, not all pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+TOKEN_SPLIT_RE = r"\s+"
+
+
+# ---------------------------------------------------------------------------
+# exact / keep-last
+
+def exact_dedup(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
+    """Exact dedup: canonical row id per distinct value of ``cols``."""
+    key = F.xxhash64(*cols).alias("dup_key")
+    return (
+        df.select(key, F.col(id_col))
+        .groupBy("dup_key")
+        .agg(F.min(id_col).alias("canonical_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def keep_last(df: DataFrame, key_cols: list[str], order_col: str) -> DataFrame:
+    """P7 — one row per key, newest by ``order_col`` wins
+    (reference drop_duplicates keep='last', parquet_engine.py:162-164)."""
+    w = W.partitionBy(*key_cols).orderBy(F.desc(order_col))
+    return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+
+# ---------------------------------------------------------------------------
+# shingling
+
+def with_shingles(docs: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
+    """Add ``shingles``: distinct word k-grams of the whitespace-tokenized,
+    lower-cased text."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), TOKEN_SPLIT_RE)
+    grams = F.expr(
+        f"array_distinct(transform(sequence(1, greatest(size(_toks) - {k - 1}, 0)), "
+        f"i -> concat_ws(' ', slice(_toks, i, {k}))))"
+    )
+    return (
+        docs.withColumn("_toks", toks)
+        .filter(F.size("_toks") >= k)
+        .withColumn("shingles", grams)
+        .drop("_toks")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+
+def minhash_signatures(
+    docs: DataFrame, id_col: str = "doc_id", num_perm: int = 64, k: int = 3
+) -> DataFrame:
+    """MinHash signature per document: ``sig`` = array of num_perm minima of
+    seeded shingle hashes. One explode + one groupBy(doc)."""
+    sh = with_shingles(docs, k=k).select(id_col, F.explode("shingles").alias("shingle"))
+    mins = [F.min(F.xxhash64("shingle", F.lit(i))).alias(f"h{i}") for i in range(num_perm)]
+    sig = sh.groupBy(id_col).agg(*mins)
+    return sig.select(id_col, F.array(*[f"h{i}" for i in range(num_perm)]).alias("sig"))
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 16,
+    rows_per_band: int = 4,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Candidate pairs from banded signatures: docs sharing any band hash.
+
+    ``max_bucket`` drops degenerate buckets (skew guard): a bucket holding B
+    docs yields B²/2 pairs; capping B bounds worst-case shuffle volume.
+
+    All bands are emitted from ONE pass over the signatures (explode of a
+    band-struct array) — a per-band union would recompute the upstream
+    signature aggregation once per band.
+    """
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.xxhash64(F.slice("sig", b * rows_per_band + 1, rows_per_band)).alias("band_hash"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = signatures.select(F.col(id_col), F.explode(band_structs).alias("bd")).select(
+        id_col, F.col("bd.band_id").alias("band_id"), F.col("bd.band_hash").alias("band_hash")
+    )
+
+    sizes = banded.groupBy("band_id", "band_hash").agg(F.count(F.lit(1)).alias("_n"))
+    banded = banded.join(
+        sizes.filter(F.col("_n") <= max_bucket), ["band_id", "band_hash"]
+    ).drop("_n")
+
+    a = banded.select(F.col(id_col).alias("id_a"), "band_id", "band_hash")
+    b = banded.select(F.col(id_col).alias("id_b"), "band_id", "band_hash")
+    return (
+        a.join(b, ["band_id", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_near_duplicates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 64,
+    bands: int = 16,
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: shingle → sign → band → candidate
+    join → verify true Jaccard ≥ threshold on candidates only."""
+    rows_per_band = num_perm // bands
+    sigs = minhash_signatures(docs, id_col, num_perm, k)
+    cands = lsh_candidate_pairs(sigs, id_col, bands, rows_per_band)
+    sh = with_shingles(docs, text_col, k).select(
+        F.col(id_col), F.col("shingles"), F.size("shingles").alias("n_sh")
+    )
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"), F.col("n_sh").alias("n_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"), F.col("n_sh").alias("n_b"))
+    joined = cands.join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = inter.cast("double") / (F.col("n_a") + F.col("n_b") - inter)
+    return (
+        joined.select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+
+def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64) -> DataFrame:
+    """64-bit SimHash per document: per-token hash bits vote ±1; the sign of
+    each bit-position sum forms the fingerprint. Wide aggregation, all JVM."""
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), TOKEN_SPLIT_RE)).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+    votes = [
+        F.sum(
+            (F.shiftright("h", i).bitwiseAND(F.lit(1)) * 2 - 1)
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    agg = toks.groupBy(id_col).agg(*votes)
+    fp = None
+    for i in range(bits):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = bit * F.lit(1 << i).cast("long") if i < 63 else F.when(
+            F.col(f"b{i}") > 0, F.lit(-(1 << 63)).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        fp = term if fp is None else fp + term
+    return agg.select(id_col, fp.alias("simhash"))
+
+
+def simhash_near_duplicates(
+    docs: DataFrame, id_col: str = "doc_id", max_hamming: int = 3, chunks: int = 4
+) -> DataFrame:
+    """Near-dups by Hamming distance ≤ max_hamming, blocked on 16-bit chunks
+    (pigeonhole: distance ≤ 3 ⇒ at least one of 4 chunks identical)."""
+    fps = simhash(docs, id_col)
+    width = 64 // chunks
+    chunk_structs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("chunk_id"),
+                F.shiftrightunsigned("simhash", c * width)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("chunk_val"),
+            )
+            for c in range(chunks)
+        ]
+    )
+    # one pass (explode), not a per-chunk union that recomputes the simhash agg
+    blocked = fps.select(F.col(id_col), F.col("simhash"), F.explode(chunk_structs).alias("ck")).select(
+        id_col, "simhash", F.col("ck.chunk_id").alias("chunk_id"), F.col("ck.chunk_val").alias("chunk_val")
+    )
+    a = blocked.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("fp_a"), "chunk_id", "chunk_val")
+    b = blocked.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("fp_b"), "chunk_id", "chunk_val")
+    cand = (
+        a.join(b, ["chunk_id", "chunk_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "fp_a", "fp_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return cand.select("id_a", "id_b", hamming.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (inverted-index formulation — no LSH approximation)
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.4,
+    max_df: int | None = None,
+) -> DataFrame:
+    """All pairs with shingle-set Jaccard ≥ threshold via inverted-index
+    self-join on shingles. ``max_df`` drops shingles appearing in more than
+    that many docs (stopword-shingle skew guard for web-scale corpora)."""
+    sh = with_shingles(docs, text_col, k).select(
+        F.col(id_col), F.explode("shingles").alias("shingle")
+    )
+    if max_df is not None:
+        dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+        sh = sh.join(F.broadcast(dfreq.filter(F.col("_df") <= max_df)), "shingle").drop("_df")
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    shared = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("shared").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("shared"))
+    return (
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup
+
+def embedding_near_duplicates(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding", threshold: float = 0.95
+) -> DataFrame:
+    """Pairs with cosine ≥ threshold. Brute-force formulation (crossJoin);
+    for web scale use similarity.lsh_topk's hyperplane buckets as the
+    candidate generator instead."""
+    v = emb.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
+    a = v.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"))
+    b = v.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"))
+
+    def dot(x, y):
+        return F.aggregate(F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda acc, z: acc + z)
+
+    cos = dot(F.col("va"), F.col("vb")) / F.sqrt(
+        dot(F.col("va"), F.col("va")) * dot(F.col("vb"), F.col("vb"))
+    )
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )

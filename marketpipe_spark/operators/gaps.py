@@ -1,0 +1,58 @@
+"""Gap detection — expected trading days minus observed partition days.
+
+Reference: src/marketpipe/ingestion/services/gap_detector.py:33-44,62-104
+(walks partition directories, set-differences against a weekday calendar).
+Spark version: generate the expected-day DataFrame with ``sequence`` and
+anti-join the observed distinct days — no filesystem walking, works the same
+against a catalog at 100 TB.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def expected_days(
+    spark: SparkSession, start: dt.date, end: dt.date, weekdays_only: bool = True
+) -> DataFrame:
+    days = spark.range(1).select(
+        F.explode(F.sequence(F.lit(start), F.lit(end))).alias("day")
+    )
+    if weekdays_only:
+        # dayofweek: 1=Sunday ... 7=Saturday
+        days = days.filter(~F.dayofweek("day").isin(1, 7))
+    return days
+
+
+def missing_days(
+    spark: SparkSession,
+    observed: DataFrame,
+    start: dt.date,
+    end: dt.date,
+    day_col: str = "date",
+    weekdays_only: bool = True,
+) -> DataFrame:
+    """J3/O7 — days in [start, end] with no observed data, per the
+    reference's gap semantics. ``observed`` is any DataFrame with a date
+    column (e.g. a partition-pruned lake scan)."""
+    present = observed.select(F.col(day_col).cast("date").alias("day")).distinct()
+    return (
+        expected_days(spark, start, end, weekdays_only)
+        .join(present, "day", "left_anti")
+        .orderBy("day")
+    )
+
+
+def gaps_by_symbol(
+    lake: DataFrame, start: dt.date, end: dt.date, weekdays_only: bool = True
+) -> DataFrame:
+    """Per-symbol gap days in one pass: expected calendar × distinct symbols,
+    anti-joined against observed (symbol, date) pairs."""
+    spark = lake.sparkSession
+    symbols = lake.select("symbol").distinct()
+    expected = expected_days(spark, start, end, weekdays_only).crossJoin(symbols)
+    present = lake.select("symbol", F.col("date").cast("date").alias("day")).distinct()
+    return expected.join(present, ["symbol", "day"], "left_anti").orderBy("symbol", "day")

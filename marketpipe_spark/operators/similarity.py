@@ -1,0 +1,149 @@
+"""Similarity search over embedding columns: brute-force cosine top-k
+baseline + LSH-bucketed scale path.
+
+Brute force is exact and the right choice up to ~10⁶ candidates per query
+batch (it is one broadcast-joined crossJoin — embarrassingly parallel, no
+shuffle besides the final top-k). The hyperplane-LSH variant bounds work per
+query for corpus sizes where n_q × n is no longer feasible; its buckets are
+the same deterministic xxhash64-seeded projections on both driver runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+
+def _dot(x: Column, y: Column) -> Column:
+    """Sequential fold — bit-stable and matches DuckDB's list_dot_product."""
+    return F.aggregate(F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda acc, z: acc + z)
+
+
+def cosine(x: Column, y: Column) -> Column:
+    return _dot(x, y) / F.sqrt(_dot(x, x) * _dot(y, y))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """Exact top-k neighbors per query by cosine (ties broken by neighbor id).
+
+    ``queries`` is expected to be small (broadcast); the corpus streams
+    against it without a shuffle until the final per-query top-k.
+    """
+    query_id_col = query_id_col or id_col
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("nv")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("nv")).alias("cosine"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def hyperplane_buckets(
+    emb: DataFrame,
+    n_planes: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+    n_tables: int = 1,
+) -> DataFrame:
+    """Random-hyperplane LSH buckets per vector: one row per (vector, table)
+    with the table's bucket = packed sign bits of n_planes pseudo-random
+    projections. Multiple tables (OR-amplification) trade extra candidate
+    volume for recall — a neighbor is a candidate if it collides in ANY table.
+
+    The plane vectors are derived per (dimension, table, plane) from
+    xxhash64 — no driver-side randomness, identical across runs and cluster
+    layouts. All n_tables × n_planes projections are computed in ONE
+    explode + groupBy pass over the vectors.
+    """
+    v = emb.select(F.col(id_col), F.posexplode(F.col(vec_col).cast("array<double>")).alias("dim", "x"))
+    proj = [
+        F.sum(
+            F.col("x")
+            * (
+                (
+                    F.pmod(F.xxhash64("dim", F.lit(seed + t * 1000 + p)), F.lit(2000)).cast("double")
+                    - 1000.0
+                )
+                / 1000.0
+            )
+        ).alias(f"p_{t}_{p}")
+        for t in range(n_tables)
+        for p in range(n_planes)
+    ]
+    agg = v.groupBy(id_col).agg(*proj)
+    tables = []
+    for t in range(n_tables):
+        bucket = None
+        for p in range(n_planes):
+            bit = F.when(F.col(f"p_{t}_{p}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+            term = bit * F.lit(1 << p).cast("long")
+            bucket = term if bucket is None else bucket + term
+        tables.append(F.struct(F.lit(t).alias("table_id"), bucket.alias("bucket")))
+    return agg.select(
+        id_col, F.explode(F.array(*tables)).alias("tb")
+    ).select(id_col, F.col("tb.table_id").alias("table_id"), F.col("tb.bucket").alias("bucket"))
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 12,
+    n_tables: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: score only vectors sharing a (table, bucket) with
+    the query in at least one of ``n_tables`` hash tables, then keep the
+    per-query top-k.
+
+    Tuning: collision probability per table is (1 − θ/π)^n_planes, overall
+    1 − (1 − p)^n_tables — more tables raise recall, more planes cut
+    candidate volume. Candidates are deduped BEFORE scoring so each pair's
+    cosine is computed once regardless of how many tables it collides in.
+    """
+    cb = hyperplane_buckets(corpus, n_planes, id_col, vec_col, n_tables=n_tables)
+    qb = hyperplane_buckets(queries, n_planes, id_col, vec_col, n_tables=n_tables)
+    cands = (
+        cb.select(F.col(id_col).alias("neighbor_id"), "table_id", "bucket")
+        .join(
+            F.broadcast(qb.select(F.col(id_col).alias("query_id"), "table_id", "bucket")),
+            ["table_id", "bucket"],
+        )
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("nv"))
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv"))
+    scored = (
+        cands.join(c, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("nv")).alias("cosine"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

@@ -1,0 +1,135 @@
+"""Similarity-search, near-dup, and multimodal queries over ``documents`` /
+``embeddings`` — the LLM-training-data operator family.
+
+Parity notes:
+- Cosine is written as dot/(sqrt(dot·dot)) with sequential folds on both
+  engines (Spark ``aggregate`` ≡ DuckDB ``list_dot_product`` — verified
+  bit-identical on this data), never an engine's fused cosine built-in.
+- MinHash/SimHash pipelines are genuinely non-SQL-expressible at reasonable
+  effort → registered without oracle (driver does the rows-only check);
+  their correctness is covered by unit tests against planted duplicates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators.dedup import minhash_near_duplicates, ngram_jaccard_pairs, simhash_near_duplicates
+from ..operators.multimodal import attach_payload, extract_media_meta
+from ..operators.similarity import cosine_topk
+from .registry import register, t
+
+# ---------------------------------------------------------------------------
+# ANN: brute-force cosine top-k (exact baseline; LSH variant in unit tests)
+
+SQL_ANN_TOPK = """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+q AS (SELECT vec_id AS query_id, emb AS qv FROM v WHERE vec_id < 20),
+scored AS (
+  SELECT q.query_id, v.vec_id AS neighbor_id,
+         list_dot_product(qv, emb)
+           / sqrt(list_dot_product(qv, qv) * list_dot_product(emb, emb)) AS cosine
+  FROM v CROSS JOIN q
+  WHERE v.vec_id <> q.query_id
+),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      FROM scored)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 5
+"""
+
+
+@register("ann_topk", SQL_ANN_TOPK, doc="brute-force cosine top-5 neighbors for 20 query vectors", tags=("similarity",))
+def q_ann_topk(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    out = cosine_topk(emb, emb.filter(F.col("vec_id") < 20), k=5)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup pairs
+
+SQL_EMBEDDING_NEAR_DUP = """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       list_dot_product(a.emb, b.emb)
+         / sqrt(list_dot_product(a.emb, a.emb) * list_dot_product(b.emb, b.emb)) AS cosine
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.emb, b.emb)
+        / sqrt(list_dot_product(a.emb, a.emb) * list_dot_product(b.emb, b.emb)) >= 0.4
+"""
+
+
+@register("embedding_near_dup", SQL_EMBEDDING_NEAR_DUP, doc="embedding-cosine near-duplicate pairs (>= 0.4)", tags=("dedup", "similarity"))
+def q_embedding_near_dup(spark, sf_dir):
+    from ..operators.dedup import embedding_near_duplicates
+
+    return embedding_near_duplicates(t(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard near-dup (exact inverted-index formulation)
+
+SQL_NGRAM_JACCARD = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN range(1, len(t)-1)]) AS shingles
+  FROM toks WHERE len(t) >= 3
+),
+ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM ex GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+  FROM ex a JOIN ex b USING (shingle) WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared) AS jaccard
+FROM shared
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared) >= 0.5
+"""
+
+
+@register("ngram_jaccard", SQL_NGRAM_JACCARD, doc="word-3-gram Jaccard near-dup pairs (>= 0.5)", tags=("dedup",))
+def q_ngram_jaccard(spark, sf_dir):
+    return ngram_jaccard_pairs(t(spark, sf_dir, "documents"), k=3, threshold=0.5)
+
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH and SimHash — non-SQL-expressible pipelines (rows-only check);
+# unit tests assert they recover the corpus's planted near-duplicates.
+
+@register("minhash_lsh_near_dup", None, doc="MinHash(64)+LSH(16x4) near-dup pairs, Jaccard-verified >= 0.5", tags=("dedup",))
+def q_minhash(spark, sf_dir):
+    return minhash_near_duplicates(t(spark, sf_dir, "documents"), threshold=0.5)
+
+
+@register("simhash_near_dup", None, doc="64-bit SimHash near-dup pairs (hamming <= 3, chunk-blocked)", tags=("dedup",))
+def q_simhash(spark, sf_dir):
+    return simhash_near_duplicates(t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Multimodal: binary payload column → Arrow-batched metadata extraction.
+# The Spark side really runs mapInPandas; the oracle reproduces the
+# deterministic stub decode in SQL, proving the Arrow plumbing end-to-end.
+
+SQL_MULTIMODAL_META = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       sha256(text) AS sha256,
+       CAST(octet_length(encode(text)) % 1024 AS INT) AS width,
+       CAST((octet_length(encode(text)) * 7) % 768 AS INT) AS height
+FROM documents
+"""
+
+
+@register("multimodal_meta", SQL_MULTIMODAL_META, doc="binary media column -> typed metadata via mapInPandas (stub decode)", tags=("multimodal",))
+def q_multimodal_meta(spark, sf_dir):
+    return extract_media_meta(attach_payload(t(spark, sf_dir, "documents")))

@@ -1,0 +1,100 @@
+"""Market-data provider adapters (S6/S7) — driver-side I/O scaffolding.
+
+The reference ships async REST clients for Alpaca/IEX/Polygon/Finnhub
+(ingestion/infrastructure/{alpaca_client,iex_adapter,polygon_adapter,
+finnhub_adapter}.py) behind an anti-corruption layer that maps provider JSON
+to domain bars (adapters.py:193-256). Rate-limited HTTP fetch is inherently
+driver-side work (SURVEY §7.4): the cluster parallelizes the transform/write
+legs, not the API calls.
+
+Network access and provider credentials are unavailable in this environment,
+so ``fetch_bars`` raises NotImplementedError per provider; the translation
+layer (``normalize_provider_rows``) — the part with engine semantics — is
+real and tested. The ``fake`` provider (sources/fake.py) is fully functional
+and registered under the same interface, mirroring the reference where the
+fake provider doubles as the test data source (fake_adapter.py:24-215).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: provider name → column mapping from raw JSON fields to the canonical bar
+#: schema (reference anti-corruption translations, adapters.py:193-256 and
+#: per-provider clients).
+PROVIDER_FIELD_MAPS: dict[str, dict[str, str]] = {
+    # Alpaca v2 bars: t (RFC3339), o/h/l/c, v
+    "alpaca": {"ts": "t", "open": "o", "high": "h", "low": "l", "close": "c", "volume": "v"},
+    # IEX intraday: date+minute, open/high/low/close, volume
+    "iex": {"ts": "ts", "open": "open", "high": "high", "low": "low", "close": "close", "volume": "volume"},
+    # Polygon aggregates: t (ms epoch), o/h/l/c, v
+    "polygon": {"ts": "t", "open": "o", "high": "h", "low": "l", "close": "c", "volume": "v"},
+    # Finnhub candles: t (s epoch), o/h/l/c, v
+    "finnhub": {"ts": "t", "open": "o", "high": "h", "low": "l", "close": "c", "volume": "v"},
+}
+
+#: ts field unit per provider → multiplier to ns.
+_TS_UNIT_NS = {"alpaca": None, "iex": None, "polygon": 1_000_000, "finnhub": 1_000_000_000}
+
+
+def normalize_provider_rows(
+    spark: SparkSession, provider: str, rows: list[dict], symbol: str
+) -> DataFrame:
+    """S7 — anti-corruption translation: raw provider dicts → canonical bars.
+
+    Invalid rows (missing fields, non-numeric) are dropped, mirroring the
+    reference's skip-and-log behavior (adapters.py:224-256).
+    """
+    if provider not in PROVIDER_FIELD_MAPS:
+        raise ValueError(f"unknown provider {provider!r}; expected one of {sorted(PROVIDER_FIELD_MAPS)}")
+    m = PROVIDER_FIELD_MAPS[provider]
+    unit = _TS_UNIT_NS[provider]
+    raw = spark.createDataFrame(
+        [
+            {k: r.get(f) for k, f in m.items()}
+            for r in rows
+            if all(f in r for f in m.values())
+        ]
+        or [],
+        "ts string, open string, high string, low string, close string, volume string",
+    )
+    if unit is None:  # RFC3339 / ISO timestamps
+        ts_ns = (F.unix_micros(F.to_timestamp("ts")) * 1000).cast("long")
+    else:
+        ts_ns = (F.col("ts").cast("long") * F.lit(unit)).cast("long")
+    out = raw.select(
+        F.lit(symbol.upper()).alias("symbol"),
+        ts_ns.alias("ts_ns"),
+        F.col("open").cast("double").alias("open"),
+        F.col("high").cast("double").alias("high"),
+        F.col("low").cast("double").alias("low"),
+        F.col("close").cast("double").alias("close"),
+        F.col("volume").cast("double").cast("long").alias("volume"),
+    ).filter(
+        F.col("ts_ns").isNotNull()
+        & F.col("open").isNotNull()
+        & F.col("high").isNotNull()
+        & F.col("low").isNotNull()
+        & F.col("close").isNotNull()
+    )
+    return out
+
+
+def fetch_bars(provider: str, symbol: str, start_ns: int, end_ns: int) -> list[dict]:
+    """S6 — provider HTTP fetch. STUB: live HTTP requires network access and
+    credentials unavailable here; the reference's async clients
+    (alpaca_client.py etc.) are driver-side I/O with no engine semantics."""
+    if provider == "fake":
+        raise ValueError("use sources.fake.fake_bars for the fake provider")
+    raise NotImplementedError(
+        f"live HTTP fetch for {provider!r} requires network access/credentials; "
+        "wire an async client here and feed rows to normalize_provider_rows()"
+    )
+
+
+PROVIDER_REGISTRY: dict[str, Callable] = {
+    name: (lambda p=name: p) for name in PROVIDER_FIELD_MAPS
+}

@@ -1,0 +1,135 @@
+"""Checkpointed incremental processing — the reference's "streaming" model.
+
+The reference has no real-time leg; its streaming analog is incremental
+batch: per-(job, symbol) checkpoints with resume from
+``last_processed_timestamp`` (ingestion/application/services.py:470-553),
+gap backfill (cli/ohlcv_backfill.py), keep-last dedup for late/duplicate
+data (parquet_engine.py:156-173), and event-driven chaining of
+aggregation + validation after ingest
+(aggregation/application/services.py:157-164).
+
+Spark mapping: checkpoints are a tiny parquet control table; the chained
+legs are plain function composition over the ingested slice (the reference's
+in-memory event bus is an implementation detail, SURVEY §7.3). For a true
+streaming source, ``incremental_job`` drops in behind Structured Streaming's
+``foreachBatch`` unchanged.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+CHECKPOINT_SCHEMA = T.StructType(
+    [
+        T.StructField("job_id", T.StringType(), False),
+        T.StructField("symbol", T.StringType(), False),
+        T.StructField("last_processed_ns", T.LongType(), False),
+        T.StructField("updated_at", T.TimestampType(), False),
+    ]
+)
+
+
+class CheckpointStore:
+    """Per-(job, symbol) resume positions in a small parquet table
+    (reference SQLite checkpoints, sqlite_domain.py:447-501)."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    def load(self) -> DataFrame:
+        if not os.path.exists(self.path):
+            return self.spark.createDataFrame([], CHECKPOINT_SCHEMA)
+        return self.spark.read.parquet(self.path)
+
+    def last_processed(self, job_id: str, symbol: str) -> int | None:
+        rows = (
+            self.load()
+            .filter((F.col("job_id") == job_id) & (F.col("symbol") == symbol))
+            .agg(F.max("last_processed_ns"))
+            .collect()
+        )
+        return rows[0][0]
+
+    def save(self, job_id: str, positions: dict[str, int]) -> None:
+        """Upsert new positions (keep-newest per (job, symbol))."""
+        now = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
+        new = self.spark.createDataFrame(
+            [(job_id, s, int(ns), now) for s, ns in positions.items()], CHECKPOINT_SCHEMA
+        )
+        merged = (
+            self.load()
+            .unionByName(new)
+            .groupBy("job_id", "symbol")
+            .agg(
+                F.max("last_processed_ns").alias("last_processed_ns"),
+                F.max("updated_at").alias("updated_at"),
+            )
+        )
+        tmp = self.path + ".tmp"
+        merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+        final = self.spark.read.parquet(tmp)
+        final.coalesce(1).write.mode("overwrite").parquet(self.path)
+
+
+def incremental_job(
+    spark: SparkSession,
+    job_id: str,
+    new_bars: DataFrame,
+    raw_root: str,
+    agg_root: str,
+    checkpoints: CheckpointStore,
+    frames: list[str] | None = None,
+    market_hours: bool = False,
+) -> dict[str, DataFrame]:
+    """One ingestion increment, reproducing the reference's chain:
+    checkpoint-filter → validate → land raw → re-aggregate ONLY the touched
+    (symbol, date) slices → validation report. Returns the chained outputs.
+
+    Incremental re-aggregation (SURVEY §4 "incremental recompute"): the
+    aggregate legs read back just the partitions the increment touched —
+    at 100 TB a one-day increment reaggregates one day, not the lake.
+    """
+    from ..lake import read_bars, upsert_bars, write_bars
+    from ..operators.resample import resample
+    from ..operators.validation import split_valid
+
+    # resume: drop rows at or before each symbol's checkpoint
+    cps = (
+        checkpoints.load()
+        .filter(F.col("job_id") == job_id)
+        .select("symbol", "last_processed_ns")
+    )
+    fresh = new_bars.join(F.broadcast(cps), "symbol", "left_outer").filter(
+        F.col("last_processed_ns").isNull() | (F.col("ts_ns") > F.col("last_processed_ns"))
+    ).drop("last_processed_ns")
+
+    valid, errors = split_valid(fresh, market_hours=market_hours)
+    upsert_bars(valid, raw_root, "1m", ingest_id=job_id)
+
+    # event-chained legs (function composition, not a bus)
+    touched = valid.select("symbol", F.to_date(F.timestamp_micros((F.col("ts_ns") / 1000).cast("long"))).alias("date")).distinct()
+    slice_df = (
+        read_bars(spark, raw_root, frame="1m")
+        .join(F.broadcast(touched), ["symbol", "date"], "left_semi")
+        .select("symbol", "ts_ns", "open", "high", "low", "close", "volume")
+    )
+    outputs: dict[str, DataFrame] = {"errors": errors}
+    for frame in frames or ["5m", "1h", "1d"]:
+        agg = resample(slice_df, frame)
+        upsert_bars(agg, agg_root, frame, ingest_id=job_id)
+        outputs[frame] = agg
+
+    # advance checkpoints to the max processed ts per symbol
+    maxes = {
+        r.symbol: r.m
+        for r in valid.groupBy("symbol").agg(F.max("ts_ns").alias("m")).collect()
+    }
+    if maxes:
+        checkpoints.save(job_id, maxes)
+    return outputs

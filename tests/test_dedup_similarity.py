@@ -1,0 +1,97 @@
+"""Dedup/similarity operators against the corpus's planted near-duplicates
+(sf0.01 documents contain ~25 pairs with word-3-gram Jaccard ≈ 0.99)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from conftest import SF_ORACLE
+
+from marketpipe_spark.operators.dedup import (
+    exact_dedup,
+    keep_last,
+    minhash_near_duplicates,
+    ngram_jaccard_pairs,
+    simhash_near_duplicates,
+)
+from marketpipe_spark.operators.multimodal import attach_payload, frame_sample
+from marketpipe_spark.operators.similarity import cosine_topk, lsh_topk
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_ORACLE}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def true_pairs(docs):
+    """Ground truth: exact n-gram Jaccard ≥ 0.8 (the planted near-dups)."""
+    return {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(docs, threshold=0.8).collect()
+    }
+
+
+def test_planted_dups_exist(true_pairs):
+    assert len(true_pairs) >= 10
+
+
+def test_minhash_recovers_planted(docs, true_pairs):
+    found = {(r.id_a, r.id_b) for r in minhash_near_duplicates(docs, threshold=0.5).collect()}
+    # MinHash-LSH with 16 bands of 4 rows has >99.9% recall at jaccard 0.99
+    recall = len(true_pairs & found) / len(true_pairs)
+    assert recall >= 0.95, f"recall {recall}: missed {true_pairs - found}"
+
+
+def test_simhash_finds_planted(docs, true_pairs):
+    found = {(r.id_a, r.id_b) for r in simhash_near_duplicates(docs, max_hamming=3).collect()}
+    recall = len(true_pairs & found) / len(true_pairs)
+    # SimHash on bag-of-words is weaker than MinHash on shingles; the planted
+    # dups differ by only a few tokens so most should land within hamming 3
+    assert recall >= 0.6, f"recall {recall}"
+
+
+def test_exact_dedup_counts(docs):
+    out = exact_dedup(docs, ["text"], "doc_id")
+    total = out.agg(F.sum("n_copies")).collect()[0][0]
+    assert total == docs.count()
+
+
+def test_keep_last(spark):
+    df = spark.createDataFrame(
+        [("A", 1, 10), ("A", 1, 20), ("A", 2, 5), ("B", 1, 7)], "k string, ts long, v long"
+    )
+    out = {(r.k, r.ts): r.v for r in keep_last(df, ["k", "ts"], "v").collect()}
+    assert out == {("A", 1): 20, ("A", 2): 5, ("B", 1): 7}
+
+
+def test_lsh_topk_recall_vs_bruteforce(emb):
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(emb, queries, k=3).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in lsh_topk(emb, queries, k=3, n_planes=4, n_tables=8).collect()
+    }
+    # 8 tables × 4 planes: per-table collision (1-θ/π)^4, OR-amplified over
+    # 8 tables — comfortably above 0.4 recall even for moderate-cosine
+    # neighbors over 500 random vectors
+    assert len(exact) == 30
+    assert len(approx & exact) / len(exact) >= 0.4
+
+
+def test_frame_sample_fanout(docs):
+    sampled = frame_sample(attach_payload(docs.limit(5)), every_n_bytes=64)
+    rows = sampled.collect()
+    assert len(rows) > 5  # one input row fans out to multiple frames
+    assert all(len(r.frame_sha) == 64 for r in rows)
+    # offsets are multiples of the stride
+    assert all(r.offset % 64 == 0 for r in rows)
