@@ -61,18 +61,20 @@ def normalize_provider_rows(
         or [],
         "ts string, open string, high string, low string, close string, volume string",
     )
+    # try_* variants: malformed provider values become NULL and are dropped
+    # below (ANSI-mode cast would abort the whole batch on one bad row).
     if unit is None:  # RFC3339 / ISO timestamps
-        ts_ns = (F.unix_micros(F.to_timestamp("ts")) * 1000).cast("long")
+        ts_ns = (F.unix_micros(F.try_to_timestamp("ts")) * 1000).cast("long")
     else:
-        ts_ns = (F.col("ts").cast("long") * F.lit(unit)).cast("long")
+        ts_ns = F.try_multiply(F.expr("try_cast(ts AS LONG)"), F.lit(unit))
     out = raw.select(
         F.lit(symbol.upper()).alias("symbol"),
         ts_ns.alias("ts_ns"),
-        F.col("open").cast("double").alias("open"),
-        F.col("high").cast("double").alias("high"),
-        F.col("low").cast("double").alias("low"),
-        F.col("close").cast("double").alias("close"),
-        F.col("volume").cast("double").cast("long").alias("volume"),
+        F.expr("try_cast(open AS DOUBLE)").alias("open"),
+        F.expr("try_cast(high AS DOUBLE)").alias("high"),
+        F.expr("try_cast(low AS DOUBLE)").alias("low"),
+        F.expr("try_cast(close AS DOUBLE)").alias("close"),
+        F.expr("try_cast(try_cast(volume AS DOUBLE) AS LONG)").alias("volume"),
     ).filter(
         F.col("ts_ns").isNotNull()
         & F.col("open").isNotNull()

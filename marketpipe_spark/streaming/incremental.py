@@ -71,10 +71,15 @@ class CheckpointStore:
                 F.max("updated_at").alias("updated_at"),
             )
         )
+        # Materialize before overwriting the source of `merged`'s plan, then
+        # rewrite in place (control table is tiny — single file).
+        import shutil
+
         tmp = self.path + ".tmp"
         merged.coalesce(1).write.mode("overwrite").parquet(tmp)
-        final = self.spark.read.parquet(tmp)
+        final = self.spark.read.parquet(tmp).localCheckpoint(eager=True)
         final.coalesce(1).write.mode("overwrite").parquet(self.path)
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def incremental_job(
@@ -119,9 +124,13 @@ def incremental_job(
         .join(F.broadcast(touched), ["symbol", "date"], "left_semi")
         .select("symbol", "ts_ns", "open", "high", "low", "close", "volume")
     )
-    outputs: dict[str, DataFrame] = {"errors": errors}
+    # Returned outputs are pinned with an eager localCheckpoint: their lazy
+    # plans read the checkpoint table and lake partitions that THIS job (and
+    # the next increment) overwrite — evaluating them later must not re-read
+    # mutated files. The increment's slices are small by construction.
+    outputs: dict[str, DataFrame] = {"errors": errors.localCheckpoint(eager=True)}
     for frame in frames or ["5m", "1h", "1d"]:
-        agg = resample(slice_df, frame)
+        agg = resample(slice_df, frame).localCheckpoint(eager=True)
         upsert_bars(agg, agg_root, frame, ingest_id=job_id)
         outputs[frame] = agg
 
