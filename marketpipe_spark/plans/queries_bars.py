@@ -52,6 +52,26 @@ def q_resample_1h(spark, sf_dir):
     return resample_intraday(_bars_core(spark, sf_dir), 3600)
 
 
+@register(
+    "resample_15m",
+    _resample_sql(900 * NS_PER_SEC),
+    doc="A1 intraday OHLCV resample, 15m frame",
+    tags=("agg", "core"),
+)
+def q_resample_15m(spark, sf_dir):
+    return resample_intraday(_bars_core(spark, sf_dir), 900)
+
+
+@register(
+    "resample_4h",
+    _resample_sql(14400 * NS_PER_SEC),
+    doc="A1 intraday OHLCV resample, 4h frame",
+    tags=("agg", "core"),
+)
+def q_resample_4h(spark, sf_dir):
+    return resample_intraday(_bars_core(spark, sf_dir), 14400)
+
+
 # ---------------------------------------------------------------------------
 # A2 — daily resample labeled 13:30 UTC (services.py:16-30)
 
@@ -411,6 +431,62 @@ b AS (SELECT symbol, ts_ns - (ts_ns % {300 * NS_PER_SEC}) AS bucket, ts_ns, clos
       FROM bars)
 SELECT symbol, bucket AS ts_ns, close AS last_close FROM b WHERE rn = 1
 """
+
+
+# ---------------------------------------------------------------------------
+# §2.7 — the full validation rule set as ONE query: errors(symbol, ts_ns,
+# reason), one row per violated rule (reference: validation/domain/
+# services.py:14-170; batch variant domain/services.py:374-607). The
+# session-hours/weekend rules are off (24/7 event data). All window
+# aggregates reduce integers (sums/avgs of longs are exact in double), so
+# DuckDB's segment-tree evaluation and Spark's running frames agree bitwise.
+
+SQL_VALIDATION_REPORT = f"""
+WITH {SQL_BARS},
+w AS (
+  SELECT symbol, ts_ns, open, high, low, close, volume,
+         LAG(ts_ns)  OVER sw AS prev_ts,
+         LAG(close)  OVER sw AS prev_close,
+         SUM(CASE WHEN volume = 0 THEN 1 ELSE 0 END)
+           OVER (sw ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS zv10,
+         AVG(CASE WHEN volume > 0 THEN volume END)
+           OVER (sw ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING) AS pva20
+  FROM bars
+  WINDOW sw AS (PARTITION BY symbol ORDER BY ts_ns)
+)
+SELECT symbol, ts_ns, 'non_monotonic_timestamp' AS reason FROM w
+  WHERE prev_ts IS NOT NULL AND ts_ns <= prev_ts
+UNION ALL SELECT symbol, ts_ns, 'non_positive_price' FROM w
+  WHERE open <= 0 OR high <= 0 OR low <= 0 OR close <= 0
+UNION ALL SELECT symbol, ts_ns, 'negative_volume' FROM w WHERE volume < 0
+UNION ALL SELECT symbol, ts_ns, 'ohlc_inconsistent' FROM w
+  WHERE high < open OR high < close OR high < low OR low > open OR low > close
+UNION ALL SELECT symbol, ts_ns, 'timestamp_not_minute_aligned' FROM w
+  WHERE ts_ns % 60000000000 <> 0
+UNION ALL SELECT symbol, ts_ns, 'zero_volume_with_movement' FROM w
+  WHERE volume = 0 AND open <> close
+UNION ALL SELECT symbol, ts_ns, 'extreme_price_movement' FROM w
+  WHERE prev_close IS NOT NULL AND prev_close > 0
+    AND abs(open - prev_close) / prev_close > 0.5
+UNION ALL SELECT symbol, ts_ns, 'volume_above_cap' FROM w WHERE volume > 1000000000
+UNION ALL SELECT symbol, ts_ns, 'price_out_of_range' FROM w
+  WHERE low < 0.01 OR high > 100000.0
+UNION ALL SELECT symbol, ts_ns, 'sustained_zero_volume' FROM w WHERE zv10 >= 5
+UNION ALL SELECT symbol, ts_ns, 'volume_spike' FROM w
+  WHERE pva20 IS NOT NULL AND volume > pva20 * 10
+"""
+
+
+@register(
+    "validation_report",
+    SQL_VALIDATION_REPORT,
+    doc="§2.7 full validation rule set -> errors(symbol, ts_ns, reason)",
+    tags=("validation",),
+)
+def q_validation_report(spark, sf_dir):
+    from ..operators.validation import validate_bars
+
+    return validate_bars(_bars_core(spark, sf_dir), market_hours=False)
 
 
 @register("dedup_keep_last", SQL_KEEP_LAST, doc="P7 keep-last dedup (parquet_engine.py:156-173)", tags=("dedup", "window"))

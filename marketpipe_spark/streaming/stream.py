@@ -1,0 +1,95 @@
+"""Structured Streaming ingest leg.
+
+The reference is batch-incremental only (SURVEY §2.9); this is the optional
+real-time analog it anticipates: file-source ``readStream`` over landing
+parquet, event-time watermarking for late bars, windowed OHLCV aggregation,
+and a ``foreachBatch`` upsert into the same partitioned lake the batch path
+uses (so both legs share storage + dedup semantics). ``Trigger.AvailableNow``
+gives checkpointed catch-up runs — the streaming twin of the reference's
+per-job checkpoint resume (ingestion/application/services.py:470-553).
+
+Scale notes: the stateful windowed aggregation is keyed by (symbol, window)
+— state partitions by key across executors; the watermark bounds state size
+(windows older than watermark are evicted after emission). maxFilesPerTrigger
+bounds per-microbatch work on backfills.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..schema import BARS_MIN_SCHEMA
+from ..session import tune
+
+
+def read_bar_stream(
+    spark: SparkSession, landing_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream of 1m bars from a landing directory."""
+    tune(spark)
+    reader = spark.readStream.schema(BARS_MIN_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.parquet(landing_dir)
+
+
+def windowed_ohlcv(
+    bar_stream: DataFrame, minutes: int = 5, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Event-time windowed OHLCV resample with late-data watermarking.
+
+    Same semantics as the batch resample (A1): open/close by min/max event
+    time in the window, high/low/volume as max/min/sum. Late bars within the
+    watermark update their window; older ones are dropped.
+    """
+    with_ts = bar_stream.withColumn(
+        "event_time", F.timestamp_micros((F.col("ts_ns") / 1000).cast("long"))
+    )
+    win = F.window("event_time", f"{minutes} minutes")
+    out = (
+        with_ts.withWatermark("event_time", watermark)
+        .groupBy(F.col("symbol"), win.alias("w"))
+        .agg(
+            F.min_by("open", "ts_ns").alias("open"),
+            F.max("high").alias("high"),
+            F.min("low").alias("low"),
+            F.max_by("close", "ts_ns").alias("close"),
+            F.sum("volume").alias("volume"),
+        )
+    )
+    return out.select(
+        "symbol",
+        (F.unix_micros(F.col("w.start")) * 1000).alias("ts_ns"),
+        "open", "high", "low", "close", "volume",
+    )
+
+
+def stream_to_lake(
+    bar_stream: DataFrame,
+    root: str,
+    frame: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """foreachBatch upsert into the partitioned lake — each microbatch goes
+    through the same keep-last dedup as the batch path (K2), so replays and
+    late duplicates are idempotent. Returns the started StreamingQuery."""
+    from ..lake import upsert_bars
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        upsert_bars(batch_df, root, frame, ingest_id=f"stream-{batch_id}")
+
+    writer = bar_stream.writeStream.foreachBatch(_sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def run_available_now(query) -> None:
+    """Block until an AvailableNow query drains its backlog and stops."""
+    query.awaitTermination()

@@ -1,0 +1,92 @@
+"""Structured Streaming leg: file-source stream → watermarked windowed OHLCV
+→ foreachBatch lake upsert with AvailableNow checkpointed catch-up."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from marketpipe_spark.lake import read_bars
+from marketpipe_spark.operators.resample import resample_intraday
+from marketpipe_spark.schema import BARS_MIN_SCHEMA
+from marketpipe_spark.streaming.stream import (
+    read_bar_stream,
+    run_available_now,
+    stream_to_lake,
+    windowed_ohlcv,
+)
+
+NS_MIN = 60_000_000_000
+DAY1 = 1_704_153_600_000_000_000  # 2024-01-02 00:00 UTC
+
+
+def _bars_df(spark, symbol, start_ns, n, base=100.0):
+    rows = [
+        (symbol, start_ns + i * NS_MIN, base + i, base + i + 1.0, base + i - 1.0, base + i + 0.5, 10 + i)
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, BARS_MIN_SCHEMA)
+
+
+def test_stream_catchup_and_incremental(spark, tmp_path):
+    landing = str(tmp_path / "landing")
+    lake = str(tmp_path / "lake")
+    ckpt = str(tmp_path / "ckpt")
+
+    _bars_df(spark, "AAPL", DAY1, 10).coalesce(1).write.mode("append").parquet(landing)
+    q = stream_to_lake(read_bar_stream(spark, landing), lake, "1m", ckpt)
+    run_available_now(q)
+    assert read_bars(spark, lake, frame="1m").count() == 10
+
+    # second file: 5 overlapping bars (dup ts, replayed) + 5 genuinely new
+    _bars_df(spark, "AAPL", DAY1 + 5 * NS_MIN, 10, base=200.0).coalesce(1).write.mode(
+        "append"
+    ).parquet(landing)
+    q = stream_to_lake(read_bar_stream(spark, landing), lake, "1m", ckpt)
+    run_available_now(q)
+    out = read_bars(spark, lake, frame="1m")
+    assert out.count() == 15  # keep-last dedup collapsed the 5 replayed ts
+    # the replayed rows won (keep-last): ts at minute 5 now carries base 200
+    row = out.filter(F.col("ts_ns") == DAY1 + 5 * NS_MIN).collect()[0]
+    assert row.open == 200.0
+
+
+def test_windowed_ohlcv_matches_batch_resample(spark, tmp_path):
+    landing = str(tmp_path / "landing")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    bars = _bars_df(spark, "AAPL", DAY1, 12)
+    bars.coalesce(1).write.mode("append").parquet(landing)
+    # Append-mode emits a window only once the watermark passes its end, and
+    # the watermark advances between microbatches — land a later punctuation
+    # bar as a second file (maxFilesPerTrigger=1 → second microbatch) so the
+    # three real windows finalize; the punctuation's own window stays pending.
+    import time
+
+    time.sleep(1.1)  # file-source ordering is by modification time
+    _bars_df(spark, "AAPL", DAY1 + 3_600_000_000_000, 1).coalesce(1).write.mode("append").parquet(
+        landing
+    )
+
+    stream = windowed_ohlcv(read_bar_stream(spark, landing, max_files_per_trigger=1), minutes=5)
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    run_available_now(q)
+
+    got = {
+        (r.symbol, r.ts_ns): (r.open, r.high, r.low, r.close, r.volume)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    want = {
+        (r.symbol, r.ts_ns): (r.open, r.high, r.low, r.close, r.volume)
+        for r in resample_intraday(bars, 300).collect()
+    }
+    assert got == want
+    assert len(got) == 3  # 12 minutes -> three 5m windows
