@@ -152,6 +152,38 @@ def age_to_cutoff(expr: str, today: dt.date | None = None) -> dt.date:
     return dt.date(today.year - n, today.month, today.day)
 
 
+def storage_stats(spark: SparkSession, root: str) -> dict:
+    """A11 — lake storage stats: file count, bytes, distinct frames/symbols/
+    days (reference: parquet_engine.py:500-535 walks the directory tree; on a
+    cluster this would read the catalog/manifest instead)."""
+    import glob
+    import os
+
+    files = glob.glob(f"{root}/frame=*/symbol=*/date=*/*.parquet")
+    parts = {tuple(p.split("/")[-4:-1]) for p in files}
+    return {
+        "file_count": len(files),
+        "total_bytes": sum(os.path.getsize(f) for f in files),
+        "frames": len({p[0] for p in parts}),
+        "symbols": len({p[1] for p in parts}),
+        "days": len({p[2] for p in parts}),
+    }
+
+
+def render_table(df, limit: int = 50, fmt: str = "csv") -> str:
+    """K6/O4 — render a result head as CSV or a markdown grid (reference:
+    cli/query.py:42-65 renders DuckDB results the same two ways)."""
+    pdf = df.limit(limit).toPandas()
+    if fmt == "csv":
+        return pdf.to_csv(index=False)
+    if fmt == "markdown":
+        cols = list(pdf.columns)
+        lines = ["| " + " | ".join(cols) + " |", "| " + " | ".join("---" for _ in cols) + " |"]
+        lines += ["| " + " | ".join(str(v) for v in row) + " |" for row in pdf.itertuples(index=False)]
+        return "\n".join(lines)
+    raise ValueError(f"unknown fmt {fmt!r}; expected 'csv' or 'markdown'")
+
+
 def prune_bars(
     spark: SparkSession, root: str, older_than: str, dry_run: bool = False
 ) -> list[str]:

@@ -52,7 +52,7 @@ def keep_last(df: DataFrame, key_cols: list[str], order_col: str) -> DataFrame:
 
 def with_shingles(docs: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
     """Add ``shingles``: distinct word k-grams of the whitespace-tokenized,
-    lower-cased text."""
+    lower-cased text. (Callers spread(docs) ONCE before multi-branch use.)"""
     toks = F.split(F.trim(F.lower(F.col(text_col))), TOKEN_SPLIT_RE)
     grams = F.expr(
         f"array_distinct(transform(sequence(1, greatest(size(_toks) - {k - 1}, 0)), "
@@ -135,6 +135,9 @@ def minhash_near_duplicates(
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: shingle → sign → band → candidate
     join → verify true Jaccard ≥ threshold on candidates only."""
+    from .similarity import spread
+
+    docs = spread(docs, id_col)
     rows_per_band = num_perm // bands
     sigs = minhash_signatures(docs, id_col, num_perm, k)
     cands = lsh_candidate_pairs(sigs, id_col, bands, rows_per_band)
@@ -158,6 +161,9 @@ def minhash_near_duplicates(
 def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64) -> DataFrame:
     """64-bit SimHash per document: per-token hash bits vote ±1; the sign of
     each bit-position sum forms the fingerprint. Wide aggregation, all JVM."""
+    from .similarity import spread
+
+    docs = spread(docs, id_col)
     toks = docs.select(
         F.col(id_col),
         F.explode(F.split(F.trim(F.lower(F.col(text_col))), TOKEN_SPLIT_RE)).alias("tok"),
@@ -229,9 +235,15 @@ def ngram_jaccard_pairs(
     """All pairs with shingle-set Jaccard ≥ threshold via inverted-index
     self-join on shingles. ``max_df`` drops shingles appearing in more than
     that many docs (stopword-shingle skew guard for web-scale corpora)."""
+    from .similarity import spread
+
+    docs = spread(docs, id_col)
+    # Join on the 64-bit shingle hash, not the string: ~3× less shuffle and a
+    # long-keyed hash join. xxhash64 collisions (~n²/2⁶⁴) are negligible
+    # against shingle-count semantics.
     sh = with_shingles(docs, text_col, k).select(
         F.col(id_col), F.explode("shingles").alias("shingle")
-    )
+    ).select(id_col, F.xxhash64("shingle").alias("shingle"))
     if max_df is not None:
         dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
         sh = sh.join(F.broadcast(dfreq.filter(F.col("_df") <= max_df)), "shingle").drop("_df")
@@ -261,22 +273,47 @@ def ngram_jaccard_pairs(
 def embedding_near_duplicates(
     emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding", threshold: float = 0.95
 ) -> DataFrame:
-    """Pairs with cosine ≥ threshold. Brute-force formulation (crossJoin);
-    for web scale use similarity.lsh_topk's hyperplane buckets as the
-    candidate generator instead."""
-    v = emb.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
-    a = v.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"))
-    b = v.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"))
+    """All pairs with cosine ≥ threshold — exact brute force, two phases:
 
-    def dot(x, y):
-        return F.aggregate(F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda acc, z: acc + z)
+    1. Vectorized candidate scan (Arrow ``mapInPandas``): each partition
+       matmuls its rows against the full normalized corpus matrix (shipped
+       in the task closure — brute-force all-pairs inherently needs a
+       corpus-sized operand per task; beyond broadcastable corpus sizes the
+       scale path is :func:`minhash_near_duplicates` / hyperplane LSH).
+       Pairs are emitted at threshold − 1e−9 (covers BLAS-vs-fold
+       summation-order wobble; 1e−9 ≫ the ~1e−15 relative error).
+    2. Exact sequential-fold rescore of the surviving pairs — output values
+       are bit-identical to the DuckDB oracle's ``list_dot_product``.
+    """
+    import numpy as np
+    import pandas as pd
 
-    cos = dot(F.col("va"), F.col("vb")) / F.sqrt(
-        dot(F.col("va"), F.col("va")) * dot(F.col("vb"), F.col("vb"))
+    from .similarity import exact_pair_cosine, spread
+
+    rows = emb.select(F.col(id_col), F.col(vec_col).cast("array<double>")).collect()
+    ids = np.array([r[0] for r in rows])
+    mat = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    cut = threshold - 1e-9
+
+    def candidates(batches):
+        for pdf in batches:
+            a_ids = pdf["id"].to_numpy()
+            a = np.stack(pdf["v"].to_numpy())
+            a = a / np.linalg.norm(a, axis=1, keepdims=True)
+            sims = a @ mat.T
+            ai, bi = np.nonzero((sims >= cut) & (a_ids[:, None] < ids[None, :]))
+            yield pd.DataFrame({"id_a": a_ids[ai], "id_b": ids[bi]})
+
+    c = spread(emb, id_col).select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
     )
+    cands = c.mapInPandas(candidates, "id_a long, id_b long")
+    va = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).cast("array<double>").alias("qv"))
+    vb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).cast("array<double>").alias("nv"))
     return (
-        a.crossJoin(b)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cos.alias("cosine"))
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", exact_pair_cosine().alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )

@@ -49,8 +49,12 @@ def _fake_decode(payload: bytes) -> tuple[int, int]:
 
 def attach_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Build the opaque binary media column (here: utf-8 bytes of the text —
-    a stand-in payload with the same Spark-side shape as real media)."""
-    return docs.withColumn("payload", F.encode(F.col(text_col), "UTF-8"))
+    a stand-in payload with the same Spark-side shape as real media).
+    Spread across the cluster so the Python decode workers run in parallel
+    even when the input arrives as one small file."""
+    from .similarity import spread
+
+    return spread(docs, "doc_id").withColumn("payload", F.encode(F.col(text_col), "UTF-8"))
 
 
 def extract_media_meta(docs_with_payload: DataFrame) -> DataFrame:

@@ -15,13 +15,51 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 
+def spread(df: DataFrame, key: str, factor: int = 1) -> DataFrame:
+    """Hash-repartition on ``key`` up to cluster parallelism when the input
+    arrives in fewer partitions (e.g. one small parquet file) — CPU-bound
+    operators otherwise run on a single core. At real scale the scan already
+    yields enough splits and this is a no-op.
+
+    Call ONCE at the operator entry point, never inside a helper that gets
+    referenced from several plan branches: hash partitioning is deterministic
+    so one exchange is planned and reused, whereas per-branch round-robin
+    repartitions are nondeterministic, defeat exchange reuse, and recompute
+    the upstream subtree per branch (measured 30×+ slowdowns)."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism * factor
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target, df[key])
+    return df
+
+
 def _dot(x: Column, y: Column) -> Column:
     """Sequential fold — bit-stable and matches DuckDB's list_dot_product."""
     return F.aggregate(F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda acc, z: acc + z)
 
 
+def with_norm(df: DataFrame, id_col: str, vec_col: str, prefix: str) -> DataFrame:
+    """(id, vec, norm) with the L2 norm computed ONCE per vector — pairwise
+    scoring then does one dot per pair instead of three."""
+    v = F.col(vec_col).cast("array<double>")
+    return df.select(
+        F.col(id_col).alias(f"{prefix}_id"),
+        v.alias(f"{prefix}v"),
+        F.sqrt(_dot(v, v)).alias(f"{prefix}n"),
+    )
+
+
 def cosine(x: Column, y: Column) -> Column:
     return _dot(x, y) / F.sqrt(_dot(x, x) * _dot(y, y))
+
+
+def exact_pair_cosine(left: str = "qv", right: str = "nv") -> Column:
+    """Bit-exact cosine for candidate pairs: sequential fold dot over the raw
+    arrays, norms factored as sqrt(a·a)·sqrt(b·b) — the DuckDB oracle must
+    use the SAME factoring (`list_dot_product` is a sequential fold too)."""
+    return _dot(F.col(left), F.col(right)) / (
+        F.sqrt(_dot(F.col(left), F.col(left))) * F.sqrt(_dot(F.col(right), F.col(right)))
+    )
 
 
 def cosine_topk(
@@ -31,23 +69,65 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str | None = None,
+    margin: int = 8,
 ) -> DataFrame:
     """Exact top-k neighbors per query by cosine (ties broken by neighbor id).
 
-    ``queries`` is expected to be small (broadcast); the corpus streams
-    against it without a shuffle until the final per-query top-k.
+    Two-phase plan — the pattern the 100 TB path needs:
+
+    1. **Vectorized candidate generation** (Arrow ``mapInPandas``): each
+       corpus partition computes a BLAS matmul of its batch against the
+       (small, closure-shipped) normalized query matrix and emits its local
+       top-(k+margin) per query. Local-topk ⊆-covers global topk, so no
+       candidate is lost; the scan streams — nothing is collected.
+    2. **Exact rescore** of the ~(partitions × queries × (k+margin))
+       candidates with the sequential-fold cosine (bit-identical to the
+       DuckDB oracle), then a global per-query top-k window.
+
+    The margin only absorbs float-summation-order differences between BLAS
+    and the fold near rank boundaries; candidate coverage is exact already.
     """
+    import numpy as np
+    import pandas as pd
+
     query_id_col = query_id_col or id_col
-    q = queries.select(
+    qrows = queries.select(F.col(query_id_col), F.col(vec_col).cast("array<double>")).collect()
+    if not qrows:
+        raise ValueError("cosine_topk: empty query set")
+    q_ids = np.array([r[0] for r in qrows])
+    q_mat = np.stack([np.asarray(r[1], dtype=np.float64) for r in qrows])
+    q_mat = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    n_local = k + margin
+
+    def local_topk(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            mat = np.stack(pdf["v"].to_numpy())
+            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            sims = q_mat @ mat.T  # (n_queries, batch)
+            # self-matches must not crowd out real neighbors
+            for qi, qid in enumerate(q_ids):
+                sims[qi, ids == qid] = -np.inf
+            take = min(n_local, sims.shape[1])
+            idx = np.argpartition(-sims, take - 1, axis=1)[:, :take]
+            out_q = np.repeat(q_ids, take)
+            out_n = ids[idx.ravel()]
+            keep = np.isfinite(np.take_along_axis(sims, idx, axis=1).ravel())
+            yield pd.DataFrame({"query_id": out_q[keep], "neighbor_id": out_n[keep]})
+
+    c = spread(corpus, id_col).select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    cands = c.mapInPandas(local_topk, "query_id long, neighbor_id long")
+
+    nv = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("nv"))
+    qv = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
     )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("nv")
-    )
     scored = (
-        c.crossJoin(F.broadcast(q))
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("nv")).alias("cosine"))
+        cands.join(nv, "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .select("query_id", "neighbor_id", exact_pair_cosine().alias("cosine"))
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -75,7 +155,9 @@ def hyperplane_buckets(
     layouts. All n_tables × n_planes projections are computed in ONE
     explode + groupBy pass over the vectors.
     """
-    v = emb.select(F.col(id_col), F.posexplode(F.col(vec_col).cast("array<double>")).alias("dim", "x"))
+    v = spread(emb, id_col).select(
+        F.col(id_col), F.posexplode(F.col(vec_col).cast("array<double>")).alias("dim", "x")
+    )
     proj = [
         F.sum(
             F.col("x")

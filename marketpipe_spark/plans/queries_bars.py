@@ -434,6 +434,47 @@ SELECT symbol, bucket AS ts_ns, close AS last_close FROM b WHERE rn = 1
 
 
 # ---------------------------------------------------------------------------
+# A12 — running totals as bars accumulate (reference: domain/aggregates.py:
+# 124-129 keeps running high/low/volume while bars stream into the
+# aggregate). Cumulative window frames; volume accumulates exactly (longs).
+
+SQL_RUNNING_TOTALS = f"""
+WITH {SQL_BARS}
+SELECT symbol, ts_ns,
+       MAX(high) OVER w AS running_high,
+       MIN(low)  OVER w AS running_low,
+       CAST(SUM(volume) OVER w AS BIGINT) AS running_volume,
+       COUNT(*) OVER w AS bar_count
+FROM bars
+WINDOW w AS (PARTITION BY symbol ORDER BY ts_ns
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+@register(
+    "running_totals",
+    SQL_RUNNING_TOTALS,
+    doc="A12 running high/low/volume per symbol (aggregates.py:124-129)",
+    tags=("window",),
+)
+def q_running_totals(spark, sf_dir):
+    b = _bars_core(spark, sf_dir)
+    w = (
+        W.partitionBy("symbol")
+        .orderBy("ts_ns")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return b.select(
+        "symbol",
+        "ts_ns",
+        F.max("high").over(w).alias("running_high"),
+        F.min("low").over(w).alias("running_low"),
+        F.sum("volume").over(w).alias("running_volume"),
+        F.count(F.lit(1)).over(w).alias("bar_count"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # §2.7 — the full validation rule set as ONE query: errors(symbol, ts_ns,
 # reason), one row per violated rule (reference: validation/domain/
 # services.py:14-170; batch variant domain/services.py:374-607). The

@@ -2,9 +2,11 @@
 ``embeddings`` — the LLM-training-data operator family.
 
 Parity notes:
-- Cosine is written as dot/(sqrt(dot·dot)) with sequential folds on both
-  engines (Spark ``aggregate`` ≡ DuckDB ``list_dot_product`` — verified
-  bit-identical on this data), never an engine's fused cosine built-in.
+- Cosine values come from the exact-rescore phase: sequential-fold dots with
+  norms factored as sqrt(a·a)·sqrt(b·b) on both engines (Spark ``aggregate``
+  ≡ DuckDB ``list_dot_product`` — verified bit-identical on this data),
+  never an engine's fused cosine built-in. The vectorized (BLAS) phase only
+  nominates candidates and never contributes output values.
 - MinHash/SimHash pipelines are genuinely non-SQL-expressible at reasonable
   effort → registered without oracle (driver does the rows-only check);
   their correctness is covered by unit tests against planted duplicates.
@@ -23,12 +25,14 @@ from .registry import register, t
 # ANN: brute-force cosine top-k (exact baseline; LSH variant in unit tests)
 
 SQL_ANN_TOPK = """
-WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-q AS (SELECT vec_id AS query_id, emb AS qv FROM v WHERE vec_id < 20),
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+                  sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                        CAST(embedding AS DOUBLE[]))) AS nrm
+           FROM embeddings),
+q AS (SELECT vec_id AS query_id, emb AS qv, nrm AS qn FROM v WHERE vec_id < 20),
 scored AS (
   SELECT q.query_id, v.vec_id AS neighbor_id,
-         list_dot_product(qv, emb)
-           / sqrt(list_dot_product(qv, qv) * list_dot_product(emb, emb)) AS cosine
+         list_dot_product(qv, emb) / (qn * nrm) AS cosine
   FROM v CROSS JOIN q
   WHERE v.vec_id <> q.query_id
 ),
@@ -51,13 +55,14 @@ def q_ann_topk(spark, sf_dir):
 # Embedding-cosine near-dup pairs
 
 SQL_EMBEDDING_NEAR_DUP = """
-WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+                  sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                        CAST(embedding AS DOUBLE[]))) AS nrm
+           FROM embeddings)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       list_dot_product(a.emb, b.emb)
-         / sqrt(list_dot_product(a.emb, a.emb) * list_dot_product(b.emb, b.emb)) AS cosine
+       list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) AS cosine
 FROM v a JOIN v b ON a.vec_id < b.vec_id
-WHERE list_dot_product(a.emb, b.emb)
-        / sqrt(list_dot_product(a.emb, a.emb) * list_dot_product(b.emb, b.emb)) >= 0.4
+WHERE list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) >= 0.4
 """
 
 
