@@ -63,11 +63,7 @@ def query(spark: SparkSession, sql: str) -> DataFrame:
 
 def render(df: DataFrame, limit: int = 50, fmt: str = "markdown") -> str:
     """K6/O4 — CSV or grid-table rendering of the first ``limit`` rows
-    (cli/query.py:42-65)."""
-    pdf = df.limit(limit).toPandas()
-    if fmt == "csv":
-        return pdf.to_csv(index=False)
-    try:
-        return pdf.to_markdown(index=False)
-    except ImportError:  # tabulate not installed — plain grid fallback
-        return pdf.to_string(index=False)
+    (cli/query.py:42-65). Delegates to :func:`marketpipe_spark.lake.render_table`."""
+    from ..lake import render_table
+
+    return render_table(df, limit=limit, fmt=fmt)
