@@ -16,7 +16,7 @@ from marketpipe_spark.operators.dedup import (
     simhash_near_duplicates,
 )
 from marketpipe_spark.operators.multimodal import attach_payload, frame_sample
-from marketpipe_spark.operators.similarity import cosine_topk, lsh_topk
+from marketpipe_spark.operators.similarity import cosine_topk, ivf_topk, lsh_topk
 
 
 @pytest.fixture(scope="module")
@@ -84,6 +84,22 @@ def test_lsh_topk_recall_vs_bruteforce(emb):
     # 8 tables × 4 planes: per-table collision (1-θ/π)^4, OR-amplified over
     # 8 tables — comfortably above 0.4 recall even for moderate-cosine
     # neighbors over 500 random vectors
+    assert len(exact) == 30
+    assert len(approx & exact) / len(exact) >= 0.4
+
+
+def test_ivf_topk_recall_vs_bruteforce(emb):
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(emb, queries, k=3).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk(emb, queries, k=3, n_cells=16, n_probe=6).collect()
+    }
+    # probing 6/16 cells scans ~38% of the corpus but near-centroid locality
+    # concentrates true neighbors into probed cells — recall well above that
     assert len(exact) == 30
     assert len(approx & exact) / len(exact) >= 0.4
 
