@@ -271,44 +271,80 @@ def ngram_jaccard_pairs(
 # embedding cosine near-dup
 
 def embedding_near_duplicates(
-    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding", threshold: float = 0.95
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_blocks: int = 16,
 ) -> DataFrame:
-    """All pairs with cosine ≥ threshold — exact brute force, two phases:
+    """All pairs with cosine ≥ threshold — exact, fully distributed.
 
-    1. Vectorized candidate scan (Arrow ``mapInPandas``): each partition
-       matmuls its rows against the full normalized corpus matrix (shipped
-       in the task closure — brute-force all-pairs inherently needs a
-       corpus-sized operand per task; beyond broadcastable corpus sizes the
-       scale path is :func:`minhash_near_duplicates` / hyperplane LSH).
-       Pairs are emitted at threshold − 1e−9 (covers BLAS-vs-fold
-       summation-order wobble; 1e−9 ≫ the ~1e−15 relative error).
-    2. Exact sequential-fold rescore of the surviving pairs — output values
-       are bit-identical to the DuckDB oracle's ``list_dot_product``.
+    Block-pair formulation (the distributed all-pairs join): every vector is
+    hashed into one of ``n_blocks`` blocks; each unordered block pair (i ≤ j)
+    becomes one task that BLAS-matmuls block i against block j. Nothing is
+    collected to the driver and no corpus-sized operand ships in a closure —
+    shuffle volume is n_rows × n_blocks and compute is the unavoidable
+    O(n²/2) dots spread over n_blocks·(n_blocks+1)/2 tasks. Growing
+    ``n_blocks`` with the corpus keeps per-task memory flat, so the same plan
+    runs on a 1000-executor cluster; for corpora where O(n²) itself is the
+    binding constraint the sub-quadratic paths are
+    :func:`minhash_near_duplicates` / :func:`simhash_near_duplicates` /
+    LSH-bucketed cosine (``similarity.lsh_topk``).
+
+    Two phases for oracle-bit parity:
+
+    1. Candidate generation (above) emits pairs at threshold − 1e−9 — the
+       margin covers BLAS-vs-fold summation-order wobble (~1e−15 relative).
+    2. Exact sequential-fold rescore of candidates only — output values are
+       bit-identical to the DuckDB oracle's ``list_dot_product``.
     """
     import numpy as np
     import pandas as pd
 
-    from .similarity import exact_pair_cosine, spread
+    from .similarity import exact_pair_cosine
 
-    rows = emb.select(F.col(id_col), F.col(vec_col).cast("array<double>")).collect()
-    ids = np.array([r[0] for r in rows])
-    mat = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
-    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
     cut = threshold - 1e-9
+    nb = n_blocks
 
-    def candidates(batches):
-        for pdf in batches:
-            a_ids = pdf["id"].to_numpy()
-            a = np.stack(pdf["v"].to_numpy())
-            a = a / np.linalg.norm(a, axis=1, keepdims=True)
-            sims = a @ mat.T
-            ai, bi = np.nonzero((sims >= cut) & (a_ids[:, None] < ids[None, :]))
-            yield pd.DataFrame({"id_a": a_ids[ai], "id_b": ids[bi]})
-
-    c = spread(emb, id_col).select(
-        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    v = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(nb)).alias("_b"),
     )
-    cands = c.mapInPandas(candidates, "id_a long, id_b long")
+    # Fan each vector out to its nb block-pairs: pair (min(b,o), max(b,o)),
+    # carrying which side of the pair this row is. The same-block pair (b,b)
+    # is emitted once as side 0.
+    assigns = F.expr(
+        f"transform(sequence(0, {nb - 1}), o -> struct("
+        f"CASE WHEN _b <= o THEN _b * {nb} + o ELSE o * {nb} + _b END AS pair_id, "
+        f"CASE WHEN _b <= o THEN 0 ELSE 1 END AS side))"
+    )
+    fanned = v.select("id", "v", F.explode(assigns).alias("a")).select(
+        "id", "v", F.col("a.pair_id").alias("pair_id"), F.col("a.side").alias("side")
+    )
+
+    def block_pair(pdf: pd.DataFrame) -> pd.DataFrame:
+        side = pdf["side"].to_numpy()
+        a = pdf[side == 0]
+        b = pdf[side == 1]
+        a_ids = a["id"].to_numpy()
+        if len(a_ids) == 0:
+            return pd.DataFrame({"id_a": [], "id_b": []}).astype("int64")
+        am = np.stack(a["v"].to_numpy())
+        am = am / np.linalg.norm(am, axis=1, keepdims=True)
+        if len(b) == 0:  # same-block pair: upper triangle of A·Aᵀ
+            sims = am @ am.T
+            ii, jj = np.nonzero((sims >= cut) & (a_ids[:, None] < a_ids[None, :]))
+            return pd.DataFrame({"id_a": a_ids[ii], "id_b": a_ids[jj]})
+        b_ids = b["id"].to_numpy()
+        bm = np.stack(b["v"].to_numpy())
+        bm = bm / np.linalg.norm(bm, axis=1, keepdims=True)
+        sims = am @ bm.T
+        ii, jj = np.nonzero(sims >= cut)
+        x, y = a_ids[ii], b_ids[jj]
+        return pd.DataFrame({"id_a": np.minimum(x, y), "id_b": np.maximum(x, y)})
+
+    cands = fanned.groupBy("pair_id").applyInPandas(block_pair, "id_a long, id_b long")
     va = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).cast("array<double>").alias("qv"))
     vb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).cast("array<double>").alias("nv"))
     return (
