@@ -236,40 +236,43 @@ def hyperplane_buckets(
     projections. Multiple tables (OR-amplification) trade extra candidate
     volume for recall — a neighbor is a candidate if it collides in ANY table.
 
-    The plane vectors are derived per (dimension, table, plane) from
-    xxhash64 — no driver-side randomness, identical across runs and cluster
-    layouts. All n_tables × n_planes projections are computed in ONE
-    explode + groupBy pass over the vectors.
+    All n_tables × n_planes projections are ONE vectorized matmul inside a
+    map-only ``mapInPandas`` pass — no shuffle, no row inflation (the naive
+    per-dimension explode formulation pushes dim× rows through an exchange;
+    a 768-dim corpus would inflate 768×). The plane matrix is regenerated in
+    every task from a seeded PCG64 stream (a specified, platform-stable
+    generator), so buckets are identical across runs, tasks, and cluster
+    layouts with no driver-side state shipped.
     """
-    v = spread(emb, id_col).select(
-        F.col(id_col), F.posexplode(F.col(vec_col).cast("array<double>")).alias("dim", "x")
-    )
-    proj = [
-        F.sum(
-            F.col("x")
-            * (
-                (
-                    F.pmod(F.xxhash64("dim", F.lit(seed + t * 1000 + p)), F.lit(2000)).cast("double")
-                    - 1000.0
-                )
-                / 1000.0
+    import numpy as np
+    import pandas as pd
+
+    def buckets(batches):
+        planes = None
+        weights = (np.int64(1) << np.arange(n_planes, dtype=np.int64))
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack(pdf["v"].to_numpy())
+            if planes is None:
+                rng = np.random.default_rng(seed)
+                planes = rng.standard_normal((mat.shape[1], n_tables * n_planes))
+            signs = (mat @ planes) > 0.0
+            packed = signs.reshape(len(mat), n_tables, n_planes).astype(np.int64) @ weights
+            ids = pdf["id"].to_numpy()
+            yield pd.DataFrame(
+                {
+                    "id": np.repeat(ids, n_tables),
+                    "table_id": np.tile(np.arange(n_tables, dtype=np.int64), len(ids)),
+                    "bucket": packed.reshape(-1),
+                }
             )
-        ).alias(f"p_{t}_{p}")
-        for t in range(n_tables)
-        for p in range(n_planes)
-    ]
-    agg = v.groupBy(id_col).agg(*proj)
-    tables = []
-    for t in range(n_tables):
-        bucket = None
-        for p in range(n_planes):
-            bit = F.when(F.col(f"p_{t}_{p}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-            term = bit * F.lit(1 << p).cast("long")
-            bucket = term if bucket is None else bucket + term
-        tables.append(F.struct(F.lit(t).alias("table_id"), bucket.alias("bucket")))
-    return agg.select(
-        id_col, F.explode(F.array(*tables)).alias("tb")
-    ).select(id_col, F.col("tb.table_id").alias("table_id"), F.col("tb.bucket").alias("bucket"))
+
+    v = spread(emb, id_col).select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    out = v.mapInPandas(buckets, "id long, table_id long, bucket long")
+    return out.select(F.col("id").alias(id_col), "table_id", "bucket")
 
 
 def lsh_topk(

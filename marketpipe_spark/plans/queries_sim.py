@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 from ..operators.dedup import minhash_near_duplicates, ngram_jaccard_pairs, simhash_near_duplicates
 from ..operators.multimodal import attach_payload, extract_media_meta
-from ..operators.similarity import cosine_topk
+from ..operators.similarity import cosine_topk, ivf_topk, lsh_topk
 from .registry import register, t
 
 # ---------------------------------------------------------------------------
@@ -49,6 +49,22 @@ def q_ann_topk(spark, sf_dir):
     emb = t(spark, sf_dir, "embeddings")
     out = cosine_topk(emb, emb.filter(F.col("vec_id") < 20), k=5)
     return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+# ANN scale paths — approximate by construction (bucketed/inverted-file
+# candidate sets), so no SQL oracle; the driver records the rows-only check
+# and tests/test_dedup_similarity.py asserts recall against cosine_topk.
+
+@register("lsh_topk", None, doc="hyperplane-LSH approximate top-5 (16 tables x 6 planes), map-only bucketing", tags=("similarity",))
+def q_lsh_topk(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    return lsh_topk(emb, emb.filter(F.col("vec_id") < 20), k=5, n_planes=6, n_tables=16)
+
+
+@register("ivf_topk", None, doc="IVF approximate top-5 (16 cells, 4 probes), streamed assignment", tags=("similarity",))
+def q_ivf_topk(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, emb.filter(F.col("vec_id") < 20), k=5, n_cells=16, n_probe=4)
 
 
 # ---------------------------------------------------------------------------
