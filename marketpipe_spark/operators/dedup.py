@@ -20,11 +20,37 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 TOKEN_SPLIT_RE = r"\s+"
+
+
+def _hash64(col: Column, seed: int | None, family: str) -> Column:
+    """64-bit-ish hash of a string column under a named hash family.
+
+    - ``xxhash64`` (default everywhere): JVM-side, codegen, cheapest — the
+      production/scale choice.
+    - ``md5_60``: first 15 hex chars of md5 as a 60-bit non-negative long.
+      ~3× the CPU of xxhash64, but computable BIT-IDENTICALLY by any engine
+      with md5 (DuckDB: ``CAST(('0x' || substr(md5(s),1,15)) AS BIGINT)``) —
+      used when a pipeline must be verified value-for-value against an
+      external SQL oracle. Seeding is by suffixing ``:<seed>``.
+    """
+    if family == "xxhash64":
+        return F.xxhash64(col) if seed is None else F.xxhash64(col, F.lit(seed))
+    if family != "md5_60":
+        raise ValueError(f"unknown hash family {family!r}")
+    s = col if seed is None else F.concat_ws(":", col, F.lit(str(seed)))
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+
+
+def _band_hash(sig_slice: Column, family: str) -> Column:
+    """Hash one signature band (an array<long> slice) to a join key."""
+    if family == "xxhash64":
+        return F.xxhash64(sig_slice)
+    return F.md5(F.concat_ws(",", F.transform(sig_slice, lambda x: x.cast("string"))))
 
 
 # ---------------------------------------------------------------------------
@@ -70,12 +96,16 @@ def with_shingles(docs: DataFrame, text_col: str = "text", k: int = 3) -> DataFr
 # MinHash + LSH
 
 def minhash_signatures(
-    docs: DataFrame, id_col: str = "doc_id", num_perm: int = 64, k: int = 3
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    k: int = 3,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """MinHash signature per document: ``sig`` = array of num_perm minima of
     seeded shingle hashes. One explode + one groupBy(doc)."""
     sh = with_shingles(docs, k=k).select(id_col, F.explode("shingles").alias("shingle"))
-    mins = [F.min(F.xxhash64("shingle", F.lit(i))).alias(f"h{i}") for i in range(num_perm)]
+    mins = [F.min(_hash64(F.col("shingle"), i, hash_family)).alias(f"h{i}") for i in range(num_perm)]
     sig = sh.groupBy(id_col).agg(*mins)
     return sig.select(id_col, F.array(*[f"h{i}" for i in range(num_perm)]).alias("sig"))
 
@@ -86,6 +116,7 @@ def lsh_candidate_pairs(
     bands: int = 16,
     rows_per_band: int = 4,
     max_bucket: int = 1000,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Candidate pairs from banded signatures: docs sharing any band hash.
 
@@ -100,7 +131,7 @@ def lsh_candidate_pairs(
         *[
             F.struct(
                 F.lit(b).alias("band_id"),
-                F.xxhash64(F.slice("sig", b * rows_per_band + 1, rows_per_band)).alias("band_hash"),
+                _band_hash(F.slice("sig", b * rows_per_band + 1, rows_per_band), hash_family).alias("band_hash"),
             )
             for b in range(bands)
         ]
@@ -132,6 +163,7 @@ def minhash_near_duplicates(
     bands: int = 16,
     k: int = 3,
     threshold: float = 0.5,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: shingle → sign → band → candidate
     join → verify true Jaccard ≥ threshold on candidates only."""
@@ -139,8 +171,8 @@ def minhash_near_duplicates(
 
     docs = spread(docs, id_col)
     rows_per_band = num_perm // bands
-    sigs = minhash_signatures(docs, id_col, num_perm, k)
-    cands = lsh_candidate_pairs(sigs, id_col, bands, rows_per_band)
+    sigs = minhash_signatures(docs, id_col, num_perm, k, hash_family)
+    cands = lsh_candidate_pairs(sigs, id_col, bands, rows_per_band, hash_family=hash_family)
     sh = with_shingles(docs, text_col, k).select(
         F.col(id_col), F.col("shingles"), F.size("shingles").alias("n_sh")
     )
@@ -158,16 +190,23 @@ def minhash_near_duplicates(
 # ---------------------------------------------------------------------------
 # SimHash
 
-def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64) -> DataFrame:
-    """64-bit SimHash per document: per-token hash bits vote ±1; the sign of
-    each bit-position sum forms the fingerprint. Wide aggregation, all JVM."""
+def simhash(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 64,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """SimHash per document: per-token hash bits vote ±1; the sign of each
+    bit-position sum forms the fingerprint. Wide aggregation, all JVM.
+    (``md5_60`` family yields a 60-bit hash — pass bits=60 with it.)"""
     from .similarity import spread
 
     docs = spread(docs, id_col)
     toks = docs.select(
         F.col(id_col),
         F.explode(F.split(F.trim(F.lower(F.col(text_col))), TOKEN_SPLIT_RE)).alias("tok"),
-    ).withColumn("h", F.xxhash64("tok"))
+    ).withColumn("h", _hash64(F.col("tok"), None, hash_family))
     votes = [
         F.sum(
             (F.shiftright("h", i).bitwiseAND(F.lit(1)) * 2 - 1)
@@ -186,12 +225,17 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bit
 
 
 def simhash_near_duplicates(
-    docs: DataFrame, id_col: str = "doc_id", max_hamming: int = 3, chunks: int = 4
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    chunks: int = 4,
+    bits: int = 64,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
-    """Near-dups by Hamming distance ≤ max_hamming, blocked on 16-bit chunks
-    (pigeonhole: distance ≤ 3 ⇒ at least one of 4 chunks identical)."""
-    fps = simhash(docs, id_col)
-    width = 64 // chunks
+    """Near-dups by Hamming distance ≤ max_hamming, blocked on bits/chunks-bit
+    chunks (pigeonhole: distance ≤ 3 ⇒ at least one of 4 chunks identical)."""
+    fps = simhash(docs, id_col, bits=bits, hash_family=hash_family)
+    width = bits // chunks
     chunk_structs = F.array(
         *[
             F.struct(

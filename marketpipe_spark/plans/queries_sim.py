@@ -123,17 +123,97 @@ def q_ngram_jaccard(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# MinHash-LSH and SimHash — non-SQL-expressible pipelines (rows-only check);
-# unit tests assert they recover the corpus's planted near-duplicates.
+# MinHash-LSH and SimHash — the FULL pipelines (signature → banding →
+# candidate join → verify) reproduced in DuckDB SQL. Cross-engine hashing
+# uses the md5_60 family (60-bit int from md5 hex — identical in any engine
+# with md5); production default stays xxhash64 (dedup._hash64).
 
-@register("minhash_lsh_near_dup", None, doc="MinHash(64)+LSH(16x4) near-dup pairs, Jaccard-verified >= 0.5", tags=("dedup",))
+SQL_MINHASH = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN range(1, len(t)-1)]) AS shingles
+  FROM toks WHERE len(t) >= 3
+),
+ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+perms AS (SELECT unnest(range(64)) AS perm),
+hashed AS (
+  SELECT doc_id, perm,
+         min(CAST(('0x' || substr(md5(shingle || ':' || perm), 1, 15)) AS BIGINT)) AS h
+  FROM ex CROSS JOIN perms
+  GROUP BY doc_id, perm
+),
+sig AS (SELECT doc_id, list(h ORDER BY perm) AS sig FROM hashed GROUP BY doc_id),
+bandids AS (SELECT unnest(range(16)) AS band_id),
+banded AS (
+  SELECT doc_id, band_id,
+         md5(array_to_string(list_slice(sig, band_id*4 + 1, band_id*4 + 4), ',')) AS band_hash
+  FROM sig CROSS JOIN bandids
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+  WHERE a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, shingles, len(shingles) AS n_sh FROM sh),
+scored AS (
+  SELECT id_a, id_b,
+         CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+           / (sa.n_sh + sb.n_sh - len(list_intersect(sa.shingles, sb.shingles))) AS jaccard
+  FROM cand
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+)
+SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.5
+"""
+
+
+@register("minhash_lsh_near_dup", SQL_MINHASH, doc="MinHash(64)+LSH(16x4) near-dup pairs, Jaccard-verified >= 0.5 (md5_60 cross-engine hashing)", tags=("dedup",))
 def q_minhash(spark, sf_dir):
-    return minhash_near_duplicates(t(spark, sf_dir, "documents"), threshold=0.5)
+    return minhash_near_duplicates(t(spark, sf_dir, "documents"), threshold=0.5, hash_family="md5_60")
 
 
-@register("simhash_near_dup", None, doc="64-bit SimHash near-dup pairs (hamming <= 3, chunk-blocked)", tags=("dedup",))
+SQL_SIMHASH = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok FROM documents
+),
+hashed AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h FROM toks
+),
+bitids AS (SELECT unnest(range(60)) AS bit),
+votes AS (
+  SELECT doc_id, bit, sum(((h >> CAST(bit AS INT)) & 1) * 2 - 1) AS vote
+  FROM hashed CROSS JOIN bitids
+  GROUP BY doc_id, bit
+),
+fp AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << CAST(bit AS INT)) ELSE 0 END) AS BIGINT) AS simhash
+  FROM votes GROUP BY doc_id
+),
+chunkids AS (SELECT unnest(range(4)) AS chunk_id),
+blocked AS (
+  SELECT doc_id, simhash, chunk_id,
+         (simhash >> CAST(chunk_id*15 AS INT)) & 32767 AS chunk_val
+  FROM fp CROSS JOIN chunkids
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                  a.simhash AS fp_a, b.simhash AS fp_b
+  FROM blocked a JOIN blocked b ON a.chunk_id = b.chunk_id AND a.chunk_val = b.chunk_val
+  WHERE a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(fp_a, fp_b)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= 3
+"""
+
+
+@register("simhash_near_dup", SQL_SIMHASH, doc="60-bit SimHash near-dup pairs (hamming <= 3, chunk-blocked, md5_60 cross-engine hashing)", tags=("dedup",))
 def q_simhash(spark, sf_dir):
-    return simhash_near_duplicates(t(spark, sf_dir, "documents"))
+    out = simhash_near_duplicates(t(spark, sf_dir, "documents"), bits=60, hash_family="md5_60")
+    return out.withColumn("hamming", F.col("hamming").cast("long"))
 
 
 # ---------------------------------------------------------------------------
