@@ -91,54 +91,113 @@ def incremental_job(
     checkpoints: CheckpointStore,
     frames: list[str] | None = None,
     market_hours: bool = False,
+    jobs=None,
+    metrics=None,
+    provider: str = "unknown",
+    feed: str = "unknown",
+    window_start_ns: int | None = None,
+    window_end_ns: int | None = None,
 ) -> dict[str, DataFrame]:
     """One ingestion increment, reproducing the reference's chain:
-    checkpoint-filter → validate → land raw → re-aggregate ONLY the touched
-    (symbol, date) slices → validation report. Returns the chained outputs.
+    job create/start → checkpoint-filter → validate → land raw →
+    re-aggregate ONLY the touched (symbol, date) slices → validation report
+    → job complete/fail + metrics. Returns the chained outputs.
 
     Incremental re-aggregation (SURVEY §4 "incremental recompute"): the
     aggregate legs read back just the partitions the increment touched —
     at 100 TB a one-day increment reaggregates one day, not the lake.
+
+    ``jobs`` (control.JobsStore) and ``metrics`` (control.MetricsStore) are
+    optional; when given, the reference's control-plane writes happen:
+    pending→in_progress→completed/failed rows per (symbol, day)
+    (entities.py:254-335) and ingest/validation metric points
+    (services.py recording ingest_jobs/ingest_job_total_bars/
+    validation_errors, metrics.py:145-156).
+
+    ``window_start_ns``/``window_end_ns`` bound the job's time range; a
+    checkpoint OUTSIDE [start, end) is stale and ignored — the symbol
+    restarts from the window start (reference services.py:475-491).
     """
     from ..lake import read_bars, upsert_bars, write_bars
     from ..operators.resample import resample
     from ..operators.validation import split_valid
 
-    # resume: drop rows at or before each symbol's checkpoint
+    if window_start_ns is not None:
+        new_bars = new_bars.filter(F.col("ts_ns") >= window_start_ns)
+    if window_end_ns is not None:
+        new_bars = new_bars.filter(F.col("ts_ns") < window_end_ns)
+
+    # resume: drop rows at or before each symbol's checkpoint — unless the
+    # checkpoint is stale (outside the job window), in which case it is
+    # ignored entirely (services.py:480-487).
     cps = (
         checkpoints.load()
         .filter(F.col("job_id") == job_id)
         .select("symbol", "last_processed_ns")
     )
+    if window_start_ns is not None:
+        cps = cps.filter(F.col("last_processed_ns") >= window_start_ns)
+    if window_end_ns is not None:
+        cps = cps.filter(F.col("last_processed_ns") < window_end_ns)
     fresh = new_bars.join(F.broadcast(cps), "symbol", "left_outer").filter(
         F.col("last_processed_ns").isNull() | (F.col("ts_ns") > F.col("last_processed_ns"))
     ).drop("last_processed_ns")
 
-    valid, errors = split_valid(fresh, market_hours=market_hours)
-    upsert_bars(valid, raw_root, "1m", ingest_id=job_id)
+    day = F.to_date(F.timestamp_micros((F.col("ts_ns") / 1000).cast("long"))).alias("date")
+    if jobs is not None:
+        units = [(r.symbol, r.date) for r in fresh.select("symbol", day).distinct().collect()]
+        if units:
+            jobs.create(job_id, units)
+            jobs.start(job_id)
+        else:
+            jobs = None  # nothing to ingest — no work units to track
+    if metrics is not None:
+        metrics.record("ingest_jobs", 1.0, provider, feed)
 
-    # event-chained legs (function composition, not a bus)
-    touched = valid.select("symbol", F.to_date(F.timestamp_micros((F.col("ts_ns") / 1000).cast("long"))).alias("date")).distinct()
-    slice_df = (
-        read_bars(spark, raw_root, frame="1m")
-        .join(F.broadcast(touched), ["symbol", "date"], "left_semi")
-        .select("symbol", "ts_ns", "open", "high", "low", "close", "volume")
-    )
-    # Returned outputs are pinned with an eager localCheckpoint: their lazy
-    # plans read the checkpoint table and lake partitions that THIS job (and
-    # the next increment) overwrite — evaluating them later must not re-read
-    # mutated files. The increment's slices are small by construction.
-    outputs: dict[str, DataFrame] = {"errors": errors.localCheckpoint(eager=True)}
-    for frame in frames or ["5m", "1h", "1d"]:
-        agg = resample(slice_df, frame).localCheckpoint(eager=True)
-        upsert_bars(agg, agg_root, frame, ingest_id=job_id)
-        outputs[frame] = agg
+    try:
+        valid, errors = split_valid(fresh, market_hours=market_hours)
+        upsert_bars(valid, raw_root, "1m", ingest_id=job_id)
 
-    # advance checkpoints to the max processed ts per symbol
-    maxes = {
-        r.symbol: r.m
-        for r in valid.groupBy("symbol").agg(F.max("ts_ns").alias("m")).collect()
-    }
+        # event-chained legs (function composition, not a bus)
+        touched = valid.select("symbol", day).distinct()
+        slice_df = (
+            read_bars(spark, raw_root, frame="1m")
+            .join(F.broadcast(touched), ["symbol", "date"], "left_semi")
+            .select("symbol", "ts_ns", "open", "high", "low", "close", "volume")
+        )
+        # Returned outputs are pinned with an eager localCheckpoint: their lazy
+        # plans read the checkpoint table and lake partitions that THIS job (and
+        # the next increment) overwrite — evaluating them later must not re-read
+        # mutated files. The increment's slices are small by construction.
+        outputs: dict[str, DataFrame] = {"errors": errors.localCheckpoint(eager=True)}
+        for frame in frames or ["5m", "1h", "1d"]:
+            agg = resample(slice_df, frame).localCheckpoint(eager=True)
+            upsert_bars(agg, agg_root, frame, ingest_id=job_id)
+            outputs[frame] = agg
+
+        # one tiny control-plane agg feeds checkpoint advance AND job stats
+        stats = valid.groupBy("symbol", day).agg(
+            F.max("ts_ns").alias("m"), F.count(F.lit(1)).alias("n")
+        ).collect()
+    except Exception as e:
+        if jobs is not None:
+            jobs.fail(job_id, str(e))
+        if metrics is not None:
+            metrics.record("ingest_job_failures", 1.0, provider, feed)
+        raise
+
+    maxes: dict[str, int] = {}
+    for r in stats:
+        maxes[r.symbol] = max(maxes.get(r.symbol, 0), r.m)
     if maxes:
         checkpoints.save(job_id, maxes)
+
+    if jobs is not None:
+        jobs.complete(job_id, bars={(r.symbol, r.date): r.n for r in stats})
+    if metrics is not None:
+        total = float(sum(r.n for r in stats))
+        metrics.record("ingest_job_success", 1.0, provider, feed)
+        metrics.record("ingest_job_total_bars", total, provider, feed)
+        metrics.record("ingest_symbols_success", float(len(maxes)), provider, feed)
+        metrics.record("validation_errors", float(outputs["errors"].count()), provider, feed)
     return outputs
