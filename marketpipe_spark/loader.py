@@ -49,13 +49,16 @@ def load_ohlcv(
     start=None,
     end=None,
     to_pandas: bool = False,
+    as_polars: bool = False,
 ):
     """Load OHLCV bars for one or more symbols.
 
     Mirrors the reference's contract: timeframe validated against
     {1m,5m,15m,1h,1d}; symbols upper-cased; start/end inclusive BETWEEN on
     ts_ns with unbounded defaults (loader.py:92-94); output ordered by
-    (ts_ns, symbol) (loader.py:124-133).
+    (ts_ns, symbol) (loader.py:124-133). ``as_polars=True`` converts the
+    pandas result via ``pl.from_pandas`` (reference loader.py:137-139) —
+    requires the optional polars dependency.
     """
     if timeframe not in VALID_TIMEFRAMES:
         raise ValueError(f"invalid timeframe {timeframe!r}; expected one of {VALID_TIMEFRAMES}")
@@ -78,7 +81,7 @@ def load_ohlcv(
         .select("symbol", "ts_ns", "open", "high", "low", "close", "volume")
         .orderBy("ts_ns", "symbol")
     )
-    if not to_pandas:
+    if not (to_pandas or as_polars):
         return df
     pdf = df.toPandas()
     if len(pdf):
@@ -89,4 +92,12 @@ def load_ohlcv(
             pdf = pdf.set_index(["timestamp", "symbol"]).sort_index()
         else:
             pdf = pdf.set_index("timestamp").drop(columns=["symbol"])
+    if as_polars:
+        try:
+            import polars as pl
+        except ImportError as e:  # optional dep, reference loader.py:137-139
+            raise ImportError(
+                "as_polars=True requires the optional 'polars' package"
+            ) from e
+        return pl.from_pandas(pdf.reset_index() if len(pdf) else pdf)
     return pdf

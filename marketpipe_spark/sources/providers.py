@@ -17,7 +17,7 @@ fake provider doubles as the test data source (fake_adapter.py:24-215).
 
 from __future__ import annotations
 
-from collections.abc import Callable
+from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -97,6 +97,46 @@ def fetch_bars(provider: str, symbol: str, start_ns: int, end_ns: int) -> list[d
     )
 
 
-PROVIDER_REGISTRY: dict[str, Callable] = {
-    name: (lambda p=name: p) for name in PROVIDER_FIELD_MAPS
+def bars_from_json(spark: SparkSession, path: str) -> DataFrame:
+    """S11 — load schema_v1-shaped JSON bar records (the reference's golden
+    resource format, tests/resources/sample_ohlcv_data.json: a JSON array of
+    canonical bars with int-ns ``timestamp``) into the minimal bar schema.
+    Malformed rows are dropped via the same try_cast discipline as the
+    provider translations above."""
+    raw = spark.read.option("multiLine", "true").json(path)
+    return raw.select(
+        F.upper(F.col("symbol").cast("string")).alias("symbol"),
+        F.expr("try_cast(timestamp AS LONG)").alias("ts_ns"),
+        F.expr("try_cast(open AS DOUBLE)").alias("open"),
+        F.expr("try_cast(high AS DOUBLE)").alias("high"),
+        F.expr("try_cast(low AS DOUBLE)").alias("low"),
+        F.expr("try_cast(close AS DOUBLE)").alias("close"),
+        F.expr("try_cast(try_cast(volume AS DOUBLE) AS LONG)").alias("volume"),
+    ).filter(
+        F.col("symbol").isNotNull()
+        & F.col("ts_ns").isNotNull()
+        & F.col("open").isNotNull()
+        & F.col("high").isNotNull()
+        & F.col("low").isNotNull()
+        & F.col("close").isNotNull()
+    )
+
+
+@dataclass(frozen=True)
+class ProviderAdapter:
+    """One registered provider: the fetch stub + the real translation,
+    bundled the way the reference's provider registry hands out adapters
+    (ingestion/infrastructure/provider_loader.py)."""
+
+    name: str
+
+    def fetch(self, symbol: str, start_ns: int, end_ns: int) -> list[dict]:
+        return fetch_bars(self.name, symbol, start_ns, end_ns)
+
+    def normalize(self, spark: SparkSession, rows: list[dict], symbol: str) -> DataFrame:
+        return normalize_provider_rows(spark, self.name, rows, symbol)
+
+
+PROVIDER_REGISTRY: dict[str, ProviderAdapter] = {
+    name: ProviderAdapter(name) for name in PROVIDER_FIELD_MAPS
 }
