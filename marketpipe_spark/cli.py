@@ -1,0 +1,233 @@
+"""Command-line surface — the reference's primary UX
+(src/marketpipe/cli/__init__.py: query, ingest-ohlcv, aggregate, validate,
+prune, jobs, symbols, metrics) as thin argparse shims over the library
+APIs. Each command builds one SparkSession, runs existing functions, prints
+the reference's render shapes (cli/query.py:42-65 table/CSV).
+
+Run as ``python -m marketpipe_spark <command> ...``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime as dt
+import sys
+
+
+def _spark(app: str):
+    from .session import get_spark
+
+    return get_spark(f"marketpipe-{app}")
+
+
+def cmd_query(args) -> int:
+    from .plans.views import ensure_views, query, render
+
+    spark = _spark("query")
+    ensure_views(spark, args.agg_root)
+    df = query(spark, args.sql)
+    out = render(df, limit=args.limit, fmt="csv" if args.csv else "markdown")
+    if not out.strip():
+        print("Query returned no results")
+    else:
+        print(out)
+    return 0
+
+
+def cmd_ingest(args) -> int:
+    from .control import JobsStore, MetricsStore
+    from .sources.fake import fake_bars
+    from .streaming.incremental import CheckpointStore, incremental_job
+
+    if args.provider != "fake":
+        print(
+            f"provider {args.provider!r} needs live HTTP (unavailable here); use --provider fake",
+            file=sys.stderr,
+        )
+        return 2
+    spark = _spark("ingest")
+    start_ns = int(dt.datetime.fromisoformat(args.start).replace(tzinfo=dt.timezone.utc).timestamp() * 1e9)
+    bars = fake_bars(spark, args.symbols.split(","), start_ns, args.bars)
+    job_id = args.job_id or f"ingest-{args.start}"
+    # control tables live BESIDE the lake root (`<output>_ctl/`): inside it
+    # they would confuse partition discovery, and Spark's file index ignores
+    # underscore-prefixed paths entirely.
+    ctl = f"{args.output.rstrip('/')}_ctl"
+    outputs = incremental_job(
+        spark, job_id, bars, args.output, args.agg_root,
+        CheckpointStore(spark, f"{ctl}/checkpoints"),
+        jobs=JobsStore(spark, f"{ctl}/jobs"),
+        metrics=MetricsStore(spark, f"{ctl}/metrics"),
+        provider="fake", feed=args.feed, market_hours=False,
+    )
+    n_err = outputs["errors"].count()
+    print(f"job {job_id}: ingested {args.bars} bars x {len(args.symbols.split(','))} symbols, "
+          f"{n_err} validation errors, frames {sorted(set(outputs) - {'errors'})}")
+    return 0
+
+
+def cmd_aggregate(args) -> int:
+    from .lake import read_bars, upsert_bars
+    from .operators.resample import resample
+
+    spark = _spark("aggregate")
+    raw = read_bars(spark, args.root, frame="1m").select(
+        "symbol", "ts_ns", "open", "high", "low", "close", "volume"
+    )
+    for frame in args.frames.split(","):
+        agg = resample(raw, frame)
+        upsert_bars(agg, args.agg_root, frame)
+        print(f"aggregated frame {frame}: {agg.count()} bars")
+    return 0
+
+
+def cmd_validate(args) -> int:
+    from .lake import read_bars
+    from .operators.validation import validate_bars, write_validation_report
+
+    spark = _spark("validate")
+    bars = read_bars(spark, args.root, frame=args.frame).select(
+        "symbol", "ts_ns", "open", "high", "low", "close", "volume"
+    )
+    errors = validate_bars(bars, market_hours=args.market_hours)
+    n = errors.count()
+    print(f"{n} validation errors")
+    if args.report:
+        write_validation_report(errors, args.report)
+        print(f"report written to {args.report}")
+    else:
+        for r in errors.groupBy("reason").count().orderBy("count", ascending=False).collect():
+            print(f"  {r['reason']}: {r['count']}")
+    return 0
+
+
+def cmd_prune(args) -> int:
+    from .lake import prune_bars
+
+    spark = _spark("prune")
+    doomed = prune_bars(spark, args.root, args.older_than, dry_run=args.dry_run)
+    verb = "would delete" if args.dry_run else "deleted"
+    print(f"{verb} {len(doomed)} partitions older than {args.older_than}")
+    for p in doomed[: args.limit]:
+        print(f"  {p}")
+    return 0
+
+
+def cmd_jobs(args) -> int:
+    from .control import JobsStore
+
+    spark = _spark("jobs")
+    jobs = JobsStore(spark, args.path)
+    if args.job_id:
+        rows = [r for r in jobs.load().collect() if r.job_id == args.job_id]
+        if not rows:
+            print(f"job {args.job_id} not found", file=sys.stderr)
+            return 1
+        for r in rows:
+            print(f"{r.job_id} {r.symbol} {r.day} {r.state} bars={r.bars_processed} "
+                  f"updated={r.updated_at}" + (f" error={r.error_message}" if r.error_message else ""))
+        return 0
+    total = 0
+    for r in jobs.state_counts().collect():  # reference cli/jobs.py:165-185
+        print(f"{r.state:<12}: {r.n_jobs:>6}")
+        total += r.n_jobs
+    print("-" * 21)
+    print(f"{'TOTAL':<12}: {total:>6}")
+    return 0
+
+
+def cmd_symbols(args) -> int:
+    from .sources.symbols import dummy_symbols, run_symbol_pipeline
+
+    spark = _spark("symbols")
+    if args.provider != "dummy":
+        print("only the deterministic 'dummy' provider runs without network; "
+              "polygon/nasdaq_dl translations are library APIs over canned payloads",
+              file=sys.stderr)
+        return 2
+    as_of = dt.date.fromisoformat(args.as_of) if args.as_of else dt.date.today()
+    out = run_symbol_pipeline(spark, dummy_symbols(spark, args.n, as_of), args.master, as_of)
+    print(f"symbols master updated: {out['master'].count()} rows, "
+          f"{out['latest'].count()} current")
+    return 0
+
+
+def cmd_metrics(args) -> int:
+    from .control import MetricsStore
+
+    spark = _spark("metrics")
+    m = MetricsStore(spark, args.path)
+    if args.name:
+        for r in m.history(args.name).collect():
+            print(f"{r.ts} {r.name} {r.value} provider={r.provider} feed={r.feed}")
+    else:
+        for name in m.list_names():
+            print(name)
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="marketpipe_spark", description=__doc__)
+    sub = p.add_subparsers(dest="command", required=True)
+
+    q = sub.add_parser("query", help="ad-hoc SQL over bars_<frame> views")
+    q.add_argument("sql")
+    q.add_argument("--agg-root", default="data/agg")
+    q.add_argument("--csv", action="store_true")
+    q.add_argument("--limit", "-l", type=int, default=50)
+    q.set_defaults(fn=cmd_query)
+
+    i = sub.add_parser("ingest-ohlcv", help="ingest bars (fake provider)")
+    i.add_argument("--provider", default="fake")
+    i.add_argument("--symbols", required=True, help="comma-separated")
+    i.add_argument("--start", required=True, help="ISO datetime")
+    i.add_argument("--bars", type=int, default=390, help="bars per symbol")
+    i.add_argument("--output", default="data/raw")
+    i.add_argument("--agg-root", default="data/agg")
+    i.add_argument("--feed", default="iex")
+    i.add_argument("--job-id", default=None)
+    i.set_defaults(fn=cmd_ingest)
+
+    a = sub.add_parser("aggregate", help="re-aggregate raw 1m into frames")
+    a.add_argument("root", help="raw lake root")
+    a.add_argument("--frames", default="5m,15m,1h,1d")
+    a.add_argument("--agg-root", default="data/agg")
+    a.set_defaults(fn=cmd_aggregate)
+
+    v = sub.add_parser("validate", help="run the 13-rule validation report")
+    v.add_argument("root", help="lake root")
+    v.add_argument("--frame", default="1m")
+    v.add_argument("--report", default=None, help="CSV report path")
+    v.add_argument("--market-hours", action="store_true")
+    v.set_defaults(fn=cmd_validate)
+
+    pr = sub.add_parser("prune", help="delete partitions older than an age")
+    pr.add_argument("root")
+    pr.add_argument("--older-than", required=True, help="e.g. 30d, 18m, 5y")
+    pr.add_argument("--dry-run", action="store_true")
+    pr.add_argument("--limit", type=int, default=20)
+    pr.set_defaults(fn=cmd_prune)
+
+    j = sub.add_parser("jobs", help="job state summary / details")
+    j.add_argument("job_id", nargs="?", default=None)
+    j.add_argument("--path", default="data/raw_ctl/jobs")
+    j.set_defaults(fn=cmd_jobs)
+
+    s = sub.add_parser("symbols", help="update the SCD-2 symbols master")
+    s.add_argument("--provider", default="dummy")
+    s.add_argument("-n", type=int, default=100)
+    s.add_argument("--as-of", default=None)
+    s.add_argument("--master", default="data/symbols_master")
+    s.set_defaults(fn=cmd_symbols)
+
+    m = sub.add_parser("metrics", help="metric names / history")
+    m.add_argument("name", nargs="?", default=None)
+    m.add_argument("--path", default="data/raw_ctl/metrics")
+    m.set_defaults(fn=cmd_metrics)
+
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)

@@ -1,0 +1,79 @@
+"""CLI command matrix — happy paths through ``python -m marketpipe_spark``
+(reference: src/marketpipe/cli/__init__.py surface,
+tests/integration/test_cli_command_matrix.py style). Runs in-process via
+``cli.main`` so the commands reuse the test JVM (getOrCreate)."""
+
+from __future__ import annotations
+
+from marketpipe_spark.cli import main
+
+
+def test_cli_end_to_end(spark, tmp_path, capsys):
+    raw = str(tmp_path / "raw")
+    agg = str(tmp_path / "agg")
+
+    # ingest: fake provider, two symbols, one hour of minute bars
+    rc = main([
+        "ingest-ohlcv", "--provider", "fake", "--symbols", "AAPL,MSFT",
+        "--start", "2024-01-02T00:00:00", "--bars", "60",
+        "--output", raw, "--agg-root", agg, "--job-id", "job-e2e",
+    ])
+    out = capsys.readouterr().out
+    assert rc == 0 and "job job-e2e" in out and "ingested 60 bars" in out
+
+    # jobs summary (A10 shape) + detail
+    rc = main(["jobs", "--path", f"{raw}_ctl/jobs"])
+    out = capsys.readouterr().out
+    assert rc == 0 and "completed" in out and "TOTAL" in out
+    rc = main(["jobs", "job-e2e", "--path", f"{raw}_ctl/jobs"])
+    out = capsys.readouterr().out
+    assert rc == 0 and "job-e2e AAPL" in out and "completed" in out
+
+    # query over the aggregated views, CSV output
+    rc = main([
+        "query", "SELECT symbol, COUNT(*) AS n FROM bars_5m GROUP BY symbol ORDER BY symbol",
+        "--agg-root", agg, "--csv",
+    ])
+    out = capsys.readouterr().out
+    assert rc == 0 and "AAPL,12" in out and "MSFT,12" in out  # 60 min -> 12 buckets
+
+    # validate the raw lake, write a CSV report
+    report = str(tmp_path / "report")
+    rc = main(["validate", raw, "--report", report])
+    out = capsys.readouterr().out
+    assert rc == 0 and "validation errors" in out
+
+    # aggregate an extra frame
+    rc = main(["aggregate", raw, "--frames", "15m", "--agg-root", agg])
+    out = capsys.readouterr().out
+    assert rc == 0 and "aggregated frame 15m: 8 bars" in out  # 2 syms x 4 buckets
+
+    # prune (dry run): 2024 partitions are older than 30d from today
+    rc = main(["prune", raw, "--older-than", "30d", "--dry-run"])
+    out = capsys.readouterr().out
+    assert rc == 0 and "would delete 2 partitions" in out
+
+    # metrics recorded by the ingest
+    rc = main(["metrics", "--path", f"{raw}_ctl/metrics"])
+    out = capsys.readouterr().out
+    assert rc == 0 and "ingest_job_total_bars" in out
+    rc = main(["metrics", "ingest_job_total_bars", "--path", f"{raw}_ctl/metrics"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    # 60 bars x 2 symbols minus the handful the validator rejects
+    total = float(out.split("ingest_job_total_bars")[1].split()[0])
+    assert 100 <= total <= 120
+
+
+def test_cli_symbols(spark, tmp_path, capsys):
+    rc = main(["symbols", "-n", "20", "--as-of", "2024-01-01",
+               "--master", str(tmp_path / "master")])
+    out = capsys.readouterr().out
+    assert rc == 0 and "20 rows" in out and "20 current" in out
+
+
+def test_cli_unknown_provider(spark, capsys):
+    rc = main(["ingest-ohlcv", "--provider", "polygon", "--symbols", "A",
+               "--start", "2024-01-02T00:00:00"])
+    assert rc == 2
+    assert "fake" in capsys.readouterr().err
