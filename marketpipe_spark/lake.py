@@ -96,31 +96,52 @@ def upsert_bars(new_bars: DataFrame, root: str, frame: str, ingest_id: str | Non
     version: union the affected partitions with the new batch, keep the
     newest row per key, and dynamically overwrite ONLY those partitions.
     """
+    import os
+
     spark = new_bars.sparkSession
     tune(spark)
-    staged = with_partition_cols(new_bars, frame, ingest_id).withColumn("_gen", F.lit(1))
+    # _gen separates existing (0) from incoming (1); _ord is the within-batch
+    # tie-breaker so duplicate (symbol, ts_ns) keys in ONE batch resolve like
+    # the reference's drop_duplicates keep='last' (parquet_engine.py:162-164):
+    # the later row in batch order wins. (Fully deterministic when the batch
+    # plan is — a shuffled batch with intra-batch duplicate keys should be
+    # pre-deduped with keep_last by the caller.)
+    staged = (
+        with_partition_cols(new_bars, frame, ingest_id)
+        .withColumn("_gen", F.lit(1))
+        .withColumn("_ord", F.monotonically_increasing_id())
+    )
 
-    try:
-        existing = spark.read.parquet(root).filter(F.col("frame") == frame)
-    except Exception:  # first write into an empty lake
+    if not os.path.exists(root):  # first write into an empty lake
         write_bars(new_bars, root, frame, mode="append", ingest_id=ingest_id)
         return
+    existing = spark.read.parquet(root).filter(F.col("frame") == frame)
 
     # Prune to the partitions the batch touches (broadcast semi-join on the
     # partition keys — tiny), so a one-day upsert reads one day.
     touched = staged.select("symbol", "date").distinct()
     existing = existing.join(F.broadcast(touched), ["symbol", "date"], "left_semi")
+    # Symmetric schema union: a column present on either side survives with
+    # nulls on the other — an upsert without ingest_id must not erase
+    # previously written ingest_ids from rewritten partitions.
     for c in staged.columns:
-        if c not in existing.columns and c != "_gen":
-            existing = existing.withColumn(c, F.lit(None))
-    existing = existing.withColumn("_gen", F.lit(0)).select(*staged.columns)
+        if c not in existing.columns:
+            existing = existing.withColumn(c, F.lit(None).cast(staged.schema[c].dataType))
+    for c in existing.columns:
+        if c not in staged.columns:
+            staged = staged.withColumn(c, F.lit(None).cast(existing.schema[c].dataType))
+    existing = (
+        existing.withColumn("_gen", F.lit(0))
+        .withColumn("_ord", F.lit(0).cast("long"))
+        .select(*staged.columns)
+    )
 
-    keep_last = W.partitionBy("symbol", "ts_ns").orderBy(F.desc("_gen"))
+    keep_last = W.partitionBy("symbol", "ts_ns").orderBy(F.desc("_gen"), F.desc("_ord"))
     merged = (
         existing.unionByName(staged)
         .withColumn("_rn", F.row_number().over(keep_last))
         .filter(F.col("_rn") == 1)
-        .drop("_rn", "_gen")
+        .drop("_rn", "_gen", "_ord")
     )
     (
         merged.repartition("frame", "symbol", "date")
@@ -131,25 +152,20 @@ def upsert_bars(new_bars: DataFrame, root: str, frame: str, ingest_id: str | Non
     )
 
 
-AGE_RE = re.compile(r"^(\d+)([dmy])$")
+AGE_RE = re.compile(r"^(\d+)([dmy]?)$")
 
 
 def age_to_cutoff(expr: str, today: dt.date | None = None) -> dt.date:
-    """K7 — '30d'/'18m'/'5y' age expressions → cutoff date
-    (reference: cli/prune.py:17-36)."""
+    """K7 — '30d'/'18m'/'5y' (or unit-less days, '30') age expressions →
+    cutoff date, with the reference's timedelta approximation: a month is
+    30 days and a year 365 (cli/prune.py:17-35)."""
     m = AGE_RE.match(expr.strip().lower())
     if not m:
-        raise ValueError(f"bad age expression {expr!r}; expected like '30d', '18m', '5y'")
-    n, unit = int(m.group(1)), m.group(2)
+        raise ValueError(f"bad age expression {expr!r}; expected like '30d', '18m', '5y', or '30'")
+    n, unit = int(m.group(1)), m.group(2) or "d"
     today = today or dt.date.today()
-    if unit == "d":
-        return today - dt.timedelta(days=n)
-    if unit == "m":
-        month = today.month - n
-        year = today.year + (month - 1) // 12
-        month = (month - 1) % 12 + 1
-        return dt.date(year, month, min(today.day, 28))
-    return dt.date(today.year - n, today.month, today.day)
+    days = n if unit == "d" else n * 30 if unit == "m" else n * 365
+    return today - dt.timedelta(days=days)
 
 
 def storage_stats(spark: SparkSession, root: str) -> dict:

