@@ -1,0 +1,121 @@
+"""As-of and interval (range) joins — time-series join operators Spark has
+no native form of, built shuffle-minimal.
+
+The reference's loader aligns bars to requested ranges and its validation
+compares each bar to its predecessor (windows); a market-data engine's
+missing classic is the trade↔quote **as-of join** (latest quote at or before
+each trade). DuckDB — the reference's query engine — ships ASOF JOIN
+natively, which is what the registry oracle uses.
+
+Scale design:
+- ``asof_join`` is the union-window formulation: tag both sides, one
+  shuffle+sort on (key, ts), carry the last right-side payload forward with
+  ``last(ignorenulls)``. ONE exchange total — no per-row range join, no
+  explosion; at 100 TB this is a sort-merge on the join key, the same cost
+  as any keyed window.
+- ``interval_join`` buckets time into fixed slabs: points join only the
+  slabs an interval overlaps (interval explodes into ceil(len/slab) rows).
+  Turns point-in-interval (a cross-join predicate Spark would nested-loop)
+  into an equi-join on (key, slab) + residual filter. Slab width trades
+  replication (long intervals) against selectivity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "symbol",
+    ts: str = "ts_ns",
+    right_cols: list[str] | None = None,
+    tolerance: int | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """Backward as-of join: each left row gets the latest right row with
+    ``right.ts <= left.ts`` (inclusive, like DuckDB ``ASOF JOIN ... ON
+    l.ts >= r.ts``), NULL when none exists. ``tolerance`` (same unit as
+    ``ts``) drops matches older than ``left.ts - tolerance``.
+
+    Ties: a right row at exactly left.ts wins over earlier rows; among
+    equal-ts right rows the last in (ts, input) order wins — callers with
+    duplicate right keys should pre-dedup with keep_last.
+    """
+    right_cols = right_cols or [c for c in right.columns if c not in (on, ts)]
+    rts = f"{ts}{suffix}"
+
+    r = right.select(
+        F.col(on),
+        F.col(ts),
+        F.lit(0).alias("_side"),
+        F.col(ts).alias(rts),
+        *[F.col(c).alias(f"{c}{suffix}") for c in right_cols],
+    )
+    left_cols = [c for c in left.columns if c not in (on, ts)]
+    l = left.select(
+        F.col(on),
+        F.col(ts),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(right.schema[ts].dataType).alias(rts),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"{c}{suffix}") for c in right_cols],
+        *[F.col(c) for c in left_cols],
+    )
+    r = r.select(*[F.lit(None).cast(left.schema[c].dataType).alias(c) if c in left_cols else F.col(c)
+                   for c in l.columns])
+
+    # one shuffle: right rows sort before left rows at equal ts, so an
+    # exact-ts quote is visible to its trade
+    w = (
+        W.partitionBy(on)
+        .orderBy(F.col(ts).asc(), F.col("_side").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = [F.last(f"{c}{suffix}", ignorenulls=True).over(w).alias(f"{c}{suffix}") for c in right_cols]
+    carried_ts = F.last(rts, ignorenulls=True).over(w).alias(rts)
+    out = (
+        r.unionByName(l)
+        .select(on, ts, "_side", carried_ts, *carried, *left_cols)
+        .filter(F.col("_side") == 1)
+        .drop("_side")
+    )
+    if tolerance is not None:
+        stale = F.col(rts).isNull() | (F.col(ts) - F.col(rts) > tolerance)
+        out = out.select(
+            on, ts, *left_cols,
+            F.when(~stale, F.col(rts)).alias(rts),
+            *[F.when(~stale, F.col(f"{c}{suffix}")).alias(f"{c}{suffix}") for c in right_cols],
+        )
+    else:
+        out = out.select(on, ts, *left_cols, rts, *[f"{c}{suffix}" for c in right_cols])
+    return out
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: str = "symbol",
+    ts: str = "ts_ns",
+    start: str = "start_ns",
+    end: str = "end_ns",
+    slab: int = 3_600_000_000_000,
+) -> DataFrame:
+    """Inner join of points to every interval containing them
+    (``start <= ts < end``), via slab bucketing: intervals explode into the
+    time slabs they overlap, points hash to their slab, equi-join on
+    (key, slab), residual range filter. Replaces the nested-loop cross join
+    Spark plans for raw range predicates."""
+    # integer division only: double math on int64 ns loses precision >2^53
+    islab = intervals.withColumn(
+        "_slab",
+        F.explode(F.sequence(F.expr(f"{start} div {slab}"), F.expr(f"({end} - 1) div {slab}"))),
+    )
+    pslab = points.withColumn("_slab", F.expr(f"{ts} div {slab}"))
+    return (
+        pslab.join(islab, [on, "_slab"])
+        .filter((F.col(ts) >= F.col(start)) & (F.col(ts) < F.col(end)))
+        .drop("_slab")
+    )

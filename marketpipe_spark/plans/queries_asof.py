@@ -1,0 +1,71 @@
+"""As-of and interval join queries — trade↔quote alignment over the events
+stream, oracle-checked against DuckDB's native ASOF JOIN.
+
+Even/odd ``event_id`` splits the bars stream into deterministic "trades" and
+"quotes" halves; timestamps within a symbol are unique in this data, so the
+backward as-of match is total-order deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators.asof import asof_join, interval_join
+from .registry import SQL_BARS, bars, register
+
+NS_HOUR = 3_600_000_000_000
+NS_HALF_HOUR = 1_800_000_000_000
+
+SQL_ASOF = f"""
+WITH {SQL_BARS},
+trades AS (SELECT symbol, ts_ns, close AS trade_value FROM bars WHERE event_id % 2 = 0),
+quotes AS (SELECT symbol, ts_ns AS quote_ts, close AS quote_value FROM bars WHERE event_id % 2 = 1)
+SELECT t.symbol, t.ts_ns, t.trade_value, q.quote_ts, q.quote_value
+FROM trades t ASOF LEFT JOIN quotes q
+  ON t.symbol = q.symbol AND t.ts_ns >= q.quote_ts
+"""
+
+
+@register("asof_trade_quote", SQL_ASOF, doc="backward as-of join: latest quote at/before each trade (union-window, one shuffle)", tags=("join", "asof"))
+def q_asof(spark, sf_dir):
+    b = bars(spark, sf_dir)
+    trades = b.filter(F.col("event_id") % 2 == 0).select("symbol", "ts_ns", F.col("close").alias("trade_value"))
+    quotes = b.filter(F.col("event_id") % 2 == 1).select("symbol", "ts_ns", F.col("close").alias("quote_value"))
+    out = asof_join(trades, quotes, on="symbol", ts="ts_ns", right_cols=["quote_value"], suffix="_q")
+    return out.select(
+        "symbol", "ts_ns", "trade_value",
+        F.col("ts_ns_q").alias("quote_ts"), F.col("quote_value_q").alias("quote_value"),
+    )
+
+
+SQL_INTERVAL = f"""
+WITH {SQL_BARS},
+iv AS (
+  SELECT DISTINCT symbol,
+         (epoch_ns(ts) // {NS_HOUR}) * {NS_HOUR} AS start_ns,
+         (epoch_ns(ts) // {NS_HOUR}) * {NS_HOUR} + {NS_HALF_HOUR} AS end_ns
+  FROM events
+  WHERE (epoch_ns(ts) // {NS_HOUR}) % 4 = 0
+),
+b2 AS (SELECT symbol, ts_ns, close FROM bars)
+SELECT b2.symbol, b2.ts_ns, b2.close, iv.start_ns, iv.end_ns
+FROM b2 JOIN iv ON b2.symbol = iv.symbol
+              AND b2.ts_ns >= iv.start_ns AND b2.ts_ns < iv.end_ns
+"""
+
+
+@register("interval_join_sessions", SQL_INTERVAL, doc="point-in-interval join via slab-bucketed equi-join (no nested-loop range join)", tags=("join", "range"))
+def q_interval(spark, sf_dir):
+    b = bars(spark, sf_dir)
+    hours = (
+        b.select("symbol", F.expr(f"ts_ns div {NS_HOUR}").alias("h"))
+        .distinct()
+        .filter(F.col("h") % 4 == 0)
+    )
+    iv = hours.select(
+        "symbol",
+        (F.col("h") * NS_HOUR).alias("start_ns"),
+        (F.col("h") * NS_HOUR + NS_HALF_HOUR).alias("end_ns"),
+    )
+    pts = b.select("symbol", "ts_ns", "close")
+    return interval_join(pts, iv, on="symbol", ts="ts_ns", slab=NS_HOUR)

@@ -1,0 +1,63 @@
+"""As-of and interval join operators (operators/asof.py) — hand-built cases
+plus an equivalence check against the naive range-predicate join."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from marketpipe_spark.operators.asof import asof_join, interval_join
+
+
+def _trades(spark):
+    return spark.createDataFrame(
+        [("A", 10, 1.0), ("A", 20, 2.0), ("A", 5, 0.5), ("B", 7, 3.0), ("C", 50, 9.0)],
+        "symbol string, ts_ns long, trade_value double",
+    )
+
+
+def _quotes(spark):
+    return spark.createDataFrame(
+        [("A", 10, 99.0), ("A", 15, 88.0), ("A", 6, 77.0), ("B", 99, 66.0)],
+        "symbol string, ts_ns long, quote_value double",
+    )
+
+
+def test_asof_backward_inclusive(spark):
+    out = {
+        (r.symbol, r.ts_ns): (r.ts_ns_right, r.quote_value_right)
+        for r in asof_join(_trades(spark), _quotes(spark)).collect()
+    }
+    assert out[("A", 10)] == (10, 99.0)   # exact-ts quote wins (inclusive)
+    assert out[("A", 20)] == (15, 88.0)   # latest at/before
+    assert out[("A", 5)] == (None, None)  # no quote yet
+    assert out[("B", 7)] == (None, None)  # only future quotes
+    assert out[("C", 50)] == (None, None)  # symbol with no quotes at all
+
+
+def test_asof_tolerance(spark):
+    out = {
+        (r.symbol, r.ts_ns): r.quote_value_right
+        for r in asof_join(_trades(spark), _quotes(spark), tolerance=4).collect()
+    }
+    assert out[("A", 10)] == 99.0   # age 0 <= 4
+    assert out[("A", 20)] is None   # age 5 > 4 -> stale, nulled
+    assert out[("A", 5)] is None
+
+
+def test_interval_join_matches_naive(spark):
+    pts = spark.createDataFrame(
+        [("A", i, float(i)) for i in range(0, 200, 7)] + [("B", i, float(i)) for i in range(0, 200, 11)],
+        "symbol string, ts_ns long, v double",
+    )
+    iv = spark.createDataFrame(
+        [("A", 0, 50), ("A", 40, 120), ("B", 10, 30), ("B", 150, 500)],
+        "symbol string, start_ns long, end_ns long",
+    )
+    fast = interval_join(pts, iv, slab=16)
+    naive = pts.join(iv, "symbol").filter(
+        (F.col("ts_ns") >= F.col("start_ns")) & (F.col("ts_ns") < F.col("end_ns"))
+    )
+    k = lambda r: (r.symbol, r.ts_ns, r.start_ns)
+    assert sorted(map(k, fast.collect())) == sorted(map(k, naive.collect()))
+    # overlapping intervals: a point inside both appears twice
+    assert fast.filter((F.col("symbol") == "A") & (F.col("ts_ns") == 49)).count() == 2
