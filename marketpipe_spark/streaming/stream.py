@@ -65,6 +65,44 @@ def windowed_ohlcv(
     )
 
 
+def highwater_dedup_stream(bar_stream: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator (``applyInPandasWithState``):
+    per-symbol high-water-mark filter. Rows at or below the symbol's maximum
+    already-processed ``ts_ns`` are dropped as duplicates/replays; within a
+    microbatch, duplicate ts keep the last row (reference keep='last',
+    parquet_engine.py:162-164). The streaming twin of ``incremental_job``'s
+    checkpoint resume filter (services.py:470-491).
+
+    State is ONE long per symbol — bounded by symbol cardinality, partitioned
+    across executors by the group key, checkpointed with the query. This is
+    the template for any custom stateful operator Spark lacks: Arrow-batched
+    pandas per group + explicit state schema.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def dedup(key, pdfs, state):
+        max_ns = state.get[0] if state.exists else -1
+        frames = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("ts_ns", kind="stable").drop_duplicates("ts_ns", keep="last")
+            fresh = pdf[pdf["ts_ns"] > max_ns]
+            if len(fresh):
+                max_ns = int(fresh["ts_ns"].max())
+                frames.append(fresh)
+        state.update((max_ns,))
+        if frames:
+            yield pd.concat(frames)
+
+    return bar_stream.groupBy("symbol").applyInPandasWithState(
+        dedup,
+        outputStructType=BARS_MIN_SCHEMA,
+        stateStructType="max_ns long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def stream_to_lake(
     bar_stream: DataFrame,
     root: str,

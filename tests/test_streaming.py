@@ -90,3 +90,46 @@ def test_windowed_ohlcv_matches_batch_resample(spark, tmp_path):
     }
     assert got == want
     assert len(got) == 3  # 12 minutes -> three 5m windows
+
+
+def test_highwater_dedup_stateful_operator(spark, tmp_path):
+    """applyInPandasWithState: replays/duplicates dropped across microbatches
+    AND across query restarts (state survives via checkpoint)."""
+    from marketpipe_spark.streaming.stream import highwater_dedup_stream
+
+    landing = str(tmp_path / "landing")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        deduped = highwater_dedup_stream(read_bar_stream(spark, landing))
+        q = (
+            deduped.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        run_available_now(q)
+
+    # batch 1: 10 bars, one ts duplicated in-batch (later row must win)
+    b1 = _bars_df(spark, "AAPL", DAY1, 10)
+    dup = spark.createDataFrame(
+        [("AAPL", DAY1 + 3 * NS_MIN, 999.0, 999.0, 999.0, 999.0, 1)], BARS_MIN_SCHEMA
+    )
+    b1.unionByName(dup).coalesce(1).write.mode("append").parquet(landing)
+    run_once()
+    out1 = spark.read.parquet(out_dir)
+    assert out1.count() == 10  # in-batch duplicate collapsed
+
+    # batch 2 (new query run, same checkpoint): 5 replayed + 5 new bars
+    _bars_df(spark, "AAPL", DAY1 + 5 * NS_MIN, 10, base=300.0).coalesce(1).write.mode(
+        "append"
+    ).parquet(landing)
+    run_once()
+    out2 = spark.read.parquet(out_dir)
+    assert out2.count() == 15  # only the 5 genuinely-new ts emitted
+    # replayed ts were NOT re-emitted: original values survive
+    row = out2.filter(F.col("ts_ns") == DAY1 + 6 * NS_MIN).collect()
+    assert len(row) == 1 and row[0].open != 300.0
