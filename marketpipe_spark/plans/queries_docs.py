@@ -44,6 +44,32 @@ def q_token_count(spark, sf_dir):
     )
 
 
+# BPE-style pretokenizer count: the GPT-2 pretokenizer family (contraction
+# suffixes | space-prefixed letter runs | digit runs | punctuation runs |
+# whitespace), with the lookahead clause dropped so the SAME pattern runs in
+# Java regex (Spark) and RE2 (DuckDB) — RE2 has no lookahead. Counts the
+# units a byte-BPE would start from; a real vocab merge step would run on
+# top without changing this scan shape.
+BPE_RE = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+SQL_BPE_TOKEN_COUNT = (
+    "SELECT doc_id,\n"
+    "       CAST(len(regexp_extract_all(text, '" + BPE_RE.replace("'", "''") + "')) AS BIGINT) AS n_bpe_units,\n"
+    r"       CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_ws_tokens"
+    "\nFROM documents"
+)
+
+
+@register("bpe_token_count", SQL_BPE_TOKEN_COUNT, doc="BPE-pretokenizer unit count vs whitespace tokens per document", tags=("text",))
+def q_bpe_token_count(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(BPE_RE)).cast("long").alias("n_bpe_units"),
+        F.size(F.split(F.trim(F.col("text")), TOKEN_SPLIT_RE)).cast("long").alias("n_ws_tokens"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Quality scoring: length/punctuation/stopword ratios, composite score
 
