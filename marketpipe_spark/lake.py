@@ -168,18 +168,43 @@ def age_to_cutoff(expr: str, today: dt.date | None = None) -> dt.date:
     return today - dt.timedelta(days=days)
 
 
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) for any Hadoop-supported scheme (file/hdfs/s3a) —
+    the cluster-portable replacement for local glob/os.walk."""
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    return fs, hpath, jvm
+
+
+def list_lake_files(spark: SparkSession, root: str) -> list[tuple[str, int]]:
+    """(path, size) for every parquet data file under the lake root, via the
+    Hadoop FileSystem API (reference parquet_engine.py:500-535 os.walks; this
+    works identically on HDFS/S3 object listings)."""
+    fs, hpath, _ = _hadoop_fs(spark, root)
+    if not fs.exists(hpath):
+        return []
+    out = []
+    it = fs.listFiles(hpath, True)  # recursive remote iterator
+    while it.hasNext():
+        st = it.next()
+        p = st.getPath().toString()
+        name = p.rsplit("/", 1)[-1]
+        if name.endswith(".parquet") and not name.startswith(("_", ".")):
+            out.append((p, st.getLen()))
+    return out
+
+
 def storage_stats(spark: SparkSession, root: str) -> dict:
     """A11 — lake storage stats: file count, bytes, distinct frames/symbols/
-    days (reference: parquet_engine.py:500-535 walks the directory tree; on a
-    cluster this would read the catalog/manifest instead)."""
-    import glob
-    import os
-
-    files = glob.glob(f"{root}/frame=*/symbol=*/date=*/*.parquet")
-    parts = {tuple(p.split("/")[-4:-1]) for p in files}
+    days (reference: parquet_engine.py:500-535). Uses the Hadoop FS listing
+    (catalog-manifest territory at true scale; the listing is one control-
+    plane RPC sweep, never data-plane I/O)."""
+    files = list_lake_files(spark, root)
+    parts = {tuple(p.split("/")[-4:-1]) for p, _ in files}
     return {
         "file_count": len(files),
-        "total_bytes": sum(os.path.getsize(f) for f in files),
+        "total_bytes": sum(sz for _, sz in files),
         "frames": len({p[0] for p in parts}),
         "symbols": len({p[1] for p in parts}),
         "days": len({p[2] for p in parts}),
@@ -204,20 +229,25 @@ def prune_bars(
     spark: SparkSession, root: str, older_than: str, dry_run: bool = False
 ) -> list[str]:
     """K7 — delete lake partitions older than the cutoff; returns the list of
-    partition paths affected (reference: cli/prune.py:41-225)."""
-    import glob
-    import shutil
-
+    partition paths affected (reference: cli/prune.py:41-225). Partition
+    discovery + delete go through the Hadoop FS API, so the same code prunes
+    an HDFS/S3 lake."""
     cutoff = age_to_cutoff(older_than)
+    fs, _, jvm = _hadoop_fs(spark, root)
     doomed = []
-    for p in sorted(glob.glob(f"{root}/frame=*/symbol=*/date=*")):
-        date_str = p.rsplit("date=", 1)[-1]
+    seen = set()
+    for p, _sz in list_lake_files(spark, root):
+        part_dir = p.rsplit("/", 1)[0]
+        if part_dir in seen:
+            continue
+        seen.add(part_dir)
+        date_str = part_dir.rsplit("date=", 1)[-1]
         try:
             d = dt.date.fromisoformat(date_str)
         except ValueError:
             continue
         if d < cutoff:
-            doomed.append(p)
+            doomed.append(part_dir)
             if not dry_run:
-                shutil.rmtree(p)
-    return doomed
+                fs.delete(jvm.org.apache.hadoop.fs.Path(part_dir), True)
+    return sorted(doomed)
