@@ -77,6 +77,46 @@ def extract_media_meta(docs_with_payload: DataFrame) -> DataFrame:
     return docs_with_payload.select("doc_id", "payload").mapInPandas(batches, MEDIA_META_SCHEMA)
 
 
+def resize_media(
+    docs_with_payload: DataFrame, target_w: int = 224, target_h: int = 224
+) -> DataFrame:
+    """STUB image-resize shape: payload → fixed-size resized payload +
+    before/after dims. The real kernel would be
+    ``PIL.Image.open(...).resize((w, h)).tobytes()``; the stub emits a
+    deterministic ``target_w × target_h``-byte strided re-sample of the
+    payload so output SIZE and schema behave exactly like the real op
+    (constant bytes-per-row downstream — the property batch sizing relies
+    on). Spark-side plumbing (binary in → binary out through Arrow) is real.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("src_width", T.IntegerType(), True),
+            T.StructField("src_height", T.IntegerType(), True),
+            T.StructField("width", T.IntegerType(), False),
+            T.StructField("height", T.IntegerType(), False),
+            T.StructField("resized", T.BinaryType(), False),
+        ]
+    )
+    n_out = target_w * target_h
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload) or b"\x00"
+                sw, sh = _fake_decode(b)
+                # strided nearest-neighbor fake: sample n_out bytes evenly
+                step = max(len(b) // n_out, 1)
+                resized = (b[::step] * (n_out // max(len(b[::step]), 1) + 1))[:n_out]
+                rows.append((int(doc_id), sw, sh, target_w, target_h, resized))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "src_width", "src_height", "width", "height", "resized"]
+            )
+
+    return docs_with_payload.select("doc_id", "payload").mapInPandas(batches, out_schema)
+
+
 def frame_sample(docs_with_payload: DataFrame, every_n_bytes: int = 64) -> DataFrame:
     """STUB video-frame-sampling shape: emits one row per sampled offset with
     a slice fingerprint. Real impl would demux frames; the Spark-side fan-out

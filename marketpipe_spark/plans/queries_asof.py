@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..operators.asof import asof_join, interval_join
+from ..operators.sessions import session_stats
 from .registry import SQL_BARS, bars, register
 
 NS_HOUR = 3_600_000_000_000
@@ -69,3 +70,37 @@ def q_interval(spark, sf_dir):
     )
     pts = b.select("symbol", "ts_ns", "close")
     return interval_join(pts, iv, on="symbol", ts="ts_ns", slab=NS_HOUR)
+
+
+NS_30MIN = 1_800_000_000_000
+
+SQL_SESSIONS = f"""
+WITH {SQL_BARS},
+ordered AS (
+  SELECT user_id, ts_ns, event_id,
+         LAG(ts_ns) OVER (PARTITION BY user_id ORDER BY ts_ns, event_id) AS prev
+  FROM bars
+),
+tagged AS (
+  SELECT user_id, ts_ns, event_id,
+         CASE WHEN prev IS NULL OR ts_ns - prev > {NS_30MIN} THEN 1 ELSE 0 END AS b
+  FROM ordered
+),
+ses AS (
+  SELECT user_id, ts_ns,
+         CAST(SUM(b) OVER (PARTITION BY user_id ORDER BY ts_ns, event_id
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+  FROM tagged
+)
+SELECT user_id, session_seq,
+       MIN(ts_ns) AS start_ns, MAX(ts_ns) AS end_ns,
+       MAX(ts_ns) - MIN(ts_ns) AS duration_ns,
+       COUNT(*) AS n_events
+FROM ses GROUP BY user_id, session_seq
+"""
+
+
+@register("user_sessions", SQL_SESSIONS, doc="gap-based sessionization (30min quiet gap) with per-session stats", tags=("window", "sessions"))
+def q_user_sessions(spark, sf_dir):
+    b = bars(spark, sf_dir).select("user_id", "ts_ns", "event_id")
+    return session_stats(b, key="user_id", ts="ts_ns", gap=NS_30MIN, order_cols=["event_id"])

@@ -61,3 +61,31 @@ def test_interval_join_matches_naive(spark):
     assert sorted(map(k, fast.collect())) == sorted(map(k, naive.collect()))
     # overlapping intervals: a point inside both appears twice
     assert fast.filter((F.col("symbol") == "A") & (F.col("ts_ns") == 49)).count() == 2
+
+
+def test_sessionize_gaps(spark):
+    from marketpipe_spark.operators.sessions import session_stats, sessionize
+
+    m = 60_000_000_000
+    rows = [("u1", i * m) for i in (0, 1, 2, 60, 61, 200)] + [("u2", 5 * m)]
+    df = spark.createDataFrame(rows, "user_id string, ts_ns long")
+    tagged = {(r.user_id, r.ts_ns): r.session_seq for r in sessionize(df, gap=30 * m).collect()}
+    assert [tagged[("u1", i * m)] for i in (0, 1, 2, 60, 61, 200)] == [1, 1, 1, 2, 2, 3]
+    assert tagged[("u2", 5 * m)] == 1
+
+    stats = {(r.user_id, r.session_seq): r for r in session_stats(df, gap=30 * m).collect()}
+    s = stats[("u1", 2)]
+    assert s.n_events == 2 and s.duration_ns == m and s.start_ns == 60 * m
+
+
+def test_resize_media_shape(spark):
+    from marketpipe_spark.operators.multimodal import attach_payload, resize_media
+
+    docs = spark.createDataFrame(
+        [(1, "x" * 500), (2, "hello world"), (3, "")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in resize_media(attach_payload(docs), 16, 16).collect()}
+    assert all(len(r.resized) == 256 and r.width == 16 and r.height == 16 for r in out.values())
+    # deterministic: same payload -> same resized bytes
+    again = {r.doc_id: r for r in resize_media(attach_payload(docs), 16, 16).collect()}
+    assert all(bytes(out[d].resized) == bytes(again[d].resized) for d in out)
