@@ -137,6 +137,78 @@ def cosine_topk(
     )
 
 
+def kmeans_centroids(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Deterministic distributed Lloyd's k-means for IVF coarse quantizers.
+
+    Init = the seeded xxhash64-min sample ``ivf_topk`` uses; each iteration
+    is ONE vectorized mapInPandas pass emitting per-(task, cell) partial
+    sums/counts — n_partitions × n_cells tiny rows — reduced on the driver
+    in sorted order (float sums are order-deterministic). No per-dimension
+    explode, no dim× shuffle; only centroid matrices (n_cells × dim) move.
+    Returns the L2-normalized centroid matrix (numpy, n_cells × dim).
+    """
+    import numpy as np
+    import pandas as pd
+
+    seed_rows = (
+        corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
+        .withColumn("_h", F.xxhash64(F.col(id_col)))
+        .orderBy("_h")
+        .limit(n_cells)
+        .collect()
+    )
+    cents = np.stack([np.asarray(r["v"], dtype=np.float64) for r in seed_rows])
+    cents = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+
+    c = spread(corpus, id_col).select(F.col(vec_col).cast("array<double>").alias("v"))
+    for _ in range(n_iter):
+        cmat = cents  # closure snapshot for this iteration
+
+        def partials(batches, cmat=cmat):
+            pid = -1
+            sums = np.zeros_like(cmat)
+            counts = np.zeros(len(cmat), dtype=np.int64)
+            from pyspark import TaskContext
+
+            pid = TaskContext.get().partitionId()
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                mat = np.stack(pdf["v"].to_numpy())
+                nrm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+                cells = np.argmax(nrm @ cmat.T, axis=1)
+                for cell in np.unique(cells):
+                    sums[cell] += nrm[cells == cell].sum(axis=0)
+                    counts[cell] += int((cells == cell).sum())
+            rows = [
+                (pid, int(cell), int(counts[cell]), sums[cell].tolist())
+                for cell in range(len(cmat))
+                if counts[cell]
+            ]
+            yield pd.DataFrame(rows, columns=["pid", "cell", "n", "s"])
+
+        got = sorted(
+            c.mapInPandas(partials, "pid int, cell int, n long, s array<double>").collect(),
+            key=lambda r: (r.cell, r.pid),
+        )
+        sums = np.zeros_like(cents)
+        counts = np.zeros(len(cents), dtype=np.int64)
+        for r in got:
+            sums[r.cell] += np.asarray(r.s)
+            counts[r.cell] += r.n
+        nxt = cents.copy()  # empty cells keep their old centroid
+        nz = counts > 0
+        nxt[nz] = sums[nz] / counts[nz, None]
+        cents = nxt / np.linalg.norm(nxt, axis=1, keepdims=True)
+    return cents
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -145,12 +217,14 @@ def ivf_topk(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    refine_iters: int = 0,
 ) -> DataFrame:
     """IVF-style approximate top-k: the inverted-file scale path.
 
     Coarse quantizer: ``n_cells`` centroids chosen deterministically from the
-    corpus (the vectors with the smallest xxhash64(id) — a seeded sample; a
-    k-means refinement would drop in here without changing the dataflow).
+    corpus (the vectors with the smallest xxhash64(id) — a seeded sample),
+    optionally refined with ``refine_iters`` Lloyd's iterations
+    (:func:`kmeans_centroids` — distributed, deterministic).
     Every corpus vector is assigned to its nearest centroid (one vectorized
     mapInPandas pass); each query probes its ``n_probe`` nearest cells and
     scores only those cells' members — a (cell_id) equi-join, shuffle-keyed
@@ -164,15 +238,8 @@ def ivf_topk(
     import numpy as np
     import pandas as pd
 
-    cent_rows = (
-        corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
-        .withColumn("_h", F.xxhash64(F.col(id_col)))
-        .orderBy("_h")
-        .limit(n_cells)
-        .collect()
-    )
-    c_mat = np.stack([np.asarray(r["v"], dtype=np.float64) for r in cent_rows])
-    c_mat = c_mat / np.linalg.norm(c_mat, axis=1, keepdims=True)
+    # refine_iters=0 → the raw seeded sample (kmeans loop body never runs)
+    c_mat = kmeans_centroids(corpus, n_cells, refine_iters, id_col, vec_col)
 
     def assign(batches):
         for pdf in batches:

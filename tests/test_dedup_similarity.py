@@ -111,3 +111,26 @@ def test_frame_sample_fanout(docs):
     assert all(len(r.frame_sha) == 64 for r in rows)
     # offsets are multiples of the stride
     assert all(r.offset % 64 == 0 for r in rows)
+
+
+def test_ivf_kmeans_refinement(emb):
+    from marketpipe_spark.operators.similarity import kmeans_centroids
+
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(emb, queries, k=3).collect()
+    }
+    refined = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk(emb, queries, k=3, n_cells=16, n_probe=6, refine_iters=3).collect()
+    }
+    assert len(refined & exact) / len(exact) >= 0.4  # refined quantizer still recalls
+
+    # deterministic: identical centroid matrices across runs
+    import numpy as np
+
+    c1 = kmeans_centroids(emb, n_cells=8, n_iter=2)
+    c2 = kmeans_centroids(emb, n_cells=8, n_iter=2)
+    assert np.array_equal(c1, c2)
+    assert c1.shape == (8, 64)
