@@ -541,3 +541,34 @@ def q_keep_last(spark, sf_dir):
         .filter(F.col("rn") == 1)
         .select("symbol", F.col("bucket").alias("ts_ns"), F.col("close").alias("last_close"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact percentiles per symbol (O-family: ordered statistics). Spark's exact
+# `percentile` and DuckDB's `quantile_cont` both linear-interpolate on the
+# sorted values — verified bit-identical on this data. (At 100 TB the
+# approximate sketch `approx_percentile` is the right call; the exact form
+# is the oracle-checkable one.)
+
+SQL_VALUE_PERCENTILES = f"""
+WITH {SQL_BARS}
+SELECT symbol,
+       quantile_cont(close, 0.25) AS p25,
+       quantile_cont(close, 0.50) AS p50,
+       quantile_cont(close, 0.75) AS p75,
+       quantile_cont(close, 0.99) AS p99,
+       quantile_cont(volume, 0.50) AS median_volume
+FROM bars GROUP BY symbol
+"""
+
+
+@register("value_percentiles", SQL_VALUE_PERCENTILES, doc="exact per-symbol value percentiles (interpolated order statistics)", tags=("agg", "percentile"))
+def q_value_percentiles(spark, sf_dir):
+    b = bars(spark, sf_dir)
+    return b.groupBy("symbol").agg(
+        F.expr("percentile(close, 0.25)").alias("p25"),
+        F.expr("percentile(close, 0.50)").alias("p50"),
+        F.expr("percentile(close, 0.75)").alias("p75"),
+        F.expr("percentile(close, 0.99)").alias("p99"),
+        F.expr("percentile(volume, 0.50)").alias("median_volume"),
+    )
