@@ -137,6 +137,91 @@ def cosine_topk(
     )
 
 
+def cosine_topk_blocked(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+    n_corpus_blocks: int = 8,
+    n_query_blocks: int = 4,
+    margin: int = 8,
+) -> DataFrame:
+    """Exact top-k for UNBOUNDED query sets — the variant of
+    :func:`cosine_topk` with no driver-side collect of either side.
+
+    Both sides hash into blocks; each (query-block, corpus-block) pair is one
+    task that matmuls its two blocks and emits the local top-(k+margin) per
+    query. Per-block local top-k ⊇-covers the global top-k, so the exact
+    rescore + global window yields the same result as brute force. Shuffle
+    volume is n_corpus × n_query_blocks + n_queries × n_corpus_blocks —
+    tune the block counts so single blocks fit a task's memory; everything
+    else is embarrassingly parallel.
+    """
+    import numpy as np
+    import pandas as pd
+
+    query_id_col = query_id_col or id_col
+    bq, bc = n_query_blocks, n_corpus_blocks
+    n_local = k + margin
+
+    c = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(bc)).alias("_cb"),
+    ).select(
+        "id", "v", F.lit(0).alias("side"),
+        F.explode(F.expr(f"transform(sequence(0, {bq - 1}), qb -> qb * {bc} + _cb)")).alias("pair_id"),
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        F.pmod(F.xxhash64(F.col(query_id_col)), F.lit(bq)).alias("_qb"),
+    ).select(
+        "id", "v", F.lit(1).alias("side"),
+        F.explode(F.expr(f"transform(sequence(0, {bc - 1}), cb -> _qb * {bc} + cb)")).alias("pair_id"),
+    )
+
+    def block_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        side = pdf["side"].to_numpy()
+        cp, qp = pdf[side == 0], pdf[side == 1]
+        if len(cp) == 0 or len(qp) == 0:
+            return pd.DataFrame({"query_id": [], "neighbor_id": []}).astype("int64")
+        c_ids = cp["id"].to_numpy()
+        cm = np.stack(cp["v"].to_numpy())
+        cm = cm / np.linalg.norm(cm, axis=1, keepdims=True)
+        q_ids = qp["id"].to_numpy()
+        qm = np.stack(qp["v"].to_numpy())
+        qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+        sims = qm @ cm.T
+        for qi, qid in enumerate(q_ids):
+            sims[qi, c_ids == qid] = -np.inf  # self-match excluded
+        take = min(n_local, sims.shape[1])
+        idx = np.argpartition(-sims, take - 1, axis=1)[:, :take]
+        keep = np.isfinite(np.take_along_axis(sims, idx, axis=1).ravel())
+        return pd.DataFrame(
+            {"query_id": np.repeat(q_ids, take)[keep], "neighbor_id": c_ids[idx.ravel()][keep]}
+        )
+
+    cands = c.unionByName(q).groupBy("pair_id").applyInPandas(
+        block_topk, "query_id long, neighbor_id long"
+    )
+    nv = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("nv"))
+    qv = queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv"))
+    scored = (
+        cands.join(nv, "neighbor_id")
+        .join(qv, "query_id")
+        .select("query_id", "neighbor_id", exact_pair_cosine().alias("cosine"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def kmeans_centroids(
     corpus: DataFrame,
     n_cells: int = 16,

@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 from ..operators.dedup import minhash_near_duplicates, ngram_jaccard_pairs, simhash_near_duplicates
 from ..operators.multimodal import attach_payload, extract_media_meta
-from ..operators.similarity import cosine_topk, ivf_topk, lsh_topk
+from ..operators.similarity import cosine_topk, cosine_topk_blocked, ivf_topk, lsh_topk
 from .registry import register, t
 
 # ---------------------------------------------------------------------------
@@ -48,6 +48,19 @@ FROM r WHERE rank <= 5
 def q_ann_topk(spark, sf_dir):
     emb = t(spark, sf_dir, "embeddings")
     out = cosine_topk(emb, emb.filter(F.col("vec_id") < 20), k=5)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+# Exact top-k with NO driver-side collect on either side (block-pair tasks)
+# — same results as brute force, so the same oracle shape applies.
+
+SQL_ANN_TOPK_BLOCKED = SQL_ANN_TOPK.replace("vec_id < 20", "vec_id < 100")
+
+
+@register("ann_topk_blocked", SQL_ANN_TOPK_BLOCKED, doc="exact cosine top-5 for 100 queries via block-pair tasks (no collect of either side)", tags=("similarity",))
+def q_ann_topk_blocked(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    out = cosine_topk_blocked(emb, emb.filter(F.col("vec_id") < 100), k=5)
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 

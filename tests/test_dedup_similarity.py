@@ -134,3 +134,18 @@ def test_ivf_kmeans_refinement(emb):
     c2 = kmeans_centroids(emb, n_cells=8, n_iter=2)
     assert np.array_equal(c1, c2)
     assert c1.shape == (8, 64)
+
+
+def test_cosine_topk_blocked_equals_bruteforce(emb):
+    from marketpipe_spark.operators.similarity import cosine_topk_blocked
+
+    queries = emb.filter(F.col("vec_id") < 25)
+    brute = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine)
+        for r in cosine_topk(emb, queries, k=3).collect()
+    }
+    blocked = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine)
+        for r in cosine_topk_blocked(emb, queries, k=3, n_corpus_blocks=4, n_query_blocks=3).collect()
+    }
+    assert blocked == brute  # exact, rank-for-rank and value-for-value
