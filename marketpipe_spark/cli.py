@@ -66,6 +66,31 @@ def cmd_ingest(args) -> int:
     return 0
 
 
+def cmd_backfill(args) -> int:
+    from .control import JobsStore, MetricsStore
+    from .sources.fake import fake_minute_bars_for_day
+    from .streaming.incremental import CheckpointStore, backfill_gaps
+
+    spark = _spark("backfill")
+    ctl = f"{args.output.rstrip('/')}_ctl"
+    fetch = lambda syms, d: fake_minute_bars_for_day(
+        spark, syms,
+        int(dt.datetime(d.year, d.month, d.day, tzinfo=dt.timezone.utc).timestamp() * 1e9),
+    )
+    filled = backfill_gaps(
+        spark, args.output, args.agg_root,
+        dt.date.fromisoformat(args.start), dt.date.fromisoformat(args.end),
+        CheckpointStore(spark, f"{ctl}/checkpoints"), fetch,
+        jobs=JobsStore(spark, f"{ctl}/jobs"), metrics=MetricsStore(spark, f"{ctl}/metrics"),
+        market_hours=False,
+    )
+    if not filled:
+        print("no gaps found")
+    for d, syms in sorted(filled.items()):
+        print(f"backfilled {d}: {','.join(syms)}")
+    return 0
+
+
 def cmd_aggregate(args) -> int:
     from .lake import read_bars, upsert_bars
     from .operators.resample import resample
@@ -187,6 +212,13 @@ def build_parser() -> argparse.ArgumentParser:
     i.add_argument("--feed", default="iex")
     i.add_argument("--job-id", default=None)
     i.set_defaults(fn=cmd_ingest)
+
+    bf = sub.add_parser("backfill", help="detect and ingest missing daily gaps (fake provider)")
+    bf.add_argument("--start", required=True, help="ISO date")
+    bf.add_argument("--end", required=True, help="ISO date")
+    bf.add_argument("--output", default="data/raw")
+    bf.add_argument("--agg-root", default="data/agg")
+    bf.set_defaults(fn=cmd_backfill)
 
     a = sub.add_parser("aggregate", help="re-aggregate raw 1m into frames")
     a.add_argument("root", help="raw lake root")

@@ -24,6 +24,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+NS_DAY = 86_400_000_000_000
+
 CHECKPOINT_SCHEMA = T.StructType(
     [
         T.StructField("job_id", T.StringType(), False),
@@ -201,3 +203,61 @@ def incremental_job(
         metrics.record("ingest_symbols_success", float(len(maxes)), provider, feed)
         metrics.record("validation_errors", float(outputs["errors"].count()), provider, feed)
     return outputs
+
+
+def backfill_gaps(
+    spark: SparkSession,
+    raw_root: str,
+    agg_root: str,
+    start: dt.date,
+    end: dt.date,
+    checkpoints: CheckpointStore,
+    fetch_day,
+    jobs=None,
+    metrics=None,
+    frames: list[str] | None = None,
+    weekdays_only: bool = True,
+    market_hours: bool = False,
+) -> dict[dt.date, list[str]]:
+    """Detect per-symbol gap days in the raw lake and run ONE ingestion job
+    per missing day, scoped to that day's window (reference
+    cli/ohlcv_backfill.py:1-14,114-140: detect → job per gap → ingest
+    synchronously; idempotent because a filled day is no longer a gap).
+
+    ``fetch_day(symbols, day) -> DataFrame`` supplies the day's bars (the
+    fake provider in this sandbox; a live adapter on a real deployment).
+    Gap detection is one anti-join (operators/gaps.py); the per-day jobs
+    reuse the full incremental chain including control-plane writes.
+    """
+    from ..lake import read_bars
+    from ..operators.gaps import gaps_by_symbol
+
+    lake = read_bars(spark, raw_root, frame="1m")
+    gap_rows = gaps_by_symbol(lake, start, end, weekdays_only).collect()
+    by_day: dict[dt.date, list[str]] = {}
+    for r in gap_rows:
+        by_day.setdefault(r.day, []).append(r.symbol)
+
+    existing_jobs = (
+        {row.job_id for row in jobs.load().select("job_id").distinct().collect()}
+        if jobs is not None
+        else set()
+    )
+    filled: dict[dt.date, list[str]] = {}
+    for day in sorted(by_day):
+        syms = sorted(by_day[day])
+        job_id = f"backfill-{day.isoformat()}"
+        n = 1
+        while job_id in existing_jobs:  # re-run after failure: fresh job row
+            job_id = f"backfill-{day.isoformat()}-r{n}"
+            n += 1
+        day_start = int(
+            dt.datetime(day.year, day.month, day.day, tzinfo=dt.timezone.utc).timestamp() * 1e9
+        )
+        incremental_job(
+            spark, job_id, fetch_day(syms, day), raw_root, agg_root, checkpoints,
+            frames=frames, market_hours=market_hours, jobs=jobs, metrics=metrics,
+            window_start_ns=day_start, window_end_ns=day_start + NS_DAY,
+        )
+        filled[day] = syms
+    return filled

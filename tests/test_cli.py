@@ -77,3 +77,23 @@ def test_cli_unknown_provider(spark, capsys):
                "--start", "2024-01-02T00:00:00"])
     assert rc == 2
     assert "fake" in capsys.readouterr().err
+
+
+def test_cli_backfill(spark, tmp_path, capsys):
+    raw = str(tmp_path / "raw")
+    agg = str(tmp_path / "agg")
+    rc = main([
+        "ingest-ohlcv", "--provider", "fake", "--symbols", "AAPL",
+        "--start", "2024-01-02T13:30:00", "--bars", "390",
+        "--output", raw, "--agg-root", agg, "--job-id", "seed",
+    ])
+    capsys.readouterr()
+    assert rc == 0
+    rc = main(["backfill", "--start", "2024-01-02", "--end", "2024-01-03",
+               "--output", raw, "--agg-root", agg])
+    out = capsys.readouterr().out
+    assert rc == 0 and "backfilled 2024-01-03: AAPL" in out
+    rc = main(["backfill", "--start", "2024-01-02", "--end", "2024-01-03",
+               "--output", raw, "--agg-root", agg])
+    out = capsys.readouterr().out
+    assert rc == 0 and "no gaps found" in out

@@ -161,3 +161,39 @@ def test_checkpoint_at_or_after_window_end_ignored(spark, tmp_path):
     from marketpipe_spark.lake import read_bars
 
     assert read_bars(spark, raw, frame="1m").count() == 10
+
+
+def test_backfill_gaps_fills_missing_days(spark, tmp_path):
+    from marketpipe_spark.control import JobsStore
+    from marketpipe_spark.lake import read_bars, write_bars
+    from marketpipe_spark.sources.fake import fake_minute_bars_for_day
+    from marketpipe_spark.streaming.incremental import backfill_gaps
+
+    raw, agg = str(tmp_path / "raw"), str(tmp_path / "agg")
+    day = lambda d: int(dt.datetime(2024, 1, d, tzinfo=dt.timezone.utc).timestamp() * 1e9)
+    # seed lake with Tue Jan 2 and Thu Jan 4 — Wed Jan 3 and Fri Jan 5 missing
+    for d in (2, 4):
+        write_bars(fake_minute_bars_for_day(spark, ["AAPL"], day(d)), raw, "1m")
+
+    jobs = JobsStore(spark, str(tmp_path / "jobs"))
+    cps = CheckpointStore(spark, str(tmp_path / "cps"))
+    fetch = lambda syms, d: fake_minute_bars_for_day(
+        spark, syms, int(dt.datetime(d.year, d.month, d.day, tzinfo=dt.timezone.utc).timestamp() * 1e9)
+    )
+    filled = backfill_gaps(
+        spark, raw, agg, dt.date(2024, 1, 2), dt.date(2024, 1, 5), cps, fetch, jobs=jobs
+    )
+    assert sorted(filled) == [dt.date(2024, 1, 3), dt.date(2024, 1, 5)]
+    assert filled[dt.date(2024, 1, 3)] == ["AAPL"]
+    # every expected weekday now has data
+    days = {r.date for r in read_bars(spark, raw, frame="1m").select("date").distinct().collect()}
+    assert {dt.date(2024, 1, d) for d in (2, 3, 4, 5)} <= days
+    # one job per gap day, completed
+    jrows = jobs.load().collect()
+    assert {r.job_id for r in jrows} == {"backfill-2024-01-03", "backfill-2024-01-05"}
+    assert all(r.state == "completed" for r in jrows)
+
+    # idempotent: nothing left to fill
+    assert backfill_gaps(
+        spark, raw, agg, dt.date(2024, 1, 2), dt.date(2024, 1, 5), cps, fetch, jobs=jobs
+    ) == {}
