@@ -188,3 +188,61 @@ def q_lang_id(spark, sf_dir):
         for lang in _LANG_SIGS
     ]
     return s.select(*cols)
+
+
+# ---------------------------------------------------------------------------
+# Chunking + packing (operators/chunking.py): the shaping ops between
+# cleaning and tokenization. Chunking is map-only (sequence+slice per doc);
+# packing is one per-shard running-sum window.
+
+SQL_CHUNK_DOCUMENTS = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+),
+ch AS (
+  SELECT doc_id,
+         unnest([{'s': s, 'ct': list_slice(t, s, s + 99)} for s in range(1, len(t) + 1, 80)]) AS u
+  FROM toks WHERE len(t) >= 1
+)
+SELECT doc_id,
+       CAST((u.s - 1) // 80 + 1 AS BIGINT) AS chunk_seq,
+       CAST(len(u.ct) AS BIGINT) AS n_tokens,
+       array_to_string(u.ct, ' ') AS chunk
+FROM ch
+"""
+
+
+@register("chunk_documents", SQL_CHUNK_DOCUMENTS, doc="overlapping 100-token chunks (stride 80) per document, map-only", tags=("text", "chunking"))
+def q_chunk_documents(spark, sf_dir):
+    from ..operators.chunking import chunk_documents
+
+    return chunk_documents(t(spark, sf_dir, "documents"), chunk_tokens=100, overlap=20)
+
+
+SQL_PACK_DOCUMENTS = r"""
+WITH d AS (
+  SELECT doc_id, doc_id % 8 AS shard,
+         least(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT), 512) AS n_tokens
+  FROM documents
+),
+cum AS (
+  SELECT doc_id, shard, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS c
+  FROM d
+)
+SELECT shard, CAST((c - n_tokens) // 512 AS BIGINT) AS bin_seq,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+FROM cum GROUP BY shard, bin_seq
+"""
+
+
+@register("pack_documents", SQL_PACK_DOCUMENTS, doc="token-budget sequence packing (512-token bins, 8 shards) with per-bin stats", tags=("text", "chunking"))
+def q_pack_documents(spark, sf_dir):
+    from ..operators.chunking import pack_documents
+
+    return pack_documents(
+        t(spark, sf_dir, "documents"), budget=512, n_shards=8, shard_mode="mod"
+    )
