@@ -39,6 +39,10 @@ HEADLINE = [
     "token_count",
     "fingerprint",
     "embedding_near_dup",
+    "asof_trade_quote",
+    "user_sessions",
+    "chunk_documents",
+    "value_percentiles",
 ]
 
 #: The heavier LLM-pipeline operators (LSH/minhash/multimodal) stay out of
@@ -46,10 +50,15 @@ HEADLINE = [
 #: tests; set SPARK_GRAFT_BENCH_FULL=1 to time them too.
 FULL_EXTRA = [
     "ann_topk",
+    "ann_topk_blocked",
     "minhash_lsh_near_dup",
     "simhash_near_dup",
     "ngram_jaccard",
     "multimodal_meta",
+    "interval_join_sessions",
+    "pack_documents",
+    "lsh_topk",
+    "ivf_topk",
 ]
 
 
