@@ -1,0 +1,79 @@
+"""Deterministic sampling and dataset splitting — the data-mixing operators
+a training pipeline runs last: downsample over-represented strata, carve
+reproducible train/val/test splits.
+
+Everything is a map-only column expression on a content-stable hash
+(``md5_60``, see ``dedup._hash64``): membership depends ONLY on the row id —
+not on partitioning, cluster size, or execution order — so samples are
+reproducible across runs AND engines (the oracle computes the identical
+hash). ``df.sample()`` can't give any of that. No shuffle anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import _hash64
+
+#: md5_60 yields uniform ints in [0, 2^60)
+_HASH_SPACE = 1 << 60
+
+
+def _threshold(fraction: float) -> int:
+    """Integer acceptance threshold — computed once driver-side so Spark and
+    any SQL oracle compare against the same literal (no float-division
+    rounding in either engine)."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction {fraction} outside [0, 1]")
+    return int(fraction * _HASH_SPACE)
+
+
+def _row_hash(id_col: str, salt: str) -> Column:
+    return _hash64(F.concat_ws("|", F.lit(salt), F.col(id_col).cast("string")), None, "md5_60")
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 1.0,
+    id_col: str = "doc_id",
+    salt: str = "sample",
+) -> DataFrame:
+    """Keep each row with its stratum's probability, decided by the row's
+    content hash: h(salt|id) < fraction·2^60. Changing ``salt`` draws an
+    independent sample; the same salt always reproduces the same rows."""
+    h = _row_hash(id_col, salt)
+    cond = None
+    for stratum, frac in fractions.items():
+        this = (F.col(strata_col) == stratum) & (h < F.lit(_threshold(frac)))
+        cond = this if cond is None else cond | this
+    known = F.col(strata_col).isin(list(fractions))
+    keep_default = ~known & (h < F.lit(_threshold(default_fraction)))
+    return df.filter((cond | keep_default) if cond is not None else keep_default)
+
+
+def with_split(
+    df: DataFrame,
+    weights: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+    salt: str = "split",
+) -> DataFrame:
+    """Add a ``split`` column ('train'/'val'/'test' by default) assigned by
+    hash range — every row lands in exactly one split, stable under
+    reprocessing, resharding, and engine choice. Weights must sum to 1."""
+    weights = weights or {"train": 0.98, "val": 0.01, "test": 0.01}
+    if abs(sum(weights.values()) - 1.0) > 1e-9:
+        raise ValueError("split weights must sum to 1")
+    h = _row_hash(id_col, salt)
+    expr = None
+    edge = 0.0
+    items = list(weights.items())
+    for name, w in items[:-1]:
+        edge += w
+        cond = h < F.lit(_threshold(edge))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = items[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
+    return df.withColumn("split", expr)

@@ -246,3 +246,57 @@ def q_pack_documents(spark, sf_dir):
     return pack_documents(
         t(spark, sf_dir, "documents"), budget=512, n_shards=8, shard_mode="mod"
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sampling / splitting (operators/sampling.py): membership is a
+# pure function of the row id via the md5_60 hash, so the oracle reproduces
+# the EXACT sample — the property df.sample() cannot give.
+
+def _h60_sql(salt: str) -> str:
+    return f"CAST(('0x' || substr(md5('{salt}|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+
+
+def _thr(frac: float) -> int:
+    from ..operators.sampling import _threshold
+
+    return _threshold(frac)
+
+
+SQL_STRATIFIED_SAMPLE = f"""
+SELECT doc_id, lang FROM documents
+WHERE (lang = 'en' AND {_h60_sql('sample')} < {_thr(0.25)})
+   OR (lang = 'de' AND {_h60_sql('sample')} < {_thr(1.0)})
+   OR (lang NOT IN ('en', 'de') AND {_h60_sql('sample')} < {_thr(0.5)})
+"""
+
+
+@register("stratified_sample", SQL_STRATIFIED_SAMPLE, doc="deterministic stratified downsample by lang (en 25%, de 100%, rest 50%)", tags=("sampling",))
+def q_stratified_sample(spark, sf_dir):
+    from ..operators.sampling import stratified_sample
+
+    d = t(spark, sf_dir, "documents")
+    out = stratified_sample(
+        d, "lang", {"en": 0.25, "de": 1.0}, default_fraction=0.5, salt="sample"
+    )
+    return out.select("doc_id", "lang")
+
+
+SQL_SPLIT_COUNTS = f"""
+WITH s AS (
+  SELECT CASE WHEN {_h60_sql('split')} < {_thr(0.9)} THEN 'train'
+              WHEN {_h60_sql('split')} < {_thr(0.95)} THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+)
+SELECT split, count(*) AS n_docs FROM s GROUP BY split
+"""
+
+
+@register("dataset_split", SQL_SPLIT_COUNTS, doc="hash-range train/val/test split (90/5/5), stable under resharding", tags=("sampling",))
+def q_dataset_split(spark, sf_dir):
+    from ..operators.sampling import with_split
+
+    d = t(spark, sf_dir, "documents")
+    out = with_split(d, {"train": 0.9, "val": 0.05, "test": 0.05}, salt="split")
+    return out.groupBy("split").agg(F.count(F.lit(1)).alias("n_docs"))

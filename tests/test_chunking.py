@@ -44,3 +44,41 @@ def test_pack_documents_offsets(spark):
     rows = pack_documents(big, budget=10, n_shards=1, shard_mode="mod").collect()
     assert sum(r.n_docs for r in rows) == 2
     assert sum(r.total_tokens for r in rows) == 12  # 100 clamped to 10, plus 2
+
+
+def test_stratified_sample_properties(spark):
+    from marketpipe_spark.operators.sampling import stratified_sample
+
+    docs = spark.createDataFrame(
+        [(i, "en" if i % 2 else "de") for i in range(400)], "doc_id long, lang string"
+    )
+    out = stratified_sample(docs, "lang", {"en": 0.3, "de": 1.0})
+    rows = out.collect()
+    by_lang = {"en": 0, "de": 0}
+    for r in rows:
+        by_lang[r.lang] += 1
+    assert by_lang["de"] == 200  # fraction 1.0 keeps everything
+    assert 30 <= by_lang["en"] <= 90  # ~30% of 200, hash-uniform
+    # deterministic: same call, same rows
+    again = {r.doc_id for r in stratified_sample(docs, "lang", {"en": 0.3, "de": 1.0}).collect()}
+    assert {r.doc_id for r in rows} == again
+    # different salt draws a different (but same-sized-ish) sample
+    other = {r.doc_id for r in stratified_sample(docs, "lang", {"en": 0.3, "de": 1.0}, salt="x").collect()}
+    assert other != {r.doc_id for r in rows}
+
+
+def test_split_partition_and_stability(spark):
+    from marketpipe_spark.operators.sampling import with_split
+
+    docs = spark.createDataFrame([(i, "t") for i in range(500)], "doc_id long, text string")
+    out = with_split(docs, {"train": 0.8, "val": 0.1, "test": 0.1})
+    rows = out.collect()
+    assert len(rows) == 500  # every row in exactly one split
+    counts = {}
+    for r in rows:
+        counts[r.split] = counts.get(r.split, 0) + 1
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+    # stable under repartitioning
+    re = {(r.doc_id, r.split) for r in with_split(docs.repartition(7), {"train": 0.8, "val": 0.1, "test": 0.1}).collect()}
+    assert {(r.doc_id, r.split) for r in rows} == re
