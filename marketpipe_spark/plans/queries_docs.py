@@ -300,3 +300,32 @@ def q_dataset_split(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
     out = with_split(d, {"train": 0.9, "val": 0.05, "test": 0.05}, salt="split")
     return out.groupBy("split").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary building: corpus-wide token frequencies, top-N. One explode +
+# one hash-agg shuffle with map-side partials; the orderBy+limit is a
+# TakeOrdered, not a global sort.
+
+SQL_VOCAB = r"""
+WITH tok AS (
+  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+  FROM documents
+)
+SELECT token, count(*) AS freq
+FROM tok GROUP BY token
+ORDER BY freq DESC, token ASC
+LIMIT 100
+"""
+
+
+@register("vocab_top_tokens", SQL_VOCAB, doc="top-100 corpus token frequencies (vocabulary building)", tags=("text",))
+def q_vocab_top_tokens(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split(F.trim(F.lower(F.col("text"))), TOKEN_SPLIT_RE)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("token"))
+        .limit(100)
+    )
