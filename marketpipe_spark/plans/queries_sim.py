@@ -7,9 +7,11 @@ Parity notes:
   ≡ DuckDB ``list_dot_product`` — verified bit-identical on this data),
   never an engine's fused cosine built-in. The vectorized (BLAS) phase only
   nominates candidates and never contributes output values.
-- MinHash/SimHash pipelines are genuinely non-SQL-expressible at reasonable
-  effort → registered without oracle (driver does the rows-only check);
-  their correctness is covered by unit tests against planted duplicates.
+- MinHash/SimHash pipelines run under the cross-engine ``md5_60`` hash
+  family here so the FULL pipelines (signature → banding → candidates →
+  verify) are reproduced in DuckDB SQL and value-hash-checked; production
+  default stays xxhash64. Only the LSH/IVF ANN entries are rows-only —
+  approximate by construction, with recall asserted in unit tests.
 """
 
 from __future__ import annotations
