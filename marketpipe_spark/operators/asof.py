@@ -94,6 +94,34 @@ def asof_join(
     return out
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    salt_factor: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with explicit key salting for skewed keys: every left row
+    gets a random-but-deterministic salt in [0, salt_factor); the right side
+    replicates each row ``salt_factor`` times (one per salt value). A hot key
+    that would land on one reducer spreads across ``salt_factor`` of them.
+
+    AQE's skew-join split handles most cases at runtime; explicit salting is
+    for the pathological key (one symbol = 30% of the lake) where even a
+    split partition is one key's rows. Cost: right side shuffles
+    salt_factor×, so keep the factor small and the right side the smaller
+    input. Salt comes from xxhash64 of the whole left row's key + a
+    monotonic disambiguator — deterministic for a deterministic input plan.
+    """
+    sl = left.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(on), F.monotonically_increasing_id()), F.lit(salt_factor))
+    )
+    sr = right.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_factor - 1)).cast("array<long>"))
+    )
+    return sl.join(sr, [on, "_salt"], how).drop("_salt")
+
+
 def interval_join(
     points: DataFrame,
     intervals: DataFrame,

@@ -89,3 +89,20 @@ def test_resize_media_shape(spark):
     # deterministic: same payload -> same resized bytes
     again = {r.doc_id: r for r in resize_media(attach_payload(docs), 16, 16).collect()}
     assert all(bytes(out[d].resized) == bytes(again[d].resized) for d in out)
+
+
+def test_salted_join_matches_plain(spark):
+    from marketpipe_spark.operators.asof import salted_join
+
+    # pathologically skewed left: one key holds 90% of rows
+    left = spark.createDataFrame(
+        [("HOT", i) for i in range(900)] + [("COLD", i) for i in range(100)],
+        "k string, v long",
+    )
+    right = spark.createDataFrame([("HOT", 1.5), ("COLD", 2.5), ("MISSING", 9.9)], "k string, w double")
+    salted = salted_join(left, right, "k", salt_factor=4)
+    plain = left.join(right, "k")
+    key = lambda r: (r.k, r.v, r.w)
+    assert sorted(map(key, salted.collect())) == sorted(map(key, plain.collect()))
+    # salt actually spreads the hot key across partitions of the join output
+    assert salted.count() == 1000
