@@ -211,6 +211,46 @@ def storage_stats(spark: SparkSession, root: str) -> dict:
     }
 
 
+def compact_partitions(
+    spark: SparkSession, root: str, frame: str, max_files: int = 1
+) -> list[str]:
+    """Lake maintenance: rewrite partitions holding more than ``max_files``
+    data files (every incremental upsert that only touches PART of a
+    partition's siblings leaves per-job files behind; a year of daily jobs =
+    365 files per partition — death by file-listing at 100 TB). Reads ONLY
+    the offending partitions and dynamically overwrites them through the
+    same one-writer-task-per-partition path as ``write_bars``; data is
+    unchanged. Returns the rewritten partition paths."""
+    counts: dict[str, int] = {}
+    for p, _sz in list_lake_files(spark, root):
+        part_dir = p.rsplit("/", 1)[0]
+        if f"/frame={frame}/" in part_dir + "/":
+            counts[part_dir] = counts.get(part_dir, 0) + 1
+    doomed = sorted(d for d, n in counts.items() if n > max_files)
+    if not doomed:
+        return []
+    keys = []
+    for d in doomed:
+        sym = d.split("symbol=")[1].split("/")[0]
+        day = dt.date.fromisoformat(d.rsplit("date=", 1)[-1])
+        keys.append((sym, day))
+    keys_df = spark.createDataFrame(keys, "symbol string, date date")
+    slice_df = (
+        read_bars(spark, root, frame=frame)
+        .join(F.broadcast(keys_df), ["symbol", "date"], "left_semi")
+        .localCheckpoint(eager=True)  # pin before overwriting our own input
+    )
+    (
+        slice_df.withColumn("frame", F.lit(frame))
+        .repartition("frame", "symbol", "date")
+        .sortWithinPartitions("ts_ns")
+        .write.mode("overwrite")
+        .partitionBy("frame", "symbol", "date")
+        .parquet(root)
+    )
+    return doomed
+
+
 def render_table(df, limit: int = 50, fmt: str = "csv") -> str:
     """K6/O4 — render a result head as CSV or a markdown grid (reference:
     cli/query.py:42-65 renders DuckDB results the same two ways)."""

@@ -31,3 +31,25 @@ def test_render_table(spark):
     assert csv.splitlines()[0] == "id,name" and len(csv.splitlines()) == 3
     md = render_table(df.orderBy("id"), limit=3, fmt="markdown")
     assert md.splitlines()[0] == "| id | name |" and "| 2 | b |" in md
+
+
+def test_compact_partitions(spark, tmp_path):
+    from marketpipe_spark.lake import compact_partitions, list_lake_files, read_bars, write_bars
+    from marketpipe_spark.sources.fake import fake_bars
+
+    root = str(tmp_path / "lake")
+    start = 1_704_153_600_000_000_000
+    # two appends -> two files in the same (frame, symbol, date) partition
+    write_bars(fake_bars(spark, ["AAPL"], start, 30), root, "1m")
+    write_bars(fake_bars(spark, ["AAPL"], start + 30 * 60_000_000_000, 30, seed=9), root, "1m")
+    before = read_bars(spark, root, frame="1m")
+    n_before = before.count()
+    files_before = len(list_lake_files(spark, root))
+    assert files_before >= 2
+
+    rewritten = compact_partitions(spark, root, "1m", max_files=1)
+    assert len(rewritten) == 1
+    after = read_bars(spark, root, frame="1m")
+    assert after.count() == n_before  # data unchanged
+    assert len(list_lake_files(spark, root)) == 1  # one file per partition now
+    assert compact_partitions(spark, root, "1m", max_files=1) == []  # idempotent
