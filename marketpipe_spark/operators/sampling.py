@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from .dedup import _hash64
 
@@ -52,6 +53,22 @@ def stratified_sample(
     known = F.col(strata_col).isin(list(fractions))
     keep_default = ~known & (h < F.lit(_threshold(default_fraction)))
     return df.filter((cond | keep_default) if cond is not None else keep_default)
+
+
+def take_n_per_stratum(
+    df: DataFrame,
+    strata_col: str,
+    n: int,
+    id_col: str = "doc_id",
+    salt: str = "taken",
+) -> DataFrame:
+    """Fixed-SIZE deterministic sample: the ``n`` rows with the smallest
+    content hash per stratum — a reservoir that is stable across runs,
+    engines, partitionings, and insertion order (a true random reservoir is
+    none of those). One shuffle: the per-stratum rank window."""
+    h = _row_hash(id_col, salt)
+    w = W.partitionBy(strata_col).orderBy(h.asc(), F.col(id_col).asc())
+    return df.withColumn("_rk", F.row_number().over(w)).filter(F.col("_rk") <= n).drop("_rk")
 
 
 def with_split(

@@ -329,3 +329,65 @@ def q_vocab_top_tokens(spark, sf_dir):
         .orderBy(F.desc("freq"), F.asc("token"))
         .limit(100)
     )
+
+
+SQL_SAMPLE_N = f"""
+WITH h AS (
+  SELECT doc_id, lang, {_h60_sql('taken')} AS hv FROM documents
+),
+r AS (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hv ASC, doc_id ASC) AS rk
+  FROM h
+)
+SELECT doc_id, lang FROM r WHERE rk <= 10
+"""
+
+
+@register("sample_n_per_stratum", SQL_SAMPLE_N, doc="deterministic fixed-size sample: 10 docs per lang by smallest content hash", tags=("sampling",))
+def q_sample_n_per_stratum(spark, sf_dir):
+    from ..operators.sampling import take_n_per_stratum
+
+    d = t(spark, sf_dir, "documents")
+    return take_n_per_stratum(d, "lang", 10).select("doc_id", "lang")
+
+
+# ---------------------------------------------------------------------------
+# Train/test contamination: test-split docs whose normalized-text
+# fingerprint also appears in the train split — the leakage check every
+# training pipeline runs before shipping a split.
+
+SQL_CONTAMINATION = f"""
+WITH s AS (
+  SELECT doc_id, md5(lower(trim(text))) AS fp,
+         CASE WHEN {_h60_sql('split')} < {_thr(0.9)} THEN 'train'
+              WHEN {_h60_sql('split')} < {_thr(0.95)} THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+),
+tr AS (SELECT DISTINCT fp FROM s WHERE split = 'train'),
+te AS (
+  SELECT CASE WHEN tr.fp IS NOT NULL THEN 1 ELSE 0 END AS c
+  FROM s LEFT JOIN tr USING (fp) WHERE s.split = 'test'
+)
+SELECT COUNT(*) AS n_test, CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n_contaminated FROM te
+"""
+
+
+@register("contamination_check", SQL_CONTAMINATION, doc="test-split docs whose fingerprint leaks from the train split", tags=("sampling", "dedup"))
+def q_contamination_check(spark, sf_dir):
+    from ..operators.sampling import with_split
+
+    d = t(spark, sf_dir, "documents")
+    s = with_split(d, {"train": 0.9, "val": 0.05, "test": 0.05}, salt="split").withColumn(
+        "fp", F.md5(F.encode(F.lower(F.trim(F.col("text"))), "UTF-8"))
+    )
+    train = s.filter(F.col("split") == "train").select("fp").distinct().withColumn("_hit", F.lit(1))
+    test = s.filter(F.col("split") == "test")
+    return (
+        test.join(F.broadcast(train), "fp", "left_outer")
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            F.coalesce(F.sum("_hit"), F.lit(0)).cast("long").alias("n_contaminated"),
+        )
+    )
