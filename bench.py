@@ -39,10 +39,17 @@ HEADLINE = [
     "token_count",
     "fingerprint",
     "embedding_near_dup",
+]
+
+#: Round-2 additions, timed and reported separately so the headline total
+#: stays comparable round-over-round (same 20-query basket as BENCH_r01).
+EXTRA = [
     "asof_trade_quote",
     "user_sessions",
     "chunk_documents",
     "value_percentiles",
+    "dataset_split",
+    "vocab_top_tokens",
 ]
 
 #: The heavier LLM-pipeline operators (LSH/minhash/multimodal) stay out of
@@ -76,14 +83,19 @@ def main() -> None:
     # Warm the JVM/codegen path once on the smallest query.
     qs["pricing_summary"](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
-    names = HEADLINE + (FULL_EXTRA if os.environ.get("SPARK_GRAFT_BENCH_FULL") else [])
-    timings: dict[str, float] = {}
-    for name in names:
-        if name not in qs:
-            continue
-        t0 = time.time()
-        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+    def run(names: list[str]) -> dict[str, float]:
+        out: dict[str, float] = {}
+        for name in names:
+            if name not in qs:
+                continue
+            t0 = time.time()
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            out[name] = round(time.time() - t0, 3)
+        return out
+
+    timings = run(HEADLINE)
+    extra = run(EXTRA + (FULL_EXTRA if os.environ.get("SPARK_GRAFT_BENCH_FULL") else []))
+    names = list(timings) + list(extra)
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -91,6 +103,8 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "extra_queries": extra,
+        "extra_total": round(sum(extra.values()), 3),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
 
