@@ -1,0 +1,105 @@
+"""Embedding dimensionality reduction: distributed, deterministic PCA.
+
+The standard pre-ANN step (project 768-dim embeddings to 64 before
+clustering/LSH). Dataflow mirrors :func:`similarity.kmeans_centroids`:
+
+1. ONE vectorized ``mapInPandas`` pass emits per-task partial sums — the
+   d-vector sum and the d×d Gram matrix, flattened. n_partitions tiny rows.
+2. The driver reduces partials IN SORTED ORDER (float sums deterministic),
+   forms the covariance, and eigendecomposes d×d — control-plane work for
+   any sane d (d ≤ a few thousand).
+3. Projection is a second map-only pass; only the (d×k) component matrix
+   ships to tasks.
+
+Sign convention: each component is flipped so its largest-|coefficient|
+entry is positive — eigenvector sign is otherwise arbitrary and would
+differ across LAPACK builds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pca_fit(corpus: DataFrame, k: int, vec_col: str = "embedding"):
+    """Fit top-``k`` principal components. Returns (mean, components) numpy
+    arrays of shape (d,), (d, k)."""
+    import numpy as np
+    import pandas as pd
+
+    v = corpus.select(F.col(vec_col).cast("array<double>").alias("v"))
+
+    def partials(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        s = g = None
+        n = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack(pdf["v"].to_numpy())
+            if s is None:
+                d = mat.shape[1]
+                s, g = np.zeros(d), np.zeros((d, d))
+            s += mat.sum(axis=0)
+            g += mat.T @ mat
+            n += len(mat)
+        if n:
+            yield pd.DataFrame([(pid, n, s.tolist(), g.ravel().tolist())],
+                               columns=["pid", "n", "s", "g"])
+
+    rows = sorted(
+        v.mapInPandas(partials, "pid int, n long, s array<double>, g array<double>").collect(),
+        key=lambda r: r.pid,
+    )
+    if not rows:
+        raise ValueError("pca_fit: empty corpus")
+    d = len(rows[0].s)
+    n = 0
+    s = np.zeros(d)
+    g = np.zeros((d, d))
+    for r in rows:
+        n += r.n
+        s += np.asarray(r.s)
+        g += np.asarray(r.g).reshape(d, d)
+    mean = s / n
+    cov = (g - n * np.outer(mean, mean)) / max(n - 1, 1)
+    vals, vecs = np.linalg.eigh(cov)  # ascending
+    comps = vecs[:, ::-1][:, :k]  # top-k by variance
+    flip = np.sign(comps[np.abs(comps).argmax(axis=0), np.arange(k)])
+    return mean, comps * flip
+
+
+def pca_project(
+    corpus: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    mean=None,
+    components=None,
+) -> DataFrame:
+    """Project every vector onto the top-``k`` components (fit on the same
+    corpus unless a (mean, components) pair from :func:`pca_fit` is given —
+    fit-on-train / apply-everywhere). Map-only; output column ``projected``
+    is array<double> of length k."""
+    import numpy as np
+    import pandas as pd
+
+    if mean is None or components is None:
+        mean, components = pca_fit(corpus, k, vec_col)
+    mean = np.asarray(mean)
+    components = np.asarray(components)
+
+    def project(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack(pdf["v"].to_numpy())
+            proj = (mat - mean) @ components
+            yield pd.DataFrame({"id": pdf["id"].to_numpy(), "projected": list(map(list, proj))})
+
+    v = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v"))
+    out = v.mapInPandas(project, "id long, projected array<double>")
+    return out.select(F.col("id").alias(id_col), "projected")

@@ -149,3 +149,29 @@ def test_cosine_topk_blocked_equals_bruteforce(emb):
         for r in cosine_topk_blocked(emb, queries, k=3, n_corpus_blocks=4, n_query_blocks=3).collect()
     }
     assert blocked == brute  # exact, rank-for-rank and value-for-value
+
+
+def test_pca_projection(emb, spark):
+    import numpy as np
+
+    from marketpipe_spark.operators.projection import pca_fit, pca_project
+
+    mean, comps = pca_fit(emb, k=8)
+    assert mean.shape == (64,) and comps.shape == (64, 8)
+    # components are orthonormal
+    assert np.allclose(comps.T @ comps, np.eye(8), atol=1e-9)
+
+    out = pca_project(emb, k=8).collect()
+    assert len(out) == emb.count()
+    assert all(len(r.projected) == 8 for r in out)
+    # projected variance decreases across components (top-k by eigenvalue)
+    proj = np.stack([r.projected for r in out])
+    var = proj.var(axis=0)
+    assert all(var[i] >= var[i + 1] - 1e-9 for i in range(7))
+    # deterministic across runs (incl. eigenvector sign convention)
+    m2, c2 = pca_fit(emb, k=8)
+    assert np.array_equal(mean, m2) and np.array_equal(comps, c2)
+    # fit-on-subset / apply-everywhere path
+    sub_mean, sub_comps = pca_fit(emb.limit(200), k=4)
+    applied = pca_project(emb, k=4, mean=sub_mean, components=sub_comps)
+    assert applied.count() == emb.count()
