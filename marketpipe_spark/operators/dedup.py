@@ -312,6 +312,59 @@ def ngram_jaccard_pairs(
 
 
 # ---------------------------------------------------------------------------
+# connected-components clustering over near-dup pairs
+
+def dedup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Group transitive near-duplicate pairs into clusters: the dedup
+    endgame (A~B and B~C ⇒ one cluster {A,B,C}; keep one canonical doc).
+
+    Input: (id_a, id_b) pair rows from any pair generator
+    (minhash/simhash/ngram/embedding). Output: (doc_id, cluster_id) for
+    every id appearing in a pair, cluster_id = the smallest id reachable —
+    the canonical document.
+
+    Algorithm: iterative min-label propagation (the dataflow form of
+    connected components): each round every node takes the min of its own
+    and its neighbors' labels; converges in O(cluster diameter) rounds —
+    near-dup clusters are shallow (cliques/stars from a shared source), so
+    2-4 rounds in practice, hard-capped at ``max_iters``. Per round: one
+    join + one groupBy on the edge list; lineage truncated with an eager
+    localCheckpoint so plans don't nest across iterations.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = edges.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        nxt = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left_outer")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce("nlabel", F.col("label"))).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            nxt.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = nxt
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+# ---------------------------------------------------------------------------
 # embedding cosine near-dup
 
 def embedding_near_duplicates(

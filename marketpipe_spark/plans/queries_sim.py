@@ -249,3 +249,35 @@ FROM documents
 @register("multimodal_meta", SQL_MULTIMODAL_META, doc="binary media column -> typed metadata via mapInPandas (stub decode)", tags=("multimodal",))
 def q_multimodal_meta(spark, sf_dir):
     return extract_media_meta(attach_payload(t(spark, sf_dir, "documents")))
+
+
+# ---------------------------------------------------------------------------
+# Dedup clustering: connected components over the n-gram Jaccard pair graph.
+# Spark runs iterative min-label propagation; the oracle computes the same
+# components with a recursive CTE (transitive closure is fine at gate scale;
+# the iterative dataflow is the 100 TB form).
+
+SQL_DEDUP_CLUSTERS = (
+    "WITH RECURSIVE pr AS (\n" + SQL_NGRAM_JACCARD + "\n),\n"
+    + """edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pr
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pr
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+FROM reach GROUP BY src
+"""
+)
+
+
+@register("dedup_clusters", SQL_DEDUP_CLUSTERS, doc="connected-components clustering of near-dup pairs (canonical doc = min id)", tags=("dedup",))
+def q_dedup_clusters(spark, sf_dir):
+    from ..operators.dedup import dedup_clusters
+
+    pairs = ngram_jaccard_pairs(t(spark, sf_dir, "documents"), k=3, threshold=0.5)
+    return dedup_clusters(pairs)

@@ -175,3 +175,13 @@ def test_pca_projection(emb, spark):
     sub_mean, sub_comps = pca_fit(emb.limit(200), k=4)
     applied = pca_project(emb, k=4, mean=sub_mean, components=sub_comps)
     assert applied.count() == emb.count()
+
+
+def test_dedup_clusters_transitive(spark):
+    from marketpipe_spark.operators.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22)], "id_a long, id_b long"
+    )
+    out = {r.doc_id: r.cluster_id for r in dedup_clusters(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
