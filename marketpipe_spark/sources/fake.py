@@ -17,8 +17,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions import NS_PER_MIN
-
 
 def _unit_uniform(*cols) -> F.Column:
     """Deterministic U(0,1) from a hash of the inputs."""

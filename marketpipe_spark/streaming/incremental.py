@@ -120,7 +120,7 @@ def incremental_job(
     checkpoint OUTSIDE [start, end) is stale and ignored — the symbol
     restarts from the window start (reference services.py:475-491).
     """
-    from ..lake import read_bars, upsert_bars, write_bars
+    from ..lake import read_bars, upsert_bars
     from ..operators.resample import resample
     from ..operators.validation import split_valid
 
