@@ -311,3 +311,118 @@ def q_range_scan(spark, sf_dir):
         F.col("ts_ns").between(1704500000000000000, 1705000000000000000)
         & (F.col("event_type") == "purchase")
     )
+
+
+# ---------------------------------------------------------------------------
+# Grouping sets: revenue rollup over region → nation with subtotal rows.
+# Spark `rollup()` ≡ ANSI ROLLUP; GROUPING() marks subtotal levels so NULL
+# group keys are unambiguous. Decimal-exact sums as everywhere.
+
+SQL_REVENUE_ROLLUP = """
+SELECT r_name AS region, n_name AS nation,
+       CAST(GROUPING(r_name) AS BIGINT) AS g_region,
+       CAST(GROUPING(n_name) AS BIGINT) AS g_nation,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
+@register("revenue_rollup", SQL_REVENUE_ROLLUP, doc="region→nation revenue ROLLUP with grouping markers (subtotals + grand total)", tags=("agg", "rollup"))
+def q_revenue_rollup(spark, sf_dir):
+    l = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    j = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return (
+        j.rollup("r_name", "n_name")
+        .agg(
+            F.grouping("r_name").cast("long").alias("g_region"),
+            F.grouping("n_name").cast("long").alias("g_nation"),
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(38,6)"))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .select(
+            F.col("r_name").alias("region"), F.col("n_name").alias("nation"),
+            "g_region", "g_nation", "revenue", "n_items",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pivot: order counts per (priority, status) — Spark's pivot() against the
+# conditional-aggregation form any engine can run (identical values; the
+# pivot column set is fixed and sorted so column names align).
+
+_STATUSES = ["F", "O", "P"]
+
+SQL_ORDERS_PIVOT = (
+    "SELECT o_orderpriority AS priority,\n"
+    + ",\n".join(
+        f"       COUNT(CASE WHEN o_orderstatus = '{s}' THEN 1 END) AS status_{s}"
+        for s in _STATUSES
+    )
+    + "\nFROM orders GROUP BY o_orderpriority"
+)
+
+
+@register("orders_pivot", SQL_ORDERS_PIVOT, doc="order counts pivoted by status (fixed column set)", tags=("agg", "pivot"))
+def q_orders_pivot(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    out = (
+        o.groupBy(F.col("o_orderpriority").alias("priority"))
+        .pivot("o_orderstatus", _STATUSES)
+        .count()
+    )
+    renamed = out.select(
+        "priority", *[F.coalesce(F.col(s), F.lit(0)).alias(f"status_{s}") for s in _STATUSES]
+    )
+    return renamed
+
+
+# ---------------------------------------------------------------------------
+# Correlated EXISTS (J4's query shape as a driver-checked entry): customers
+# with at least one urgent order but NO line item shipped late.
+
+SQL_EXISTS_ANTI = """
+SELECT c_custkey, c_name
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+  AND NOT EXISTS (SELECT 1 FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+                  WHERE o.o_custkey = c.c_custkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+"""
+
+
+@register("exists_anti_customers", SQL_EXISTS_ANTI, doc="correlated EXISTS + NOT EXISTS: urgent customers with no late lineitem (semi + anti join)", tags=("join", "exists"))
+def q_exists_anti(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    l = t(spark, sf_dir, "lineitem")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey").distinct()
+    late = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .select("o_custkey")
+        .distinct()
+    )
+    return (
+        c.join(F.broadcast(urgent), c.c_custkey == urgent.o_custkey, "left_semi")
+        .join(F.broadcast(late), c.c_custkey == late.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+    )
