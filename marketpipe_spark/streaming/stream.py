@@ -65,6 +65,35 @@ def windowed_ohlcv(
     )
 
 
+def session_stats_stream(
+    bar_stream: DataFrame, gap: str = "30 minutes", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Streaming sessionization via the built-in ``session_window``: a
+    symbol's session stays open while bars keep arriving within ``gap``; the
+    watermark closes and emits sessions once event time passes. State is one
+    open window per active symbol — the streaming twin of the batch
+    ``operators.sessions.sessionize`` (which callers use for reprocessing)."""
+    with_ts = bar_stream.withColumn(
+        "event_time", F.timestamp_micros((F.col("ts_ns") / 1000).cast("long"))
+    )
+    return (
+        with_ts.withWatermark("event_time", watermark)
+        .groupBy(F.col("symbol"), F.session_window("event_time", gap).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_bars"),
+            F.sum("volume").alias("volume"),
+            F.min_by("open", "ts_ns").alias("open"),
+            F.max_by("close", "ts_ns").alias("close"),
+        )
+        .select(
+            "symbol",
+            (F.unix_micros(F.col("w.start")) * 1000).alias("session_start_ns"),
+            (F.unix_micros(F.col("w.end")) * 1000).alias("session_end_ns"),
+            "n_bars", "volume", "open", "close",
+        )
+    )
+
+
 def highwater_dedup_stream(bar_stream: DataFrame) -> DataFrame:
     """Custom stateful streaming operator (``applyInPandasWithState``):
     per-symbol high-water-mark filter. Rows at or below the symbol's maximum

@@ -133,3 +133,41 @@ def test_highwater_dedup_stateful_operator(spark, tmp_path):
     # replayed ts were NOT re-emitted: original values survive
     row = out2.filter(F.col("ts_ns") == DAY1 + 6 * NS_MIN).collect()
     assert len(row) == 1 and row[0].open != 300.0
+
+
+def test_session_window_stream(spark, tmp_path):
+    """Built-in session_window: two bursts separated by a >30min quiet gap
+    become two sessions once the stream drains."""
+    from marketpipe_spark.streaming.stream import session_stats_stream
+
+    landing = str(tmp_path / "landing")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    burst1 = _bars_df(spark, "AAPL", DAY1, 5)
+    burst2 = _bars_df(spark, "AAPL", DAY1 + 90 * NS_MIN, 3, base=200.0)
+    # append mode emits a session only once the watermark passes its end:
+    # a far-future row on another symbol advances event time past burst2
+    flush = _bars_df(spark, "ZZZZ", DAY1 + 600 * NS_MIN, 1)
+    burst1.unionByName(burst2).unionByName(flush).coalesce(1).write.mode("append").parquet(landing)
+
+    sessions = session_stats_stream(read_bar_stream(spark, landing), gap="30 minutes")
+    q = (
+        sessions.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    run_available_now(q)
+    rows = sorted(
+        [r for r in spark.read.parquet(out_dir).collect() if r.symbol == "AAPL"],
+        key=lambda r: r.session_start_ns,
+    )
+    assert len(rows) == 2
+    assert rows[0].n_bars == 5 and rows[1].n_bars == 3
+    assert rows[0].session_start_ns == DAY1
+    assert rows[1].session_start_ns == DAY1 + 90 * NS_MIN
+    # session end = last event + gap (session_window semantics)
+    assert rows[0].session_end_ns == DAY1 + 4 * NS_MIN + 30 * 60 * 10**9
