@@ -82,3 +82,34 @@ def test_split_partition_and_stability(spark):
     # stable under repartitioning
     re = {(r.doc_id, r.split) for r in with_split(docs.repartition(7), {"train": 0.8, "val": 0.1, "test": 0.1}).collect()}
     assert {(r.doc_id, r.split) for r in rows} == re
+
+
+def test_jsonl_export_roundtrip(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from marketpipe_spark.export import export_jsonl, read_jsonl
+    from marketpipe_spark.operators.sampling import with_split
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}", "en" if i % 2 else "de") for i in range(100)],
+        "doc_id long, text string, lang string",
+    )
+    out = str(tmp_path / "export")
+    manifest = export_jsonl(
+        with_split(docs, {"train": 0.8, "val": 0.1, "test": 0.1}),
+        out,
+        max_records_per_file=20,
+        partition_by=["split"],
+    )
+    assert manifest["n_rows"] == 100 and manifest["n_shards"] >= 3
+    assert manifest["total_bytes"] == sum(s["bytes"] for s in manifest["shards"])
+    import json, os
+
+    assert json.load(open(os.path.join(out, "_manifest.json")))["n_rows"] == 100
+
+    back = read_jsonl(spark, out)
+    assert back.count() == 100
+    assert set(back.columns) == {"doc_id", "text", "lang", "split"}
+    # partition column round-trips; every doc keeps its split
+    orig = {r.doc_id: r.split for r in with_split(docs, {"train": 0.8, "val": 0.1, "test": 0.1}).collect()}
+    assert {r.doc_id: r.split for r in back.collect()} == orig
