@@ -50,6 +50,9 @@ EXTRA = [
     "value_percentiles",
     "dataset_split",
     "vocab_top_tokens",
+    "revenue_rollup",
+    "orders_pivot",
+    "exists_anti_customers",
 ]
 
 #: The heavier LLM-pipeline operators (LSH/minhash/multimodal) stay out of
