@@ -59,6 +59,37 @@ def chunk_documents(
     return out
 
 
+def dedup_lines(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+) -> DataFrame:
+    """C4-style intra-document cleaning: drop repeated lines within each
+    document, keeping the FIRST occurrence in order (boilerplate headers/
+    footers repeat; prose doesn't). Map-only array expression — the
+    order-preserving distinct is built explicitly (first-occurrence filter),
+    since engines disagree on whether their ``array_distinct`` keeps order.
+    Emits the cleaned text plus before/after line counts for filter rules.
+    """
+    lines = F.split(F.col(text_col), F.lit(sep))
+    kept = F.expr(
+        f"filter(transform(sequence(1, size(_lines)), "
+        f"i -> CASE WHEN array_position(slice(_lines, 1, i-1), element_at(_lines, i)) = 0 "
+        f"THEN element_at(_lines, i) END), x -> x IS NOT NULL)"
+    )
+    return (
+        docs.withColumn("_lines", lines)
+        .withColumn("_kept", kept)
+        .select(
+            F.col(id_col),
+            F.concat_ws(sep, "_kept").alias("cleaned_text"),
+            F.size("_lines").cast("long").alias("n_lines"),
+            F.size("_kept").cast("long").alias("n_unique_lines"),
+        )
+    )
+
+
 def pack_documents(
     docs: DataFrame,
     budget: int = 2048,

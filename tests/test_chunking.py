@@ -113,3 +113,14 @@ def test_jsonl_export_roundtrip(spark, tmp_path):
     # partition column round-trips; every doc keeps its split
     orig = {r.doc_id: r.split for r in with_split(docs, {"train": 0.8, "val": 0.1, "test": 0.1}).collect()}
     assert {r.doc_id: r.split for r in back.collect()} == orig
+
+
+def test_dedup_lines_keeps_first_occurrence(spark):
+    from marketpipe_spark.operators.chunking import dedup_lines
+
+    text = "header\nbody one\nheader\nbody two\nfooter\nfooter"
+    docs = spark.createDataFrame([(1, text), (2, "clean\ndoc")], "doc_id long, text string")
+    out = {r.doc_id: r for r in dedup_lines(docs).collect()}
+    assert out[1].cleaned_text == "header\nbody one\nbody two\nfooter"
+    assert out[1].n_lines == 6 and out[1].n_unique_lines == 4
+    assert out[2].cleaned_text == "clean\ndoc" and out[2].n_unique_lines == 2
