@@ -13,9 +13,10 @@ Key reproduced invariants:
 - dedup rank: ROW_NUMBER() PARTITION BY natural_key ORDER BY as_of DESC,
   provider ASC, keep 1 (symbol_normalizer.sql:25-43)
 - dense IDs: ROW_NUMBER() OVER (ORDER BY natural_key) offset by current max
-  (symbol_normalizer.sql:47-53, scd_writer.py:88-112). Global window ⇒
-  single-partition shuffle — acceptable at symbol-master scale (~10⁴ rows;
-  SURVEY §7.4); never use for fact tables.
+  (symbol_normalizer.sql:47-53, scd_writer.py:88-112), computed by
+  :func:`dense_ids` — range-partition + per-partition rank + driver-summed
+  offsets, so the exact global-rank semantics hold WITHOUT a
+  single-partition window (scales to fact tables).
 - close-out: current row (valid_to IS NULL) of an updated key gets
   valid_to = snapshot_date − 1 day (scd_writer.py:118,130-137)
 - exactly one valid_to IS NULL row per id (create_symbol_views.sql:16-37)
@@ -79,6 +80,54 @@ def diff_snapshot(snapshot: DataFrame, master_current: DataFrame) -> DataFrame:
     )
 
 
+def dense_ids(
+    df: DataFrame,
+    order_cols: list[str],
+    start: int = 1,
+    id_name: str = "id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Dense sequential ranks over a total order — exactly
+    ``ROW_NUMBER() OVER (ORDER BY order_cols)`` + start − 1 — WITHOUT the
+    single-partition global window (W2 at fact-table scale).
+
+    Range-partition on the order keys (partition i's rows all sort before
+    partition i+1's), rank within each partition in parallel, then add
+    driver-computed cumulative offsets (n_partitions scalars — control
+    plane). The input is pinned once (eager localCheckpoint) so the count
+    pass and the rank pass see the SAME partitioning; materializing once is
+    the standard cost of distributed identity assignment. ``order_cols``
+    must be a total order for the result to be deterministic.
+    """
+    spark = df.sparkSession
+    num_partitions = num_partitions or spark.sparkContext.defaultParallelism
+    cols = [F.col(c) for c in order_cols]
+    ranged = (
+        df.repartitionByRange(num_partitions, *cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    counts = {
+        r._pid: r.n
+        for r in ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    offsets, acc = {}, start
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    if not offsets:
+        return df.withColumn(id_name, F.lit(None).cast("long"))
+    off_map = F.create_map(
+        *[x for pid, off in offsets.items() for x in (F.lit(pid), F.lit(off))]
+    )
+    w = W.partitionBy("_pid").orderBy(*cols)
+    return (
+        ranged.withColumn("_rk", F.row_number().over(w))
+        .withColumn(id_name, (F.element_at(off_map, F.col("_pid")) + F.col("_rk") - 1).cast("long"))
+        .drop("_pid", "_rk")
+    )
+
+
 def apply_scd2(
     master: DataFrame | None,
     snapshot: DataFrame,
@@ -106,8 +155,8 @@ def apply_scd2(
     max_id = (master.agg(F.coalesce(F.max("id"), F.lit(0))).collect())[0][0]
 
     inserts = (
-        d.filter(F.col("change_type") == "insert")
-        .withColumn("id", (F.row_number().over(W.orderBy("natural_key")) + F.lit(max_id)).cast("int"))
+        dense_ids(d.filter(F.col("change_type") == "insert"), ["natural_key"], start=max_id + 1)
+        .withColumn("id", F.col("id").cast("int"))
         .select(
             "id",
             "natural_key",

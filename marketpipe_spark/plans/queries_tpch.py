@@ -240,9 +240,9 @@ def q_snapshot_diff(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# W2 — global dense surrogate IDs (reference: symbol_normalizer.sql:47-53).
-# Single-partition window — documented bound: fine for dimension-scale input
-# (~10^4 rows); never use on a fact table.
+# W2 — global dense surrogate IDs (reference: symbol_normalizer.sql:47-53),
+# computed scale-safely: range-partition + local rank + driver offsets
+# (operators/scd.dense_ids) — exact ROW_NUMBER semantics, no global window.
 
 SQL_SURROGATE_IDS = """
 SELECT CAST(ROW_NUMBER() OVER (ORDER BY c_name) AS BIGINT) AS id, c_custkey, c_name
@@ -250,12 +250,12 @@ FROM customer
 """
 
 
-@register("surrogate_ids", SQL_SURROGATE_IDS, doc="W2 dense surrogate IDs (symbol_normalizer.sql:47-53)", tags=("window",))
+@register("surrogate_ids", SQL_SURROGATE_IDS, doc="W2 dense surrogate IDs via partition-parallel global rank (symbol_normalizer.sql:47-53)", tags=("window",))
 def q_surrogate_ids(spark, sf_dir):
+    from ..operators.scd import dense_ids
+
     c = t(spark, sf_dir, "customer")
-    return c.select(
-        F.row_number().over(W.orderBy("c_name")).cast("long").alias("id"), "c_custkey", "c_name"
-    )
+    return dense_ids(c, ["c_name"]).select("id", "c_custkey", "c_name")
 
 
 # ---------------------------------------------------------------------------

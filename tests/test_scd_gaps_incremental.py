@@ -189,3 +189,23 @@ def test_prune_bars(spark, tmp_path):
     left = read_bars(spark, root, frame="1m")
     assert left.count() == 3
     assert left.select(F.min("ts_ns")).collect()[0][0] == new_ns
+
+
+def test_dense_ids_matches_global_row_number(spark):
+    from pyspark.sql.window import Window as W
+
+    from marketpipe_spark.operators.scd import dense_ids
+
+    df = spark.createDataFrame(
+        [(f"k{i:04d}", i * 2) for i in range(977)], "k string, v long"
+    ).repartition(7)  # arbitrary incoming layout
+    got = {r.k: r.id for r in dense_ids(df, ["k"], start=100, num_partitions=5).collect()}
+    want = {
+        r.k: r.id
+        for r in df.select(
+            "k", (F.row_number().over(W.orderBy("k")) + 99).cast("long").alias("id")
+        ).collect()
+    }
+    assert got == want
+    # empty input
+    assert dense_ids(df.filter("v < 0"), ["k"]).count() == 0
