@@ -53,6 +53,11 @@ EXTRA = [
     "revenue_rollup",
     "orders_pivot",
     "exists_anti_customers",
+    "text_cleaning",
+    "repetition_signals",
+    "ngram_contamination",
+    "close_quartiles",
+    "rolling_volume_1h",
 ]
 
 #: The heavier LLM-pipeline operators (LSH/minhash/multimodal) stay out of

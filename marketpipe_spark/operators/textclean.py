@@ -1,0 +1,139 @@
+"""Text cleaning and corpus-quality signals for LLM training-data prep.
+
+Extends the reference's data-quality surface (validation rules,
+validation/domain/services.py:14-170) to the text domain: URL stripping,
+PII masking, Gopher-style repetition signals, and n-gram decontamination.
+Everything is JVM-side built-in expressions (regexp_replace / split /
+explode / hash-agg) — no Python UDFs, so whole-stage codegen applies and
+the same patterns run verbatim in the DuckDB oracle (both regex dialects
+treat these patterns identically; Spark's regexp_replace is global by
+default, the oracle passes the 'g' flag).
+
+Scale notes (100 TB): cleaning and repetition signals are map-only or one
+hash-agg shuffle keyed by (doc_id, token) — partial aggregation applies and
+doc_id keys are unique, so no skew. N-gram decontamination is the standard
+shuffle-hash-join-on-gram-hash formulation: grams are hashed to 64-bit
+longs before the exchange (narrow rows), the train side is deduplicated
+before the join, and nothing is collected or broadcast by requirement
+(AQE may still choose broadcast when the train set is small).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_SPLIT_RE = r"\s+"
+#: Patterns shared verbatim with the DuckDB oracle (valid Java regex + RE2).
+URL_RE = r"https?://[^\s]+"
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+"
+
+
+def clean_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Strip URLs, mask emails, collapse whitespace; count what was removed.
+
+    Adds ``n_urls``, ``n_emails``, ``clean_text`` (URL-stripped,
+    email-masked, whitespace-collapsed, trimmed). Map-only — no shuffle.
+    """
+    txt = F.col(text_col)
+    cleaned = F.regexp_replace(txt, URL_RE, "")
+    cleaned = F.regexp_replace(cleaned, EMAIL_RE, "<EMAIL>")
+    cleaned = F.trim(F.regexp_replace(cleaned, TOKEN_SPLIT_RE, " "))
+    return (
+        df.withColumn("n_urls", F.regexp_count(txt, F.lit(URL_RE)).cast("long"))
+        .withColumn("n_emails", F.regexp_count(txt, F.lit(EMAIL_RE)).cast("long"))
+        .withColumn("clean_text", cleaned)
+    )
+
+
+def repetition_signals(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document token-repetition signals (the Gopher/MassiveText family).
+
+    Returns one row per document: ``n_tokens``, ``n_distinct_tokens``,
+    ``dup_token_ratio`` (1 − distinct/total) and ``top_token_frac``
+    (most-frequent token's share). High values flag boilerplate/spam docs.
+
+    Plan: explode(lower-split) → hash-agg on (doc_id, token) → hash-agg on
+    doc_id. Both aggregations get map-side partials; ratios are exact
+    bigint/bigint divisions (order-independent).
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), TOKEN_SPLIT_RE)).alias("token"),
+    )
+    per_tok = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("cnt"))
+    return per_tok.groupBy(id_col).agg(
+        F.sum("cnt").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct_tokens"),
+        (F.lit(1.0) - F.count(F.lit(1)).cast("double") / F.sum("cnt")).alias("dup_token_ratio"),
+        (F.max("cnt").cast("double") / F.sum("cnt")).alias("top_token_frac"),
+    )
+
+
+def _gram_text(text: Column, n: int) -> Column:
+    """Array of word ``n``-grams (space-joined) from whitespace tokens.
+
+    Computed per-row with ``transform``/``slice`` higher-order functions —
+    no explode until the caller chooses to, so the fan-out stays explicit.
+    Spark's ``sequence(a, b)`` DESCENDS when b < a, so short docs are
+    guarded to an empty array rather than relying on an empty sequence.
+    """
+    toks = F.split(F.trim(F.lower(text)), TOKEN_SPLIT_RE)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.when(F.size(toks) >= n, grams).otherwise(F.array().cast("array<string>"))
+
+
+def ngram_hashes(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 5
+) -> DataFrame:
+    """Distinct 60-bit n-gram hashes per document (md5_60 family — see
+    dedup._hash64 — so an external SQL oracle can reproduce them exactly).
+
+    One row per (doc, distinct gram hash); rows crossing the shuffle are
+    two longs wide, not the gram text.
+    """
+    gh = F.conv(F.substring(F.md5(F.col("gram")), 1, 15), 16, 10).cast("long")
+    return (
+        df.select(F.col(id_col), F.explode(_gram_text(F.col(text_col), n)).alias("gram"))
+        .select(id_col, gh.alias("gram_h"))
+        .distinct()
+    )
+
+
+def ngram_contamination(
+    train: DataFrame,
+    test: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Per test-document n-gram overlap with the train corpus.
+
+    The fuzzy counterpart of exact fingerprint contamination
+    (sampling.with_split + md5 membership): a test doc sharing many word
+    n-grams with ANY train doc leaks evaluation data even when no single
+    document is an exact copy. Returns ``doc_id, n_grams, n_leaked,
+    leak_frac`` for every test doc with at least one n-gram.
+
+    Join is a shuffle hash join on the 60-bit gram hash; the train side is
+    pre-deduplicated to distinct hashes.
+    """
+    train_g = ngram_hashes(train, id_col, text_col, n).select("gram_h").distinct()
+    test_g = ngram_hashes(test, id_col, text_col, n)
+    hit = train_g.withColumn("_hit", F.lit(1))
+    return (
+        test_g.join(hit, "gram_h", "left_outer")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.coalesce(F.sum("_hit"), F.lit(0)).cast("long").alias("n_leaked"),
+            (
+                F.coalesce(F.sum("_hit"), F.lit(0)).cast("double") / F.count(F.lit(1))
+            ).alias("leak_frac"),
+        )
+    )

@@ -572,3 +572,65 @@ def q_value_percentiles(spark, sf_dir):
         F.expr("percentile(close, 0.99)").alias("p99"),
         F.expr("percentile(volume, 0.50)").alias("median_volume"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Ranking-window surface (SURVEY §2.5 "free if needed" row): NTILE bucket
+# assignment — per-symbol close-price quartiles, aggregated to bucket
+# boundaries. The window's total order (close, ts_ns) makes bucket
+# membership deterministic; the groupBy collapses output to 4 rows/symbol.
+
+SQL_CLOSE_QUARTILES = f"""
+WITH {SQL_BARS},
+q AS (
+  SELECT symbol, close,
+         NTILE(4) OVER (PARTITION BY symbol ORDER BY close, ts_ns) AS quartile
+  FROM bars
+)
+SELECT symbol, quartile, COUNT(*) AS n,
+       MIN(close) AS min_close, MAX(close) AS max_close
+FROM q GROUP BY symbol, quartile
+"""
+
+
+@register("close_quartiles", SQL_CLOSE_QUARTILES, doc="NTILE(4) close-price quartile boundaries per symbol", tags=("window", "agg"))
+def q_close_quartiles(spark, sf_dir):
+    b = _bars_core(spark, sf_dir)
+    w = W.partitionBy("symbol").orderBy("close", "ts_ns")
+    q = b.select("symbol", "close", F.ntile(4).over(w).alias("quartile"))
+    return q.groupBy("symbol", "quartile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("close").alias("min_close"),
+        F.max("close").alias("max_close"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# RANGE-frame window (SURVEY §2.5 noted frame RANGE specs unused in the
+# reference — covered here): trailing-1-hour event-time window keyed by the
+# physical ts_ns long, so the frame is value-based (time), not row-based.
+# Bigint sums/counts are exact in any execution order.
+
+_HOUR_NS = 3_600_000_000_000
+
+SQL_ROLLING_VOLUME_1H = f"""
+WITH {SQL_BARS}
+SELECT symbol, ts_ns,
+       CAST(SUM(volume) OVER (PARTITION BY symbol ORDER BY ts_ns
+             RANGE BETWEEN {_HOUR_NS} PRECEDING AND CURRENT ROW) AS BIGINT) AS vol_1h,
+       COUNT(*) OVER (PARTITION BY symbol ORDER BY ts_ns
+             RANGE BETWEEN {_HOUR_NS} PRECEDING AND CURRENT ROW) AS n_1h
+FROM bars
+"""
+
+
+@register("rolling_volume_1h", SQL_ROLLING_VOLUME_1H, doc="trailing-1h volume via RANGE frame over ts_ns", tags=("window",))
+def q_rolling_volume_1h(spark, sf_dir):
+    b = _bars_core(spark, sf_dir)
+    w = W.partitionBy("symbol").orderBy("ts_ns").rangeBetween(-_HOUR_NS, 0)
+    return b.select(
+        "symbol",
+        "ts_ns",
+        F.sum("volume").over(w).cast("long").alias("vol_1h"),
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+    )

@@ -391,3 +391,112 @@ def q_contamination_check(spark, sf_dir):
             F.coalesce(F.sum("_hit"), F.lit(0)).cast("long").alias("n_contaminated"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Text cleaning: URL stripping, email masking, whitespace collapse — the
+# map-only first pass of every corpus-prep pipeline. Same regexes run
+# verbatim in both engines (Spark replaces globally by default; the oracle
+# passes the 'g' flag).
+
+from ..operators.textclean import EMAIL_RE, URL_RE  # noqa: E402
+
+SQL_TEXT_CLEANING = rf"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{URL_RE}')) AS BIGINT) AS n_urls,
+       CAST(len(regexp_extract_all(text, '{EMAIL_RE}')) AS BIGINT) AS n_emails,
+       trim(regexp_replace(regexp_replace(regexp_replace(
+           text, '{URL_RE}', '', 'g'), '{EMAIL_RE}', '<EMAIL>', 'g'), '\s+', ' ', 'g')) AS clean_text
+FROM documents
+"""
+
+
+@register("text_cleaning", SQL_TEXT_CLEANING, doc="URL strip + email masking + whitespace collapse (map-only)", tags=("text", "cleaning"))
+def q_text_cleaning(spark, sf_dir):
+    from ..operators.textclean import clean_documents
+
+    d = t(spark, sf_dir, "documents")
+    return clean_documents(d).select("doc_id", "n_urls", "n_emails", "clean_text")
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition signals: duplicate-token ratio and top-token share
+# per document — the classic boilerplate/spam flags for corpus filtering.
+
+SQL_REPETITION = r"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+  FROM documents
+),
+pt AS (SELECT doc_id, token, count(*) AS cnt FROM tok GROUP BY doc_id, token)
+SELECT doc_id,
+       CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+       COUNT(*) AS n_distinct_tokens,
+       CAST(1 AS DOUBLE) - CAST(COUNT(*) AS DOUBLE) / CAST(SUM(cnt) AS BIGINT) AS dup_token_ratio,
+       CAST(MAX(cnt) AS DOUBLE) / CAST(SUM(cnt) AS BIGINT) AS top_token_frac
+FROM pt GROUP BY doc_id
+"""
+
+
+@register("repetition_signals", SQL_REPETITION, doc="per-doc token repetition: dup-token ratio, top-token share (Gopher signals)", tags=("text", "cleaning"))
+def q_repetition_signals(spark, sf_dir):
+    from ..operators.textclean import repetition_signals
+
+    d = t(spark, sf_dir, "documents")
+    return repetition_signals(d)
+
+
+# ---------------------------------------------------------------------------
+# N-gram decontamination: word-5-gram overlap between the test split and the
+# train corpus — the fuzzy counterpart of contamination_check (a test doc
+# can leak eval data without any exact-duplicate document existing). Grams
+# hash to 60-bit longs (md5_60 family) before the shuffle; the join is a
+# hash join on those longs.
+
+SQL_NGRAM_CONTAMINATION = f"""
+WITH s AS (
+  SELECT doc_id, text,
+         CASE WHEN {_h60_sql('split')} < {_thr(0.9)} THEN 'train'
+              WHEN {_h60_sql('split')} < {_thr(0.95)} THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+),
+tokd AS (
+  SELECT doc_id, split, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+  FROM s WHERE split IN ('train', 'test')
+),
+grams AS (
+  SELECT doc_id, split,
+         unnest(CASE WHEN len(toks) >= 5
+                THEN list_transform(range(1, len(toks) - 3),
+                                    i -> array_to_string(toks[i:i+4], ' '))
+                ELSE CAST([] AS VARCHAR[]) END) AS gram
+  FROM tokd
+),
+gh AS (
+  SELECT DISTINCT doc_id, split,
+         CAST(('0x' || substr(md5(gram), 1, 15)) AS BIGINT) AS gram_h
+  FROM grams
+),
+tr AS (SELECT DISTINCT gram_h FROM gh WHERE split = 'train'),
+te AS (SELECT doc_id, gram_h FROM gh WHERE split = 'test')
+SELECT te.doc_id,
+       COUNT(*) AS n_grams,
+       CAST(COALESCE(SUM(CASE WHEN tr.gram_h IS NOT NULL THEN 1 END), 0) AS BIGINT) AS n_leaked,
+       CAST(COALESCE(SUM(CASE WHEN tr.gram_h IS NOT NULL THEN 1 END), 0) AS DOUBLE) / COUNT(*) AS leak_frac
+FROM te LEFT JOIN tr USING (gram_h)
+GROUP BY te.doc_id
+"""
+
+
+@register("ngram_contamination", SQL_NGRAM_CONTAMINATION, doc="word-5-gram overlap of test docs vs train corpus (fuzzy decontamination)", tags=("sampling", "dedup", "text"))
+def q_ngram_contamination(spark, sf_dir):
+    from ..operators.sampling import with_split
+    from ..operators.textclean import ngram_contamination
+
+    d = t(spark, sf_dir, "documents")
+    s = with_split(d, {"train": 0.9, "val": 0.05, "test": 0.05}, salt="split")
+    train = s.filter(F.col("split") == "train")
+    test = s.filter(F.col("split") == "test")
+    return ngram_contamination(train, test, n=5)

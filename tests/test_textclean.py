@@ -1,0 +1,87 @@
+"""Unit tests for text cleaning, repetition signals, and n-gram
+decontamination (operators/textclean.py) on planted fixtures."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from marketpipe_spark.operators.textclean import (
+    clean_documents,
+    ngram_contamination,
+    ngram_hashes,
+    repetition_signals,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id string, text string")
+
+
+def test_clean_documents_strips_urls_and_masks_emails(spark):
+    d = _docs(
+        spark,
+        [
+            ("a", "see https://example.com/x?y=1 and http://foo.bar now"),
+            ("b", "mail bob.smith+tag@corp.example.com   please"),
+            ("c", "plain   text\twith\nweird   spacing"),
+        ],
+    )
+    out = {r.doc_id: r for r in clean_documents(d).collect()}
+    assert out["a"].n_urls == 2 and out["a"].n_emails == 0
+    assert out["a"].clean_text == "see and now"
+    assert out["b"].n_emails == 1
+    assert out["b"].clean_text == "mail <EMAIL> please"
+    assert out["c"].clean_text == "plain text with weird spacing"
+
+
+def test_repetition_signals_flags_boilerplate(spark):
+    d = _docs(
+        spark,
+        [
+            ("spam", "buy now buy now buy now buy now"),
+            ("ok", "the quick brown fox jumps over lazy dogs"),
+        ],
+    )
+    out = {r.doc_id: r for r in repetition_signals(d).collect()}
+    assert out["spam"].n_tokens == 8 and out["spam"].n_distinct_tokens == 2
+    assert out["spam"].dup_token_ratio == 0.75
+    assert out["spam"].top_token_frac == 0.5
+    assert out["ok"].dup_token_ratio == 0.0
+
+
+def test_ngram_hashes_count_and_short_doc_guard(spark):
+    d = _docs(spark, [("a", "one two three four five six"), ("short", "one two three")])
+    out = ngram_hashes(d, n=5).groupBy("doc_id").count().collect()
+    counts = {r.doc_id: r["count"] for r in out}
+    # 6 tokens -> 2 five-grams; 3 tokens -> none (guarded, not a descending sequence)
+    assert counts == {"a": 2}
+
+
+def test_ngram_contamination_finds_planted_leak(spark):
+    train = _docs(
+        spark,
+        [
+            ("t1", "alpha beta gamma delta epsilon zeta eta"),
+            ("t2", "unrelated corpus content goes here today friends"),
+        ],
+    )
+    test = _docs(
+        spark,
+        [
+            # shares the 5-gram "beta gamma delta epsilon zeta" with t1
+            ("leaky", "xx beta gamma delta epsilon zeta yy"),
+            ("clean", "totally different words that never appeared before"),
+        ],
+    )
+    out = {r.doc_id: r for r in ngram_contamination(train, test, n=5).collect()}
+    assert out["leaky"].n_leaked >= 1
+    assert out["leaky"].leak_frac > 0
+    assert out["clean"].n_leaked == 0 and out["clean"].leak_frac == 0.0
+
+
+def test_clean_then_signals_compose(spark):
+    d = _docs(spark, [("a", "spam spam https://x.io spam  spam")])
+    cleaned = clean_documents(d).select("doc_id", F.col("clean_text").alias("text"))
+    sig = repetition_signals(cleaned).collect()[0]
+    assert sig.n_tokens == 4 and sig.n_distinct_tokens == 1
+    assert sig.dup_token_ratio == 0.75
