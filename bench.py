@@ -58,6 +58,7 @@ EXTRA = [
     "ngram_contamination",
     "close_quartiles",
     "rolling_volume_1h",
+    "curated_corpus",
 ]
 
 #: The heavier LLM-pipeline operators (LSH/minhash/multimodal) stay out of

@@ -191,6 +191,28 @@ def cmd_metrics(args) -> int:
     return 0
 
 
+def cmd_curate(args) -> int:
+    from pyspark.sql import functions as F
+
+    from .operators.textclean import curate_corpus
+
+    spark = _spark("curate")
+    docs = spark.read.parquet(args.input)
+    out = curate_corpus(docs).select(
+        "doc_id", "lang", "split", "n_tokens", F.col("clean_text").alias("text")
+    )
+    out.write.mode("overwrite").partitionBy("split").parquet(args.output)
+    stats = (
+        spark.read.parquet(args.output)
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("total_tokens"))
+        .orderBy("split")
+    )
+    for r in stats.collect():
+        print(f"{r.split}: {r.n_docs} docs, {r.total_tokens} tokens")
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="marketpipe_spark", description=__doc__)
     sub = p.add_subparsers(dest="command", required=True)
@@ -256,6 +278,13 @@ def build_parser() -> argparse.ArgumentParser:
     m.add_argument("name", nargs="?", default=None)
     m.add_argument("--path", default="data/raw_ctl/metrics")
     m.set_defaults(fn=cmd_metrics)
+
+    c = sub.add_parser(
+        "curate", help="run the corpus curation pipeline (clean, filter, dedup, split)"
+    )
+    c.add_argument("input", help="documents parquet (doc_id, text, lang columns)")
+    c.add_argument("output", help="curated parquet root (partitioned by split)")
+    c.set_defaults(fn=cmd_curate)
 
     return p
 

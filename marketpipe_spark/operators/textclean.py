@@ -105,6 +105,56 @@ def ngram_hashes(
     )
 
 
+#: Curation thresholds (curate_corpus). Tuned so synthetic corpora keep a
+#: non-trivial subset; real pipelines override per corpus.
+MIN_TOKENS = 20
+MAX_DUP_TOKEN_RATIO = 0.55
+MAX_TOP_TOKEN_FRAC = 0.15
+
+
+def curate_corpus(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = MIN_TOKENS,
+    max_dup_token_ratio: float = MAX_DUP_TOKEN_RATIO,
+    max_top_token_frac: float = MAX_TOP_TOKEN_FRAC,
+    split_salt: str = "split",
+) -> DataFrame:
+    """The end-to-end corpus curation pipeline, composed from this module:
+
+    clean (URL strip / email mask / whitespace collapse) → repetition +
+    length filters on the CLEANED text → exact dedup on the cleaned-text
+    fingerprint (keep the smallest ``doc_id``, so reruns are stable) →
+    deterministic hash split. Returns the surviving documents with
+    ``clean_text``, ``n_tokens``, ``dup_token_ratio``, ``top_token_frac``,
+    ``fp`` and ``split`` attached.
+
+    Every step is a built-in-expression DataFrame op: one explode +
+    two hash-aggs for the signals, one window over the fingerprint for
+    dedup, map-only everything else — three shuffles total, each keyed by
+    high-cardinality columns (doc_id, fingerprint), so the pipeline scales
+    linearly and skew-free to corpus size.
+    """
+    from .sampling import with_split
+
+    cleaned = clean_documents(df, text_col).drop("n_urls", "n_emails")
+    sig = repetition_signals(
+        cleaned.select(id_col, F.col("clean_text").alias("text")), id_col, "text"
+    )
+    scored = cleaned.join(sig, id_col)
+    kept = scored.filter(
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("dup_token_ratio") <= max_dup_token_ratio)
+        & (F.col("top_token_frac") <= max_top_token_frac)
+    ).withColumn("fp", F.md5(F.encode(F.col("clean_text"), "UTF-8")))
+    from pyspark.sql.window import Window as W
+
+    first_id = F.min(id_col).over(W.partitionBy("fp"))
+    deduped = kept.withColumn("_first", first_id).filter(F.col(id_col) == F.col("_first")).drop("_first")
+    return with_split(deduped, {"train": 0.9, "val": 0.05, "test": 0.05}, id_col=id_col, salt=split_salt)
+
+
 def ngram_contamination(
     train: DataFrame,
     test: DataFrame,

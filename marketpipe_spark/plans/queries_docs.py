@@ -500,3 +500,66 @@ def q_ngram_contamination(spark, sf_dir):
     train = s.filter(F.col("split") == "train")
     test = s.filter(F.col("split") == "test")
     return ngram_contamination(train, test, n=5)
+
+
+# ---------------------------------------------------------------------------
+# The flagship composition: full corpus curation (clean → repetition/length
+# filters → exact dedup keep-first → deterministic split), aggregated to
+# per-(split, lang) doc and token counts. Every stage is SQL-expressible,
+# so the WHOLE pipeline is verified value-for-value — not just its pieces.
+
+from ..operators.textclean import (  # noqa: E402
+    MAX_DUP_TOKEN_RATIO,
+    MAX_TOP_TOKEN_FRAC,
+    MIN_TOKENS,
+)
+
+SQL_CURATED_CORPUS = rf"""
+WITH cleaned AS (
+  SELECT doc_id, lang,
+         trim(regexp_replace(regexp_replace(regexp_replace(
+             text, '{URL_RE}', '', 'g'), '{EMAIL_RE}', '<EMAIL>', 'g'), '\s+', ' ', 'g')) AS clean_text
+  FROM documents
+),
+tok AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(lower(clean_text)), '\s+')) AS token
+  FROM cleaned
+),
+pt AS (SELECT doc_id, token, count(*) AS cnt FROM tok GROUP BY doc_id, token),
+sig AS (
+  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+         CAST(1 AS DOUBLE) - CAST(COUNT(*) AS DOUBLE) / CAST(SUM(cnt) AS BIGINT) AS dup_token_ratio,
+         CAST(MAX(cnt) AS DOUBLE) / CAST(SUM(cnt) AS BIGINT) AS top_token_frac
+  FROM pt GROUP BY doc_id
+),
+kept AS (
+  SELECT c.doc_id, c.lang, s.n_tokens, md5(c.clean_text) AS fp
+  FROM cleaned c JOIN sig s USING (doc_id)
+  WHERE s.n_tokens >= {MIN_TOKENS}
+    AND s.dup_token_ratio <= {MAX_DUP_TOKEN_RATIO}
+    AND s.top_token_frac <= {MAX_TOP_TOKEN_FRAC}
+),
+dd AS (SELECT *, MIN(doc_id) OVER (PARTITION BY fp) AS first_id FROM kept),
+sp AS (
+  SELECT lang, n_tokens,
+         CASE WHEN {_h60_sql('split')} < {_thr(0.9)} THEN 'train'
+              WHEN {_h60_sql('split')} < {_thr(0.95)} THEN 'val'
+              ELSE 'test' END AS split
+  FROM dd WHERE doc_id = first_id
+)
+SELECT split, lang, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+FROM sp GROUP BY split, lang
+"""
+
+
+@register("curated_corpus", SQL_CURATED_CORPUS, doc="full curation pipeline (clean -> filter -> dedup -> split), per-split/lang stats", tags=("text", "cleaning", "dedup", "sampling"))
+def q_curated_corpus(spark, sf_dir):
+    from ..operators.textclean import curate_corpus
+
+    d = t(spark, sf_dir, "documents")
+    out = curate_corpus(d)
+    return out.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+    )

@@ -79,6 +79,42 @@ def test_ngram_contamination_finds_planted_leak(spark):
     assert out["clean"].n_leaked == 0 and out["clean"].leak_frac == 0.0
 
 
+def test_curate_corpus_filters_dedups_and_splits(spark):
+    from marketpipe_spark.operators.textclean import curate_corpus
+
+    long_ok = " ".join(f"tok{i}" for i in range(25))
+    d = _docs(
+        spark,
+        [
+            ("1", long_ok),
+            ("2", long_ok + "  https://dup.example  "),  # same after cleaning -> dedup
+            ("3", "too short"),
+            ("4", "spam " * 30),  # repetitive -> filtered
+            ("5", " ".join(f"w{i}" for i in range(30))),
+        ],
+    )
+    out = curate_corpus(d, min_tokens=20).collect()
+    ids = sorted(r.doc_id for r in out)
+    # 3 dropped (short), 4 dropped (dup_token_ratio), 2 deduped into 1
+    assert ids == ["1", "5"]
+    for r in out:
+        assert r.split in ("train", "val", "test")
+        assert r.n_tokens >= 20 and r.fp is not None
+
+
+def test_curate_cli_roundtrip(spark, tmp_path):
+    from marketpipe_spark.cli import main
+
+    src = str(tmp_path / "docs")
+    dst = str(tmp_path / "curated")
+    rows = [(str(i), " ".join(f"t{i}w{j}" for j in range(30)), "en") for i in range(8)]
+    spark.createDataFrame(rows, "doc_id string, text string, lang string").write.parquet(src)
+    assert main(["curate", src, dst]) == 0
+    back = spark.read.parquet(dst)
+    assert back.count() == 8
+    assert {"doc_id", "lang", "split", "n_tokens", "text"} <= set(back.columns)
+
+
 def test_clean_then_signals_compose(spark):
     d = _docs(spark, [("a", "spam spam https://x.io spam  spam")])
     cleaned = clean_documents(d).select("doc_id", F.col("clean_text").alias("text"))
