@@ -213,6 +213,112 @@ def cmd_curate(args) -> int:
     return 0
 
 
+def cmd_health_check(args) -> int:
+    """Installation/configuration self-check (reference cli/health_check.py:
+    python + deps + install + data-dir + provider checks, pass/warn/fail per
+    check with timings; exit 1 on any failure)."""
+    import importlib
+    import time
+
+    results: list[tuple[str, bool, str, float]] = []
+
+    def check(name):
+        def deco(fn):
+            t0 = time.monotonic()
+            try:
+                detail = fn() or ""
+                ok = True
+            except Exception as exc:  # noqa: BLE001 — report, don't crash
+                detail, ok = f"{type(exc).__name__}: {exc}", False
+            results.append((name, ok, str(detail), time.monotonic() - t0))
+
+        return deco
+
+    @check("python")
+    def _py():
+        if sys.version_info < (3, 9):
+            raise RuntimeError(f"python {sys.version_info} < 3.9")
+        return f"{sys.version_info.major}.{sys.version_info.minor}"
+
+    @check("dependencies")
+    def _deps():
+        mods = ["pyspark", "pyarrow", "pandas", "numpy"]
+        for m in mods:
+            importlib.import_module(m)
+        return ",".join(mods)
+
+    @check("spark-session")
+    def _sess():
+        from pyspark.sql import functions as F
+
+        spark = _spark("health")
+        n = spark.range(100).groupBy((F.col("id") % 10).alias("k")).count().count()
+        if n != 10:
+            raise RuntimeError(f"trivial job returned {n} groups")
+        return spark.version
+
+    @check("data-dir")
+    def _dir():
+        from .lake import _hadoop_fs
+
+        spark = _spark("health")
+        probe = f"{args.data_dir.rstrip('/')}/.health_probe_{int(time.time())}"
+        spark.range(3).write.mode("overwrite").parquet(probe)
+        n = spark.read.parquet(probe).count()
+        fs, _, jvm = _hadoop_fs(spark, probe)
+        fs.delete(jvm.org.apache.hadoop.fs.Path(probe), True)
+        if n != 3:
+            raise RuntimeError("probe round-trip lost rows")
+        return args.data_dir
+
+    @check("providers")
+    def _prov():
+        from .sources.providers import PROVIDER_REGISTRY
+
+        if not PROVIDER_REGISTRY:
+            raise RuntimeError("no providers registered")
+        return ",".join(sorted(PROVIDER_REGISTRY))
+
+    failed = 0
+    for name, ok, detail, secs in results:
+        mark = "PASS" if ok else "FAIL"
+        failed += 0 if ok else 1
+        print(f"[{mark}] {name:14s} {secs * 1000:7.1f}ms  {detail}")
+    print(f"{len(results) - failed}/{len(results)} checks passed")
+    return 1 if failed else 0
+
+
+def cmd_factory_reset(args) -> int:
+    """Wipe lake + control-plane data (reference cli/factory_reset.py —
+    scoped to the EXPLICIT roots given, not a cwd glob; requires
+    --confirm-nuclear unless --dry-run)."""
+    from .lake import _hadoop_fs, list_lake_files
+
+    if not args.dry_run and not args.confirm_nuclear:
+        print("refusing: pass --confirm-nuclear to wipe, or --dry-run to preview", file=sys.stderr)
+        return 2
+    spark = _spark("factory-reset")
+    roots: list[str] = []
+    for r in args.roots:
+        roots.append(r)
+        roots.append(f"{r.rstrip('/')}_ctl")  # control tables live beside the lake
+    total_files = total_bytes = 0
+    for root in roots:
+        files = list_lake_files(spark, root)
+        if not files:
+            continue
+        nbytes = sum(sz for _, sz in files)
+        total_files += len(files)
+        total_bytes += nbytes
+        print(f"{root}: {len(files)} files, {nbytes / 1e6:.1f} MB")
+        if not args.dry_run:
+            fs, hpath, _ = _hadoop_fs(spark, root)
+            fs.delete(hpath, True)
+    verb = "would delete" if args.dry_run else "deleted"
+    print(f"{verb} {total_files} files, {total_bytes / 1e6:.1f} MB total")
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="marketpipe_spark", description=__doc__)
     sub = p.add_subparsers(dest="command", required=True)
@@ -285,6 +391,16 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("input", help="documents parquet (doc_id, text, lang columns)")
     c.add_argument("output", help="curated parquet root (partitioned by split)")
     c.set_defaults(fn=cmd_curate)
+
+    h = sub.add_parser("health-check", help="installation/configuration self-check")
+    h.add_argument("--data-dir", default="data")
+    h.set_defaults(fn=cmd_health_check)
+
+    fr = sub.add_parser("factory-reset", help="wipe lake + control-plane data (nuclear)")
+    fr.add_argument("roots", nargs="+", help="lake roots to wipe (their _ctl siblings too)")
+    fr.add_argument("--confirm-nuclear", action="store_true")
+    fr.add_argument("--dry-run", "-n", action="store_true")
+    fr.set_defaults(fn=cmd_factory_reset)
 
     return p
 

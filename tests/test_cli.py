@@ -8,6 +8,39 @@ from __future__ import annotations
 from marketpipe_spark.cli import main
 
 
+def test_cli_health_check(spark, tmp_path, capsys):
+    rc = main(["health-check", "--data-dir", str(tmp_path / "data")])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "5/5 checks passed" in out
+    for name in ("python", "dependencies", "spark-session", "data-dir", "providers"):
+        assert f"[PASS] {name}" in out
+
+
+def test_cli_factory_reset(spark, tmp_path, capsys):
+    raw = str(tmp_path / "raw")
+    spark.range(10).write.parquet(f"{raw}/frame=1m/x")
+    spark.range(5).write.parquet(f"{raw}_ctl/jobs")
+
+    # refuses without --confirm-nuclear
+    rc = main(["factory-reset", raw])
+    assert rc == 2
+
+    # dry-run previews, deletes nothing
+    rc = main(["factory-reset", raw, "--dry-run"])
+    out = capsys.readouterr().out
+    assert rc == 0 and "would delete" in out
+    assert spark.read.parquet(f"{raw}/frame=1m/x").count() == 10
+
+    # real wipe removes lake AND control sibling
+    rc = main(["factory-reset", raw, "--confirm-nuclear"])
+    out = capsys.readouterr().out
+    assert rc == 0 and "deleted" in out
+    import os
+
+    assert not os.path.exists(raw) and not os.path.exists(f"{raw}_ctl")
+
+
 def test_cli_end_to_end(spark, tmp_path, capsys):
     raw = str(tmp_path / "raw")
     agg = str(tmp_path / "agg")
