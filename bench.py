@@ -59,6 +59,7 @@ EXTRA = [
     "close_quartiles",
     "rolling_volume_1h",
     "curated_corpus",
+    "session_activity",
 ]
 
 #: The heavier LLM-pipeline operators (LSH/minhash/multimodal) stay out of

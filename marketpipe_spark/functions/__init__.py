@@ -89,3 +89,70 @@ def dsum(c: str | Column, scale: int = 4) -> Column:
 def dsum_d(c: str | Column, scale: int = 4) -> Column:
     """:func:`dsum` cast back to double (deterministic decimal->double)."""
     return dsum(c, scale).cast("double")
+
+
+# ---------------------------------------------------------------------------
+# Trading calendar (reference TradingCalendarService,
+# domain/services.py:610-689: weekday-only trading days; fixed UTC-5 ET
+# approximation — pre 04:00, open 09:30, close 16:00, post 20:00 ET).
+# All ns-level predicates use pure integer epoch math (day index, weekday by
+# modular arithmetic off 1970-01-01 = Thursday) so any SQL engine reproduces
+# them bit-exactly — no session-zone-dependent functions.
+
+SESSION_PRE_OPEN_NS = 32_400 * NS_PER_SEC  # 04:00 ET = 09:00 UTC
+SESSION_OPEN_NS = 52_200 * NS_PER_SEC  # 09:30 ET = 14:30 UTC
+SESSION_CLOSE_NS = 75_600 * NS_PER_SEC  # 16:00 ET = 21:00 UTC
+SESSION_POST_CLOSE_NS = 90_000 * NS_PER_SEC  # 20:00 ET = 01:00 UTC next day
+
+
+def weekday_idx(ts_ns: str | Column) -> Column:
+    """0=Mon .. 6=Sun by modular arithmetic (1970-01-01 was a Thursday).
+
+    ns-since-epoch (~1.7e18) exceeds 2^53, so a direct double division
+    would lose ulps; instead reduce mod one week FIRST (exact long %), then
+    divide the sub-week remainder (< 2^53, exact multiple of a day)."""
+    week_ns = day_ns(ts_ns) % F.lit(7 * NS_PER_DAY)
+    d = (week_ns / F.lit(NS_PER_DAY)).cast("long")
+    return ((d + F.lit(3)) % F.lit(7)).cast("int")
+
+
+def is_trading_day_ns(ts_ns: str | Column) -> Column:
+    """Weekday check on the ns timestamp (services.py:617-631 simplified
+    calendar: weekdays only, no holiday table)."""
+    return weekday_idx(ts_ns) <= F.lit(4)
+
+
+def session_open_ns(ts_ns: str | Column) -> Column:
+    """ns timestamp of the 09:30 ET regular open on the bar's UTC day."""
+    return day_ns(ts_ns) + F.lit(SESSION_OPEN_NS)
+
+
+def session_close_ns(ts_ns: str | Column) -> Column:
+    """ns timestamp of the 16:00 ET regular close on the bar's UTC day."""
+    return day_ns(ts_ns) + F.lit(SESSION_CLOSE_NS)
+
+
+def is_regular_session_ns(ts_ns: str | Column) -> Column:
+    """Inside the regular session [open, close) on a trading day
+    (services.py:633-654 session times, UTC-5 approximation)."""
+    c = col_or_expr(ts_ns)
+    intra = c % F.lit(NS_PER_DAY)
+    return (
+        is_trading_day_ns(ts_ns)
+        & (intra >= F.lit(SESSION_OPEN_NS))
+        & (intra < F.lit(SESSION_CLOSE_NS))
+    )
+
+
+def next_trading_day(d: str | Column) -> Column:
+    """Next weekday strictly after ``d`` (services.py:656-671). Date column."""
+    dow = F.dayofweek(col_or_expr(d))  # Spark: 1=Sun .. 7=Sat
+    step = F.when(dow == 6, 3).when(dow == 7, 2).otherwise(1)  # Fri->Mon, Sat->Mon
+    return F.date_add(col_or_expr(d), step)
+
+
+def previous_trading_day(d: str | Column) -> Column:
+    """Previous weekday strictly before ``d`` (services.py:673-689)."""
+    dow = F.dayofweek(col_or_expr(d))
+    step = F.when(dow == 2, 3).when(dow == 1, 2).otherwise(1)  # Mon->Fri, Sun->Fri
+    return F.date_sub(col_or_expr(d), step)

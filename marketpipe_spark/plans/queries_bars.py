@@ -634,3 +634,40 @@ def q_rolling_volume_1h(spark, sf_dir):
         F.sum("volume").over(w).cast("long").alias("vol_1h"),
         F.count(F.lit(1)).over(w).alias("n_1h"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Trading-calendar classification (reference TradingCalendarService,
+# domain/services.py:610-689: weekday trading days, UTC-5 session approx).
+# Weekday and session predicates are pure integer epoch math — identical in
+# any engine, no session-zone dependence (see functions.weekday_idx).
+
+_NSD = 86_400_000_000_000
+
+SQL_SESSION_ACTIVITY = f"""
+WITH {SQL_BARS},
+f AS (
+  SELECT symbol,
+         ((((ts_ns - ts_ns % {_NSD}) % {7 * _NSD}) // {_NSD}) + 3) % 7 AS wd,
+         ts_ns % {_NSD} AS intra
+  FROM bars
+)
+SELECT symbol,
+       COUNT(*) AS n_total,
+       CAST(SUM(CASE WHEN wd <= 4 AND intra >= {52_200 * 10**9}
+                      AND intra < {75_600 * 10**9} THEN 1 ELSE 0 END) AS BIGINT) AS n_regular_session,
+       CAST(SUM(CASE WHEN wd >= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_weekend
+FROM f GROUP BY symbol
+"""
+
+
+@register("session_activity", SQL_SESSION_ACTIVITY, doc="bars per symbol inside regular session / on weekends (trading calendar)", tags=("agg", "calendar"))
+def q_session_activity(spark, sf_dir):
+    from ..functions import is_regular_session_ns, weekday_idx
+
+    b = _bars_core(spark, sf_dir)
+    return b.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(is_regular_session_ns("ts_ns").cast("int")).cast("long").alias("n_regular_session"),
+        F.sum((weekday_idx("ts_ns") >= 5).cast("int")).cast("long").alias("n_weekend"),
+    )
