@@ -60,6 +60,8 @@ EXTRA = [
     "rolling_volume_1h",
     "curated_corpus",
     "session_activity",
+    "close_histogram",
+    "corr_close_volume",
 ]
 
 #: The heavier LLM-pipeline operators (LSH/minhash/multimodal) stay out of

@@ -671,3 +671,88 @@ def q_session_activity(spark, sf_dir):
         F.sum(is_regular_session_ns("ts_ns").cast("int")).cast("long").alias("n_regular_session"),
         F.sum((weekday_idx("ts_ns") >= 5).cast("int")).cast("long").alias("n_weekend"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-width histogram — the value-distribution profile every quality
+# dashboard draws. Bin id is per-row floor division (no accumulation →
+# deterministic); one hash-agg with map-side partials.
+
+_BIN_WIDTH = 10.0
+
+SQL_CLOSE_HISTOGRAM = f"""
+WITH {SQL_BARS}
+SELECT symbol,
+       CAST(FLOOR(close / {_BIN_WIDTH}) AS BIGINT) AS bin,
+       COUNT(*) AS n
+FROM bars GROUP BY symbol, bin
+"""
+
+
+@register("close_histogram", SQL_CLOSE_HISTOGRAM, doc="fixed-width value histogram per symbol", tags=("agg",))
+def q_close_histogram(spark, sf_dir):
+    b = _bars_core(spark, sf_dir)
+    return (
+        b.select("symbol", F.floor(F.col("close") / F.lit(_BIN_WIDTH)).cast("long").alias("bin"))
+        .groupBy("symbol", "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic Pearson correlation. Built-in corr() streams co-moments in
+# partition order (non-associative doubles → result depends on the shuffle),
+# so both engines instead accumulate EXACT integer power sums of µ-quantized
+# values (corr is invariant to positive affine scaling, so quantization is
+# just a change of units; decimal×decimal was rejected because the two
+# engines clamp product scale differently). Each exact sum casts to double
+# deterministically, then the identical closed form runs in both engines —
+# bit-stable under any partitioning, still one hash-agg pass.
+
+SQL_CORR_CLOSE_VOLUME = f"""
+WITH {SQL_BARS},
+q AS (
+  SELECT symbol,
+         CAST(FLOOR(close * 1e6) AS HUGEINT) AS x,
+         CAST(volume AS HUGEINT) AS y
+  FROM bars
+),
+s AS (
+  SELECT symbol,
+         COUNT(*) AS n,
+         CAST(SUM(x) AS DOUBLE) AS sx,
+         CAST(SUM(y) AS DOUBLE) AS sy,
+         CAST(SUM(x * x) AS DOUBLE) AS sxx,
+         CAST(SUM(y * y) AS DOUBLE) AS syy,
+         CAST(SUM(x * y) AS DOUBLE) AS sxy
+  FROM q GROUP BY symbol
+)
+SELECT symbol, n,
+       (n * sxy - sx * sy)
+         / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_close_volume
+FROM s
+"""
+
+
+@register("corr_close_volume", SQL_CORR_CLOSE_VOLUME, doc="deterministic Pearson correlation from exact integer power sums", tags=("agg",))
+def q_corr_close_volume(spark, sf_dir):
+    b = _bars_core(spark, sf_dir)
+    # decimal(38,0) is Spark's 128-bit-exact integer (HUGEINT analog):
+    # (38,0)x(38,0) products keep scale 0 and stay exact well past these sums.
+    x = F.floor(F.col("close") * F.lit(1e6)).cast("decimal(38,0)")
+    y = F.col("volume").cast("decimal(38,0)")
+    q = b.select("symbol", x.alias("x"), y.alias("y"))
+    s = q.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+    )
+    n = F.col("n")
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(n * F.col("sxx") - F.col("sx") * F.col("sx")) * F.sqrt(
+        n * F.col("syy") - F.col("sy") * F.col("sy")
+    )
+    return s.select("symbol", "n", (num / den).alias("corr_close_volume"))
