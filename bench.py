@@ -62,6 +62,9 @@ EXTRA = [
     "session_activity",
     "close_histogram",
     "corr_close_volume",
+    "orders_cube",
+    "interarrival_gaps",
+    "top_volume_days",
 ]
 
 #: The heavier LLM-pipeline operators (LSH/minhash/multimodal) stay out of

@@ -756,3 +756,72 @@ def q_corr_close_volume(spark, sf_dir):
         n * F.col("syy") - F.col("sy") * F.col("sy")
     )
     return s.select("symbol", "n", (num / den).alias("corr_close_volume"))
+
+
+# ---------------------------------------------------------------------------
+# Inter-arrival gap profile — feed-outage detection (the continuous-time
+# counterpart of the daily gap anti-join, operators/gaps.py): per-symbol lag
+# over event time, then exact integer gap statistics.
+
+SQL_INTERARRIVAL_GAPS = f"""
+WITH {SQL_BARS},
+g AS (
+  SELECT symbol,
+         ts_ns - lag(ts_ns) OVER (PARTITION BY symbol ORDER BY ts_ns) AS gap
+  FROM bars
+)
+SELECT symbol,
+       COUNT(gap) AS n_gaps,
+       CAST(MAX(gap) AS BIGINT) AS max_gap_ns,
+       CAST(SUM(gap) AS BIGINT) AS total_gap_ns,
+       CAST(SUM(CASE WHEN gap > {_HOUR_NS} THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps_gt_1h
+FROM g GROUP BY symbol
+"""
+
+
+@register("interarrival_gaps", SQL_INTERARRIVAL_GAPS, doc="per-symbol inter-arrival gap stats (feed-outage profile)", tags=("window", "agg", "validation"))
+def q_interarrival_gaps(spark, sf_dir):
+    b = _bars_core(spark, sf_dir)
+    wo = W.partitionBy("symbol").orderBy("ts_ns")
+    gap = (F.col("ts_ns") - F.lag("ts_ns").over(wo)).alias("gap")
+    g = b.select("symbol", gap)
+    return g.groupBy("symbol").agg(
+        F.count("gap").alias("n_gaps"),
+        F.max("gap").cast("long").alias("max_gap_ns"),
+        F.sum("gap").cast("long").alias("total_gap_ns"),
+        F.sum(F.when(F.col("gap") > _HOUR_NS, 1).otherwise(0)).cast("long").alias("n_gaps_gt_1h"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Top-k per group by rank() — the "3 busiest days per symbol" leaderboard.
+# rank() (not row_number) so ties share a rank in both engines; the ORDER BY
+# carries a day tie-breaker making output membership total anyway.
+
+SQL_TOP_VOLUME_DAYS = f"""
+WITH {SQL_BARS},
+d AS (
+  SELECT symbol,
+         ts_ns - ts_ns % {86_400 * 10**9} AS day_ns,
+         CAST(SUM(volume) AS BIGINT) AS day_volume
+  FROM bars GROUP BY symbol, day_ns
+),
+r AS (
+  SELECT symbol, day_ns, day_volume,
+         RANK() OVER (PARTITION BY symbol ORDER BY day_volume DESC, day_ns ASC) AS rk
+  FROM d
+)
+SELECT symbol, day_ns, day_volume, rk FROM r WHERE rk <= 3
+"""
+
+
+@register("top_volume_days", SQL_TOP_VOLUME_DAYS, doc="rank()-based top-3 busiest days per symbol", tags=("window", "agg"))
+def q_top_volume_days(spark, sf_dir):
+    from ..functions import day_ns as f_day_ns
+
+    b = _bars_core(spark, sf_dir)
+    d = b.groupBy("symbol", f_day_ns("ts_ns").alias("day_ns")).agg(
+        F.sum("volume").cast("long").alias("day_volume")
+    )
+    w = W.partitionBy("symbol").orderBy(F.desc("day_volume"), F.asc("day_ns"))
+    return d.withColumn("rk", F.rank().over(w)).filter(F.col("rk") <= 3)

@@ -426,3 +426,39 @@ def q_exists_anti(spark, sf_dir):
         .join(F.broadcast(late), c.c_custkey == late.o_custkey, "left_anti")
         .select("c_custkey", "c_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# CUBE grouping sets — all 4 grouping combinations of (priority, status) in
+# one pass (the ROLLUP entry covers the hierarchical form on a join star;
+# this covers the full lattice on a single scan). Expand-based: one scan,
+# one shuffle.
+
+SQL_ORDERS_CUBE = """
+SELECT o_orderpriority AS priority, o_orderstatus AS status,
+       GROUPING(o_orderpriority) AS g_priority,
+       GROUPING(o_orderstatus) AS g_status,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY CUBE (o_orderpriority, o_orderstatus)
+"""
+
+
+@register("orders_cube", SQL_ORDERS_CUBE, doc="CUBE over (priority, status): full grouping lattice in one pass", tags=("agg", "rollup"))
+def q_orders_cube(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.grouping("o_orderpriority").cast("long").alias("g_priority"),
+            F.grouping("o_orderstatus").cast("long").alias("g_status"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(38,6)")).cast("double").alias("total_price"),
+        )
+        .select(
+            F.col("o_orderpriority").alias("priority"),
+            F.col("o_orderstatus").alias("status"),
+            "g_priority", "g_status", "n_orders", "total_price",
+        )
+    )
