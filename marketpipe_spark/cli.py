@@ -191,6 +191,36 @@ def cmd_metrics(args) -> int:
     return 0
 
 
+def cmd_providers(args) -> int:
+    """List registered market-data providers (reference cli/utils.py:242-260)."""
+    from .sources.providers import PROVIDER_REGISTRY
+
+    if not PROVIDER_REGISTRY:
+        print("No providers registered")
+        return 1
+    print("Available market data providers:")
+    for name in sorted(PROVIDER_REGISTRY):
+        print(f"  - {name}")
+    print(f"\nTotal: {len(PROVIDER_REGISTRY)} providers")
+    print("\nUsage: python -m marketpipe_spark ingest-ohlcv --provider <name> ...")
+    return 0
+
+
+def cmd_migrate(args) -> int:
+    """Apply pending control-store schema migrations (reference
+    cli/utils.py:263-276 → migrations.apply_pending; here additive parquet
+    schema evolution via control.migrate_control_store)."""
+    from .control import migrate_control_store
+
+    spark = _spark("migrate")
+    report = migrate_control_store(spark, args.path)
+    for table, action in report:
+        print(f"{table}: {action}")
+    if all(action in ("absent", "up-to-date") for _, action in report):
+        print("Migrations up-to-date")
+    return 0
+
+
 def cmd_curate(args) -> int:
     from pyspark.sql import functions as F
 
@@ -384,6 +414,13 @@ def build_parser() -> argparse.ArgumentParser:
     m.add_argument("name", nargs="?", default=None)
     m.add_argument("--path", default="data/raw_ctl/metrics")
     m.set_defaults(fn=cmd_metrics)
+
+    pv = sub.add_parser("providers", help="list available market data providers")
+    pv.set_defaults(fn=cmd_providers)
+
+    mg = sub.add_parser("migrate", help="apply pending control-store schema migrations")
+    mg.add_argument("--path", "-p", default="data/raw_ctl", help="control-store root")
+    mg.set_defaults(fn=cmd_migrate)
 
     c = sub.add_parser(
         "curate", help="run the corpus curation pipeline (clean, filter, dedup, split)"

@@ -238,3 +238,56 @@ def metrics_trend(m: DataFrame, name: str, now_ts: int, buckets: int = 24,
         )
         .orderBy("bucket_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# control-store migrations
+
+def _control_schemas() -> dict[str, T.StructType]:
+    """Canonical schema per control table, keyed by its directory name under
+    the control root (``<lake>_ctl/``)."""
+    from .streaming.incremental import CHECKPOINT_SCHEMA
+
+    return {"jobs": JOBS_SCHEMA, "metrics": METRICS_SCHEMA, "checkpoints": CHECKPOINT_SCHEMA}
+
+
+def migrate_control_store(spark: SparkSession, root: str) -> list[tuple[str, str]]:
+    """Bring every control table under ``root`` up to the current canonical
+    schema (reference ``marketpipe migrate`` → migrations.apply_pending on
+    the SQLite core.db; here the stores are parquet, so a "migration" is
+    additive schema evolution: new canonical columns are appended as typed
+    nulls, existing data and any extra columns are preserved, and types are
+    cast to canonical where the name matches). Idempotent — a second run
+    reports every table ``up-to-date``.
+
+    Returns [(table, action)] with action in
+    {'absent', 'up-to-date', 'migrated: +col1,+col2', 'migrated: cast(col)'}.
+    """
+    report: list[tuple[str, str]] = []
+    for table, schema in _control_schemas().items():
+        path = os.path.join(root, table)
+        if not os.path.exists(path):
+            report.append((table, "absent"))
+            continue
+        df = spark.read.parquet(path)
+        have = {f.name: f.dataType for f in df.schema.fields}
+        added, casted = [], []
+        cols = []
+        for f in schema.fields:
+            if f.name not in have:
+                cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+                added.append(f.name)
+            elif have[f.name] != f.dataType:
+                cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+                casted.append(f.name)
+            else:
+                cols.append(F.col(f.name))
+        canonical = {f.name for f in schema.fields}
+        extras = [F.col(c) for c in df.columns if c not in canonical]
+        if not added and not casted:
+            report.append((table, "up-to-date"))
+            continue
+        _rewrite(spark, df.select(*cols, *extras), path)
+        parts = [f"+{c}" for c in added] + [f"cast({c})" for c in casted]
+        report.append((table, "migrated: " + ",".join(parts)))
+    return report

@@ -137,6 +137,24 @@ class ProviderAdapter:
         return normalize_provider_rows(spark, self.name, rows, symbol)
 
 
+@dataclass(frozen=True)
+class FakeProviderAdapter(ProviderAdapter):
+    """The reference registers ``fake`` as a first-class provider
+    (ingestion/infrastructure/provider_registry.py:21, fake_adapter.py).
+    Its data is generated cluster-side (``sources.fake.fake_bars``), so
+    there is no row-list fetch; ``bars`` is the real entry point."""
+
+    def fetch(self, symbol: str, start_ns: int, end_ns: int) -> list[dict]:
+        raise ValueError("fake provider generates cluster-side: use .bars()/sources.fake.fake_bars")
+
+    def bars(self, spark: SparkSession, symbols: list[str], start_ns: int,
+             n_bars: int, **kw) -> DataFrame:
+        from .fake import fake_bars
+
+        return fake_bars(spark, symbols, start_ns, n_bars, **kw)
+
+
 PROVIDER_REGISTRY: dict[str, ProviderAdapter] = {
-    name: ProviderAdapter(name) for name in PROVIDER_FIELD_MAPS
+    **{name: ProviderAdapter(name) for name in PROVIDER_FIELD_MAPS},
+    "fake": FakeProviderAdapter("fake"),
 }

@@ -197,3 +197,78 @@ def test_backfill_gaps_fills_missing_days(spark, tmp_path):
     assert backfill_gaps(
         spark, raw, agg, dt.date(2024, 1, 2), dt.date(2024, 1, 5), cps, fetch, jobs=jobs
     ) == {}
+
+
+# ---------------------------------------------------------------------------
+# control-store migrations (reference cli/utils.py:263-276, migrations.apply_pending)
+
+def test_migrate_adds_missing_columns(spark, tmp_path):
+    from marketpipe_spark.control import migrate_control_store
+
+    root = str(tmp_path / "ctl")
+    # jobs table written by an "old" version: no error_message / bars_processed
+    old = spark.createDataFrame(
+        [("j1", "AAPL", D1, "completed", dt.datetime(2024, 1, 2), dt.datetime(2024, 1, 2))],
+        "job_id string, symbol string, day date, state string, "
+        "created_at timestamp, updated_at timestamp",
+    )
+    old.coalesce(1).write.parquet(f"{root}/jobs")
+
+    report = dict(migrate_control_store(spark, root))
+    assert report["jobs"] == "migrated: +error_message,+bars_processed"
+    assert report["metrics"] == "absent"
+    assert report["checkpoints"] == "absent"
+
+    migrated = JobsStore(spark, f"{root}/jobs").load()
+    assert migrated.columns[:8] == [
+        "job_id", "symbol", "day", "state", "created_at", "updated_at",
+        "error_message", "bars_processed",
+    ]
+    row = migrated.collect()[0]
+    assert (row.job_id, row.state) == ("j1", "completed")  # data preserved
+    assert row.error_message is None and row.bars_processed is None
+    # the migrated table is a fully working store
+    assert {r.state for r in JobsStore(spark, f"{root}/jobs").load().collect()} == {"completed"}
+
+
+def test_migrate_idempotent_and_casts(spark, tmp_path):
+    from marketpipe_spark.control import migrate_control_store
+
+    root = str(tmp_path / "ctl")
+    # checkpoints with an int (not long) position and an extra column
+    old = spark.createDataFrame(
+        [("j1", "AAPL", 123, dt.datetime(2024, 1, 2), "keepme")],
+        "job_id string, symbol string, last_processed_ns int, "
+        "updated_at timestamp, custom_note string",
+    )
+    old.coalesce(1).write.parquet(f"{root}/checkpoints")
+
+    report = dict(migrate_control_store(spark, root))
+    assert report["checkpoints"] == "migrated: cast(last_processed_ns)"
+    df = spark.read.parquet(f"{root}/checkpoints")
+    assert dict(df.dtypes)["last_processed_ns"] == "bigint"
+    assert "custom_note" in df.columns  # extra columns preserved
+    assert df.collect()[0].custom_note == "keepme"
+
+    # second run: everything up-to-date
+    report2 = dict(migrate_control_store(spark, root))
+    assert report2["checkpoints"] == "up-to-date"
+
+
+def test_cli_providers_and_migrate(spark, tmp_path, capsys):
+    from marketpipe_spark.cli import main
+
+    rc = main(["providers"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "fake" in out and "polygon" in out and "alpaca" in out
+    assert "Total:" in out
+
+    root = str(tmp_path / "ctl2")
+    jobs = JobsStore(spark, f"{root}/jobs")
+    jobs.create("j1", [("AAPL", D1)])
+    rc = main(["migrate", "--path", root])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "jobs: up-to-date" in out
+    assert "Migrations up-to-date" in out
