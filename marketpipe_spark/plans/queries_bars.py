@@ -825,3 +825,197 @@ def q_top_volume_days(spark, sf_dir):
     )
     w = W.partitionBy("symbol").orderBy(F.desc("day_volume"), F.asc("day_ns"))
     return d.withColumn("rk", F.rank().over(w)).filter(F.col("rk") <= 3)
+
+
+# ---------------------------------------------------------------------------
+# Bollinger bands — SMA20 ± 2σ. Same exact scaled-long power-sum trick as
+# volatility_20: both engines sum identical integers, then run the identical
+# closed form, so the doubles agree bitwise. value ≤ ~10⁴ keeps
+# Σ floor(close²·1e6) under 2e17 for a 20-row frame — far from int64 range.
+
+SQL_BOLLINGER = f"""
+WITH {SQL_BARS},
+s AS (SELECT symbol, ts_ns, close,
+             SUM(CAST(FLOOR(close * 1e6) AS BIGINT))
+               OVER (PARTITION BY symbol ORDER BY ts_ns
+                     ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS sr,
+             SUM(CAST(FLOOR(close * close * 1e6) AS BIGINT))
+               OVER (PARTITION BY symbol ORDER BY ts_ns
+                     ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS srr,
+             COUNT(*) OVER (PARTITION BY symbol ORDER BY ts_ns
+                            ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS c
+      FROM bars)
+SELECT symbol, ts_ns, close,
+       CASE WHEN c >= 20 THEN CAST(sr AS DOUBLE) / 1e6 / 20.0 END AS bb_mid,
+       CASE WHEN c >= 20 THEN
+         CAST(sr AS DOUBLE) / 1e6 / 20.0
+         + 2.0 * sqrt((CAST(srr AS DOUBLE) / 1e6
+                       - (CAST(sr AS DOUBLE) / 1e6) * (CAST(sr AS DOUBLE) / 1e6) / 20.0) / 19.0)
+       END AS bb_upper,
+       CASE WHEN c >= 20 THEN
+         CAST(sr AS DOUBLE) / 1e6 / 20.0
+         - 2.0 * sqrt((CAST(srr AS DOUBLE) / 1e6
+                       - (CAST(sr AS DOUBLE) / 1e6) * (CAST(sr AS DOUBLE) / 1e6) / 20.0) / 19.0)
+       END AS bb_lower
+FROM s
+"""
+
+
+@register("bollinger_20", SQL_BOLLINGER, doc="Bollinger bands: SMA20 ± 2·stddev_samp via exact scaled-long power sums", tags=("window",))
+def q_bollinger(spark, sf_dir):
+    b = _bars_core(spark, sf_dir)
+    wf = W.partitionBy("symbol").orderBy("ts_ns").rowsBetween(-19, 0)
+    sr = F.sum(F.floor(F.col("close") * F.lit(1e6)).cast("long")).over(wf).cast("double") / F.lit(1e6)
+    srr = (
+        F.sum(F.floor(F.col("close") * F.col("close") * F.lit(1e6)).cast("long")).over(wf).cast("double")
+        / F.lit(1e6)
+    )
+    c = F.count(F.lit(1)).over(wf)
+    mid = sr / F.lit(20.0)
+    band = F.lit(2.0) * F.sqrt((srr - sr * sr / F.lit(20.0)) / F.lit(19.0))
+    return b.select(
+        "symbol",
+        "ts_ns",
+        "close",
+        F.when(c >= 20, mid).alias("bb_mid"),
+        F.when(c >= 20, mid + band).alias("bb_upper"),
+        F.when(c >= 20, mid - band).alias("bb_lower"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# RSI(14) — simple (Cutler's) RSI: average gain / average loss over the
+# trailing 14 deltas. Deltas are exact µ-quantized longs, so the final
+# 100 − 100/(1 + Σgain/Σloss) runs on identical integers in both engines.
+
+SQL_RSI = f"""
+WITH {SQL_BARS},
+d AS (SELECT symbol, ts_ns, close,
+             CAST(FLOOR(close * 1e6) AS BIGINT)
+               - LAG(CAST(FLOOR(close * 1e6) AS BIGINT))
+                 OVER (PARTITION BY symbol ORDER BY ts_ns) AS diff
+      FROM bars),
+g AS (SELECT symbol, ts_ns, close,
+             SUM(GREATEST(diff, 0)) OVER (PARTITION BY symbol ORDER BY ts_ns
+                                          ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS sg,
+             SUM(GREATEST(-diff, 0)) OVER (PARTITION BY symbol ORDER BY ts_ns
+                                           ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS sl,
+             COUNT(diff) OVER (PARTITION BY symbol ORDER BY ts_ns
+                               ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS c
+      FROM d WHERE diff IS NOT NULL)
+SELECT symbol, ts_ns, close,
+       CASE WHEN c >= 14 THEN
+         CASE WHEN sl = 0 THEN 100.0
+              ELSE 100.0 - 100.0 / (1.0 + CAST(sg AS DOUBLE) / CAST(sl AS DOUBLE))
+         END
+       END AS rsi_14
+FROM g
+"""
+
+
+@register("rsi_14", SQL_RSI, doc="Cutler's RSI(14) from exact µ-quantized deltas", tags=("window",))
+def q_rsi(spark, sf_dir):
+    b = _bars_core(spark, sf_dir)
+    wo = W.partitionBy("symbol").orderBy("ts_ns")
+    cu = F.floor(F.col("close") * F.lit(1e6)).cast("long")
+    d = b.select(
+        "symbol", "ts_ns", "close", (cu - F.lag(cu).over(wo)).alias("diff")
+    ).filter(F.col("diff").isNotNull())
+    wf = wo.rowsBetween(-13, 0)
+    sg = F.sum(F.greatest(F.col("diff"), F.lit(0))).over(wf)
+    sl = F.sum(F.greatest(-F.col("diff"), F.lit(0))).over(wf)
+    c = F.count("diff").over(wf)
+    rsi = F.when(sl == 0, F.lit(100.0)).otherwise(
+        F.lit(100.0) - F.lit(100.0) / (F.lit(1.0) + sg.cast("double") / sl.cast("double"))
+    )
+    return d.select("symbol", "ts_ns", "close", F.when(c >= 14, rsi).alias("rsi_14"))
+
+
+# ---------------------------------------------------------------------------
+# Maximum drawdown per symbol — running peak (exact max) then the worst
+# peak-to-trough ratio. Division inputs are identical doubles in both
+# engines, so the result hashes exactly.
+
+SQL_MAX_DRAWDOWN = f"""
+WITH {SQL_BARS},
+p AS (SELECT symbol, ts_ns, close,
+             MAX(close) OVER (PARTITION BY symbol ORDER BY ts_ns
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+      FROM bars)
+SELECT symbol,
+       MAX(CASE WHEN peak > 0 THEN (peak - close) / peak ELSE 0.0 END) AS max_drawdown,
+       COUNT(*) AS n_bars
+FROM p GROUP BY symbol
+"""
+
+
+@register("max_drawdown", SQL_MAX_DRAWDOWN, doc="worst peak-to-trough drawdown per symbol (running-max window)", tags=("window", "agg"))
+def q_max_drawdown(spark, sf_dir):
+    b = _bars_core(spark, sf_dir)
+    w = W.partitionBy("symbol").orderBy("ts_ns").rowsBetween(W.unboundedPreceding, 0)
+    p = b.withColumn("peak", F.max("close").over(w))
+    dd = F.when(F.col("peak") > 0, (F.col("peak") - F.col("close")) / F.col("peak")).otherwise(
+        F.lit(0.0)
+    )
+    return p.groupBy("symbol").agg(
+        F.max(dd).alias("max_drawdown"), F.count(F.lit(1)).alias("n_bars")
+    )
+
+
+# ---------------------------------------------------------------------------
+# OHLC unpivot (melt) — wide→long reshaping, then per-field stats. Spark uses
+# the native unpivot operator; the oracle spells the same relation as a
+# 4-way UNION ALL (engine-portable). Sum is decimal-exact (order-free).
+
+SQL_OHLC_UNPIVOT = f"""
+WITH {SQL_BARS},
+u AS (
+  SELECT symbol, 'open' AS field, open AS v FROM bars
+  UNION ALL SELECT symbol, 'high', high FROM bars
+  UNION ALL SELECT symbol, 'low', low FROM bars
+  UNION ALL SELECT symbol, 'close', close FROM bars
+)
+SELECT symbol, field,
+       MIN(v) AS min_v, MAX(v) AS max_v,
+       CAST(SUM(CAST(v AS DECIMAL(38,6))) AS DOUBLE) AS sum_v,
+       COUNT(*) AS n
+FROM u GROUP BY symbol, field
+"""
+
+
+@register("ohlc_unpivot", SQL_OHLC_UNPIVOT, doc="wide→long unpivot (melt) + per-field stats", tags=("reshape", "agg"))
+def q_ohlc_unpivot(spark, sf_dir):
+    b = _bars_core(spark, sf_dir)
+    u = b.unpivot(["symbol"], ["open", "high", "low", "close"], "field", "v")
+    return u.groupBy("symbol", "field").agg(
+        F.min("v").alias("min_v"),
+        F.max("v").alias("max_v"),
+        F.sum(F.col("v").cast("decimal(38,6)")).cast("double").alias("sum_v"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# percent_rank / cume_dist — rank-ratio windows are exact small-integer
+# ratios, deterministic under ties in both engines.
+
+SQL_CLOSE_PERCENT_RANK = f"""
+WITH {SQL_BARS}
+SELECT symbol, ts_ns, close,
+       PERCENT_RANK() OVER (PARTITION BY symbol ORDER BY close) AS pr,
+       CUME_DIST() OVER (PARTITION BY symbol ORDER BY close) AS cd
+FROM bars
+"""
+
+
+@register("close_percent_rank", SQL_CLOSE_PERCENT_RANK, doc="percent_rank + cume_dist per symbol (tie-stable rank ratios)", tags=("window",))
+def q_close_percent_rank(spark, sf_dir):
+    b = _bars_core(spark, sf_dir)
+    w = W.partitionBy("symbol").orderBy("close")
+    return b.select(
+        "symbol",
+        "ts_ns",
+        "close",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
