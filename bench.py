@@ -65,6 +65,11 @@ EXTRA = [
     "orders_cube",
     "interarrival_gaps",
     "top_volume_days",
+    "bollinger_20",
+    "rsi_14",
+    "max_drawdown",
+    "ohlc_unpivot",
+    "close_percent_rank",
 ]
 
 #: The heavier LLM-pipeline operators (LSH/minhash/multimodal) stay out of

@@ -132,6 +132,42 @@ def highwater_dedup_stream(bar_stream: DataFrame) -> DataFrame:
     )
 
 
+def enrich_stream(
+    trade_stream: DataFrame,
+    quote_stream: DataFrame,
+    tolerance: str = "5 minutes",
+    watermark: str = "10 minutes",
+    how: str = "inner",
+) -> DataFrame:
+    """Watermarked stream-stream interval join — the streaming twin of
+    ``operators/asof.interval_join``: each trade-side row joins every
+    quote-side row for the same symbol whose event time falls in
+    ``[trade_time − tolerance, trade_time]``.
+
+    Both inputs are bar-shaped streams (``symbol``, ``ts_ns``, prices,
+    volume); quote-side columns come back prefixed ``q_``. Spark requires
+    watermarks on BOTH sides plus the time-range predicate so the join state
+    store can evict rows once they can no longer match (state per side is
+    bounded by ``watermark + tolerance`` of event time per symbol —
+    scale-safe at any throughput). ``how='leftOuter'`` emits unmatched
+    trades once the watermark passes (null quote columns).
+    """
+    t = trade_stream.withColumn(
+        "event_time", F.timestamp_micros((F.col("ts_ns") / 1000).cast("long"))
+    ).withWatermark("event_time", watermark)
+    q = quote_stream.select(
+        [F.col(c).alias(f"q_{c}") for c in quote_stream.columns]
+    ).withColumn(
+        "q_event_time", F.timestamp_micros((F.col("q_ts_ns") / 1000).cast("long"))
+    ).withWatermark("q_event_time", watermark)
+    cond = (
+        (F.col("symbol") == F.col("q_symbol"))
+        & (F.col("q_event_time") >= F.col("event_time") - F.expr(f"INTERVAL {tolerance}"))
+        & (F.col("q_event_time") <= F.col("event_time"))
+    )
+    return t.join(q, cond, how)
+
+
 def stream_to_lake(
     bar_stream: DataFrame,
     root: str,

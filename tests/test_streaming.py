@@ -171,3 +171,55 @@ def test_session_window_stream(spark, tmp_path):
     assert rows[1].session_start_ns == DAY1 + 90 * NS_MIN
     # session end = last event + gap (session_window semantics)
     assert rows[0].session_end_ns == DAY1 + 4 * NS_MIN + 30 * 60 * 10**9
+
+
+def test_enrich_stream_matches_batch_interval_join(spark, tmp_path):
+    """Stream-stream watermarked interval join produces exactly the rows the
+    batch join would on the same data (inner, 5-minute tolerance)."""
+    from marketpipe_spark.streaming.stream import enrich_stream
+
+    t_dir, q_dir, out = (str(tmp_path / d) for d in ("trades", "quotes", "out"))
+    trades = _bars_df(spark, "AAPL", DAY1, 12)
+    quotes = _bars_df(spark, "AAPL", DAY1 - 2 * NS_MIN, 20, base=50.0).unionByName(
+        _bars_df(spark, "MSFT", DAY1, 5, base=70.0)  # wrong symbol: never joins AAPL
+    )
+    trades.coalesce(1).write.parquet(t_dir)
+    quotes.coalesce(1).write.parquet(q_dir)
+
+    joined = enrich_stream(
+        read_bar_stream(spark, t_dir), read_bar_stream(spark, q_dir), tolerance="5 minutes"
+    )
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    run_available_now(q)
+    got = spark.read.parquet(out)
+
+    # batch equivalent over the same files
+    bt = spark.read.parquet(t_dir)
+    bq = spark.read.parquet(q_dir).select(
+        *[F.col(c).alias(f"q_{c}") for c in quotes.columns]
+    )
+    expected = bt.join(
+        bq,
+        (F.col("symbol") == F.col("q_symbol"))
+        & (F.col("q_ts_ns") >= F.col("ts_ns") - F.lit(5 * NS_MIN))
+        & (F.col("q_ts_ns") <= F.col("ts_ns")),
+        "inner",
+    )
+    assert got.count() == expected.count() > 0
+    key = ["symbol", "ts_ns", "q_ts_ns"]
+    assert sorted(map(tuple, got.select(*key).collect())) == sorted(
+        map(tuple, expected.select(*key).collect())
+    )
+    # every joined quote is within tolerance, and only same-symbol rows joined
+    bad = got.filter(
+        (F.col("q_symbol") != F.col("symbol"))
+        | (F.col("q_ts_ns") > F.col("ts_ns"))
+        | (F.col("q_ts_ns") < F.col("ts_ns") - F.lit(5 * NS_MIN))
+    )
+    assert bad.count() == 0
