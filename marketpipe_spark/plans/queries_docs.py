@@ -563,3 +563,65 @@ def q_curated_corpus(spark, sf_dir):
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("total_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch heavy hitters (operators/sketches.py): the approximate
+# frequent-items path for 100 TB corpora. The sketch build is one map-side-
+# combined shuffle of <= depth*width cells per partition (cardinality-
+# independent); estimates are a broadcast join of the tiny cell grid. The
+# registry entry runs the FULL pipeline (tokenize -> sketch -> point
+# estimate -> rank) under the md5_60 family so DuckDB reproduces every
+# counter bit-for-bit; the exact counts ride along to expose the
+# overestimate gap (cm_est >= true_cnt always).
+
+_CM_DEPTH, _CM_WIDTH = 4, 1024
+
+
+def _cm_h_sql(d: int) -> str:
+    return (
+        f"CAST(('0x' || substr(md5(tok || ':{d}'), 1, 15)) AS BIGINT) % {_CM_WIDTH}"
+    )
+
+
+SQL_CM_TOP_TOKENS = f"""
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok FROM documents
+),
+tk AS (SELECT tok FROM toks WHERE tok <> ''),
+hb AS (
+  SELECT tok, dd.d,
+         CASE dd.d {' '.join(f"WHEN {d} THEN {_cm_h_sql(d)}" for d in range(_CM_DEPTH))} END AS bucket
+  FROM tk, (SELECT unnest(range(0, {_CM_DEPTH})) AS d) dd
+),
+sketch AS (SELECT d, bucket, CAST(count(*) AS BIGINT) AS cnt FROM hb GROUP BY d, bucket),
+truth AS (SELECT tok, CAST(count(*) AS BIGINT) AS true_cnt FROM tk GROUP BY tok),
+kb AS (SELECT DISTINCT tok, d, bucket FROM hb),
+est AS (
+  SELECT kb.tok, MIN(s.cnt) AS cm_est
+  FROM kb JOIN sketch s USING (d, bucket) GROUP BY kb.tok
+)
+SELECT truth.tok, truth.true_cnt, est.cm_est
+FROM truth JOIN est USING (tok)
+ORDER BY est.cm_est DESC, truth.tok ASC
+LIMIT 20
+"""
+
+
+@register("cm_top_tokens", SQL_CM_TOP_TOKENS, doc="count-min sketch heavy hitters: top-20 tokens by CM estimate, exact count alongside", tags=("text", "sketch"))
+def q_cm_top_tokens(spark, sf_dir):
+    from ..operators.sketches import cm_estimate, cm_sketch
+
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), TOKEN_SPLIT_RE)).alias("tok")
+    ).filter(F.col("tok") != "")
+    sk = cm_sketch(toks, "tok", depth=_CM_DEPTH, width=_CM_WIDTH, hash_family="md5_60")
+    truth = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("true_cnt"))
+    est = cm_estimate(truth, "tok", sk, _CM_DEPTH, _CM_WIDTH, hash_family="md5_60")
+    return (
+        truth.join(est, "tok")
+        .select("tok", "true_cnt", "cm_est")
+        .orderBy(F.desc("cm_est"), F.asc("tok"))
+        .limit(20)
+    )

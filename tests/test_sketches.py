@@ -1,0 +1,71 @@
+"""Count-min sketch invariants (operators/sketches.py), production xxhash64 family."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from conftest import SF_SMOKE
+
+from marketpipe_spark.operators.sketches import cm_estimate, cm_sketch
+
+DEPTH, WIDTH = 4, 256
+
+
+def _tokens(spark):
+    d = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    return d.select(
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+
+
+def test_cm_never_underestimates(spark):
+    toks = _tokens(spark)
+    sk = cm_sketch(toks, "tok", depth=DEPTH, width=WIDTH)
+    truth = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("true_cnt"))
+    est = cm_estimate(truth, "tok", sk, DEPTH, WIDTH)
+    joined = truth.join(est, "tok")
+    assert joined.filter(F.col("cm_est") < F.col("true_cnt")).count() == 0
+    # And the grid is bounded regardless of key cardinality.
+    assert sk.count() <= DEPTH * WIDTH
+
+
+def test_cm_error_bound(spark):
+    """Markov bound: E[overestimate] <= N/width per row; check the mean gap
+    is well inside it (deterministic data + hashes -> stable assertion)."""
+    toks = _tokens(spark)
+    n_total = toks.count()
+    sk = cm_sketch(toks, "tok", depth=DEPTH, width=WIDTH)
+    truth = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("true_cnt"))
+    est = cm_estimate(truth, "tok", sk, DEPTH, WIDTH)
+    gap = (
+        truth.join(est, "tok")
+        .agg(F.avg(F.col("cm_est") - F.col("true_cnt")).alias("mean_gap"))
+        .collect()[0]["mean_gap"]
+    )
+    assert gap <= 2.0 * n_total / WIDTH
+
+
+def test_cm_mergeable_and_partition_invariant(spark):
+    """Sketch(all) == cellwise sum of sketches over disjoint slices, and the
+    cell grid is identical under any input partitioning (mergeability is
+    what makes the build one cardinality-independent map-side combine)."""
+    toks = _tokens(spark)
+    whole = cm_sketch(toks, "tok", depth=DEPTH, width=WIDTH)
+    a = cm_sketch(toks.filter(F.crc32(F.col("tok")) % 2 == 0), "tok", depth=DEPTH, width=WIDTH)
+    b = cm_sketch(toks.filter(F.crc32(F.col("tok")) % 2 == 1), "tok", depth=DEPTH, width=WIDTH)
+    merged = a.unionByName(b).groupBy("d", "bucket").agg(F.sum("cnt").alias("cnt"))
+    assert whole.exceptAll(merged).count() == 0
+    assert merged.exceptAll(whole).count() == 0
+
+    reparted = cm_sketch(toks.repartition(7), "tok", depth=DEPTH, width=WIDTH)
+    assert whole.exceptAll(reparted).count() == 0
+
+
+def test_cm_weighted(spark):
+    """Weighted build: estimate of a key >= its true weight sum."""
+    rows = [("a", 10), ("a", 5), ("b", 1), ("c", 7)]
+    df = spark.createDataFrame(rows, "k string, w int")
+    sk = cm_sketch(df, "k", depth=DEPTH, width=WIDTH, weight="w")
+    est = cm_estimate(df.select("k").distinct(), "k", sk, DEPTH, WIDTH)
+    got = {r["k"]: r["cm_est"] for r in est.collect()}
+    assert got["a"] >= 15 and got["b"] >= 1 and got["c"] >= 7
