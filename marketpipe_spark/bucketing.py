@@ -45,3 +45,42 @@ def bucketed_join(spark: SparkSession, left_table: str, right_table: str, on: st
     tests via the physical plan)."""
     tune(spark)
     return spark.table(left_table).join(spark.table(right_table), on)
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) layout keys — multi-dimensional data clustering.
+#
+# Bucketing co-locates ONE key; sorting files by a Z-order interleave of TWO
+# keys keeps rows close in BOTH dimensions, so parquet min/max footer stats
+# prune files for predicates on either column (the Delta/Iceberg OPTIMIZE
+# ZORDER technique, reproduced here as a pure column expression). At 100 TB:
+# `df.repartitionByRange(N, z).sortWithinPartitions(z)` then write — every
+# file covers a small rectangle of (x, y) space instead of a full-width
+# stripe, turning full scans into a handful of file reads for point/range
+# predicates on either dimension.
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def zorder_key(x: Column, y: Column, bits: int = 16) -> Column:
+    """Interleave the low ``bits`` of two non-negative ints: Morton code
+    z = y_b x_b ... y_1 x_1 y_0 x_0. Pure codegen'd bit math (no UDF, no
+    shuffle); engine-portable — the same shift/mask formula runs in any
+    SQL dialect with `&`, `|`, `<<`, `>>` (see queries_bars.zorder SQL)."""
+    out = None
+    for i in range(bits):
+        xb = F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i)
+        yb = F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        term = xb.bitwiseOR(yb)
+        out = term if out is None else out.bitwiseOR(term)
+    return out
+
+
+def zorder_key_sql(x: str, y: str, bits: int = 16) -> str:
+    """The identical Morton interleave as portable SQL text (DuckDB/ANSI)."""
+    terms = [
+        f"((({x} >> {i}) & 1) << {2 * i}) | ((({y} >> {i}) & 1) << {2 * i + 1})"
+        for i in range(bits)
+    ]
+    return "(" + " | ".join(terms) + ")"

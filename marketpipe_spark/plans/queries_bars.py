@@ -1019,3 +1019,56 @@ def q_close_percent_rank(spark, sf_dir):
         F.percent_rank().over(w).alias("pr"),
         F.cume_dist().over(w).alias("cd"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout profile (bucketing.zorder_key): the multi-dimensional file-
+# clustering story. Sorting the lake by a Morton interleave of (user bucket,
+# hour bucket) makes every file cover a small RECTANGLE of the key space, so
+# parquet min/max stats prune on EITHER dimension — the Delta/Iceberg
+# OPTIMIZE ZORDER technique as a pure codegen'd bit expression. The query
+# splits the 32-bit Morton space into 64 equal z-ranges (= the file
+# boundaries a z-sorted writer would produce) and reports each range's
+# bounding box: narrow per-range min/max spans ARE the file-skipping
+# guarantee. One projection + one hash-agg; no shuffle beyond the final agg.
+
+_Z_HOUR_NS = 3600 * NS_PER_SEC
+_Z_RANGE = 1 << 26  # 2^32 Morton space / 64 ranges
+
+from ..bucketing import zorder_key, zorder_key_sql  # noqa: E402
+
+SQL_ZORDER_PROFILE = f"""
+WITH {SQL_BARS},
+d AS (
+  SELECT user_id % 65536 AS x,
+         (ts_ns // {_Z_HOUR_NS}) % 65536 AS y
+  FROM bars
+),
+z AS (SELECT x, y, {zorder_key_sql('x', 'y')} AS zval FROM d)
+SELECT zval // {_Z_RANGE} AS zrange,
+       COUNT(*) AS n,
+       MIN(x) AS min_x, MAX(x) AS max_x,
+       MIN(y) AS min_y, MAX(y) AS max_y
+FROM z GROUP BY zrange
+"""
+
+
+@register("zorder_profile", SQL_ZORDER_PROFILE, doc="Morton (Z-order) layout key + per-z-range bounding boxes (multi-dim file skipping)", tags=("layout",))
+def q_zorder_profile(spark, sf_dir):
+    b = bars(spark, sf_dir)
+    d = b.select(
+        F.pmod(F.col("user_id"), F.lit(65536)).alias("x"),
+        F.pmod(F.expr(f"ts_ns div {_Z_HOUR_NS}"), F.lit(65536)).alias("y"),
+    )
+    z = d.select("x", "y", zorder_key(F.col("x"), F.col("y")).alias("zval"))
+    return (
+        z.select(F.expr(f"zval div {_Z_RANGE}").alias("zrange"), "x", "y")
+        .groupBy("zrange")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("x").alias("min_x"),
+            F.max("x").alias("max_x"),
+            F.min("y").alias("min_y"),
+            F.max("y").alias("max_y"),
+        )
+    )

@@ -59,3 +59,49 @@ def test_unbucketed_join_has_exchange(spark, bucketed_tables):
         assert "Exchange" in plan  # the non-bucketed side must shuffle
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout key
+
+def test_zorder_key_interleaves_bits(spark):
+    from pyspark.sql import functions as F
+
+    from marketpipe_spark.bucketing import zorder_key
+
+    def morton(x, y, bits=16):
+        z = 0
+        for i in range(bits):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    pairs = [(0, 0), (1, 0), (0, 1), (3, 5), (65535, 0), (0, 65535), (12345, 54321)]
+    df = spark.createDataFrame(pairs, "x long, y long")
+    got = {(r["x"], r["y"]): r["z"] for r in df.select("x", "y", zorder_key(F.col("x"), F.col("y")).alias("z")).collect()}
+    for x, y in pairs:
+        assert got[(x, y)] == morton(x, y)
+
+
+def test_zorder_ranges_are_local(spark):
+    """Splitting the Morton space into ranges bounds BOTH dims per range:
+    each 1/64th z-range of a full 256x256 grid covers at most a 32x32 box
+    (the file-skipping guarantee a z-sorted writer relies on)."""
+    from pyspark.sql import functions as F
+
+    from marketpipe_spark.bucketing import zorder_key
+
+    grid = spark.range(256 * 256).select(
+        (F.col("id") % 256).alias("x"), (F.col("id") / 256).cast("long").alias("y")
+    )
+    z = grid.select("x", "y", zorder_key(F.col("x"), F.col("y"), bits=8).alias("z"))
+    prof = (
+        z.groupBy(F.expr("z div 1024").alias("zrange"))
+        .agg(
+            (F.max("x") - F.min("x")).alias("dx"),
+            (F.max("y") - F.min("y")).alias("dy"),
+        )
+        .agg(F.max("dx").alias("dx"), F.max("dy").alias("dy"))
+        .collect()[0]
+    )
+    assert prof["dx"] <= 31 and prof["dy"] <= 31
