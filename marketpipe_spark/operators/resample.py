@@ -90,3 +90,39 @@ def resample_all(bars: DataFrame, frames: list[str] | None = None) -> dict[str, 
     aggregation/application/services.py:46-107). Each frame is an independent
     lazy plan; Spark schedules them concurrently when actions overlap."""
     return {f: resample(bars, f) for f in (frames or list(DEFAULT_SPECS))}
+
+
+def refresh_resample(
+    agg_old: DataFrame, base: DataFrame, batch: DataFrame, seconds: int
+) -> DataFrame:
+    """Incremental rollup maintenance: refresh a materialized intraday
+    aggregate after a new batch lands, recomputing ONLY touched buckets.
+
+    OHLC first/last/min/max are not subtractable, so the refresh re-reads the
+    base rows of each touched (symbol, bucket) group — the same
+    touched-partition pruning the upsert path uses (lake.upsert_bars) — and
+    keeps every untouched aggregate row as-is:
+
+    - ``touched`` = distinct (symbol, bucket) of the batch — tiny, broadcast.
+    - untouched rows: broadcast ANTI join on ``agg_old`` (no shuffle).
+    - recomputed rows: broadcast SEMI join prunes ``base`` to touched groups
+      (on a frame/symbol/date-partitioned lake this prunes at the file level
+      too), then the normal one-shuffle resample over that small slice.
+
+    At 100 TB this turns a nightly full rebuild into work proportional to
+    the day's arrivals: the full-history scan disappears, and the shuffle
+    moves only the touched groups' rows. ``base`` must already contain the
+    batch rows (refresh runs after the upsert). Result is EXACTLY
+    ``resample_intraday(base, seconds)`` — the registry entry
+    ``incremental_rollup`` proves that equality against the full-recompute
+    oracle value-for-value.
+    """
+    window_ns = seconds * NS_PER_SEC
+    touched = (
+        batch.select("symbol", bucket_ns("ts_ns", window_ns).alias("ts_ns")).distinct()
+    )
+    keep = agg_old.join(F.broadcast(touched), ["symbol", "ts_ns"], "left_anti")
+    affected = base.withColumn("_b", bucket_ns("ts_ns", window_ns)).join(
+        F.broadcast(touched.withColumnRenamed("ts_ns", "_b")), ["symbol", "_b"], "left_semi"
+    ).drop("_b")
+    return keep.unionByName(resample_intraday(affected, seconds))

@@ -1072,3 +1072,37 @@ def q_zorder_profile(spark, sf_dir):
             F.max("y").alias("max_y"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental rollup maintenance (operators/resample.refresh_resample): the
+# materialized-view refresh path. The Spark side REBUILDS the 5m rollup
+# incrementally — resample the oldest ~80% of rows, then land the newest
+# ~20% as a batch and refresh only the touched (symbol, bucket) groups
+# (broadcast anti-join keeps untouched aggregate rows; broadcast semi-join
+# prunes the base scan to touched groups). The oracle is the plain FULL
+# recompute, so the value-hash match is a machine-checked proof that the
+# incremental path equals rebuild-from-scratch — the invariant that lets a
+# 100 TB lake maintain rollups with work proportional to daily arrivals.
+
+@register(
+    "incremental_rollup",
+    _resample_sql(300 * NS_PER_SEC),
+    doc="incremental 5m rollup refresh (touched buckets only) == full recompute",
+    tags=("agg", "incremental"),
+)
+def q_incremental_rollup(spark, sf_dir):
+    from ..operators.resample import refresh_resample
+
+    b = _bars_core(spark, sf_dir)
+    from .registry import scalar_join
+
+    mm = b.agg(F.min("ts_ns").alias("_mn"), F.max("ts_ns").alias("_mx"))
+    wb = scalar_join(b, "ts_ns", mm).withColumn(
+        "_is_new", F.col("ts_ns") >= F.expr("_mn + (((_mx - _mn) * 4) div 5)")
+    )
+    cols = ["symbol", "ts_ns", "open", "high", "low", "close", "volume"]
+    old = wb.filter(~F.col("_is_new")).select(*cols)
+    batch = wb.filter(F.col("_is_new")).select(*cols)
+    agg_old = resample_intraday(old, 300)
+    return refresh_resample(agg_old, base=b, batch=batch, seconds=300)

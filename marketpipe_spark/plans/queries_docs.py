@@ -669,11 +669,11 @@ def q_tfidf_top_terms(spark, sf_dir):
     ).filter(F.col("tok") != "")
     tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
     dfq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    from .registry import scalar_join
+
     n = d.agg(F.count(F.lit(1)).alias("n_docs"))
-    scored = (
-        tf.join(dfq, "tok")
-        .crossJoin(F.broadcast(n))
-        .withColumn("tfidf", F.col("tf").cast("double") * F.col("n_docs") / F.col("df"))
+    scored = scalar_join(tf.join(dfq, "tok"), "tok", n).withColumn(
+        "tfidf", F.col("tf").cast("double") * F.col("n_docs") / F.col("df")
     )
     w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("tok"))
     return (

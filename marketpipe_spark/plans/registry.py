@@ -26,7 +26,7 @@ from __future__ import annotations
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..session import tune
@@ -109,3 +109,28 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sqls() -> dict[str, str]:
     return {k: q.sql for k, q in all_queries().items() if q.sql is not None}
+
+
+def scalar_join(df: DataFrame, keycol: str, scalar: DataFrame) -> DataFrame:
+    """Attach a 1-row aggregate (a global count, a min/max pair) to every row
+    of ``df`` as a BroadcastHashJoin — never a nested-loop.
+
+    A bare ``crossJoin`` with a 1-row side plans as BroadcastNestedLoopJoin
+    (a scale antipattern the plan-hygiene sweep bans), and joining on
+    ``lit(1)`` keys folds back to the same thing (ConstantFolding /
+    FoldablePropagation turn the equi-condition into a constant predicate).
+    Deriving BOTH keys from real columns — ``coalesce(length(col), 0) % 1``
+    ≡ 0 but not foldable — keeps a genuine equality condition, so Spark
+    plans a single-key BroadcastHashJoin: map-side, no shuffle, no per-row
+    looping.
+    """
+
+    def zero_key(c) -> Column:
+        return F.pmod(F.coalesce(F.length(c.cast("string")), F.lit(0)), F.lit(1))
+
+    rkey = zero_key(F.col(scalar.columns[0]))
+    return (
+        df.withColumn("_k", zero_key(F.col(keycol)))
+        .join(F.broadcast(scalar.withColumn("_k", rkey)), "_k")
+        .drop("_k")
+    )

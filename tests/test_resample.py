@@ -43,3 +43,37 @@ def test_resample_all_frames(golden_bars):
     frames = resample_all(golden_bars)
     assert set(frames) == {"5m", "15m", "1h", "4h", "1d"}
     assert frames["1h"].count() == 1
+
+
+# ---------------------------------------------------------------------------
+# Incremental rollup maintenance
+
+def test_refresh_resample_equals_full_recompute(spark, golden_bars):
+    """Refresh after a batch that (a) extends an existing bucket and
+    (b) opens a brand-new bucket must equal a from-scratch resample."""
+    from pyspark.sql import functions as F
+
+    from marketpipe_spark.operators.resample import refresh_resample, resample_intraday
+
+    base_old = golden_bars.filter(F.col("ts_ns") < F.lit(1_640_995_800_000_000_000 + 7 * 60_000_000_000))
+    batch = golden_bars.filter(F.col("ts_ns") >= F.lit(1_640_995_800_000_000_000 + 7 * 60_000_000_000))
+    agg_old = resample_intraday(base_old, 300)
+    out = refresh_resample(agg_old, base=golden_bars, batch=batch, seconds=300)
+    full = resample_intraday(golden_bars, 300)
+    assert out.exceptAll(full).count() == 0
+    assert full.exceptAll(out).count() == 0
+
+
+def test_refresh_resample_broadcasts_touched_keys(spark, golden_bars):
+    """The touched-key joins must be broadcast (anti + semi), never a
+    full-shuffle join of the aggregate table."""
+    from pyspark.sql import functions as F
+
+    from marketpipe_spark.operators.resample import refresh_resample, resample_intraday
+
+    batch = golden_bars.filter(F.col("ts_ns") >= F.lit(1_640_995_800_000_000_000 + 5 * 60_000_000_000))
+    agg_old = resample_intraday(golden_bars, 300)
+    out = refresh_resample(agg_old, base=golden_bars, batch=batch, seconds=300)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
