@@ -103,3 +103,69 @@ def pca_project(
     v = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v"))
     out = v.mapInPandas(project, "id long, projected array<double>")
     return out.select(F.col("id").alias(id_col), "projected")
+
+
+def group_centroids(
+    corpus: DataFrame, group_col: str, vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-group embedding centroids → (group, dim, n, centroid) rows.
+
+    The mean-pooling reduction every embedding pipeline needs (class
+    prototypes, cluster summaries, per-source drift monitors), built on the
+    same two-phase shape as :func:`pca_fit`:
+
+    1. ONE vectorized ``mapInPandas`` pass computes per-task partial sums —
+       a (groups x dims) int64 matrix per task, NOT a per-dimension explode
+       of the corpus (the row-inflation anti-pattern: 64-768x rows through
+       a shuffle). Components are µ-quantized (``floor(x * 1e6)`` as int64)
+       so partial sums are EXACT integers — associative, commutative, and
+       therefore identical under any partitioning or shuffle order.
+    2. The tiny partials (tasks x groups x dims rows) posexplode and reduce
+       in one hash-agg; the final centroid is two IEEE divisions
+       (sum/n/1e6), bit-identical in any engine — the registry entry
+       ``label_centroids`` is value-hash-checked against DuckDB.
+
+    At 100 TB: the corpus streams through stage 1 map-only; the shuffle
+    carries only ``tasks * groups * dims`` rows (KBs, cardinality-
+    independent). int64 headroom: |q| <= 1e6 per component allows ~9e12
+    rows per (group, task) partial before overflow — beyond that, widen to
+    decimal(38,0) in the final agg.
+    """
+    import numpy as np
+    import pandas as pd
+
+    v = corpus.select(
+        F.col(group_col).cast("long").alias("g"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+
+    def partials(batches):
+        acc: dict[int, tuple[int, object]] = {}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            for g, grp in pdf.groupby("g"):
+                mat = np.stack(grp["v"].to_numpy())
+                q = np.floor(mat * 1e6).astype(np.int64)
+                n0, s0 = acc.get(g, (0, 0))
+                acc[g] = (n0 + len(q), s0 + q.sum(axis=0))
+        if acc:
+            yield pd.DataFrame(
+                [(int(g), n, s.tolist()) for g, (n, s) in acc.items()],
+                columns=["g", "n", "s"],
+            )
+
+    p = v.mapInPandas(partials, "g long, n long, s array<long>")
+    return (
+        p.select("g", "n", F.posexplode("s").alias("dim", "qsum"))
+        .groupBy("g", "dim")
+        .agg(F.sum("n").alias("n"), F.sum("qsum").alias("qsum"))
+        .select(
+            F.col("g").alias(group_col),
+            "dim",
+            "n",
+            (F.col("qsum").cast("double") / F.col("n") / F.lit(1_000_000.0)).alias(
+                "centroid"
+            ),
+        )
+    )

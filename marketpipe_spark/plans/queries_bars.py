@@ -1106,3 +1106,58 @@ def q_incremental_rollup(spark, sf_dir):
     batch = wb.filter(F.col("_is_new")).select(*cols)
     agg_old = resample_intraday(old, 300)
     return refresh_resample(agg_old, base=b, batch=batch, seconds=300)
+
+
+# ---------------------------------------------------------------------------
+# Interval-overlap concurrency sweep: the classic +1/-1 boundary-event
+# pattern (how many intervals are open at once), here as peak concurrent
+# sessions per (symbol, day) with session = [ts, ts + (volume+1)s). Boundary
+# deltas are pre-aggregated per (symbol, ts) BEFORE the running sum, so the
+# window's ORDER BY is over unique keys — a total order, deterministic in
+# any engine — and the cumulative sum is exact integer math. One shuffle on
+# symbol (boundary agg + window share the partitioning); the window is
+# per-symbol, never global.
+
+SQL_INTERVAL_CONCURRENCY = f"""
+WITH {SQL_BARS},
+bd AS (
+  SELECT symbol, ts_ns AS t, 1 AS d FROM bars
+  UNION ALL
+  SELECT symbol, ts_ns + (volume + 1) * {NS_PER_SEC} AS t, -1 AS d FROM bars
+),
+agg AS (SELECT symbol, t, CAST(SUM(d) AS BIGINT) AS d FROM bd GROUP BY symbol, t),
+sweep AS (
+  SELECT symbol, t, SUM(d) OVER (PARTITION BY symbol ORDER BY t) AS conc
+  FROM agg
+)
+SELECT symbol, t - (t % {NS_PER_DAY}) AS day_ns,
+       CAST(MAX(conc) AS BIGINT) AS peak_concurrency,
+       COUNT(*) AS n_boundaries
+FROM sweep GROUP BY symbol, day_ns
+"""
+
+
+@register("interval_concurrency", SQL_INTERVAL_CONCURRENCY, doc="peak concurrent sessions per symbol/day via +1/-1 boundary sweep", tags=("window", "interval"))
+def q_interval_concurrency(spark, sf_dir):
+    b = _bars_core(spark, sf_dir)
+    start = b.select("symbol", F.col("ts_ns").alias("t"), F.lit(1).alias("d"))
+    end = b.select(
+        "symbol",
+        (F.col("ts_ns") + (F.col("volume") + 1) * F.lit(NS_PER_SEC)).alias("t"),
+        F.lit(-1).alias("d"),
+    )
+    agg = start.unionByName(end).groupBy("symbol", "t").agg(F.sum("d").alias("d"))
+    w = W.partitionBy("symbol").orderBy("t")
+    sweep = agg.withColumn("conc", F.sum("d").over(w))
+    return (
+        sweep.select(
+            "symbol",
+            (F.col("t") - F.col("t") % F.lit(NS_PER_DAY)).alias("day_ns"),
+            "conc",
+        )
+        .groupBy("symbol", "day_ns")
+        .agg(
+            F.max("conc").alias("peak_concurrency"),
+            F.count(F.lit(1)).alias("n_boundaries"),
+        )
+    )

@@ -281,3 +281,33 @@ def q_dedup_clusters(spark, sf_dir):
 
     pairs = ngram_jaccard_pairs(t(spark, sf_dir, "documents"), k=3, threshold=0.5)
     return dedup_clusters(pairs)
+
+
+# ---------------------------------------------------------------------------
+# Per-label centroids (operators/projection.group_centroids): mean pooling
+# via ONE vectorized mapInPandas partial-sum pass (no per-dim explode of the
+# corpus — that anti-pattern inflates rows by the vector width through a
+# shuffle). µ-quantized int64 partials are exact, so any partitioning gives
+# the same sums and DuckDB reproduces the centroids bit-for-bit; the oracle
+# unnests per-dim because the oracle corpus is small — the SPARK side is the
+# scale path.
+
+SQL_LABEL_CENTROIDS = """
+WITH q AS (
+  SELECT label, dd.d AS dim,
+         CAST(floor(CAST(embedding[dd.d + 1] AS DOUBLE) * 1000000.0) AS BIGINT) AS q
+  FROM embeddings, (SELECT unnest(range(64)) AS d) dd
+)
+SELECT CAST(label AS BIGINT) AS label, CAST(dim AS INT) AS dim,
+       COUNT(*) AS n,
+       CAST(CAST(SUM(q) AS BIGINT) AS DOUBLE) / COUNT(*) / 1000000.0 AS centroid
+FROM q GROUP BY label, dim
+"""
+
+
+@register("label_centroids", SQL_LABEL_CENTROIDS, doc="per-label embedding centroids via exact µ-quantized vectorized partial sums", tags=("embedding",))
+def q_label_centroids(spark, sf_dir):
+    from ..operators.projection import group_centroids
+
+    e = t(spark, sf_dir, "embeddings")
+    return group_centroids(e, "label")

@@ -185,3 +185,30 @@ def test_dedup_clusters_transitive(spark):
     )
     out = {r.doc_id: r.cluster_id for r in dedup_clusters(pairs).collect()}
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+# ---------------------------------------------------------------------------
+# Group centroids (operators/projection.group_centroids)
+
+def test_group_centroids_partition_invariant(spark):
+    from pyspark.sql import functions as F
+
+    from conftest import SF_SMOKE
+    from marketpipe_spark.operators.projection import group_centroids
+
+    e = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    a = group_centroids(e, "label")
+    b = group_centroids(e.repartition(7), "label")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    # centroid of each label must lie inside the per-dim min/max envelope
+    env = (
+        e.select("label", F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "x"))
+        .groupBy("label", "dim")
+        .agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+    )
+    bad = (
+        a.join(env, ["label", "dim"])
+        .filter((F.col("centroid") < F.col("lo") - 1e-6) | (F.col("centroid") > F.col("hi") + 1e-6))
+        .count()
+    )
+    assert bad == 0
