@@ -450,3 +450,53 @@ def embedding_near_duplicates(
         .select("id_a", "id_b", exact_pair_cosine().alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# SymSpell-style edit-distance-1 token pairs
+
+def edit1_token_pairs(
+    tokens: DataFrame, col: str = "tok", min_len: int = 4, max_dist: int = 1
+) -> DataFrame:
+    """All distinct token pairs within Levenshtein distance ``max_dist``
+    (1 or 2), WITHOUT a cross join: SymSpell's deletion-neighborhood
+    blocking (max_dist=2 is SymSpell's canonical default).
+
+    Every token emits its delete-variants up to ``max_dist`` deletions plus
+    itself; two tokens within that distance share a variant, so an equi-join
+    on the variant key finds the candidates and ``levenshtein`` verifies
+    exactly. Work is O(n_tokens * avg_len^max_dist) variant rows through one
+    shuffle — vs O(n²) for the naive pairwise scan — which is what makes
+    typo-clustering a vocabulary-scale (not corpus-scale) job at 100 TB.
+    ``min_len`` skips short tokens whose variant buckets degenerate into
+    hot keys (every 2-char token shares 1-char variants).
+
+    Deterministic and engine-portable: the same transform/substr formula
+    runs in DuckDB SQL (see queries_docs.token_edit_pairs).
+    """
+    if max_dist not in (1, 2):
+        raise ValueError("max_dist must be 1 or 2")
+    tk = tokens.select(F.col(col).alias("tok")).filter(F.length("tok") >= min_len).distinct()
+
+    def dels_of(c):
+        return F.transform(
+            F.sequence(F.lit(1), F.length(c)),
+            lambda i: F.concat(c.substr(F.lit(1), i - 1), c.substr(i + 1, F.length(c))),
+        )
+
+    variants = F.array_union(dels_of(F.col("tok")), F.array(F.col("tok")))
+    if max_dist == 2:
+        d2 = F.array_distinct(F.flatten(F.transform(dels_of(F.col("tok")), dels_of)))
+        variants = F.array_union(variants, d2)
+    vr = tk.select("tok", F.explode(variants).alias("var")).distinct()
+    a = vr.alias("a")
+    b = vr.alias("b")
+    cand = (
+        a.join(b, (F.col("a.var") == F.col("b.var")) & (F.col("a.tok") < F.col("b.tok")))
+        .select(F.col("a.tok").alias("tok_a"), F.col("b.tok").alias("tok_b"))
+        .distinct()
+    )
+    dist = F.levenshtein("tok_a", "tok_b")
+    return cand.filter(dist <= max_dist).select(
+        "tok_a", "tok_b", dist.cast("long").alias("dist")
+    )

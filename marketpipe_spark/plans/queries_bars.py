@@ -1161,3 +1161,88 @@ def q_interval_concurrency(spark, sf_dir):
             F.count(F.lit(1)).alias("n_boundaries"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Ordered funnel: users reaching signup -> click -> purchase with strictly
+# increasing timestamps. Stage k is a conditional-min join against stage
+# k-1 (earliest qualifying event AFTER the previous stage), the standard
+# relational funnel — each stage is one filtered scan + one equi-join on
+# user_id + one hash-agg, all shuffle-partitioned on user_id so AQE reuses
+# the partitioning across stages. No window, no per-user collect.
+
+_FUNNEL = ("signup", "click", "purchase")
+
+SQL_FUNNEL = f"""
+WITH {SQL_BARS},
+a AS (SELECT user_id, MIN(ts_ns) AS ta FROM bars WHERE symbol = '{_FUNNEL[0]}' GROUP BY user_id),
+b AS (SELECT e.user_id, MIN(e.ts_ns) AS tb FROM bars e JOIN a USING (user_id)
+      WHERE e.symbol = '{_FUNNEL[1]}' AND e.ts_ns > a.ta GROUP BY e.user_id),
+c AS (SELECT e.user_id, MIN(e.ts_ns) AS tc FROM bars e JOIN b USING (user_id)
+      WHERE e.symbol = '{_FUNNEL[2]}' AND e.ts_ns > b.tb GROUP BY e.user_id)
+SELECT '1_{_FUNNEL[0]}' AS step, COUNT(*) AS n_users FROM a
+UNION ALL
+SELECT '2_{_FUNNEL[1]}' AS step, COUNT(*) AS n_users FROM b
+UNION ALL
+SELECT '3_{_FUNNEL[2]}' AS step, COUNT(*) AS n_users FROM c
+"""
+
+
+@register("funnel_steps", SQL_FUNNEL, doc="ordered signup->click->purchase funnel (strictly increasing ts), users per stage", tags=("analytics",))
+def q_funnel_steps(spark, sf_dir):
+    ev = bars(spark, sf_dir)
+    a = (
+        ev.filter(F.col("symbol") == _FUNNEL[0])
+        .groupBy("user_id")
+        .agg(F.min("ts_ns").alias("ta"))
+    )
+    b = (
+        ev.filter(F.col("symbol") == _FUNNEL[1])
+        .join(a, "user_id")
+        .filter(F.col("ts_ns") > F.col("ta"))
+        .groupBy("user_id")
+        .agg(F.min("ts_ns").alias("tb"))
+    )
+    c = (
+        ev.filter(F.col("symbol") == _FUNNEL[2])
+        .join(b, "user_id")
+        .filter(F.col("ts_ns") > F.col("tb"))
+        .groupBy("user_id")
+        .agg(F.min("ts_ns").alias("tc"))
+    )
+    parts = [
+        a.agg(F.count(F.lit(1)).alias("n_users")).select(F.lit(f"1_{_FUNNEL[0]}").alias("step"), "n_users"),
+        b.agg(F.count(F.lit(1)).alias("n_users")).select(F.lit(f"2_{_FUNNEL[1]}").alias("step"), "n_users"),
+        c.agg(F.count(F.lit(1)).alias("n_users")).select(F.lit(f"3_{_FUNNEL[2]}").alias("step"), "n_users"),
+    ]
+    return parts[0].unionByName(parts[1]).unionByName(parts[2])
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention: users grouped by first-seen day, counted on each later
+# activity day (the classic retention triangle). Two hash-aggs + one
+# equi-join on user_id; day offsets are exact int64 ns arithmetic.
+
+SQL_COHORT_RETENTION = f"""
+WITH {SQL_BARS},
+f AS (SELECT user_id, MIN(ts_ns - (ts_ns % {NS_PER_DAY})) AS cohort_ns FROM bars GROUP BY user_id),
+act AS (SELECT DISTINCT user_id, ts_ns - (ts_ns % {NS_PER_DAY}) AS day_ns FROM bars)
+SELECT f.cohort_ns, (act.day_ns - f.cohort_ns) // {NS_PER_DAY} AS day_offset,
+       COUNT(*) AS n_users
+FROM act JOIN f USING (user_id)
+GROUP BY f.cohort_ns, day_offset
+"""
+
+
+@register("cohort_retention", SQL_COHORT_RETENTION, doc="retention triangle: first-seen-day cohorts x activity-day offset", tags=("analytics",))
+def q_cohort_retention(spark, sf_dir):
+    ev = bars(spark, sf_dir)
+    day = F.col("ts_ns") - F.col("ts_ns") % F.lit(NS_PER_DAY)
+    f = ev.groupBy("user_id").agg(F.min(day).alias("cohort_ns"))
+    act = ev.select("user_id", day.alias("day_ns")).distinct()
+    return (
+        act.join(f, "user_id")
+        .select("cohort_ns", F.expr(f"(day_ns - cohort_ns) div {NS_PER_DAY}").alias("day_offset"))
+        .groupBy("cohort_ns", "day_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

@@ -681,3 +681,50 @@ def q_tfidf_top_terms(spark, sf_dir):
         .filter(F.col("rk") <= 3)
         .select("doc_id", "tok", "tf", "df", "tfidf")
     )
+
+
+# ---------------------------------------------------------------------------
+# Typo clustering (operators/dedup.edit1_token_pairs): SymSpell deletion-
+# neighborhood blocking at its canonical max_edit_distance=2 — tokens within
+# Levenshtein 2 share a delete-(<=2) variant, so one equi-join on the variant
+# key replaces the O(n²) pairwise scan; exact levenshtein verifies
+# candidates. Both engines run the identical transform/substr variant
+# generator and char-based levenshtein.
+
+SQL_TOKEN_EDIT_PAIRS = r"""
+WITH toks AS (
+  SELECT DISTINCT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok FROM documents
+),
+tk AS (SELECT tok FROM toks WHERE length(tok) >= 4),
+d1 AS (
+  SELECT tok, list_transform(range(1, length(tok) + 1),
+                i -> substr(tok, 1, i - 1) || substr(tok, i + 1, length(tok))) AS dels
+  FROM tk
+),
+vr AS (
+  SELECT DISTINCT tok,
+         unnest(list_concat(
+           list_append(dels, tok),
+           flatten(list_transform(dels,
+             v -> list_transform(range(1, length(v) + 1),
+                    i -> substr(v, 1, i - 1) || substr(v, i + 1, length(v))))))) AS var
+  FROM d1
+),
+cand AS (
+  SELECT DISTINCT a.tok AS tok_a, b.tok AS tok_b
+  FROM vr a JOIN vr b ON a.var = b.var AND a.tok < b.tok
+)
+SELECT tok_a, tok_b, CAST(levenshtein(tok_a, tok_b) AS BIGINT) AS dist
+FROM cand WHERE levenshtein(tok_a, tok_b) <= 2
+"""
+
+
+@register("token_edit_pairs", SQL_TOKEN_EDIT_PAIRS, doc="edit-distance<=2 vocabulary pairs via SymSpell delete-neighborhood blocking (no cross join)", tags=("text", "dedup"))
+def q_token_edit_pairs(spark, sf_dir):
+    from ..operators.dedup import edit1_token_pairs
+
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), TOKEN_SPLIT_RE)).alias("tok")
+    )
+    return edit1_token_pairs(toks, "tok", max_dist=2)

@@ -121,3 +121,38 @@ def test_clean_then_signals_compose(spark):
     sig = repetition_signals(cleaned).collect()[0]
     assert sig.n_tokens == 4 and sig.n_distinct_tokens == 1
     assert sig.dup_token_ratio == 0.75
+
+
+# ---------------------------------------------------------------------------
+# SymSpell edit-distance-1 pairs
+
+def test_edit1_pairs_finds_planted_typos(spark):
+    from pyspark.sql import functions as F
+
+    from marketpipe_spark.operators.dedup import edit1_token_pairs
+
+    toks = spark.createDataFrame(
+        [("kitchen",), ("kitchen",), ("kitchn",), ("kitchenz",), ("mitchen",),
+         ("banana",), ("bananas",), ("orange",), ("zebra",)],
+        "tok string",
+    )
+    got = {
+        (r["tok_a"], r["tok_b"])
+        for r in edit1_token_pairs(toks, "tok").collect()
+    }
+    assert ("kitchen", "kitchn") in got      # deletion
+    assert ("kitchen", "kitchenz") in got    # insertion
+    assert ("kitchen", "mitchen") in got     # substitution
+    assert ("banana", "bananas") in got
+    assert all(a != b for a, b in got)
+    assert not any("orange" in p or "zebra" in p for p in got)
+
+
+def test_edit1_pairs_no_cross_join_plan(spark):
+    from pyspark.sql import functions as F
+
+    from marketpipe_spark.operators.dedup import edit1_token_pairs
+
+    toks = spark.createDataFrame([("abcd",), ("abce",)], "tok string")
+    plan = edit1_token_pairs(toks, "tok")._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
