@@ -240,6 +240,63 @@ def metrics_trend(m: DataFrame, name: str, now_ts: int, buckets: int = 24,
     )
 
 
+def metrics_average_windowed(m: DataFrame, name: str, window_secs: int) -> DataFrame:
+    """A7 without a driver round-trip: ``now = max(ts)`` over the series is
+    attached to every row as a broadcast scalar (``registry.scalar_join`` —
+    a BroadcastHashJoin, never nested-loop), so the whole query is ONE Spark
+    job with no ``collect()`` (reference metrics.py:201-216)."""
+    from .plans.registry import scalar_join
+
+    s = m.filter(F.col("name") == name)
+    mx = s.agg(F.max("ts").alias("_now_ts"))
+    return (
+        scalar_join(s, "ts", mx)
+        .filter(F.col("ts") >= F.col("_now_ts") - F.lit(window_secs))
+        .agg(
+            (F.sum(F.col("value").cast("decimal(38,6)")).cast("double") / F.count(F.lit(1))).alias("avg_value"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+def metrics_trend_windowed(m: DataFrame, name: str, buckets: int = 24,
+                           bucket_minutes: int = 60) -> DataFrame:
+    """A8 with ``now = max(ts)`` as a broadcast scalar instead of a driver
+    ``collect()`` — same bucket math as :func:`metrics_trend` (reference
+    metrics.py:218-248), collect-free end to end."""
+    from .plans.registry import scalar_join
+
+    step = bucket_minutes * 60
+    spark = m.sparkSession
+    s = m.filter(F.col("name") == name)
+    mx = s.agg(F.max("ts").alias("_now_ts"))
+    age = F.col("_now_ts") - F.col("ts")
+    idx = F.lit(buckets) - ((age + F.lit(step - 1)) / F.lit(step)).cast("long")
+    binned = (
+        scalar_join(s, "ts", mx)
+        .withColumn("bucket_id", idx)
+        .filter((F.col("bucket_id") >= 0) & (F.col("bucket_id") < buckets))
+        .groupBy("bucket_id")
+        .agg(
+            (F.sum(F.col("value").cast("decimal(38,6)")).cast("double") / F.count(F.lit(1))).alias("avg_value"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    ids = scalar_join(
+        spark.range(buckets).select(F.col("id").alias("bucket_id")), "bucket_id", mx
+    )
+    return (
+        ids.join(binned, "bucket_id", "left_outer")
+        .select(
+            "bucket_id",
+            (F.col("_now_ts") - (F.lit(buckets) - F.col("bucket_id")) * F.lit(step)).alias("bucket_start_ts"),
+            F.coalesce("avg_value", F.lit(0.0)).alias("avg_value"),
+            F.coalesce("n", F.lit(0).cast("long")).alias("n"),
+        )
+        .orderBy("bucket_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # control-store migrations
 

@@ -289,8 +289,13 @@ def ngram_jaccard_pairs(
         F.col(id_col), F.explode("shingles").alias("shingle")
     ).select(id_col, F.xxhash64("shingle").alias("shingle"))
     if max_df is not None:
+        # Broadcast the SMALL side: the high-df (stopword) shingle set is
+        # bounded by total_postings / max_df rows, while the surviving-df
+        # table grows with corpus vocabulary (a broadcast OOM at 100 TB).
+        # Dropping df > max_df via left_anti ≡ keeping df <= max_df.
         dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
-        sh = sh.join(F.broadcast(dfreq.filter(F.col("_df") <= max_df)), "shingle").drop("_df")
+        stop = dfreq.filter(F.col("_df") > max_df).select("shingle")
+        sh = sh.join(F.broadcast(stop), "shingle", "left_anti")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")

@@ -70,6 +70,7 @@ def cosine_topk(
     vec_col: str = "embedding",
     query_id_col: str | None = None,
     margin: int = 8,
+    max_collect_queries: int = 65_536,
 ) -> DataFrame:
     """Exact top-k neighbors per query by cosine (ties broken by neighbor id).
 
@@ -91,7 +92,19 @@ def cosine_topk(
     import pandas as pd
 
     query_id_col = query_id_col or id_col
-    qrows = queries.select(F.col(query_id_col), F.col(vec_col).cast("array<double>")).collect()
+    # Guard: this variant closure-ships the query matrix, which is only sane
+    # for a bounded query set. limit(N+1) bounds the collect itself; above
+    # the threshold fail over to the blocked all-distributed variant.
+    qrows = (
+        queries.select(F.col(query_id_col), F.col(vec_col).cast("array<double>"))
+        .limit(max_collect_queries + 1)
+        .collect()
+    )
+    if len(qrows) > max_collect_queries:
+        return cosine_topk_blocked(
+            corpus, queries, k=k, id_col=id_col, vec_col=vec_col,
+            query_id_col=query_id_col, margin=margin,
+        )
     if not qrows:
         raise ValueError("cosine_topk: empty query set")
     q_ids = np.array([r[0] for r in qrows])

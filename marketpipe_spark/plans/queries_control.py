@@ -13,8 +13,13 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..control import job_state_counts, metrics_average, metrics_history, metrics_trend
-from .registry import register, t
+from ..control import (
+    job_state_counts,
+    metrics_average_windowed,
+    metrics_history,
+    metrics_trend_windowed,
+)
+from .registry import register, t, ts_ns_expr
 
 NS_PER_DAY = 86_400_000_000_000
 SECS_7D = 7 * 86_400
@@ -34,12 +39,20 @@ m AS (
 
 def _metrics_src(spark, sf_dir):
     ev = t(spark, sf_dir, "events")
+    # Integer `div` on the ns value (not float division): ns epochs exceed
+    # double's 2^53 mantissa, so a float path could be off by one second.
     return ev.select(
-        F.expr("ts div 1000000000").alias("ts"),
+        ts_ns_expr(ev).alias("_ns"),
         F.concat(F.lit("event."), F.col("event_type")).alias("name"),
         F.col("value"),
         F.lit("fake").alias("provider"),
         F.lit("iex").alias("feed"),
+    ).select(
+        F.expr("_ns div 1000000000").alias("ts"),
+        "name",
+        "value",
+        "provider",
+        "feed",
     )
 
 
@@ -65,10 +78,11 @@ SELECT state, CAST(count(*) AS BIGINT) AS n_jobs FROM jobs GROUP BY state
 @register("job_state_counts", SQL_JOB_STATE_COUNTS, doc="A10 jobs-per-state summary via control.job_state_counts (cli/jobs.py:165-175)", tags=("control",))
 def q_job_state_counts(spark, sf_dir):
     ev = t(spark, sf_dir, "events")
-    j = ev.groupBy(
-        F.col("event_type").alias("symbol"),
-        F.expr(f"ts div {NS_PER_DAY}").alias("day_num"),
-    ).agg(F.count(F.lit(1)).alias("n"))
+    j = (
+        ev.select(F.col("event_type").alias("symbol"), ts_ns_expr(ev).alias("_ns"))
+        .groupBy("symbol", F.expr(f"_ns div {NS_PER_DAY}").alias("day_num"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
     jobs = j.select(
         F.when(F.col("n") % 17 == 0, F.lit("failed"))
         .when(F.col("n") % 5 == 0, F.lit("in_progress"))
@@ -107,11 +121,9 @@ WHERE ts >= now_ts - {SECS_7D}
 """
 
 
-@register("metrics_avg", SQL_METRICS_AVG, doc="A7 windowed metric average via control.metrics_average (metrics.py:201-216)", tags=("control",))
+@register("metrics_avg", SQL_METRICS_AVG, doc="A7 windowed metric average via control.metrics_average_windowed (metrics.py:201-216)", tags=("control",))
 def q_metrics_avg(spark, sf_dir):
-    m = _metrics_src(spark, sf_dir)
-    now_ts = m.filter(F.col("name") == "event.click").agg(F.max("ts")).collect()[0][0]
-    return metrics_average(m, "event.click", now_ts - SECS_7D)
+    return metrics_average_windowed(_metrics_src(spark, sf_dir), "event.click", SECS_7D)
 
 
 # ---------------------------------------------------------------------------
@@ -138,8 +150,6 @@ FROM ids LEFT JOIN binned USING (bucket_id)
 """
 
 
-@register("metrics_trend", SQL_METRICS_TREND, doc="A8 24x1h bucketed trend (incl. empty buckets) via control.metrics_trend (metrics.py:218-248)", tags=("control",))
+@register("metrics_trend", SQL_METRICS_TREND, doc="A8 24x1h bucketed trend (incl. empty buckets) via control.metrics_trend_windowed (metrics.py:218-248)", tags=("control",))
 def q_metrics_trend(spark, sf_dir):
-    m = _metrics_src(spark, sf_dir)
-    now_ts = m.filter(F.col("name") == "event.click").agg(F.max("ts")).collect()[0][0]
-    return metrics_trend(m, "event.click", now_ts, buckets=24, bucket_minutes=60)
+    return metrics_trend_windowed(_metrics_src(spark, sf_dir), "event.click", buckets=24, bucket_minutes=60)

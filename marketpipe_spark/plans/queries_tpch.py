@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from .registry import register, t
+from .registry import register, t, ts_ns_expr
 
 
 # ---------------------------------------------------------------------------
@@ -304,7 +304,7 @@ def q_range_scan(spark, sf_dir):
     ev = t(spark, sf_dir, "events")
     return ev.select(
         "event_id",
-        (F.col("ts") - F.col("ts") % F.lit(1000)).alias("ts_ns"),
+        ts_ns_expr(ev).alias("ts_ns"),
         "event_type",
         "value",
     ).filter(

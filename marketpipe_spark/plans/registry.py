@@ -46,10 +46,35 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def ts_ns_expr(ev: DataFrame, colname: str = "ts") -> Column:
+    """Epoch-nanosecond BIGINT from the events ``ts`` column, adaptive to the
+    physical parquet type the testdata was written with (it has drifted
+    between driver generations):
+
+    - parquet TIMESTAMP(MICROS/MILLIS) → Spark reads ``timestamp`` or
+      ``timestamp_ntz``: ``unix_micros(cast ts as timestamp) * 1000``. The
+      ntz→ltz cast is parity-safe only because :func:`tune` pins
+      ``spark.sql.session.timeZone=UTC`` — the same instant DuckDB's
+      ``epoch_ns(ts)`` yields. (``unix_micros`` itself rejects
+      TIMESTAMP_NTZ, hence the explicit cast.)
+    - parquet TIMESTAMP(NANOS) → read as ``bigint`` ns via
+      ``nanosAsLong=true``: µs-quantize ``ts - ts % 1000`` because DuckDB
+      reads NANOS parquet at µs precision.
+
+    Either path yields identical values for µs-precision data, so oracle SQL
+    stays ``epoch_ns(ts)`` unconditionally.
+    """
+    dt = dict(ev.dtypes)[colname]
+    c = F.col(colname)
+    if dt.startswith("timestamp"):
+        return F.unix_micros(c.cast("timestamp")) * F.lit(1000)
+    return c - c % F.lit(1000)
+
+
 def bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events → OHLCV bar shape (µs-quantized ts_ns for oracle parity)."""
     ev = t(spark, sf_dir, "events")
-    ts_ns = (F.col("ts") - F.col("ts") % F.lit(1000)).alias("ts_ns")
+    ts_ns = ts_ns_expr(ev).alias("ts_ns")
     return ev.select(
         F.col("event_type").alias("symbol"),
         ts_ns,

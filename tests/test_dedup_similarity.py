@@ -212,3 +212,59 @@ def test_group_centroids_partition_invariant(spark):
         .count()
     )
     assert bad == 0
+
+
+# ---------------------------------------------------------------------------
+# round-3 additions: max_df anti-join direction + cosine_topk collect guard
+
+
+def test_ngram_max_df_equivalence(spark):
+    """max_df must drop stopword shingles (df > max_df) and nothing else —
+    the anti-join-on-small-side formulation equals filtering by df."""
+    # every doc shares the "a b c" shingle (df=4 > max_df=3); each pair
+    # shares one more unique-ish shingle
+    rows = [
+        (1, "a b c d e f"),
+        (2, "a b c d e g"),
+        (3, "a b c x y z"),
+        (4, "a b c x y w"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    with_stop = {
+        (r.id_a, r.id_b): round(r.jaccard, 6)
+        for r in ngram_jaccard_pairs(docs, k=3, threshold=0.0).collect()
+    }
+    without_stop = {
+        (r.id_a, r.id_b): round(r.jaccard, 6)
+        for r in ngram_jaccard_pairs(docs, k=3, threshold=0.0, max_df=3).collect()
+    }
+    # "a b c" (df=4) is gone under max_df=3, so the (1,3)-style cross pairs
+    # lose their only shared shingle and disappear
+    assert (1, 2) in with_stop and (1, 2) in without_stop
+    assert (1, 3) in with_stop and (1, 3) not in without_stop
+    # doc1: shingles {abc,bcd,cde,def}; doc2: {abc,bcd,cde,deg}.
+    # with stop: shared 3 of union 5 = 0.6; without abc: 2 of 4 = 0.5
+    assert with_stop[(1, 2)] == 0.6
+    assert without_stop[(1, 2)] == 0.5
+
+
+def test_ngram_max_df_broadcasts_small_side(spark):
+    rows = [(i, f"w{i} w{i+1} w{i+2} common stop words") for i in range(6)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    plan = ngram_jaccard_pairs(docs, k=3, threshold=0.0, max_df=3)._jdf.queryExecution().toString()
+    # the anti join (stopword set) must be the broadcast; no broadcast of a
+    # vocabulary-sized inner-join table
+    assert "LeftAnti" in plan
+
+
+def test_cosine_topk_guard_routes_to_blocked(emb):
+    queries = emb.filter(F.col("vec_id") < 10)
+    direct = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(emb, queries, k=3).collect()
+    }
+    routed = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(emb, queries, k=3, max_collect_queries=4).collect()
+    }
+    assert routed == direct

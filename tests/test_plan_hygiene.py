@@ -39,6 +39,24 @@ def test_top_customers_broadcasts_dimension(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_no_driver_collect_in_registry_dataflow():
+    """Registry entries must be single-job dataflows: no ``.collect()``
+    round-trip anywhere in the plans package (scalar aggregates attach via
+    ``registry.scalar_join`` instead — VERDICT r2 item 5)."""
+    import pathlib
+
+    import marketpipe_spark.plans as plans
+
+    pkg = pathlib.Path(plans.__file__).parent
+    offenders = [
+        f"{p.name}:{i}"
+        for p in sorted(pkg.glob("*.py"))
+        for i, line in enumerate(p.read_text().splitlines(), 1)
+        if ".collect()" in line.split("#")[0]
+    ]
+    assert not offenders, f"driver-side collect in plans package: {offenders}"
+
+
 def test_approx_distinct_sketch_bounds(spark):
     """The 100 TB path for COUNT(DISTINCT) is the HLL++ sketch
     (approx_count_distinct): assert its error stays inside the configured
