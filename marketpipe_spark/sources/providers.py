@@ -7,12 +7,15 @@ to domain bars (adapters.py:193-256). Rate-limited HTTP fetch is inherently
 driver-side work (SURVEY §7.4): the cluster parallelizes the transform/write
 legs, not the API calls.
 
-Network access and provider credentials are unavailable in this environment,
-so ``fetch_bars`` raises NotImplementedError per provider; the translation
-layer (``normalize_provider_rows``) — the part with engine semantics — is
-real and tested. The ``fake`` provider (sources/fake.py) is fully functional
-and registered under the same interface, mirroring the reference where the
-fake provider doubles as the test data source (fake_adapter.py:24-215).
+``fetch_bars`` runs the full client protocol (``sources.httpclient``: token
+bucket, retry/backoff, Retry-After, pagination) over an injectable
+transport; network/credentials are unavailable in this environment, so the
+protocol is exercised end-to-end against ``FakeTransport``
+(tests/test_httpclient.py), the same way the reference tests its stack
+(tests/fakes/adapters.py). The ``fake`` provider (sources/fake.py) is fully
+functional and registered under the same interface, mirroring the reference
+where the fake provider doubles as the test data source
+(fake_adapter.py:24-215).
 """
 
 from __future__ import annotations
@@ -85,16 +88,37 @@ def normalize_provider_rows(
     return out
 
 
-def fetch_bars(provider: str, symbol: str, start_ns: int, end_ns: int) -> list[dict]:
-    """S6 — provider HTTP fetch. STUB: live HTTP requires network access and
-    credentials unavailable here; the reference's async clients
-    (alpaca_client.py etc.) are driver-side I/O with no engine semantics."""
+def fetch_bars(
+    provider: str,
+    symbol: str,
+    start_ns: int,
+    end_ns: int,
+    *,
+    config=None,
+    auth=None,
+    transport=None,
+    rate_limiter=None,
+) -> list[dict]:
+    """S6 — provider HTTP fetch through the full client protocol
+    (``sources.httpclient``): token-bucket rate limit, retry/backoff with
+    Retry-After, cursor pagination (reference base_api_client.py:16-177 and
+    per-vendor clients). ``transport`` is injectable — tests use
+    ``FakeTransport``; live use takes the default ``UrllibTransport`` plus
+    real credentials via ``auth``."""
     if provider == "fake":
         raise ValueError("use sources.fake.fake_bars for the fake provider")
-    raise NotImplementedError(
-        f"live HTTP fetch for {provider!r} requires network access/credentials; "
-        "wire an async client here and feed rows to normalize_provider_rows()"
+    from .httpclient import CLIENT_REGISTRY, ClientConfig
+
+    cls = CLIENT_REGISTRY.get(provider)
+    if cls is None:
+        raise ValueError(f"unknown provider {provider!r}; expected one of {sorted(CLIENT_REGISTRY)}")
+    client = cls(
+        config or ClientConfig(),
+        auth=auth,
+        transport=transport,
+        rate_limiter=rate_limiter,
     )
+    return client.fetch_batch(symbol, start_ns, end_ns)
 
 
 def bars_from_json(spark: SparkSession, path: str) -> DataFrame:
@@ -130,8 +154,8 @@ class ProviderAdapter:
 
     name: str
 
-    def fetch(self, symbol: str, start_ns: int, end_ns: int) -> list[dict]:
-        return fetch_bars(self.name, symbol, start_ns, end_ns)
+    def fetch(self, symbol: str, start_ns: int, end_ns: int, **client_kw) -> list[dict]:
+        return fetch_bars(self.name, symbol, start_ns, end_ns, **client_kw)
 
     def normalize(self, spark: SparkSession, rows: list[dict], symbol: str) -> DataFrame:
         return normalize_provider_rows(spark, self.name, rows, symbol)
