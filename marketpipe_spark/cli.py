@@ -39,29 +39,62 @@ def cmd_ingest(args) -> int:
     from .sources.fake import fake_bars
     from .streaming.incremental import CheckpointStore, incremental_job
 
-    if args.provider != "fake":
+    # config/flag merge (reference cli/ohlcv_ingest.py:459-520): a YAML file
+    # supplies the job; explicit flags override it field by field. Without
+    # --config, --symbols and --start are required.
+    if args.config:
+        from .config import ConfigVersionError, load_config
+
+        try:
+            cfg = load_config(args.config).merge_overrides(
+                symbols=args.symbols.split(",") if args.symbols else None,
+                start=args.start and args.start[:10],
+                provider=args.provider,
+                feed_type=args.feed,
+                output_path=args.output,
+            )
+        except (ConfigVersionError, FileNotFoundError, ValueError) as e:
+            print(f"config error: {e}", file=sys.stderr)
+            return 1
+        symbols = cfg.symbols
+        provider, feed, output = cfg.provider, cfg.feed_type, cfg.output_path
+        start_iso = args.start or cfg.start.isoformat()
+        # reference ingests per trading day; the fake generator takes a bar
+        # count, so a date span maps to 390 regular-session minutes per day
+        n_bars = args.bars or 390 * max(1, len(cfg.trading_days))
+    else:
+        if not args.symbols or not args.start:
+            print("either provide --config FILE or both --symbols and --start", file=sys.stderr)
+            return 1
+        symbols = [s.strip().upper() for s in args.symbols.split(",")]
+        provider = args.provider or "fake"
+        feed = args.feed or "iex"
+        output = args.output or "data/raw"
+        start_iso = args.start
+        n_bars = args.bars or 390
+    if provider != "fake":
         print(
-            f"provider {args.provider!r} needs live HTTP (unavailable here); use --provider fake",
+            f"provider {provider!r} needs live HTTP (unavailable here); use provider 'fake'",
             file=sys.stderr,
         )
         return 2
     spark = _spark("ingest")
-    start_ns = int(dt.datetime.fromisoformat(args.start).replace(tzinfo=dt.timezone.utc).timestamp() * 1e9)
-    bars = fake_bars(spark, args.symbols.split(","), start_ns, args.bars)
-    job_id = args.job_id or f"ingest-{args.start}"
+    start_ns = int(dt.datetime.fromisoformat(start_iso).replace(tzinfo=dt.timezone.utc).timestamp() * 1e9)
+    bars = fake_bars(spark, symbols, start_ns, n_bars)
+    job_id = args.job_id or f"ingest-{start_iso}"
     # control tables live BESIDE the lake root (`<output>_ctl/`): inside it
     # they would confuse partition discovery, and Spark's file index ignores
     # underscore-prefixed paths entirely.
-    ctl = f"{args.output.rstrip('/')}_ctl"
+    ctl = f"{output.rstrip('/')}_ctl"
     outputs = incremental_job(
-        spark, job_id, bars, args.output, args.agg_root,
+        spark, job_id, bars, output, args.agg_root,
         CheckpointStore(spark, f"{ctl}/checkpoints"),
         jobs=JobsStore(spark, f"{ctl}/jobs"),
         metrics=MetricsStore(spark, f"{ctl}/metrics"),
-        provider="fake", feed=args.feed, market_hours=False,
+        provider="fake", feed=feed, market_hours=False,
     )
     n_err = outputs["errors"].count()
-    print(f"job {job_id}: ingested {args.bars} bars x {len(args.symbols.split(','))} symbols, "
+    print(f"job {job_id}: ingested {n_bars} bars x {len(symbols)} symbols, "
           f"{n_err} validation errors, frames {sorted(set(outputs) - {'errors'})}")
     return 0
 
@@ -182,6 +215,18 @@ def cmd_metrics(args) -> int:
 
     spark = _spark("metrics")
     m = MetricsStore(spark, args.path)
+    if args.serve:
+        from .metrics_server import MetricsServer
+
+        srv = MetricsServer(m, port=args.port).start()
+        print(f"metrics server listening on {srv.url} (Ctrl-C to stop)")
+        try:
+            srv._thread.join()
+        except KeyboardInterrupt:
+            pass
+        finally:
+            srv.stop()
+        return 0
     if args.name:
         for r in m.history(args.name).collect():
             print(f"{r.ts} {r.name} {r.value} provider={r.provider} feed={r.feed}")
@@ -361,13 +406,14 @@ def build_parser() -> argparse.ArgumentParser:
     q.set_defaults(fn=cmd_query)
 
     i = sub.add_parser("ingest-ohlcv", help="ingest bars (fake provider)")
-    i.add_argument("--provider", default="fake")
-    i.add_argument("--symbols", required=True, help="comma-separated")
-    i.add_argument("--start", required=True, help="ISO datetime")
-    i.add_argument("--bars", type=int, default=390, help="bars per symbol")
-    i.add_argument("--output", default="data/raw")
+    i.add_argument("--config", default=None, help="YAML job config (flags override it)")
+    i.add_argument("--provider", default=None)
+    i.add_argument("--symbols", default=None, help="comma-separated (required without --config)")
+    i.add_argument("--start", default=None, help="ISO datetime (required without --config)")
+    i.add_argument("--bars", type=int, default=None, help="bars per symbol")
+    i.add_argument("--output", default=None)
     i.add_argument("--agg-root", default="data/agg")
-    i.add_argument("--feed", default="iex")
+    i.add_argument("--feed", default=None)
     i.add_argument("--job-id", default=None)
     i.set_defaults(fn=cmd_ingest)
 
@@ -410,9 +456,11 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--master", default="data/symbols_master")
     s.set_defaults(fn=cmd_symbols)
 
-    m = sub.add_parser("metrics", help="metric names / history")
+    m = sub.add_parser("metrics", help="metric names / history / Prometheus endpoint")
     m.add_argument("name", nargs="?", default=None)
     m.add_argument("--path", default="data/raw_ctl/metrics")
+    m.add_argument("--serve", action="store_true", help="serve GET /metrics (Prometheus text format)")
+    m.add_argument("--port", type=int, default=8000)
     m.set_defaults(fn=cmd_metrics)
 
     pv = sub.add_parser("providers", help="list available market data providers")

@@ -1,0 +1,149 @@
+"""YAML job-config layer (reference: src/marketpipe/config/{ingestion,
+loader}.py, cli/ohlcv_ingest.py:420-520 config/flag merge)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pytest
+
+from marketpipe_spark.cli import main
+from marketpipe_spark.config import (
+    ConfigVersionError,
+    IngestionJobConfig,
+    load_config,
+)
+
+GOOD_YAML = """
+config_version: "1"
+symbols: [aapl, MSFT]
+start: 2024-01-02
+end: 2024-01-03
+batch-size: 500
+provider: fake
+feed-type: iex
+output-path: {out}
+"""
+
+
+def _write(tmp_path, body, name="job.yaml"):
+    p = tmp_path / name
+    p.write_text(body)
+    return str(p)
+
+
+def test_load_config_normalizes_and_validates(tmp_path):
+    cfg = load_config(_write(tmp_path, GOOD_YAML.format(out="/tmp/x")))
+    assert cfg.symbols == ["AAPL", "MSFT"]  # upper-cased
+    assert cfg.batch_size == 500  # kebab-case accepted
+    assert cfg.start == dt.date(2024, 1, 2)
+    assert cfg.provider == "fake"
+
+
+def test_env_var_expansion(tmp_path, monkeypatch):
+    monkeypatch.setenv("MP_OUT", "/tmp/from-env")
+    cfg = load_config(_write(tmp_path, GOOD_YAML.format(out="$MP_OUT")))
+    assert cfg.output_path == "/tmp/from-env"
+
+
+def test_missing_version_rejected(tmp_path):
+    with pytest.raises(ConfigVersionError):
+        load_config(_write(tmp_path, "symbols: [AAPL]\nstart: 2024-01-02\nend: 2024-01-03\n"))
+
+
+def test_old_version_rejected(tmp_path):
+    with pytest.raises(ConfigVersionError):
+        load_config(_write(tmp_path, 'config_version: "0"\nsymbols: [AAPL]\nstart: 2024-01-02\nend: 2024-01-03\n'))
+
+
+def test_newer_version_warns_best_effort(tmp_path):
+    body = ('config_version: "2"\nsymbols: [AAPL]\nstart: 2024-01-02\n'
+            "end: 2024-01-03\nfuture_knob: 7\n")
+    with pytest.warns(UserWarning):
+        cfg = load_config(_write(tmp_path, body))
+    assert cfg.symbols == ["AAPL"]  # unknown future key dropped, not fatal
+
+
+def test_unknown_key_rejected_at_current_version(tmp_path):
+    body = GOOD_YAML.format(out="/tmp/x") + "typo_key: 1\n"
+    with pytest.raises(ValueError, match="unknown config keys"):
+        load_config(_write(tmp_path, body))
+
+
+@pytest.mark.parametrize(
+    "field,value,msg",
+    [
+        ("symbols", [], "empty"),
+        ("symbols", ["TOOLONGSYMBOL"], "invalid symbol"),
+        ("batch_size", 0, "batch_size"),
+        ("workers", 99, "workers"),
+        ("timeframe", "2m", "timeframe"),
+        ("provider", "bloomberg", "unknown provider"),
+    ],
+)
+def test_field_validation(field, value, msg):
+    kw = dict(symbols=["AAPL"], start="2024-01-02", end="2024-01-03")
+    kw[field] = value
+    with pytest.raises(ValueError, match=msg):
+        IngestionJobConfig(**kw)
+
+
+def test_start_after_end_rejected():
+    with pytest.raises(ValueError, match="after"):
+        IngestionJobConfig(symbols=["AAPL"], start="2024-01-05", end="2024-01-02")
+
+
+def test_merge_overrides_layers_non_none():
+    cfg = IngestionJobConfig(symbols=["AAPL"], start="2024-01-02", end="2024-01-03")
+    out = cfg.merge_overrides(symbols=["msft"], provider=None, workers=8)
+    assert out.symbols == ["MSFT"] and out.workers == 8
+    assert out.provider == cfg.provider  # None override ignored
+    with pytest.raises(ValueError, match="unknown override"):
+        cfg.merge_overrides(nope=1)
+
+
+def test_trading_days_skips_weekends():
+    cfg = IngestionJobConfig(symbols=["AAPL"], start="2024-01-05", end="2024-01-09")
+    # Fri 5th, (skip Sat/Sun), Mon 8th, Tue 9th
+    assert [d.day for d in cfg.trading_days] == [5, 8, 9]
+
+
+# ---------------------------------------------------------------------------
+# CLI e2e: ingest-ohlcv --config (reference ohlcv_ingest.py:459-520)
+
+def test_cli_ingest_with_config(spark, tmp_path, capsys):
+    out = str(tmp_path / "raw")
+    body = GOOD_YAML.format(out=out) + "end: 2024-01-02\n"
+    p = _write(tmp_path, body)
+    rc = main(["ingest-ohlcv", "--config", p, "--bars", "30", "--agg-root", str(tmp_path / "agg")])
+    msg = capsys.readouterr().out
+    assert rc == 0, msg
+    assert "30 bars x 2 symbols" in msg
+    assert os.path.exists(out)
+
+
+def test_cli_ingest_flag_overrides_config(spark, tmp_path, capsys):
+    out = str(tmp_path / "raw2")
+    p = _write(tmp_path, GOOD_YAML.format(out=str(tmp_path / "ignored")))
+    rc = main([
+        "ingest-ohlcv", "--config", p, "--symbols", "IBM", "--bars", "10",
+        "--output", out, "--agg-root", str(tmp_path / "agg2"),
+    ])
+    msg = capsys.readouterr().out
+    assert rc == 0, msg
+    assert "10 bars x 1 symbols" in msg
+    assert os.path.exists(out)
+
+
+def test_cli_ingest_requires_config_or_flags(capsys):
+    rc = main(["ingest-ohlcv"])
+    assert rc == 1
+    assert "either provide --config" in capsys.readouterr().err
+
+
+def test_cli_ingest_bad_config_reports(tmp_path, capsys):
+    p = _write(tmp_path, "symbols: [AAPL]\nstart: 2024-01-02\nend: 2024-01-03\n")
+    rc = main(["ingest-ohlcv", "--config", p])
+    assert rc == 1
+    assert "config_version" in capsys.readouterr().err
