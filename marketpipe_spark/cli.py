@@ -172,10 +172,15 @@ def cmd_prune(args) -> int:
 
 
 def cmd_jobs(args) -> int:
-    from .control import JobsStore
-
     spark = _spark("jobs")
-    jobs = JobsStore(spark, args.path)
+    if args.db:
+        from .control_sql import SqliteJobsStore
+
+        jobs = SqliteJobsStore(spark, args.db)
+    else:
+        from .control import JobsStore
+
+        jobs = JobsStore(spark, args.path)
     if args.job_id:
         rows = [r for r in jobs.load().collect() if r.job_id == args.job_id]
         if not rows:
@@ -211,10 +216,15 @@ def cmd_symbols(args) -> int:
 
 
 def cmd_metrics(args) -> int:
-    from .control import MetricsStore
-
     spark = _spark("metrics")
-    m = MetricsStore(spark, args.path)
+    if args.db:
+        from .control_sql import SqliteMetricsStore
+
+        m = SqliteMetricsStore(spark, args.db)
+    else:
+        from .control import MetricsStore
+
+        m = MetricsStore(spark, args.path)
     if args.serve:
         from .metrics_server import MetricsServer
 
@@ -447,6 +457,7 @@ def build_parser() -> argparse.ArgumentParser:
     j = sub.add_parser("jobs", help="job state summary / details")
     j.add_argument("job_id", nargs="?", default=None)
     j.add_argument("--path", default="data/raw_ctl/jobs")
+    j.add_argument("--db", default=None, help="SQLite control DB instead of parquet --path")
     j.set_defaults(fn=cmd_jobs)
 
     s = sub.add_parser("symbols", help="update the SCD-2 symbols master")
@@ -459,6 +470,7 @@ def build_parser() -> argparse.ArgumentParser:
     m = sub.add_parser("metrics", help="metric names / history / Prometheus endpoint")
     m.add_argument("name", nargs="?", default=None)
     m.add_argument("--path", default="data/raw_ctl/metrics")
+    m.add_argument("--db", default=None, help="SQLite control DB instead of parquet --path")
     m.add_argument("--serve", action="store_true", help="serve GET /metrics (Prometheus text format)")
     m.add_argument("--port", type=int, default=8000)
     m.set_defaults(fn=cmd_metrics)

@@ -29,6 +29,8 @@ from collections.abc import Callable, Iterable, Iterator, Mapping
 from dataclasses import dataclass, field
 from typing import Any, Protocol
 
+from ..security import safe_for_log
+
 log = logging.getLogger(__name__)
 
 
@@ -279,9 +281,10 @@ class ProviderClient:
             if r.status_code < 400 and not self.should_retry(r.status_code, body):
                 return body
             if not self.should_retry(r.status_code, body):
-                raise ProviderHttpError(
-                    f"{self.name}: non-retryable HTTP {r.status_code}: {r.body[:200]}"
-                )
+                raise ProviderHttpError(safe_for_log(
+                    f"{self.name}: non-retryable HTTP {r.status_code}: {r.body[:200]}",
+                    self.config.api_key,
+                ))
             # Retry-After on 429 parks the shared bucket (alpaca_client.py:124-133)
             if r.status_code == 429:
                 ra = r.headers.get("Retry-After")
@@ -294,10 +297,11 @@ class ProviderClient:
                         log.warning("%s: invalid Retry-After %r", self.name, ra)
             attempt += 1
             if attempt > self.config.max_retries:
-                raise RetryLimitExceeded(
+                raise RetryLimitExceeded(safe_for_log(
                     f"{self.name}: exceeded {self.config.max_retries} retries "
-                    f"(last HTTP {r.status_code})"
-                )
+                    f"(last HTTP {r.status_code}): {r.body[:200]}",
+                    self.config.api_key,
+                ))
             self._sleep(self._backoff(attempt - 1))
 
     def paginate(self, symbol: str, start_ns: int, end_ns: int) -> Iterator[dict[str, Any]]:

@@ -1,0 +1,157 @@
+"""SQLite control-plane backend (reference: src/marketpipe/migrations/
+__init__.py apply_pending, infrastructure/repositories/sqlite_domain.py) —
+drop-in parity with the parquet stores, including running a full
+incremental_job through the SQLite backend."""
+
+from __future__ import annotations
+
+import datetime as dt
+import sqlite3
+import threading
+
+import pytest
+
+from marketpipe_spark.control_sql import (
+    MIGRATIONS,
+    SqliteCheckpointStore,
+    SqliteJobsStore,
+    SqliteMetricsStore,
+    applied_versions,
+    apply_pending,
+)
+
+D1, D2 = dt.date(2024, 1, 2), dt.date(2024, 1, 3)
+
+
+# ---------------------------------------------------------------------------
+# migrations
+
+def test_apply_pending_idempotent(tmp_path):
+    db = str(tmp_path / "core.db")
+    assert apply_pending(db) == sorted(MIGRATIONS)
+    assert apply_pending(db) == []  # second run: nothing pending
+    assert applied_versions(db) == sorted(MIGRATIONS)
+
+
+def test_migration_adds_label_columns(tmp_path):
+    db = str(tmp_path / "core.db")
+    apply_pending(db)
+    cols = {r[1] for r in sqlite3.connect(db).execute("PRAGMA table_info(metrics)")}
+    assert {"ts", "name", "value", "provider", "feed"} <= cols
+
+
+# ---------------------------------------------------------------------------
+# jobs: same state machine as the parquet JobsStore
+
+def test_jobs_lifecycle_and_guards(spark, tmp_path):
+    js = SqliteJobsStore(spark, str(tmp_path / "core.db"))
+    js.create("j1", [("AAPL", D1), ("MSFT", D1)])
+    with pytest.raises(ValueError, match="already exists"):
+        js.create("j1", [("IBM", D2)])
+    with pytest.raises(ValueError, match="Cannot complete job in state pending"):
+        js.complete("j1")
+    js.start("j1")
+    js.complete("j1", bars={("AAPL", D1): 390, ("MSFT", D1): 380})
+    rows = {(r.symbol): r for r in js.load().collect()}
+    assert rows["AAPL"].state == "completed" and rows["AAPL"].bars_processed == 390
+    assert rows["MSFT"].bars_processed == 380
+    counts = {r.state: r.n_jobs for r in js.state_counts().collect()}
+    assert counts == {"completed": 2}
+
+
+def test_jobs_fail_records_error(spark, tmp_path):
+    js = SqliteJobsStore(spark, str(tmp_path / "core.db"))
+    js.create("j2", [("AAPL", D1)])
+    js.fail("j2", "boom")
+    r = js.load().collect()[0]
+    assert r.state == "failed" and r.error_message == "boom"
+    with pytest.raises(ValueError, match="not found"):
+        js.start("nope")
+
+
+# ---------------------------------------------------------------------------
+# metrics: same query functions over SQLite rows
+
+def test_metrics_record_and_query(spark, tmp_path):
+    ms = SqliteMetricsStore(spark, str(tmp_path / "core.db"))
+    for ts, v in [(100, 1.0), (200, 3.0), (300, 5.0)]:
+        ms.record("ingest.bars", v, provider="fake", feed="iex", ts=ts)
+    ms.record("other", 9.0, ts=100)
+    assert ms.list_names() == ["ingest.bars", "other"]
+    hist = ms.history("ingest.bars").collect()
+    assert [r.value for r in hist] == [1.0, 3.0, 5.0]
+    avg = ms.average("ingest.bars", window_minutes=60, now_ts=300).collect()[0]
+    assert avg.avg_value == pytest.approx(3.0) and avg.n == 3
+
+
+def test_metrics_concurrent_writers(spark, tmp_path):
+    """The reason the SQL backend exists: concurrent writers serialize via
+    IMMEDIATE transactions instead of corrupting a parquet rewrite."""
+    ms = SqliteMetricsStore(spark, str(tmp_path / "core.db"))
+
+    def writer(base):
+        for i in range(20):
+            ms.record(f"m{base}", float(i), ts=base + i)
+
+    threads = [threading.Thread(target=writer, args=(b,)) for b in (1000, 2000, 3000)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert ms.load().count() == 60
+
+
+# ---------------------------------------------------------------------------
+# checkpoints: keep-newest upsert
+
+def test_checkpoint_upsert_keeps_newest(spark, tmp_path):
+    cs = SqliteCheckpointStore(spark, str(tmp_path / "core.db"))
+    assert cs.last_processed("j", "AAPL") is None
+    cs.save("j", {"AAPL": 100, "MSFT": 200})
+    cs.save("j", {"AAPL": 50})  # older position must NOT regress
+    cs.save("j", {"MSFT": 300})
+    assert cs.last_processed("j", "AAPL") == 100
+    assert cs.last_processed("j", "MSFT") == 300
+    assert cs.load().count() == 2
+
+
+# ---------------------------------------------------------------------------
+# e2e: incremental_job runs unchanged against the SQLite backend
+
+def test_incremental_job_with_sqlite_backend(spark, tmp_path):
+    from marketpipe_spark.sources.fake import fake_bars
+    from marketpipe_spark.streaming.incremental import incremental_job
+
+    db = str(tmp_path / "core.db")
+    bars = fake_bars(spark, ["AAPL"], 1_704_202_200_000_000_000, 30)
+    outputs = incremental_job(
+        spark, "sql-job", bars, str(tmp_path / "raw"), str(tmp_path / "agg"),
+        SqliteCheckpointStore(spark, db),
+        jobs=SqliteJobsStore(spark, db),
+        metrics=SqliteMetricsStore(spark, db),
+        provider="fake", feed="iex", market_hours=False,
+    )
+    assert outputs["errors"].count() == 0
+    js = SqliteJobsStore(spark, db)
+    states = {r.state for r in js.load().filter("job_id = 'sql-job'").collect()}
+    assert states == {"completed"}
+    cs = SqliteCheckpointStore(spark, db)
+    assert cs.last_processed("sql-job", "AAPL") is not None
+    ms = SqliteMetricsStore(spark, db)
+    assert "ingest.job.success" in ms.list_names() or len(ms.list_names()) > 0
+
+
+def test_cli_jobs_and_metrics_against_sqlite(spark, tmp_path, capsys):
+    from marketpipe_spark.cli import main
+
+    db = str(tmp_path / "core.db")
+    js = SqliteJobsStore(spark, db)
+    js.create("j9", [("AAPL", D1)])
+    SqliteMetricsStore(spark, db).record("ingest.bars", 42.0, ts=100)
+
+    assert main(["jobs", "--db", db]) == 0
+    out = capsys.readouterr().out
+    assert "pending" in out and "TOTAL" in out
+
+    assert main(["metrics", "--db", db]) == 0
+    assert "ingest.bars" in capsys.readouterr().out

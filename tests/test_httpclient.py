@@ -233,3 +233,25 @@ def test_unknown_provider_rejected():
 
     with pytest.raises(ValueError):
         fetch_bars("bloomberg", "AAPL", 0, 1)
+
+
+def test_secrets_masked_in_error_messages():
+    """Reference masks API keys in retry-exceeded errors
+    (alpaca_client.py:104-139 via security/mask.safe_for_log)."""
+    c, _, _ = _client(FinnhubClient, [(403, {"error": "bad key SEKRET9999KEY"}, {})],
+                      api_key="SEKRET9999KEY")
+    with pytest.raises(ProviderHttpError) as ei:
+        c.fetch_batch("AAPL", 0, 10**9)
+    assert "SEKRET9999KEY" not in str(ei.value)
+    assert "9KEY" in str(ei.value)  # last-4 visible
+
+
+def test_mask_and_safe_for_log():
+    from marketpipe_spark.security import mask, safe_for_log
+
+    assert mask("ABCD1234EFGH") == "********EFGH"
+    assert mask("short") == "***"
+    assert mask(None) == "***"
+    assert mask("ABCDEFGH", show=0) == "********"
+    out = safe_for_log("k1: ABCD1234EFGH k2: WXYZ5678IJKL", "ABCD1234EFGH", "WXYZ5678IJKL")
+    assert out == "k1: ********EFGH k2: ********IJKL"
