@@ -94,3 +94,46 @@ def with_split(
     last = items[-1][0]
     expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
     return df.withColumn("split", expr)
+
+
+def source_mixture_weights(df: DataFrame, group_col: str = "source",
+                           alpha: float = 0.5) -> DataFrame:
+    """Temperature-based data-mixing weights per group: ``p_g ∝ n_g^alpha``
+    (the multilingual/multi-source sampling rule — alpha<1 upsamples rare
+    groups, alpha=1 is proportional). Returns per-group doc counts, the
+    normalized sampling weight, and the expected docs per epoch.
+
+    Bit-stability note: the normalizer sums ``n^alpha`` doubles inside an
+    ORDERED full-frame window (rows sorted by group key), so Spark and any
+    SQL oracle add the same values in the same sequence — a plain
+    ``SUM() OVER ()`` would leave float summation order engine-defined.
+    One tiny shuffle (|groups| rows) after the count agg.
+    """
+    full = W.orderBy(group_col).rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    n = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    w = n.withColumn("w_raw", F.pow(F.col("n_docs").cast("double"), F.lit(float(alpha))))
+    return (
+        w.withColumn("weight", F.col("w_raw") / F.sum("w_raw").over(full))
+        .withColumn(
+            "expected_docs", F.col("weight") * F.sum("n_docs").over(full).cast("double")
+        )
+        .select(group_col, "n_docs", "weight", "expected_docs")
+        .orderBy(group_col)
+    )
+
+
+def length_outliers(df: DataFrame, group_col: str = "source",
+                    length_col: str = "n_chars", id_col: str = "doc_id",
+                    n_buckets: int = 20) -> DataFrame:
+    """Per-group length-distribution outliers: rows landing in the first or
+    last NTILE bucket of their group's length order (CCNet-style per-domain
+    tail trimming). NTILE over (length, id) is a total order, so bucket
+    assignment is deterministic and engine-independent — unlike
+    interpolated percentiles, whose float math differs across engines.
+    One shuffle keyed by the group column."""
+    wnd = W.partitionBy(group_col).orderBy(F.col(length_col).asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("bucket", F.ntile(n_buckets).over(wnd))
+        .filter((F.col("bucket") == 1) | (F.col("bucket") == n_buckets))
+        .select(id_col, group_col, length_col, "bucket")
+    )

@@ -728,3 +728,43 @@ def q_token_edit_pairs(spark, sf_dir):
         F.explode(F.split(F.trim(F.lower(F.col("text"))), TOKEN_SPLIT_RE)).alias("tok")
     )
     return edit1_token_pairs(toks, "tok", max_dist=2)
+
+
+# ---------------------------------------------------------------------------
+# Round-3 data-mixing additions (operators/sampling.py): temperature-based
+# source weights and per-source length-tail outliers.
+
+SQL_SOURCE_MIXTURE = """
+WITH n AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+w AS (SELECT source, n_docs, POW(CAST(n_docs AS DOUBLE), 0.5) AS w_raw FROM n)
+SELECT source, n_docs,
+       w_raw / SUM(w_raw) OVER (ORDER BY source ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS weight,
+       w_raw / SUM(w_raw) OVER (ORDER BY source ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         * CAST(SUM(n_docs) OVER (ORDER BY source ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS DOUBLE) AS expected_docs
+FROM w
+ORDER BY source
+"""
+
+
+@register("source_mixture_weights", SQL_SOURCE_MIXTURE, doc="temperature-based (n^0.5) per-source sampling weights — data-mixing plan for training epochs", tags=("sampling",))
+def q_source_mixture(spark, sf_dir):
+    from ..operators.sampling import source_mixture_weights
+
+    return source_mixture_weights(t(spark, sf_dir, "documents"), "source", alpha=0.5)
+
+
+SQL_LENGTH_OUTLIERS = """
+WITH b AS (
+  SELECT doc_id, source, n_chars,
+         CAST(NTILE(20) OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS BIGINT) AS bucket
+  FROM documents
+)
+SELECT doc_id, source, n_chars, bucket FROM b WHERE bucket = 1 OR bucket = 20
+"""
+
+
+@register("length_outliers", SQL_LENGTH_OUTLIERS, doc="per-source NTILE length-tail outliers (CCNet-style per-domain trimming, deterministic vs interpolated percentiles)", tags=("sampling", "window"))
+def q_length_outliers(spark, sf_dir):
+    from ..operators.sampling import length_outliers
+
+    return length_outliers(t(spark, sf_dir, "documents"))

@@ -462,3 +462,186 @@ def q_orders_cube(spark, sf_dir):
             "g_priority", "g_status", "n_orders", "total_price",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-3 relational widening: the classic TPC-H shapes the `query` surface
+# must handle (reference cli/query.py passes arbitrary SQL). Each is the
+# canonical plan for its shape at scale: filters pushed to the scan, fact
+# pre-aggregation before joins where it shrinks shuffles, broadcast dims.
+
+# Q3 shape — shipping priority: top unshipped-revenue orders for a segment.
+SQL_SHIPPING_PRIORITY = """
+SELECT l_orderkey,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+       o_orderdate, o_orderpriority
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1998-06-01 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+"""
+
+
+@register("shipping_priority", SQL_SHIPPING_PRIORITY, doc="TPC-H Q3 shape: top unshipped revenue per order, segment-filtered (broadcast customer filter)", tags=("join", "topk"))
+def q_shipping_priority(spark, sf_dir):
+    cut = F.lit("1998-06-01 00:00:00").cast("timestamp_ntz")
+    c = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cut)
+    l = t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cut)
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey, "left_semi")
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(38,6)"))
+            .cast("double")
+            .alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+# Q4 shape — order-priority checking: orders in a window having at least one
+# late-shipped line (EXISTS → left_semi; duplicate-free by construction).
+SQL_ORDER_PRIORITY_COUNT = """
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+"""
+
+
+@register("order_priority_count", SQL_ORDER_PRIORITY_COUNT, doc="TPC-H Q4 shape: EXISTS late-line semi-join then priority counts", tags=("join", "exists", "agg"))
+def q_order_priority_count(spark, sf_dir):
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    l = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        l,
+        (l.l_orderkey == o.o_orderkey)
+        & (l.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_orders"))
+
+
+# Q14 shape — promo revenue share per ship-month (conditional aggregation
+# over a broadcast part join).
+SQL_PROMO_REVENUE = """
+SELECT EXTRACT(YEAR FROM l_shipdate) AS yr, EXTRACT(MONTH FROM l_shipdate) AS mo,
+       CAST(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))
+                 ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE)
+         / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE)
+         AS DOUBLE) AS promo_pct,
+       COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY 1, 2
+"""
+
+
+@register("promo_revenue", SQL_PROMO_REVENUE, doc="TPC-H Q14 shape: promo revenue share per month, broadcast part dim", tags=("join", "agg"))
+def q_promo_revenue(spark, sf_dir):
+    l = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    disc = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(38,6)")
+    zero = F.lit(0).cast("decimal(38,6)")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy(
+            F.year("l_shipdate").cast("long").alias("yr"),
+            F.month("l_shipdate").cast("long").alias("mo"),
+        )
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", disc).otherwise(zero)).cast("double")
+                / F.sum(disc).cast("double")
+            ).alias("promo_pct"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# Q15 shape — top supplier by shipped revenue in a window; fact pre-agg
+# keyed by suppkey BEFORE the supplier join (shuffle shrinks to |suppliers|).
+SQL_TOP_SUPPLIERS = """
+WITH rev AS (
+  SELECT l_suppkey,
+         SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS r
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1997-07-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, CAST(r AS DOUBLE) AS revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+ORDER BY revenue DESC, s_suppkey
+LIMIT 10
+"""
+
+
+@register("top_suppliers", SQL_TOP_SUPPLIERS, doc="TPC-H Q15 shape: windowed supplier revenue top-k, pre-agg before broadcast join", tags=("join", "topk"))
+def q_top_suppliers(spark, sf_dir):
+    l = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-07-01 00:00:00").cast("timestamp_ntz"))
+    )
+    s = t(spark, sf_dir, "supplier")
+    rev = l.groupBy("l_suppkey").agg(
+        F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(38,6)")).alias("r")
+    )
+    return (
+        rev.join(F.broadcast(s), rev.l_suppkey == s.s_suppkey)
+        .select("s_suppkey", "s_name", F.col("r").cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "s_suppkey")
+        .limit(10)
+    )
+
+
+# Q18 shape — large-volume orders: HAVING on a fact pre-agg, then joins.
+SQL_BIG_ORDERS = """
+WITH q AS (
+  SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS DECIMAL(38,2))) AS DOUBLE) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(38,2))) > 150
+)
+SELECT c_custkey, c_name, o_orderkey, o_orderdate, total_qty
+FROM q
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+ORDER BY total_qty DESC, o_orderkey
+LIMIT 20
+"""
+
+
+@register("big_orders", SQL_BIG_ORDERS, doc="TPC-H Q18 shape: HAVING pre-agg shrinks fact before order/customer joins", tags=("join", "agg", "topk"))
+def q_big_orders(spark, sf_dir):
+    l = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    q = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(38,2)")).alias("tq"))
+        .filter(F.col("tq") > 150)
+        .select("l_orderkey", F.col("tq").cast("double").alias("total_qty"))
+    )
+    return (
+        q.join(o, q.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select("c_custkey", "c_name", "o_orderkey", "o_orderdate", "total_qty")
+        .orderBy(F.desc("total_qty"), "o_orderkey")
+        .limit(20)
+    )
