@@ -70,6 +70,14 @@ EXTRA = [
     "max_drawdown",
     "ohlc_unpivot",
     "close_percent_rank",
+    # round-3 additions
+    "shipping_priority",
+    "order_priority_count",
+    "promo_revenue",
+    "top_suppliers",
+    "big_orders",
+    "source_mixture_weights",
+    "length_outliers",
 ]
 
 #: The heavier LLM-pipeline operators (LSH/minhash/multimodal) stay out of

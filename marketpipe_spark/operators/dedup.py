@@ -377,7 +377,7 @@ def embedding_near_duplicates(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
-    n_blocks: int = 16,
+    n_blocks: int | None = None,
 ) -> DataFrame:
     """All pairs with cosine ≥ threshold — exact, fully distributed.
 
@@ -400,12 +400,22 @@ def embedding_near_duplicates(
     2. Exact sequential-fold rescore of candidates only — output values are
        bit-identical to the DuckDB oracle's ``list_dot_product``.
     """
+    import math
+
     import numpy as np
     import pandas as pd
 
     from .similarity import exact_pair_cosine
 
     cut = threshold - 1e-9
+    if n_blocks is None:
+        # Adaptive block count ≈ √n/8 (block size ≈ 8√n rows): per-task
+        # operand memory grows only as √n (≈4 MB of float64 at n=10⁸, d=64)
+        # while the O(n²) total work spreads over nb(nb+1)/2 tasks. The
+        # count() is one metadata-cheap job; at small corpora this collapses
+        # the fan-out (nb=1–6) instead of paying a 16× explode for nothing.
+        n = emb.count()
+        n_blocks = max(1, min(1024, math.ceil(math.sqrt(max(n, 1)) / 8)))
     nb = n_blocks
 
     v = emb.select(

@@ -41,8 +41,13 @@ def test_provider_registry_adapters(spark):
     ).collect()
     assert len(out) == 1 and out[0].symbol == "TSLA"
     assert out[0].ts_ns == 1704153600000 * 1_000_000
-    with pytest.raises(NotImplementedError):
-        adapter.fetch("TSLA", 0, 1)
+    # fetch now runs the real client protocol (sources/httpclient.py); with
+    # an injected transport it round-trips without network
+    from marketpipe_spark.sources.httpclient import FakeTransport
+
+    tr = FakeTransport([(200, {"results": [{"t": 1704153600000, "o": 1, "h": 2, "l": 0.5, "c": 1.5, "v": 9}]}, {})])
+    rows = adapter.fetch("TSLA", 0, 10**9, transport=tr)
+    assert len(rows) == 1 and rows[0]["c"] == 1.5
 
 
 def test_as_polars_flag(spark, tmp_path):
