@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from .registry import register, t, ts_ns_expr
+from .registry import register, t, ts_ns_expr, ts_range_pred
 
 
 # ---------------------------------------------------------------------------
@@ -302,14 +302,16 @@ WHERE epoch_ns(ts) BETWEEN 1704500000000000000 AND 1705000000000000000
 @register("range_scan", SQL_RANGE_SCAN, doc="S2/P2 pushdown scan: project + ts BETWEEN + symbol filter (loader.py:184-192)", tags=("scan", "filter"))
 def q_range_scan(spark, sf_dir):
     ev = t(spark, sf_dir, "events")
-    return ev.select(
+    # range predicate on the RAW ts column (parquet-pushable row-group
+    # pruning), projection of the derived ts_ns afterwards
+    return ev.filter(
+        ts_range_pred(ev, 1704500000000000000, 1705000000000000000)
+        & (F.col("event_type") == "purchase")
+    ).select(
         "event_id",
         ts_ns_expr(ev).alias("ts_ns"),
         "event_type",
         "value",
-    ).filter(
-        F.col("ts_ns").between(1704500000000000000, 1705000000000000000)
-        & (F.col("event_type") == "purchase")
     )
 
 

@@ -23,6 +23,7 @@ cited as (reference: path:line).
 
 from __future__ import annotations
 
+import datetime as _dt
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
@@ -69,6 +70,28 @@ def ts_ns_expr(ev: DataFrame, colname: str = "ts") -> Column:
     if dt.startswith("timestamp"):
         return F.unix_micros(c.cast("timestamp")) * F.lit(1000)
     return c - c % F.lit(1000)
+
+
+def ts_range_pred(ev: DataFrame, lo_ns: int, hi_ns: int, colname: str = "ts") -> Column:
+    """Pushdown-friendly ``ts_ns BETWEEN lo AND hi`` predicate on the RAW
+    ``ts`` column. Filtering on the derived ``ts_ns`` expression wraps the
+    column in arithmetic, which parquet cannot push — a full scan at 100 TB.
+    Comparing the bare column against literals of its own type reaches the
+    scan as ``PushedFilters`` (row-group/page pruning).
+
+    Exactness: testdata instants are µs-precision, and the µs-quantized
+    ``ts_ns`` lies in [lo, hi] iff the raw value does for µs-multiple
+    bounds (long layout: ``ts%1000==0`` after quantization, so the +999
+    widening on ``hi`` admits no extra rows).
+    """
+    dt = dict(ev.dtypes)[colname]
+    c = F.col(colname)
+    if dt.startswith("timestamp"):
+        iso = lambda ns: _dt.datetime.fromtimestamp(ns / 1e9, _dt.timezone.utc).strftime("%Y-%m-%d %H:%M:%S.%f")  # noqa: E731
+        return c.between(
+            F.lit(iso(lo_ns)).cast(dt), F.lit(iso(hi_ns)).cast(dt)
+        )
+    return c.between(F.lit(lo_ns), F.lit(hi_ns + 999))
 
 
 def bars(spark: SparkSession, sf_dir: str) -> DataFrame:

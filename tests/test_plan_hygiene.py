@@ -39,6 +39,30 @@ def test_top_customers_broadcasts_dimension(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_range_scan_pushes_ts_filter_to_parquet(spark):
+    """The ts range must reach the scan as PushedFilters on the RAW column
+    (row-group pruning at 100 TB). Filtering on the derived ts_ns arithmetic
+    would leave PushedFilters empty — a silent full scan."""
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")  # plan print truncates at 100 otherwise
+    df = entry_mod.queries()["range_scan"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    spark.conf.unset("spark.sql.maxMetadataStringLength")
+    scan = next(line for line in plan.splitlines() if "PushedFilters" in line)
+    pushed = scan.split("PushedFilters:", 1)[1]
+    assert "GreaterThanOrEqual(ts" in pushed or "GreaterThan(ts" in pushed, pushed
+    assert "LessThanOrEqual(ts" in pushed or "LessThan(ts" in pushed, pushed
+    assert "EqualTo(event_type,purchase)" in pushed, pushed
+
+
+def test_pricing_summary_partial_aggregation(spark):
+    """Map-side combine must precede the exchange: a wide agg without
+    partial_sum ships every row through the shuffle."""
+    df = entry_mod.queries()["pricing_summary"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "partial_sum" in plan
+    assert plan.index("partial_sum") > plan.index("Exchange")  # partial below exchange in tree print
+
+
 def test_no_driver_collect_in_registry_dataflow():
     """Registry entries must be single-job dataflows: no ``.collect()``
     round-trip anywhere in the plans package (scalar aggregates attach via

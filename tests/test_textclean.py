@@ -156,3 +156,23 @@ def test_edit1_pairs_no_cross_join_plan(spark):
     toks = spark.createDataFrame([("abcd",), ("abce",)], "tok string")
     plan = edit1_token_pairs(toks, "tok")._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ngram_contamination_family_equivalent_leaks(spark):
+    """xxhash64 (production) and md5_60 (oracle-verification) families find
+    the same leaked-gram counts — only the hash space differs."""
+    from marketpipe_spark.operators.textclean import ngram_contamination
+
+    train = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "q r s t u v w x")], "doc_id long, text string"
+    )
+    test = spark.createDataFrame(
+        [(10, "a b c d e z z z"), (11, "m n o p q q q q")], "doc_id long, text string"
+    )
+    md5 = {r.doc_id: (r.n_grams, r.n_leaked) for r in ngram_contamination(train, test, n=5).collect()}
+    xxh = {
+        r.doc_id: (r.n_grams, r.n_leaked)
+        for r in ngram_contamination(train, test, n=5, family="xxhash64").collect()
+    }
+    assert md5 == xxh
+    assert md5[10] == (4, 1)  # "a b c d e" leaked from train doc 1
