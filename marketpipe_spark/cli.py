@@ -246,6 +246,19 @@ def cmd_metrics(args) -> int:
     return 0
 
 
+def cmd_verify_ingest(args) -> int:
+    from .operators.verification import render_summary, verify_ingestion
+
+    spark = _spark("verify-ingest")
+    summary = verify_ingestion(
+        spark, args.root, args.symbols.split(","),
+        dt.date.fromisoformat(args.start), dt.date.fromisoformat(args.end),
+        frame=args.frame, tolerance_days=args.tolerance_days,
+    )
+    print(render_summary(summary))
+    return 0 if summary.all_passed else 1
+
+
 def cmd_providers(args) -> int:
     """List registered market-data providers (reference cli/utils.py:242-260)."""
     from .sources.providers import PROVIDER_REGISTRY
@@ -466,6 +479,15 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--as-of", default=None)
     s.add_argument("--master", default="data/symbols_master")
     s.set_defaults(fn=cmd_symbols)
+
+    vi = sub.add_parser("verify-ingest", help="post-ingest coverage verification per symbol")
+    vi.add_argument("root", help="lake root")
+    vi.add_argument("--symbols", required=True, help="comma-separated")
+    vi.add_argument("--start", required=True, help="ISO date")
+    vi.add_argument("--end", required=True, help="ISO date")
+    vi.add_argument("--frame", default="1m")
+    vi.add_argument("--tolerance-days", type=int, default=1)
+    vi.set_defaults(fn=cmd_verify_ingest)
 
     m = sub.add_parser("metrics", help="metric names / history / Prometheus endpoint")
     m.add_argument("name", nargs="?", default=None)
