@@ -78,6 +78,9 @@ EXTRA = [
     "big_orders",
     "source_mixture_weights",
     "length_outliers",
+    "returned_items",
+    "nation_volume",
+    "brand_revenue",
 ]
 
 #: The heavier LLM-pipeline operators (LSH/minhash/multimodal) stay out of

@@ -647,3 +647,123 @@ def q_big_orders(spark, sf_dir):
         .orderBy(F.desc("total_qty"), "o_orderkey")
         .limit(20)
     )
+
+
+# Q10 shape — returned-item reporting: revenue lost to returns per customer.
+SQL_RETURNED_ITEMS = """
+SELECT c_custkey, c_name, n_name AS nation,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS lost_revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY lost_revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+@register("returned_items", SQL_RETURNED_ITEMS, doc="TPC-H Q10 shape: per-customer returned-revenue ranking, broadcast customer/nation dims", tags=("join", "topk"))
+def q_returned_items(spark, sf_dir):
+    l = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01 00:00:00").cast("timestamp_ntz"))
+    )
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
+        .agg(
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(38,6)"))
+            .cast("double")
+            .alias("lost_revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy(F.desc("lost_revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+# Q7 shape — volume shipping between nation pairs (supplier nation →
+# customer nation), both dims broadcast; the fact side shuffles once for
+# the group-by.
+SQL_NATION_VOLUME = """
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       EXTRACT(YEAR FROM l_shipdate) AS yr,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS volume,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+WHERE sn.n_name < cn.n_name
+GROUP BY 1, 2, 3
+"""
+
+
+@register("nation_volume", SQL_NATION_VOLUME, doc="TPC-H Q7 shape: supplier-nation x customer-nation trade volume per year", tags=("join", "agg"))
+def q_nation_volume(spark, sf_dir):
+    l = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    sn = n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    cn = n.select(F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation"))
+    return (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(F.col("supp_nation") < F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("yr"))
+        .agg(
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(38,6)"))
+            .cast("double")
+            .alias("volume"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# Q19 shape — discounted revenue under disjunctive brand/size/quantity
+# ranges: the whole OR-of-ANDs predicate is a single scan filter the
+# optimizer can partially push (brand IN (...) and quantity bounds).
+SQL_BRAND_REVENUE = """
+SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 21)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 40)
+"""
+
+
+@register("brand_revenue", SQL_BRAND_REVENUE, doc="TPC-H Q19 shape: disjunctive brand/size/quantity predicate over a broadcast part join", tags=("join", "filter", "agg"))
+def q_brand_revenue(spark, sf_dir):
+    l = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    j = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    q = F.col("l_quantity")
+    pred = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15) & q.between(1, 21))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 25) & q.between(10, 30))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 35) & q.between(20, 40))
+    )
+    return j.filter(pred).agg(
+        F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
