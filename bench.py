@@ -81,6 +81,7 @@ EXTRA = [
     "returned_items",
     "nation_volume",
     "brand_revenue",
+    "customer_distribution",
 ]
 
 #: The heavier LLM-pipeline operators (LSH/minhash/multimodal) stay out of

@@ -767,3 +767,35 @@ def q_brand_revenue(spark, sf_dir):
         .alias("revenue"),
         F.count(F.lit(1)).alias("n_items"),
     )
+
+
+# Q13 shape — customer distribution: orders per customer INCLUDING
+# zero-order customers (left outer), then a histogram of those counts.
+# Two aggregations, each keyed high-cardinality → low-cardinality.
+SQL_CUSTOMER_DISTRIBUTION = """
+WITH per_cust AS (
+  SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+SELECT n_orders, COUNT(*) AS n_customers
+FROM per_cust
+GROUP BY n_orders
+ORDER BY n_customers DESC, n_orders DESC
+"""
+
+
+@register("customer_distribution", SQL_CUSTOMER_DISTRIBUTION, doc="TPC-H Q13 shape: order-count histogram incl. zero-order customers (left outer + double agg)", tags=("join", "agg"))
+def q_customer_distribution(spark, sf_dir):
+    c = t(spark, sf_dir, "customer").select("c_custkey")
+    o = t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return (
+        per_cust.groupBy("n_orders")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy(F.desc("n_customers"), F.desc("n_orders"))
+    )
