@@ -82,6 +82,7 @@ EXTRA = [
     "nation_volume",
     "brand_revenue",
     "customer_distribution",
+    "idle_rich_customers",
 ]
 
 #: The heavier LLM-pipeline operators (LSH/minhash/multimodal) stay out of

@@ -799,3 +799,47 @@ def q_customer_distribution(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_customers"))
         .orderBy(F.desc("n_customers"), F.desc("n_orders"))
     )
+
+
+# Q22 shape — global-acctbal-average scalar subquery + anti-join: customers
+# richer than the positive-balance average with no URGENT order. The scalar
+# attaches via registry.scalar_join (BroadcastHashJoin — no driver
+# round-trip, no nested loop); orders side is an anti semi-join.
+SQL_IDLE_RICH = """
+WITH avg_bal AS (
+  SELECT CAST(AVG(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS a
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT c_custkey, c_name, c_acctbal
+FROM customer, avg_bal
+WHERE c_acctbal > a
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+ORDER BY c_acctbal DESC, c_custkey
+LIMIT 20
+"""
+
+
+@register("idle_rich_customers", SQL_IDLE_RICH, doc="TPC-H Q22 shape: scalar-subquery average via broadcast scalar_join + NOT EXISTS anti-join", tags=("join", "exists", "scalar"))
+def q_idle_rich(spark, sf_dir):
+    from .registry import scalar_join
+
+    c = t(spark, sf_dir, "customer")
+    o = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0)
+        .agg((F.sum(F.col("c_acctbal").cast("decimal(38,6)")).cast("double")
+              / F.count(F.lit(1))).alias("_avg_bal"))
+    )
+    return (
+        scalar_join(c, "c_custkey", avg_bal)
+        .filter(F.col("c_acctbal") > F.col("_avg_bal"))
+        .join(o, F.col("c_custkey") == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy(F.desc("c_acctbal"), "c_custkey")
+        .limit(20)
+    )
