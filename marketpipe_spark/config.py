@@ -146,11 +146,20 @@ def load_config(path: str | os.PathLike) -> IngestionJobConfig:
     ver = str(cfg.get("config_version", "") or "")
     if not ver:
         raise ConfigVersionError('config_version missing. Add `config_version: "1"` to your YAML.')
-    if ver < MIN_SUPPORTED_VERSION:
+
+    def _vernum(v: str) -> tuple[int, ...]:
+        # Numeric ordering: lexicographic strings misorder once versions hit
+        # two digits ('10' < '2'). Dotted forms compare as int tuples.
+        try:
+            return tuple(int(part) for part in v.split("."))
+        except ValueError:
+            raise ConfigVersionError(f"config_version {v!r} is not a numeric version") from None
+
+    if _vernum(ver) < _vernum(MIN_SUPPORTED_VERSION):
         raise ConfigVersionError(
             f"config version {ver} is too old; minimum supported is {MIN_SUPPORTED_VERSION}"
         )
-    if ver > CURRENT_CONFIG_VERSION:
+    if _vernum(ver) > _vernum(CURRENT_CONFIG_VERSION):
         import warnings
 
         warnings.warn(

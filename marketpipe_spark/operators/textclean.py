@@ -169,6 +169,7 @@ def ngram_contamination(
     text_col: str = "text",
     n: int = 5,
     family: str = "md5_60",
+    prefilter_bits: int | None = 20,
 ) -> DataFrame:
     """Per test-document n-gram overlap with the train corpus.
 
@@ -179,10 +180,42 @@ def ngram_contamination(
     leak_frac`` for every test doc with at least one n-gram.
 
     Join is a shuffle hash join on the 60-bit gram hash; the train side is
-    pre-deduplicated to distinct hashes.
+    deduplicated to distinct hashes in ONE global distinct (no per-doc
+    pre-distinct — the train side only needs set membership).
+
+    ``prefilter_bits`` (r3 verdict item 4 — the bloom-filter cut): before
+    the train side shuffles anything, its gram stream is semi-joined against
+    a BROADCAST of the test side's distinct hash *buckets*
+    (``gram_h mod 2^bits``) — a one-hash Bloom filter expressed entirely in
+    JVM-side relational ops (Spark's runtime bloom injection can't reach
+    this shape: the creation side sits above explode+distinct, and
+    ``bloom_filter_agg`` isn't in the public registry). The bucket set is
+    capped at 2^bits rows BY CONSTRUCTION (~8 MB of longs at the default 20
+    bits) — a bounded broadcast, unlike broadcasting the train set itself.
+    Train grams hashing to no test bucket — the overwhelming majority when
+    the test side is small (the real decontamination case: benchmark suites
+    are MBs vs a multi-TB train corpus) — are dropped map-side before the
+    distinct's exchange and the join. Exactness is unaffected: pruned rows
+    cannot equi-join (different bucket ⇒ different hash). Set ``None`` to
+    disable when the test side is corpus-sized and the filter would
+    saturate.
     """
-    train_g = ngram_hashes(train, id_col, text_col, n, family).select("gram_h").distinct()
+    from .dedup import _hash64
+
+    gh = _hash64(F.col("gram"), None, family)
+    train_raw = train.select(
+        F.explode(_gram_text(F.col(text_col), n)).alias("gram")
+    ).select(gh.alias("gram_h"))
     test_g = ngram_hashes(test, id_col, text_col, n, family)
+    if prefilter_bits is not None:
+        m = 1 << prefilter_bits
+        buckets = test_g.select(F.pmod(F.col("gram_h"), F.lit(m)).alias("_bkt")).distinct()
+        train_raw = train_raw.join(
+            F.broadcast(buckets),
+            F.pmod(F.col("gram_h"), F.lit(m)) == F.col("_bkt"),
+            "left_semi",
+        )
+    train_g = train_raw.distinct()
     hit = train_g.withColumn("_hit", F.lit(1))
     return (
         test_g.join(hit, "gram_h", "left_outer")

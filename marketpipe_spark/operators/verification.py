@@ -79,6 +79,15 @@ def verify_ingestion(
             requested_end + dt.timedelta(days=1), dt.time.min, dt.timezone.utc
         ).timestamp() * 1e9
     ) - 1
+    # Distinguish "lake is empty/missing" (a data-absence verdict) from real
+    # infrastructure failures (corrupt parquet, schema drift, permissions):
+    # only the missing-path AnalysisException maps to "No data found"; any
+    # other error is surfaced per symbol so it isn't misdiagnosed as absence
+    # (the reference verification service reports the query error text,
+    # reference: cli/ohlcv_validate.py verify path).
+    from pyspark.errors import AnalysisException
+
+    read_error: str | None = None
     try:
         lake = read_bars(spark, root, frame=frame, symbols=symbols,
                          start_ns=start_ns, end_ns=end_ns)
@@ -92,8 +101,11 @@ def verify_ingestion(
             )
             .collect()
         }
-    except Exception:  # empty/missing lake root → every symbol fails
+    except AnalysisException:  # empty/missing lake root → every symbol fails
         bounds = {}
+    except Exception as e:  # infrastructure failure → surface, don't swallow
+        bounds = {}
+        read_error = f"{type(e).__name__}: {e}"
 
     tol = dt.timedelta(days=tolerance_days)
     results = []
@@ -102,7 +114,8 @@ def verify_ingestion(
         if r is None or r["n_bars"] == 0:
             results.append(
                 VerificationResult(s, requested_start, requested_end, None, None, 0,
-                                   passed=False, error_message=f"No data found for {s}")
+                                   passed=False,
+                                   error_message=read_error or f"No data found for {s}")
             )
             continue
         first, last = r["first_day"], r["last_day"]

@@ -1246,3 +1246,35 @@ def q_cohort_retention(spark, sf_dir):
         .groupBy("cohort_ns", "day_offset")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-symbol calendar gaps (J3/O7, reference gap_detector.py:62-104): each
+# distinct symbol generates its own expected weekday calendar via a
+# sequence() generator (no crossJoin node — r3 verdict item 6), anti-joined
+# against observed (symbol, day). The window extends past the data's last
+# day so genuine gaps appear.
+
+SQL_GAPS_BY_SYMBOL = f"""
+WITH {SQL_BARS},
+syms AS (SELECT DISTINCT symbol FROM bars),
+days AS (SELECT CAST(UNNEST(generate_series(DATE '2024-01-01', DATE '2024-02-09', INTERVAL 1 DAY)) AS DATE) AS day),
+expected AS (SELECT symbol, day FROM syms, days WHERE dayofweek(day) NOT IN (0, 6)),
+present AS (SELECT DISTINCT symbol, CAST(make_timestamp(ts_ns // 1000) AS DATE) AS day FROM bars)
+SELECT symbol, day FROM expected
+WHERE NOT EXISTS (SELECT 1 FROM present p WHERE p.symbol = expected.symbol AND p.day = expected.day)
+ORDER BY symbol, day
+"""
+
+
+@register("gaps_by_symbol", SQL_GAPS_BY_SYMBOL, doc="per-symbol weekday gap days via sequence() generator + anti-join (gap_detector.py:62-104)", tags=("join", "antijoin", "calendar"))
+def q_gaps_by_symbol(spark, sf_dir):
+    import datetime as _dt
+
+    from ..operators.gaps import gaps_by_symbol
+
+    ev = bars(spark, sf_dir)
+    lake = ev.select(
+        "symbol", F.to_date(F.timestamp_micros(F.expr("ts_ns div 1000"))).alias("date")
+    )
+    return gaps_by_symbol(lake, _dt.date(2024, 1, 1), _dt.date(2024, 2, 9), weekdays_only=True)

@@ -384,8 +384,13 @@ def q_contamination_check(spark, sf_dir):
     )
     train = s.filter(F.col("split") == "train").select("fp").distinct().withColumn("_hit", F.lit(1))
     test = s.filter(F.col("split") == "test")
+    # The train side is the distinct fingerprints of ~90% of the corpus —
+    # linear in corpus size, so it must NOT be broadcast (r3 verdict item 2:
+    # at 100 TB this is billions of rows). A plain equi-join on fp (128-bit
+    # md5 — high-cardinality, skew-free) is the scale-safe shuffle plan;
+    # AQE still converts it to broadcast at runtime when the corpus is small.
     return (
-        test.join(F.broadcast(train), "fp", "left_outer")
+        test.join(train, "fp", "left_outer")
         .agg(
             F.count(F.lit(1)).alias("n_test"),
             F.coalesce(F.sum("_hit"), F.lit(0)).cast("long").alias("n_contaminated"),

@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from ..operators.dedup import minhash_near_duplicates, ngram_jaccard_pairs, simhash_near_duplicates
 from ..operators.multimodal import attach_payload, extract_media_meta
 from ..operators.similarity import cosine_topk, cosine_topk_blocked, ivf_topk, lsh_topk
-from .registry import register, t
+from .registry import parquet_num_rows, register, t
 
 # ---------------------------------------------------------------------------
 # ANN: brute-force cosine top-k (exact baseline; LSH variant in unit tests)
@@ -101,7 +101,13 @@ WHERE list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) >= 0.4
 def q_embedding_near_dup(spark, sf_dir):
     from ..operators.dedup import embedding_near_duplicates
 
-    return embedding_near_duplicates(t(spark, sf_dir, "embeddings"), threshold=0.4)
+    # Row count from the parquet footer (catalog-stats analog) — picking the
+    # block fan-out must not cost an extra pass over the table.
+    return embedding_near_duplicates(
+        t(spark, sf_dir, "embeddings"),
+        threshold=0.4,
+        n_rows=parquet_num_rows(f"{sf_dir}/embeddings.parquet"),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -6,9 +6,13 @@ capability — scans, predicates, joins, aggregation, top-k — is part of the
 supported surface. These queries exercise that surface plus the internal
 join/window shapes (J1-J5, W2, A9) on driver data.
 
-Scale notes: dimension joins (nation/region/customer-at-sf) are marked
-``broadcast``; fact-side aggregations pre-aggregate before joining where it
-shrinks the shuffle.
+Scale notes: dimension joins go through ``registry.dim_join`` — the
+broadcast hint is applied only when the dim side's Catalyst size estimate
+is under a configurable gate (constant-cardinality nation/region are
+always broadcast; linearly-growing customer/part/supplier and filtered
+derivatives are gated, above the gate AQE picks the strategy at runtime).
+Fact-side aggregations pre-aggregate before joining where it shrinks the
+shuffle.
 """
 
 from __future__ import annotations
@@ -16,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from .registry import register, t, ts_ns_expr, ts_range_pred
+from .registry import dim_join, register, t, ts_ns_expr, ts_range_pred
 
 
 # ---------------------------------------------------------------------------
@@ -93,7 +97,7 @@ def q_top_customers(spark, sf_dir):
         )
     )
     return (
-        rev.join(F.broadcast(c), rev.o_custkey == c.c_custkey)
+        dim_join(rev, c, rev.o_custkey == c.c_custkey)
         .select("c_custkey", "c_name", F.col("r").cast("double").alias("revenue"))
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(10)
@@ -123,12 +127,11 @@ def q_regional_revenue(spark, sf_dir):
     c = t(spark, sf_dir, "customer")
     n = t(spark, sf_dir, "nation")
     r = t(spark, sf_dir, "region")
+    j = dim_join(l.join(o, l.l_orderkey == o.o_orderkey), c, F.col("o_custkey") == c.c_custkey)
+    j = dim_join(j, n, F.col("c_nationkey") == n.n_nationkey, always_broadcast=True)
+    j = dim_join(j, r, F.col("n_regionkey") == r.r_regionkey, always_broadcast=True)
     return (
-        l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
-        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        j.groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
         .agg(
             F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(38,6)"))
             .cast("double")
@@ -154,7 +157,7 @@ def q_semi_join(spark, sf_dir):
     o = t(spark, sf_dir, "orders")
     c = t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9000).select("c_custkey")
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left_semi")
+        dim_join(o, c, o.o_custkey == c.c_custkey, "left_semi")
         .groupBy("o_orderstatus")
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -342,12 +345,9 @@ def q_revenue_rollup(spark, sf_dir):
     c = t(spark, sf_dir, "customer")
     n = t(spark, sf_dir, "nation")
     r = t(spark, sf_dir, "region")
-    j = (
-        l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
-    )
+    j = dim_join(l.join(o, l.l_orderkey == o.o_orderkey), c, F.col("o_custkey") == c.c_custkey)
+    j = dim_join(j, n, F.col("c_nationkey") == n.n_nationkey, always_broadcast=True)
+    j = dim_join(j, r, F.col("n_regionkey") == r.r_regionkey, always_broadcast=True)
     return (
         j.rollup("r_name", "n_name")
         .agg(
@@ -423,11 +423,9 @@ def q_exists_anti(spark, sf_dir):
         .select("o_custkey")
         .distinct()
     )
-    return (
-        c.join(F.broadcast(urgent), c.c_custkey == urgent.o_custkey, "left_semi")
-        .join(F.broadcast(late), c.c_custkey == late.o_custkey, "left_anti")
-        .select("c_custkey", "c_name")
-    )
+    out = dim_join(c, urgent, c.c_custkey == urgent.o_custkey, "left_semi")
+    out = dim_join(out, late, F.col("c_custkey") == late.o_custkey, "left_anti")
+    return out.select("c_custkey", "c_name")
 
 
 # ---------------------------------------------------------------------------
@@ -496,8 +494,7 @@ def q_shipping_priority(spark, sf_dir):
     o = t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cut)
     l = t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cut)
     return (
-        l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey, "left_semi")
+        dim_join(l.join(o, l.l_orderkey == o.o_orderkey), c, F.col("o_custkey") == c.c_custkey, "left_semi")
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
             F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(38,6)"))
@@ -561,7 +558,7 @@ def q_promo_revenue(spark, sf_dir):
     disc = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(38,6)")
     zero = F.lit(0).cast("decimal(38,6)")
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        dim_join(l, p, l.l_partkey == p.p_partkey)
         .groupBy(
             F.year("l_shipdate").cast("long").alias("yr"),
             F.month("l_shipdate").cast("long").alias("mo"),
@@ -606,7 +603,7 @@ def q_top_suppliers(spark, sf_dir):
         F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(38,6)")).alias("r")
     )
     return (
-        rev.join(F.broadcast(s), rev.l_suppkey == s.s_suppkey)
+        dim_join(rev, s, rev.l_suppkey == s.s_suppkey)
         .select("s_suppkey", "s_name", F.col("r").cast("double").alias("revenue"))
         .orderBy(F.desc("revenue"), "s_suppkey")
         .limit(10)
@@ -641,8 +638,7 @@ def q_big_orders(spark, sf_dir):
         .select("l_orderkey", F.col("tq").cast("double").alias("total_qty"))
     )
     return (
-        q.join(o, q.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        dim_join(q.join(o, q.l_orderkey == o.o_orderkey), c, F.col("o_custkey") == c.c_custkey)
         .select("c_custkey", "c_name", "o_orderkey", "o_orderdate", "total_qty")
         .orderBy(F.desc("total_qty"), "o_orderkey")
         .limit(20)
@@ -676,11 +672,10 @@ def q_returned_items(spark, sf_dir):
     )
     c = t(spark, sf_dir, "customer")
     n = t(spark, sf_dir, "nation")
+    j = dim_join(l.join(o, l.l_orderkey == o.o_orderkey), c, F.col("o_custkey") == c.c_custkey)
+    j = dim_join(j, n, F.col("c_nationkey") == n.n_nationkey, always_broadcast=True)
     return (
-        l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
+        j.groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
         .agg(
             F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(38,6)"))
             .cast("double")
@@ -720,13 +715,13 @@ def q_nation_volume(spark, sf_dir):
     n = t(spark, sf_dir, "nation")
     sn = n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
     cn = n.select(F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation"))
+    j = dim_join(l, s, l.l_suppkey == s.s_suppkey)
+    j = dim_join(j, sn, F.col("s_nationkey") == F.col("sn_key"), always_broadcast=True)
+    j = j.join(o, F.col("l_orderkey") == o.o_orderkey)
+    j = dim_join(j, c, F.col("o_custkey") == c.c_custkey)
+    j = dim_join(j, cn, F.col("c_nationkey") == F.col("cn_key"), always_broadcast=True)
     return (
-        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
-        .join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
-        .filter(F.col("supp_nation") < F.col("cust_nation"))
+        j.filter(F.col("supp_nation") < F.col("cust_nation"))
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("yr"))
         .agg(
             F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(38,6)"))
@@ -754,7 +749,7 @@ WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 
 def q_brand_revenue(spark, sf_dir):
     l = t(spark, sf_dir, "lineitem")
     p = t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
-    j = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    j = dim_join(l, p, l.l_partkey == p.p_partkey)
     q = F.col("l_quantity")
     pred = (
         ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15) & q.between(1, 21))

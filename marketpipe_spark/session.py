@@ -26,6 +26,13 @@ RUNTIME_CONF = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Runtime bloom filters on shuffle joins (default-on in this Spark line;
+    # pinned for intent): when a dim join falls above the broadcast gate and
+    # plans as SMJ at scale, a selective dim filter becomes a bloom filter on
+    # the fact side's scan. (Shapes the optimizer can't reach — creation side
+    # above explode/distinct — get explicit prefilters instead, see
+    # textclean.ngram_contamination.)
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
     # Arrow for any pandas interchange (similarity / multimodal paths).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # Reference writes zstd for aggregated output (parquet_engine.py:34).

@@ -272,6 +272,7 @@ class ProviderClient:
         p = dict(params)
         self.auth.apply(headers, p)
         attempt = 0
+        ra_honors = 0
         while True:
             r = self.transport.get(url, p, headers, self.config.timeout)
             try:
@@ -285,16 +286,24 @@ class ProviderClient:
                     f"{self.name}: non-retryable HTTP {r.status_code}: {r.body[:200]}",
                     self.config.api_key,
                 ))
-            # Retry-After on 429 parks the shared bucket (alpaca_client.py:124-133)
+            # Retry-After on 429 parks the shared bucket (alpaca_client.py:124-133).
+            # Honored WITHOUT consuming a retry attempt only max_retries times:
+            # a server that answers 429+Retry-After forever must not trap a
+            # sync driver-side client in an unbounded sleep loop — past the
+            # cap, 429s consume regular attempts and hit RetryLimitExceeded.
             if r.status_code == 429:
                 ra = r.headers.get("Retry-After")
                 if ra is not None:
                     try:
-                        self.rate_limiter.notify_retry_after(float(ra))
-                        self.rate_limiter.acquire()
-                        continue  # does not consume a retry attempt
+                        wait = float(ra)
                     except ValueError:
                         log.warning("%s: invalid Retry-After %r", self.name, ra)
+                    else:
+                        ra_honors += 1
+                        if ra_honors <= self.config.max_retries:
+                            self.rate_limiter.notify_retry_after(wait)
+                            self.rate_limiter.acquire()
+                            continue  # does not consume a retry attempt
             attempt += 1
             if attempt > self.config.max_retries:
                 raise RetryLimitExceeded(safe_for_log(
@@ -433,9 +442,29 @@ class IexClient(ProviderClient):
     name = "iex"
     path = "/stock/intraday-prices"
 
+    _DAY_NS = 86_400 * 1_000_000_000
+
     def build_request_params(self, symbol, start_ns, end_ns, cursor):
         day = time.strftime("%Y-%m-%d", time.gmtime(start_ns // 1_000_000_000))
         return {"symbol": symbol, "chartByDay": "true", "exactDate": day}
+
+    def fetch_batch(self, symbol, start_ns, end_ns):
+        """One request per UTC day in [start_ns, end_ns] — the API takes a
+        single ``exactDate``, so a multi-day range must chunk day-by-day
+        (the reference iex_adapter iterates chart dates the same way);
+        deriving only the first day would silently drop the rest."""
+        rows: list[dict[str, Any]] = []
+        d = start_ns - (start_ns % self._DAY_NS)
+        # A day is fetched only if the range genuinely overlaps it: an end
+        # bound landing exactly on the next midnight does not pull in that
+        # day (zero-width overlap).
+        while d < end_ns or d == start_ns:
+            raw = self._request(
+                self.build_request_params(symbol, max(d, start_ns), min(d + self._DAY_NS - 1, end_ns), None)
+            )
+            rows.extend(self.parse_response(raw))
+            d += self._DAY_NS
+        return rows
 
     def next_cursor(self, raw):
         return None

@@ -57,6 +57,21 @@ def test_old_version_rejected(tmp_path):
         load_config(_write(tmp_path, 'config_version: "0"\nsymbols: [AAPL]\nstart: 2024-01-02\nend: 2024-01-03\n'))
 
 
+def test_two_digit_version_compares_numerically(tmp_path):
+    """'10' must order ABOVE '2' (ADVICE r3: lexicographic string compare
+    breaks at two digits, misclassifying newer configs as too old)."""
+    body = ('config_version: "10"\nsymbols: [AAPL]\nstart: 2024-01-02\n'
+            "end: 2024-01-03\n")
+    with pytest.warns(UserWarning):  # newer than current → best-effort, NOT too-old
+        cfg = load_config(_write(tmp_path, body))
+    assert cfg.symbols == ["AAPL"]
+
+
+def test_non_numeric_version_rejected(tmp_path):
+    with pytest.raises(ConfigVersionError):
+        load_config(_write(tmp_path, 'config_version: "abc"\nsymbols: [AAPL]\nstart: 2024-01-02\nend: 2024-01-03\n'))
+
+
 def test_newer_version_warns_best_effort(tmp_path):
     body = ('config_version: "2"\nsymbols: [AAPL]\nstart: 2024-01-02\n'
             "end: 2024-01-03\nfuture_knob: 7\n")

@@ -109,6 +109,32 @@ def test_non_retryable_4xx_raises_immediately():
     assert len(tr.requests) == 1
 
 
+def test_429_retry_after_forever_is_bounded():
+    """A server that always answers 429 + Retry-After must not trap the
+    client in an unbounded sleep loop (ADVICE r3): free honors are capped at
+    max_retries, after which 429s consume regular attempts and the client
+    gives up with RetryLimitExceeded."""
+    c, tr, clk = _client(FinnhubClient, [(429, {}, {"Retry-After": "1"})])
+    with pytest.raises(RetryLimitExceeded):
+        c.fetch_batch("AAPL", 0, 10**9)
+    # max_retries free honors + (max_retries + 1) attempt-consuming requests
+    assert len(tr.requests) == 3 + 4
+    assert clk.sleeps  # it did park, then bailed
+
+
+def test_iex_multiday_range_requests_each_day():
+    """fetch_batch over a multi-day range must issue one exactDate request
+    per UTC day — deriving only the first day silently drops the rest
+    (ADVICE r3; reference iex_adapter iterates chart dates per day)."""
+    from marketpipe_spark.sources.httpclient import IexClient
+
+    c, tr, _ = _client(IexClient, [(200, {"data": []}, {})])
+    day_ns = 86_400 * 10**9
+    c.fetch_batch("AAPL", 0, 3 * day_ns - 1)
+    dates = [r["params"]["exactDate"] for r in tr.requests]
+    assert dates == ["1970-01-01", "1970-01-02", "1970-01-03"]
+
+
 def test_429_retry_after_honored_without_consuming_retries():
     ok = {"s": "ok", "t": [1], "o": [1.0], "h": [1.0], "l": [1.0], "c": [1.0], "v": [1]}
     c, tr, clk = _client(

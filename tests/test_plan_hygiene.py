@@ -39,6 +39,69 @@ def test_top_customers_broadcasts_dimension(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_dim_join_gate_both_ways(spark):
+    """The size gate (VERDICT r3 item 1) must hold in BOTH directions.
+
+    Below the gate the broadcast hint is pinned — proven by disabling the
+    static broadcast threshold entirely: the join broadcasts anyway, so it
+    was the hint, not Catalyst's own costing. Above the gate (simulated by
+    forcing the gate to 0 bytes — what customer/part/supplier look like at
+    the 100 TB design point) NO broadcast may survive: the plan must fall
+    back to a shuffle join that AQE can re-plan from runtime sizes."""
+    from marketpipe_spark.plans import registry
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = entry_mod.queries()["top_customers"](spark, SF_SMOKE)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan, "hint not applied below the gate"
+
+        old = registry.DIM_BROADCAST_MAX_BYTES
+        registry.DIM_BROADCAST_MAX_BYTES = 0
+        try:
+            df = entry_mod.queries()["top_customers"](spark, SF_SMOKE)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            assert "BroadcastHashJoin" not in plan, "broadcast pinned above the gate"
+            assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        finally:
+            registry.DIM_BROADCAST_MAX_BYTES = old
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_constant_dims_always_broadcast_above_gate(spark):
+    """nation/region are constant-cardinality (25/5 rows by the data model):
+    they keep the broadcast hint even when the gate is closed."""
+    from marketpipe_spark.plans import registry
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    old = registry.DIM_BROADCAST_MAX_BYTES
+    registry.DIM_BROADCAST_MAX_BYTES = 0
+    try:
+        df = entry_mod.queries()["regional_revenue"](spark, SF_SMOKE)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan  # nation/region hints survive
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan  # customer does not
+    finally:
+        registry.DIM_BROADCAST_MAX_BYTES = old
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_contamination_check_never_broadcasts_train_side(spark):
+    """The train-split fingerprint set is ~90% of the corpus (VERDICT r3
+    item 2): no plan node may pin a broadcast of it. With the static
+    threshold off, the whole query must plan broadcast-free (AQE may still
+    convert at runtime when the corpus turns out small — that's the point)."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = entry_mod.queries()["contamination_check"](spark, SF_SMOKE)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan
+        assert "BroadcastExchange" not in plan
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
 def test_range_scan_pushes_ts_filter_to_parquet(spark):
     """The ts range must reach the scan as PushedFilters on the RAW column
     (row-group pruning at 100 TB). Filtering on the derived ts_ns arithmetic
@@ -79,6 +142,40 @@ def test_no_driver_collect_in_registry_dataflow():
         if ".collect()" in line.split("#")[0]
     ]
     assert not offenders, f"driver-side collect in plans package: {offenders}"
+
+
+def test_ngram_contamination_prefilters_train_side(spark):
+    """The train gram stream must pass a broadcast LeftSemi bucket prefilter
+    (the explicit bloom cut, VERDICT r3 item 4) BEFORE any exchange — train
+    grams outside the test side's hash-bucket set never shuffle."""
+    df = entry_mod.queries()["ngram_contamination"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    semi = [ln for ln in plan.splitlines() if "BroadcastHashJoin" in ln and "LeftSemi" in ln]
+    assert semi, "no broadcast semi-join prefilter on the train side"
+    assert "pmod" in plan
+
+
+def test_embedding_near_dup_plans_without_running_jobs(spark):
+    """Building the embedding_near_dup DataFrame must launch ZERO Spark jobs
+    (VERDICT r3 item 5: the old adaptive-blocking count() was a full extra
+    pass over the table; the row count now comes from parquet footer
+    metadata)."""
+    from marketpipe_spark.operators.dedup import embedding_near_duplicates
+    from marketpipe_spark.plans.registry import parquet_num_rows, t
+
+    sc = spark.sparkContext
+    # The bare parquet read costs one schema-inference job; isolate it.
+    emb = t(spark, SF_SMOKE, "embeddings")
+    sc.setJobGroup("emb_plan_only", "operator construction must not execute")
+    try:
+        df = embedding_near_duplicates(
+            emb, threshold=0.4, n_rows=parquet_num_rows(f"{SF_SMOKE}/embeddings.parquet")
+        )
+        assert df.schema is not None  # forces analysis, still no job
+        jobs = sc.statusTracker().getJobIdsForGroup("emb_plan_only")
+        assert list(jobs) == [], f"operator construction ran Spark jobs: {jobs}"
+    finally:
+        sc.setJobGroup(None, None)
 
 
 def test_approx_distinct_sketch_bounds(spark):
