@@ -171,12 +171,27 @@ def cmd_prune(args) -> int:
     return 0
 
 
+def _sql_store(spark, db: str, kind: str):
+    """Pick the SQL control-plane backend from the --db value: a
+    ``postgresql://``/``postgres://`` DSN selects the Postgres dialect
+    (the reference's DATABASE_URL convention, alembic/env.py); anything
+    else is a SQLite file path."""
+    from . import control_sql as cs
+
+    is_pg = db.startswith(("postgresql://", "postgres://"))
+    cls = {
+        ("jobs", False): cs.SqliteJobsStore,
+        ("jobs", True): cs.PostgresJobsStore,
+        ("metrics", False): cs.SqliteMetricsStore,
+        ("metrics", True): cs.PostgresMetricsStore,
+    }[(kind, is_pg)]
+    return cls(spark, db)
+
+
 def cmd_jobs(args) -> int:
     spark = _spark("jobs")
     if args.db:
-        from .control_sql import SqliteJobsStore
-
-        jobs = SqliteJobsStore(spark, args.db)
+        jobs = _sql_store(spark, args.db, "jobs")
     else:
         from .control import JobsStore
 
@@ -218,9 +233,7 @@ def cmd_symbols(args) -> int:
 def cmd_metrics(args) -> int:
     spark = _spark("metrics")
     if args.db:
-        from .control_sql import SqliteMetricsStore
-
-        m = SqliteMetricsStore(spark, args.db)
+        m = _sql_store(spark, args.db, "metrics")
     else:
         from .control import MetricsStore
 
@@ -470,7 +483,7 @@ def build_parser() -> argparse.ArgumentParser:
     j = sub.add_parser("jobs", help="job state summary / details")
     j.add_argument("job_id", nargs="?", default=None)
     j.add_argument("--path", default="data/raw_ctl/jobs")
-    j.add_argument("--db", default=None, help="SQLite control DB instead of parquet --path")
+    j.add_argument("--db", default=None, help="control DB instead of parquet --path: SQLite file path or postgresql:// DSN")
     j.set_defaults(fn=cmd_jobs)
 
     s = sub.add_parser("symbols", help="update the SCD-2 symbols master")
@@ -492,7 +505,7 @@ def build_parser() -> argparse.ArgumentParser:
     m = sub.add_parser("metrics", help="metric names / history / Prometheus endpoint")
     m.add_argument("name", nargs="?", default=None)
     m.add_argument("--path", default="data/raw_ctl/metrics")
-    m.add_argument("--db", default=None, help="SQLite control DB instead of parquet --path")
+    m.add_argument("--db", default=None, help="control DB instead of parquet --path: SQLite file path or postgresql:// DSN")
     m.add_argument("--serve", action="store_true", help="serve GET /metrics (Prometheus text format)")
     m.add_argument("--port", type=int, default=8000)
     m.set_defaults(fn=cmd_metrics)

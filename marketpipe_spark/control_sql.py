@@ -1,27 +1,37 @@
-"""SQLite control-plane backend + versioned migrations.
+"""SQL control-plane backends (SQLite + Postgres) + versioned migrations.
 
 The reference keeps its control plane (ingestion jobs, metrics history,
-checkpoints) in SQLite behind repository classes, with an idempotent
-file-versioned migration runner (reference: src/marketpipe/migrations/
-__init__.py:16-100 ``apply_pending``; src/marketpipe/migrations/versions/
-001_core_schema.sql, 003_provider_feed_labels.sql,
+checkpoints) in SQLite OR Postgres behind repository classes, with an
+idempotent file-versioned migration runner (reference: src/marketpipe/
+migrations/__init__.py:16-100 ``apply_pending``; src/marketpipe/migrations/
+versions/001_core_schema.sql, 003_provider_feed_labels.sql,
 005_ingestion_jobs_sqlite.sql; repositories in
-src/marketpipe/infrastructure/repositories/sqlite_domain.py).
+src/marketpipe/infrastructure/repositories/sqlite_domain.py and
+postgres_domain.py, selected by DATABASE_URL — alembic/env.py).
 
-This module provides the same multi-writer story for this engine: drop-in
-``Sqlite{Jobs,Metrics,Checkpoint}Store`` classes exposing the exact API of
-the parquet stores (``control.JobsStore`` / ``control.MetricsStore`` /
+This module provides the same two-backend story: the store classes are
+written once against a small :class:`Dialect` strategy (connection factory,
+parameter style, scalar-max spelling, script execution) and instantiated as
+``Sqlite{Jobs,Metrics,Checkpoint}Store`` (single-host multi-writer, the
+default) or ``Postgres{Jobs,Metrics,Checkpoint}Store`` (multi-host; driver
+import-gated — psycopg/psycopg2 — or any injected DB-API connection
+factory). All expose the exact API of the parquet stores
+(``control.JobsStore`` / ``control.MetricsStore`` /
 ``streaming.incremental.CheckpointStore``), so ``incremental_job`` and the
-CLI can run against either backend. Writes go through short IMMEDIATE
-transactions (safe under concurrent writers — the reason a SQL backend
-exists at all); reads materialize into Spark DataFrames with the same
-schemas the parquet stores use, so every downstream query function
-(``job_state_counts``, ``metrics_trend`` …) is backend-agnostic.
+CLI run against any backend. Writes go through short transactions (SQLite:
+BEGIN IMMEDIATE so concurrent writers serialize; Postgres: MVCC); reads
+materialize into Spark DataFrames with the same schemas the parquet stores
+use, so every downstream query function (``job_state_counts``,
+``metrics_trend`` …) is backend-agnostic.
 
 The control tables are control-plane-sized (one row per job×symbol×day or
-metric point) — never data-plane volume — so driver-side SQLite is the
-right tool, exactly as in the reference; a 1000-executor deployment would
-point the same repository interface at a server-grade DB.
+metric point) — never data-plane volume — so a driver-side DB is the right
+tool, exactly as in the reference; a 1000-executor deployment points the
+Postgres dialect at its server.
+
+Canonical SQL is written with ``?`` placeholders and a ``{MAX2}`` macro for
+the two-argument scalar max (SQLite ``MAX(a,b)``, Postgres
+``GREATEST(a,b)``); dialects translate. No other statement differs.
 """
 
 from __future__ import annotations
@@ -39,7 +49,9 @@ from .schema import METRICS_SCHEMA
 
 # ---------------------------------------------------------------------------
 # migrations (reference migrations/__init__.py:16-100, embedded rather than
-# sibling .sql files so the package stays single-directory)
+# sibling .sql files so the package stays single-directory). The DDL below
+# is the portable intersection of the reference's sqlite and postgres
+# variants (001_core_schema.sql / 005_ingestion_jobs_sqlite.sql).
 
 MIGRATIONS: dict[str, str] = {
     # core schema (reference versions/001_core_schema.sql + 005_...jobs)
@@ -53,18 +65,18 @@ CREATE TABLE IF NOT EXISTS ingestion_jobs (
     created_at TIMESTAMP NOT NULL,
     updated_at TIMESTAMP NOT NULL,
     error_message TEXT,
-    bars_processed INTEGER,
+    bars_processed BIGINT,
     UNIQUE(job_id, symbol, day)
 );
 CREATE TABLE IF NOT EXISTS metrics (
-    ts INTEGER NOT NULL,
+    ts BIGINT NOT NULL,
     name TEXT NOT NULL,
-    value REAL NOT NULL
+    value DOUBLE PRECISION NOT NULL
 );
 CREATE TABLE IF NOT EXISTS checkpoints (
     job_id TEXT NOT NULL,
     symbol TEXT NOT NULL,
-    last_processed_ns INTEGER NOT NULL,
+    last_processed_ns BIGINT NOT NULL,
     updated_at TIMESTAMP NOT NULL,
     PRIMARY KEY (job_id, symbol)
 );
@@ -80,36 +92,125 @@ ALTER TABLE metrics ADD COLUMN feed TEXT NOT NULL DEFAULT 'unknown';
 }
 
 
-def apply_pending(db_path: str | os.PathLike) -> list[str]:
+# ---------------------------------------------------------------------------
+# dialects
+
+class SqliteDialect:
+    """File-backed SQLite: ``?`` placeholders, BEGIN IMMEDIATE write lock."""
+
+    name = "sqlite"
+
+    def __init__(self, db_path: str | os.PathLike):
+        self.db_path = os.fspath(db_path)
+        parent = os.path.dirname(self.db_path)
+        if parent:
+            os.makedirs(parent, exist_ok=True)
+
+    def connect(self):
+        return sqlite3.connect(self.db_path, timeout=30.0)
+
+    def sql(self, q: str) -> str:
+        return q.replace("{MAX2}", "MAX")
+
+    def begin_write(self, con) -> None:
+        # Takes the write lock up front so concurrent writers serialize
+        # instead of failing mid-transaction.
+        con.execute("BEGIN IMMEDIATE")
+
+    def executescript(self, con, script: str) -> None:
+        con.executescript(script)
+
+
+class PostgresDialect:
+    """Server Postgres: ``%s`` placeholders, MVCC transactions, GREATEST.
+
+    ``dsn`` is a libpq connection string / URL handed to psycopg (v3) or
+    psycopg2, whichever is importable — both are import-gated since neither
+    ships in minimal deployments. ``connect_factory`` injects any DB-API
+    connection source instead (a pool, a test substitute), mirroring how the
+    reference's repositories take an engine/session rather than building
+    their own (reference: postgres_domain.py repository constructors).
+    """
+
+    name = "postgres"
+
+    def __init__(self, dsn: str | None = None, connect_factory=None):
+        if dsn is None and connect_factory is None:
+            raise ValueError("PostgresDialect needs a dsn or a connect_factory")
+        self.dsn = dsn
+        self._factory = connect_factory
+
+    def connect(self):
+        if self._factory is not None:
+            return self._factory()
+        try:
+            import psycopg  # type: ignore[import-not-found]
+
+            return psycopg.connect(self.dsn)
+        except ImportError:
+            try:
+                import psycopg2  # type: ignore[import-not-found]
+
+                return psycopg2.connect(self.dsn)
+            except ImportError as e:
+                raise ImportError(
+                    "Postgres backend needs psycopg (v3) or psycopg2 installed, "
+                    "or pass connect_factory="
+                ) from e
+
+    def sql(self, q: str) -> str:
+        return q.replace("?", "%s").replace("{MAX2}", "GREATEST")
+
+    def begin_write(self, con) -> None:
+        pass  # DB-API transactions are implicit; commit/rollback by caller
+
+    def executescript(self, con, script: str) -> None:
+        cur = con.cursor()
+        for stmt in script.split(";"):
+            if stmt.strip():
+                cur.execute(stmt)
+
+
+def apply_pending_dialect(dialect) -> list[str]:
     """Apply unapplied migrations in version order, one transaction each,
     tracked in ``schema_version`` (reference apply_pending semantics:
-    idempotent, rollback-per-file on failure). Returns applied versions."""
-    db_path = os.fspath(db_path)
-    parent = os.path.dirname(db_path)
-    if parent:
-        os.makedirs(parent, exist_ok=True)
+    idempotent, rollback-per-version on failure). Returns applied versions."""
     applied: list[str] = []
-    with sqlite3.connect(db_path) as con:
-        con.execute(
+    con = dialect.connect()
+    try:
+        cur = con.cursor()
+        cur.execute(
             "CREATE TABLE IF NOT EXISTS schema_version ("
             "version TEXT PRIMARY KEY, applied_at TIMESTAMP NOT NULL)"
         )
-        done = {r[0] for r in con.execute("SELECT version FROM schema_version")}
+        con.commit()
+        cur.execute("SELECT version FROM schema_version")
+        done = {r[0] for r in cur.fetchall()}
         for version in sorted(MIGRATIONS):
             if version in done:
                 continue
             try:
-                con.executescript(MIGRATIONS[version])
-                con.execute(
-                    "INSERT INTO schema_version(version, applied_at) VALUES (?, ?)",
+                dialect.executescript(con, MIGRATIONS[version])
+                cur = con.cursor()
+                cur.execute(
+                    dialect.sql(
+                        "INSERT INTO schema_version(version, applied_at) VALUES (?, ?)"
+                    ),
                     (version, dt.datetime.now(dt.timezone.utc).isoformat()),
                 )
                 con.commit()
                 applied.append(version)
-            except sqlite3.Error as e:
+            except Exception as e:
                 con.rollback()
                 raise RuntimeError(f"migration {version} failed: {e}") from e
+    finally:
+        con.close()
     return applied
+
+
+def apply_pending(db_path: str | os.PathLike) -> list[str]:
+    """SQLite convenience wrapper (the historical API)."""
+    return apply_pending_dialect(SqliteDialect(db_path))
 
 
 def applied_versions(db_path: str | os.PathLike) -> list[str]:
@@ -127,20 +228,21 @@ def _now() -> dt.datetime:
     return dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
 
 
-class _SqliteBase:
-    def __init__(self, spark: SparkSession, db_path: str):
+class _SqlBase:
+    def __init__(self, spark: SparkSession, dialect):
         self.spark = spark
-        self.db_path = os.fspath(db_path)
-        apply_pending(self.db_path)
+        self.dialect = dialect
+        apply_pending_dialect(dialect)
 
     @contextmanager
     def _tx(self):
-        """Short IMMEDIATE transaction: takes the write lock up front so
-        concurrent writers serialize instead of failing mid-transaction."""
-        con = sqlite3.connect(self.db_path, timeout=30.0)
+        """Short write transaction (SQLite: IMMEDIATE lock; Postgres: MVCC).
+
+        Yields a cursor-like executor with dialect-translated SQL."""
+        con = self.dialect.connect()
         try:
-            con.execute("BEGIN IMMEDIATE")
-            yield con
+            self.dialect.begin_write(con)
+            yield _Executor(con.cursor(), self.dialect)
             con.commit()
         except Exception:
             con.rollback()
@@ -149,28 +251,56 @@ class _SqliteBase:
             con.close()
 
     def _read(self, sql: str, params: tuple = ()) -> list[tuple]:
-        con = sqlite3.connect(self.db_path, timeout=30.0)
+        con = self.dialect.connect()
         try:
-            return con.execute(sql, params).fetchall()
+            cur = con.cursor()
+            cur.execute(self.dialect.sql(sql), params)
+            return cur.fetchall()
         finally:
             con.close()
 
 
-def _parse_ts(v: str | None) -> dt.datetime | None:
-    return None if v is None else dt.datetime.fromisoformat(v)
+class _Executor:
+    """Thin cursor wrapper translating canonical SQL per dialect."""
+
+    def __init__(self, cur, dialect):
+        self._cur = cur
+        self._dialect = dialect
+
+    def execute(self, sql: str, params: tuple = ()):
+        self._cur.execute(self._dialect.sql(sql), params)
+        return self._cur
+
+    def executemany(self, sql: str, seq) -> None:
+        self._cur.executemany(self._dialect.sql(sql), seq)
 
 
-def _parse_day(v: str) -> dt.date:
+def _parse_ts(v) -> dt.datetime | None:
+    if v is None or isinstance(v, dt.datetime):
+        return v
+    return dt.datetime.fromisoformat(v)
+
+
+def _parse_day(v) -> dt.date:
+    if isinstance(v, dt.datetime):
+        return v.date()
+    if isinstance(v, dt.date):
+        return v
     return dt.date.fromisoformat(v)
 
 
-# ---------------------------------------------------------------------------
-# jobs (reference sqlite_domain.py ingestion-job repository + the state
-# machine guards in ingestion/domain/entities.py:254-335)
+def _day_param(d: dt.date) -> str:
+    return d.isoformat()
 
-class SqliteJobsStore(_SqliteBase):
+
+# ---------------------------------------------------------------------------
+# jobs (reference sqlite_domain.py / postgres_domain.py ingestion-job
+# repositories + the state machine guards in ingestion/domain/entities.py:
+# 254-335)
+
+class _JobsStoreSql(_SqlBase):
     """API-compatible with ``control.JobsStore`` — same methods, same
-    DataFrame schema, SQLite rows underneath."""
+    DataFrame schema, SQL rows underneath."""
 
     def load(self) -> DataFrame:
         from .control import JOBS_SCHEMA
@@ -186,23 +316,23 @@ class SqliteJobsStore(_SqliteBase):
 
     def create(self, job_id: str, symbol_days: list[tuple[str, dt.date]]) -> None:
         now = _now().isoformat()
-        with self._tx() as con:
-            n = con.execute(
+        with self._tx() as x:
+            n = x.execute(
                 "SELECT COUNT(*) FROM ingestion_jobs WHERE job_id = ?", (job_id,)
             ).fetchone()[0]
             if n:
                 raise ValueError(f"job {job_id!r} already exists")
-            con.executemany(
+            x.executemany(
                 "INSERT INTO ingestion_jobs (job_id, symbol, day, state, created_at, updated_at)"
                 " VALUES (?, ?, ?, 'pending', ?, ?)",
-                [(job_id, s, d.isoformat(), now, now) for s, d in symbol_days],
+                [(job_id, s, _day_param(d), now, now) for s, d in symbol_days],
             )
 
     def _transition(self, job_id: str, verb: str, error: str | None = None,
                     bars: dict[tuple[str, dt.date], int] | None = None) -> None:
         target = _TARGET[verb]
-        with self._tx() as con:
-            mine = con.execute(
+        with self._tx() as x:
+            mine = x.execute(
                 "SELECT symbol, day, state, bars_processed FROM ingestion_jobs WHERE job_id = ?",
                 (job_id,),
             ).fetchall()
@@ -214,11 +344,12 @@ class SqliteJobsStore(_SqliteBase):
             now = _now().isoformat()
             for s, d, _state, b in mine:
                 n = bars.get((s, _parse_day(d))) if bars else b
-                con.execute(
+                x.execute(
                     "UPDATE ingestion_jobs SET state = ?, updated_at = ?, error_message = ?,"
                     " bars_processed = ? WHERE job_id = ? AND symbol = ? AND day = ?",
                     (target, now, error if verb == "fail" else None,
-                     n if n is not None else b, job_id, s, d),
+                     n if n is not None else b, job_id, s,
+                     _day_param(_parse_day(d))),
                 )
 
     def start(self, job_id: str) -> None:
@@ -238,9 +369,9 @@ class SqliteJobsStore(_SqliteBase):
 
 
 # ---------------------------------------------------------------------------
-# metrics (reference metrics.py SQLite repository:131-255)
+# metrics (reference metrics.py SQLite repository:131-255; postgres mirror)
 
-class SqliteMetricsStore(_SqliteBase):
+class _MetricsStoreSql(_SqlBase):
     """API-compatible with ``control.MetricsStore``; ``record`` is a single
     INSERT (the reference's exact write path) instead of a parquet append."""
 
@@ -251,8 +382,8 @@ class SqliteMetricsStore(_SqliteBase):
     def record(self, name: str, value: float, provider: str = "unknown",
                feed: str = "unknown", ts: int | None = None) -> None:
         ts = int(time.time()) if ts is None else int(ts)
-        with self._tx() as con:
-            con.execute(
+        with self._tx() as x:
+            x.execute(
                 "INSERT INTO metrics (ts, name, value, provider, feed) VALUES (?, ?, ?, ?, ?)",
                 (ts, name, float(value), provider, feed),
             )
@@ -276,7 +407,7 @@ class SqliteMetricsStore(_SqliteBase):
 # ---------------------------------------------------------------------------
 # checkpoints (reference sqlite_domain.py:447-501)
 
-class SqliteCheckpointStore(_SqliteBase):
+class _CheckpointStoreSql(_SqlBase):
     """API-compatible with ``streaming.incremental.CheckpointStore``;
     ``save`` is an UPSERT keeping the newest position per (job, symbol)."""
 
@@ -300,12 +431,48 @@ class SqliteCheckpointStore(_SqliteBase):
 
     def save(self, job_id: str, positions: dict[str, int]) -> None:
         now = _now().isoformat()
-        with self._tx() as con:
-            con.executemany(
+        with self._tx() as x:
+            x.executemany(
                 "INSERT INTO checkpoints (job_id, symbol, last_processed_ns, updated_at)"
                 " VALUES (?, ?, ?, ?)"
                 " ON CONFLICT(job_id, symbol) DO UPDATE SET"
-                "   last_processed_ns = MAX(last_processed_ns, excluded.last_processed_ns),"
+                "   last_processed_ns = {MAX2}(checkpoints.last_processed_ns, excluded.last_processed_ns),"
                 "   updated_at = excluded.updated_at",
                 [(job_id, s, int(ns), now) for s, ns in positions.items()],
             )
+
+
+# ---------------------------------------------------------------------------
+# public backends
+
+class SqliteJobsStore(_JobsStoreSql):
+    def __init__(self, spark: SparkSession, db_path: str):
+        super().__init__(spark, SqliteDialect(db_path))
+        self.db_path = os.fspath(db_path)
+
+
+class SqliteMetricsStore(_MetricsStoreSql):
+    def __init__(self, spark: SparkSession, db_path: str):
+        super().__init__(spark, SqliteDialect(db_path))
+        self.db_path = os.fspath(db_path)
+
+
+class SqliteCheckpointStore(_CheckpointStoreSql):
+    def __init__(self, spark: SparkSession, db_path: str):
+        super().__init__(spark, SqliteDialect(db_path))
+        self.db_path = os.fspath(db_path)
+
+
+class PostgresJobsStore(_JobsStoreSql):
+    def __init__(self, spark: SparkSession, dsn: str | None = None, connect_factory=None):
+        super().__init__(spark, PostgresDialect(dsn, connect_factory))
+
+
+class PostgresMetricsStore(_MetricsStoreSql):
+    def __init__(self, spark: SparkSession, dsn: str | None = None, connect_factory=None):
+        super().__init__(spark, PostgresDialect(dsn, connect_factory))
+
+
+class PostgresCheckpointStore(_CheckpointStoreSql):
+    def __init__(self, spark: SparkSession, dsn: str | None = None, connect_factory=None):
+        super().__init__(spark, PostgresDialect(dsn, connect_factory))
