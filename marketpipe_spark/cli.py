@@ -241,7 +241,7 @@ def cmd_metrics(args) -> int:
     if args.serve:
         from .metrics_server import MetricsServer
 
-        srv = MetricsServer(m, port=args.port).start()
+        srv = MetricsServer(m, host=args.host, port=args.port).start()
         print(f"metrics server listening on {srv.url} (Ctrl-C to stop)")
         try:
             srv._thread.join()
@@ -508,6 +508,7 @@ def build_parser() -> argparse.ArgumentParser:
     m.add_argument("--db", default=None, help="control DB instead of parquet --path: SQLite file path or postgresql:// DSN")
     m.add_argument("--serve", action="store_true", help="serve GET /metrics (Prometheus text format)")
     m.add_argument("--port", type=int, default=8000)
+    m.add_argument("--host", default="127.0.0.1", help="bind address (0.0.0.0 inside containers)")
     m.set_defaults(fn=cmd_metrics)
 
     pv = sub.add_parser("providers", help="list available market data providers")

@@ -1,0 +1,28 @@
+"""The examples/quickstart.py walkthrough must stay executable end to end
+(the reference pins its README quickstart the same way — reference:
+tests/integration/test_readme_quickstart_e2e.py)."""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+
+
+def test_quickstart_runs_end_to_end(spark, tmp_path, capsys):
+    # Import the example as a module and drive its run() against tmp_path;
+    # the shared session fixture keeps it one JVM.
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        "examples", "quickstart.py")
+    spec = importlib.util.spec_from_file_location("quickstart_example", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    mod.run(str(tmp_path))
+    out = capsys.readouterr().out
+    assert "Quickstart complete." in out
+    assert "aggregated frame 5m" in out
+    assert "report written to" in out
+    # artifacts on disk: raw lake, aggregated frames, control stores, report
+    assert os.path.isdir(tmp_path / "data" / "raw")
+    assert os.path.isdir(tmp_path / "data" / "agg")
+    assert (tmp_path / "validation_report.csv").exists()
