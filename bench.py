@@ -83,6 +83,9 @@ EXTRA = [
     "brand_revenue",
     "customer_distribution",
     "idle_rich_customers",
+    # round-4 additions
+    "gaps_by_symbol",
+    "contamination_check",
 ]
 
 #: The heavier LLM-pipeline operators (LSH/minhash/multimodal) stay out of

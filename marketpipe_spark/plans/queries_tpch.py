@@ -838,3 +838,118 @@ def q_idle_rich(spark, sf_dir):
         .orderBy(F.desc("c_acctbal"), "c_custkey")
         .limit(20)
     )
+
+
+# Q6 shape — forecast revenue change: tight scan-level predicate trio on the
+# fact table, single global aggregate. Canonical pushdown showcase: all
+# three predicates reach the parquet scan.
+SQL_FORECAST_REVENUE = """
+SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(38,6))) AS DOUBLE) AS revenue_delta,
+       COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+@register("forecast_revenue", SQL_FORECAST_REVENUE, doc="TPC-H Q6 shape: pushdown predicate trio + single aggregate", tags=("filter", "agg"))
+def q_forecast_revenue(spark, sf_dir):
+    l = t(spark, sf_dir, "lineitem")
+    kept = l.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return kept.agg(
+        F.sum((F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("revenue_delta"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+# Q5 shape — local-supplier volume: revenue where the supplier and the
+# customer share a nation, grouped by that nation. The same-nation equality
+# is an extra join predicate, not a post-filter, so it participates in join
+# key selection.
+SQL_LOCAL_SUPPLIER_VOLUME = """
+SELECT n_name AS nation,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n_name
+"""
+
+
+@register("local_supplier_volume", SQL_LOCAL_SUPPLIER_VOLUME, doc="TPC-H Q5 shape: same-nation supplier/customer revenue per nation", tags=("join", "agg"))
+def q_local_supplier_volume(spark, sf_dir):
+    l = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    c = t(spark, sf_dir, "customer")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    j = l.join(o, l.l_orderkey == o.o_orderkey)
+    j = dim_join(j, c, F.col("o_custkey") == c.c_custkey)
+    j = dim_join(j, s, (F.col("l_suppkey") == s.s_suppkey) & (s.s_nationkey == F.col("c_nationkey")))
+    j = dim_join(j, n, F.col("c_nationkey") == n.n_nationkey, always_broadcast=True)
+    return j.groupBy(F.col("n_name").alias("nation")).agg(
+        F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+# Q8 shape — market share: one nation's share of revenue within a part-type
+# market, per order year. Conditional aggregation over the joined star;
+# decimal-exact numerator and denominator, the ratio cast once.
+SQL_MARKET_SHARE = """
+SELECT EXTRACT(YEAR FROM o_orderdate) AS yr,
+       CAST(CAST(SUM(CASE WHEN n_name = 'Nation#01'
+                 THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))
+                 ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE)
+         / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE)
+         AS DOUBLE) AS mkt_share,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_type = 'PROMO'
+GROUP BY 1
+"""
+
+
+@register("market_share", SQL_MARKET_SHARE, doc="TPC-H Q8 shape: one nation's revenue share in a part-type market per year", tags=("join", "agg"))
+def q_market_share(spark, sf_dir):
+    l = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    p = t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO").select("p_partkey")
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = t(spark, sf_dir, "nation")
+    disc = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(38,6)")
+    zero = F.lit(0).cast("decimal(38,6)")
+    j = dim_join(l, p, F.col("l_partkey") == p.p_partkey, "left_semi")
+    j = j.join(o, F.col("l_orderkey") == o.o_orderkey)
+    j = dim_join(j, s, F.col("l_suppkey") == s.s_suppkey)
+    j = dim_join(j, n, F.col("s_nationkey") == n.n_nationkey, always_broadcast=True)
+    return j.groupBy(F.year("o_orderdate").cast("long").alias("yr")).agg(
+        (
+            F.sum(F.when(F.col("n_name") == "Nation#01", disc).otherwise(zero)).cast("double")
+            / F.sum(disc).cast("double")
+        ).alias("mkt_share"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
