@@ -917,7 +917,7 @@ def q_local_supplier_volume(spark, sf_dir):
 # decimal-exact numerator and denominator, the ratio cast once.
 SQL_MARKET_SHARE = """
 SELECT EXTRACT(YEAR FROM o_orderdate) AS yr,
-       CAST(CAST(SUM(CASE WHEN n_name = 'Nation#01'
+       CAST(CAST(SUM(CASE WHEN n_name = 'NATION_1'
                  THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))
                  ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE)
          / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE)
@@ -948,8 +948,379 @@ def q_market_share(spark, sf_dir):
     j = dim_join(j, n, F.col("s_nationkey") == n.n_nationkey, always_broadcast=True)
     return j.groupBy(F.year("o_orderdate").cast("long").alias("yr")).agg(
         (
-            F.sum(F.when(F.col("n_name") == "Nation#01", disc).otherwise(zero)).cast("double")
+            F.sum(F.when(F.col("n_name") == "NATION_1", disc).otherwise(zero)).cast("double")
             / F.sum(disc).cast("double")
         ).alias("mkt_share"),
         F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+# Q2 shape — minimum-cost supplier: for each part, the supplier in one
+# region offering the lowest observed unit price. The testdata has no
+# partsupp table, so unit cost is derived from lineitem
+# (l_extendedprice / l_quantity, min per part-supplier pair); the
+# correlated MIN subquery of the official query becomes a per-part window
+# minimum — one extra shuffle on the part key instead of a rescan.
+SQL_MIN_COST_SUPPLIER = """
+WITH costs AS (
+  SELECT l_partkey, l_suppkey, MIN(l_extendedprice / l_quantity) AS cost
+  FROM lineitem GROUP BY 1, 2
+), eu AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+), ranked AS (
+  SELECT c.l_partkey, c.cost, s_name, s_acctbal, n_name,
+         MIN(cost) OVER (PARTITION BY l_partkey) AS min_cost
+  FROM costs c JOIN eu ON c.l_suppkey = eu.s_suppkey
+)
+SELECT s_acctbal, s_name, n_name AS nation, p_partkey, p_name, cost
+FROM ranked JOIN part ON l_partkey = p_partkey
+WHERE cost = min_cost
+ORDER BY s_acctbal DESC, s_name, p_partkey LIMIT 20
+"""
+
+
+@register("min_cost_supplier", SQL_MIN_COST_SUPPLIER, doc="TPC-H Q2 shape: per-part minimum-cost supplier within a region (correlated MIN as window)", tags=("join", "window", "topk"))
+def q_min_cost_supplier(spark, sf_dir):
+    l = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE").select("r_regionkey")
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_name")
+    costs = l.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("cost")
+    )
+    eu = dim_join(s, n, s.s_nationkey == n.n_nationkey, always_broadcast=True)
+    eu = dim_join(eu, r, F.col("n_regionkey") == r.r_regionkey, "left_semi", always_broadcast=True)
+    eu = eu.select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    je = dim_join(costs, eu, F.col("l_suppkey") == F.col("s_suppkey"))
+    w = W.partitionBy("l_partkey")
+    best = je.withColumn("min_cost", F.min("cost").over(w)).filter(F.col("cost") == F.col("min_cost"))
+    return (
+        dim_join(best, p, F.col("l_partkey") == p.p_partkey)
+        .select(
+            "s_acctbal",
+            "s_name",
+            F.col("n_name").alias("nation"),
+            "p_partkey",
+            "p_name",
+            "cost",
+        )
+        .orderBy(F.desc("s_acctbal"), "s_name", "p_partkey")
+        .limit(20)
+    )
+
+
+# Q9 shape — product-type profit per nation per year. No partsupp →
+# supply cost proxied as 0.6 * p_retailprice per unit; the profit
+# expression is evaluated per row in IEEE order identical to the oracle,
+# then decimal-summed for order-independent parity.
+SQL_PRODUCT_PROFIT = """
+SELECT n_name AS nation, EXTRACT(YEAR FROM o_orderdate) AS yr,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) - 0.6 * p_retailprice * l_quantity
+                AS DECIMAL(38,6))) AS DOUBLE) AS profit,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN orders   ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%red%'
+GROUP BY 1, 2
+"""
+
+
+@register("product_profit", SQL_PRODUCT_PROFIT, doc="TPC-H Q9 shape: profit by supplier nation and order year over a 5-table star", tags=("join", "agg"))
+def q_product_profit(spark, sf_dir):
+    l = t(spark, sf_dir, "lineitem")
+    p = (
+        t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%red%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = t(spark, sf_dir, "nation")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    j = dim_join(l, p, F.col("l_partkey") == p.p_partkey)
+    j = dim_join(j, s, F.col("l_suppkey") == s.s_suppkey)
+    j = dim_join(j, n, F.col("s_nationkey") == n.n_nationkey, always_broadcast=True)
+    j = j.join(o, F.col("l_orderkey") == o.o_orderkey)
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.6 * F.col("p_retailprice") * F.col("l_quantity")
+    ).cast("decimal(38,6)")
+    return j.groupBy(
+        F.col("n_name").alias("nation"), F.year("o_orderdate").cast("long").alias("yr")
+    ).agg(
+        F.sum(profit).cast("double").alias("profit"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+# Q11 shape — important parts: per-part traded value restricted to three
+# nations' suppliers, kept only above a fraction of the TOTAL value — the
+# HAVING-over-scalar-subquery shape. The scalar total attaches via
+# scalar_join (BroadcastHashJoin, no nested loop); both engines sum the
+# per-part DECIMAL subtotals so the threshold is bit-identical.
+SQL_IMPORTANT_PARTS = """
+WITH vals AS (
+  SELECT l_partkey AS p_partkey, SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS vald
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+  GROUP BY 1
+)
+SELECT p_partkey, CAST(vald AS DOUBLE) AS value
+FROM vals
+WHERE CAST(vald AS DOUBLE) > 0.001 * (SELECT CAST(SUM(vald) AS DOUBLE) FROM vals)
+ORDER BY value DESC, p_partkey
+"""
+
+
+@register("important_parts", SQL_IMPORTANT_PARTS, doc="TPC-H Q11 shape: per-part value with HAVING over a scalar-subquery total", tags=("join", "agg", "scalar"))
+def q_important_parts(spark, sf_dir):
+    from .registry import scalar_join
+
+    l = t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_extendedprice")
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = t(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2", "NATION_3")
+    ).select("n_nationkey")
+    s_kept = dim_join(s, n, s.s_nationkey == n.n_nationkey, "left_semi", always_broadcast=True)
+    li = dim_join(l, s_kept, F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+    vals = li.groupBy(F.col("l_partkey").alias("p_partkey")).agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(38,6)")).alias("vald")
+    )
+    total = vals.agg(F.sum("vald").cast("double").alias("_total"))
+    return (
+        scalar_join(vals, "p_partkey", total)
+        .filter(F.col("vald").cast("double") > 0.001 * F.col("_total"))
+        .select("p_partkey", F.col("vald").cast("double").alias("value"))
+        .orderBy(F.desc("value"), "p_partkey")
+    )
+
+
+# Q12 shape — late-shipment priority counts: conditional CASE-sums of
+# high/low order priorities, grouped by line status (the testdata has no
+# l_shipmode), restricted to lines shipped >90 days after the order date.
+SQL_LATE_PRIORITY_COUNTS = """
+SELECT l_linestatus AS linestatus,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@register("late_priority_counts", SQL_LATE_PRIORITY_COUNTS, doc="TPC-H Q12 shape: CASE-sum priority counts over late shipments", tags=("join", "agg"))
+def q_late_priority_counts(spark, sf_dir):
+    l = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
+    j = l.join(o, F.col("l_orderkey") == o.o_orderkey).filter(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    )
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        j.groupBy(F.col("l_linestatus").alias("linestatus"))
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0)).alias("high_count"),
+            F.sum(F.when(~is_high, 1).otherwise(0)).alias("low_count"),
+        )
+        .orderBy("linestatus")
+    )
+
+
+# Q16 shape — supplier counts per part attribute triple: distinct
+# part-supplier relationships come from lineitem (no partsupp), suppliers
+# with negative balance are excluded by anti-join (the NOT IN complaint
+# filter of the official query), then COUNT(DISTINCT supplier).
+SQL_SUPPLIER_PART_COUNTS = """
+WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+SELECT p_brand, p_type, p_size, CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM pairs
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+@register("supplier_part_counts", SQL_SUPPLIER_PART_COUNTS, doc="TPC-H Q16 shape: COUNT(DISTINCT supplier) per part triple with NOT-IN anti-join", tags=("join", "agg", "distinct"))
+def q_supplier_part_counts(spark, sf_dir):
+    l = t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    p = t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad = t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    j = dim_join(l, p, F.col("l_partkey") == p.p_partkey)
+    j = dim_join(j, bad, F.col("l_suppkey") == bad.s_suppkey, "left_anti")
+    return (
+        j.groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+# Q17 shape — small-quantity-order revenue: lines under 20% of their
+# part's average quantity, for one brand. The correlated per-part AVG is a
+# window aggregate (decimal sum / count — order-independent), so the fact
+# scans once instead of twice.
+SQL_SMALL_QTY_REVENUE = """
+WITH brand_items AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#3'
+), enriched AS (
+  SELECT *, CAST(SUM(CAST(l_quantity AS DECIMAL(38,2))) OVER (PARTITION BY l_partkey) AS DOUBLE)
+            / COUNT(*) OVER (PARTITION BY l_partkey) AS avg_qty
+  FROM brand_items
+)
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / 7.0 AS avg_yearly,
+       COUNT(*) AS n_items
+FROM enriched WHERE l_quantity < 0.2 * avg_qty
+"""
+
+
+@register("small_qty_revenue", SQL_SMALL_QTY_REVENUE, doc="TPC-H Q17 shape: correlated per-part AVG as a window aggregate", tags=("join", "window", "agg"))
+def q_small_qty_revenue(spark, sf_dir):
+    l = t(spark, sf_dir, "lineitem").select("l_partkey", "l_quantity", "l_extendedprice")
+    p = t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3").select("p_partkey")
+    li = dim_join(l, p, F.col("l_partkey") == p.p_partkey, "left_semi")
+    w = W.partitionBy("l_partkey")
+    avg_qty = (
+        F.sum(F.col("l_quantity").cast("decimal(38,2)")).over(w).cast("double")
+        / F.count(F.lit(1)).over(w)
+    )
+    return (
+        li.withColumn("avg_qty", avg_qty)
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            (F.sum(F.col("l_extendedprice").cast("decimal(38,6)")).cast("double") / 7.0)
+            .alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# Q20 shape — excess-inventory suppliers: suppliers who shipped more than
+# a threshold quantity of one part family in a year. A chain of
+# semi-joins: part family → heavy part-supplier pairs → suppliers.
+SQL_EXCESS_SUPPLIERS = """
+WITH shipped AS (
+  SELECT l_partkey, l_suppkey, SUM(CAST(l_quantity AS DECIMAL(38,2))) AS qty
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+  GROUP BY 1, 2
+), heavy AS (
+  SELECT DISTINCT l_suppkey
+  FROM shipped JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE 'small%' AND CAST(qty AS DOUBLE) > 50
+)
+SELECT s_name, s_acctbal, n_name AS nation
+FROM supplier
+JOIN heavy ON s_suppkey = l_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+ORDER BY s_name
+"""
+
+
+@register("excess_suppliers", SQL_EXCESS_SUPPLIERS, doc="TPC-H Q20 shape: semi-join chain part-family -> heavy pairs -> suppliers", tags=("join", "semi"))
+def q_excess_suppliers(spark, sf_dir):
+    l = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    p = t(spark, sf_dir, "part").filter(F.col("p_name").like("small%")).select("p_partkey")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    shipped = l.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(38,2)")).alias("qty")
+    )
+    heavy = (
+        dim_join(shipped, p, F.col("l_partkey") == p.p_partkey, "left_semi")
+        .filter(F.col("qty").cast("double") > 50)
+        .select("l_suppkey")
+        .distinct()
+    )
+    kept = dim_join(s, heavy, F.col("s_suppkey") == heavy.l_suppkey, "left_semi")
+    return (
+        dim_join(kept, n, F.col("s_nationkey") == n.n_nationkey, always_broadcast=True)
+        .select("s_name", "s_acctbal", F.col("n_name").alias("nation"))
+        .orderBy("s_name")
+    )
+
+
+# Q21 shape — suppliers who kept orders waiting: finalized multi-supplier
+# orders where EXACTLY ONE supplier shipped late (>60 days after the order
+# date). The official EXISTS / NOT EXISTS self-joins on lineitem are
+# reformulated as one per-order aggregate (distinct supplier count +
+# distinct late-supplier count) — one shuffle on the order key instead of
+# two O(n^2)-prone self-joins.
+SQL_WAITING_SUPPLIERS = """
+WITH fo AS (
+  SELECT o_orderkey, o_orderdate FROM orders WHERE o_orderstatus = 'F'
+), li AS (
+  SELECT l_orderkey, l_suppkey, l_shipdate > o_orderdate + INTERVAL 60 DAY AS is_late
+  FROM lineitem JOIN fo ON l_orderkey = o_orderkey
+), per_order AS (
+  SELECT l_orderkey,
+         COUNT(DISTINCT l_suppkey) AS n_supp,
+         COUNT(DISTINCT CASE WHEN is_late THEN l_suppkey END) AS n_late
+  FROM li GROUP BY 1
+), late AS (
+  SELECT DISTINCT l_orderkey, l_suppkey FROM li WHERE is_late
+)
+SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM late
+JOIN per_order USING (l_orderkey)
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE n_supp >= 2 AND n_late = 1
+GROUP BY 1
+ORDER BY numwait DESC, s_name
+LIMIT 20
+"""
+
+
+@register("waiting_suppliers", SQL_WAITING_SUPPLIERS, doc="TPC-H Q21 shape: EXISTS/NOT-EXISTS self-joins as a per-order distinct aggregate", tags=("join", "agg", "topk"))
+def q_waiting_suppliers(spark, sf_dir):
+    fo = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    l = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    li = l.join(fo, F.col("l_orderkey") == fo.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")).alias("is_late"),
+    )
+    per_order = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias("n_late"),
+    )
+    late = li.filter(F.col("is_late")).select("l_orderkey", "l_suppkey").distinct()
+    solo = per_order.filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1)).select("l_orderkey")
+    j = late.join(solo, "l_orderkey")
+    return (
+        dim_join(j, s, F.col("l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
     )
