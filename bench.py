@@ -86,6 +86,17 @@ EXTRA = [
     # round-4 additions
     "gaps_by_symbol",
     "contamination_check",
+    "min_cost_supplier",
+    "product_profit",
+    "important_parts",
+    "late_priority_counts",
+    "supplier_part_counts",
+    "small_qty_revenue",
+    "excess_suppliers",
+    "waiting_suppliers",
+    "market_share",
+    "local_supplier_volume",
+    "forecast_revenue",
 ]
 
 #: The heavier LLM-pipeline operators (LSH/minhash/multimodal) stay out of

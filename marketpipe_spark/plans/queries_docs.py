@@ -773,3 +773,151 @@ def q_length_outliers(spark, sf_dir):
     from ..operators.sampling import length_outliers
 
     return length_outliers(t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Ranking / retrieval: inverted-index shapes (explode -> tf/df -> join) a
+# training-data pipeline needs for relevance scoring and corpus search.
+# Scale notes: every shuffle is keyed (doc_id) or (token) — both
+# high-cardinality; the tiny term-side dims are left ungated for AQE to
+# broadcast at runtime; the corpus-level scalars attach via scalar_join
+# (BroadcastHashJoin, never a nested loop).
+
+SQL_TFIDF_TOP_TERMS = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+  FROM documents
+), tf AS (
+  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tok GROUP BY 1, 2
+), df AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
+), n AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf,
+         CAST(FLOOR(tf.tf * ln(n_docs / df.df) * 1000000) AS BIGINT) AS score_micro
+  FROM tf JOIN df USING (token) CROSS JOIN n
+), ranked AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score_micro DESC, token) AS BIGINT) AS rk
+  FROM scored
+)
+SELECT doc_id, rk, token, tf, score_micro FROM ranked WHERE rk <= 5
+"""
+
+
+@register("tfidf_top_terms", SQL_TFIDF_TOP_TERMS, doc="per-document top-5 terms by TF-IDF (inverted-index tf/df join)", tags=("text", "ranking"))
+def q_tfidf_top_terms(spark, sf_dir):
+    from pyspark.sql.window import Window as W
+
+    from .registry import dim_join, scalar_join
+
+    d = t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), TOKEN_SPLIT_RE)).alias("token"),
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    # Fixed-point micro-score: ln() is libm-dependent (JVM vs DuckDB differ
+    # by 1 ulp on some inputs), so the raw double is NOT cross-engine
+    # bit-stable. floor(score * 1e6) as BIGINT is — and ranking by it keeps
+    # the ordering identical too.
+    scored = scalar_join(dim_join(tf, df_, "token"), "doc_id", n).withColumn(
+        "score_micro",
+        F.floor(F.col("tf") * F.log(F.col("n_docs") / F.col("df")) * 1000000).cast("long"),
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("score_micro"), "token")
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 5)
+        .select("doc_id", "rk", "token", "tf", "score_micro")
+    )
+
+
+#: BM25 query terms and parameters (k1=1.2, b=0.75) shared by the Spark
+#: plan and the oracle; k1+1 is written as the folded literal 2.2 in both
+#: so the IEEE evaluation order is identical.
+BM25_TERMS = ("spark", "join", "stream")
+
+SQL_BM25_SEARCH = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+  FROM documents
+), dl AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tok GROUP BY 1
+), stats AS (
+  SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl, CAST(COUNT(*) AS DOUBLE) AS n_docs FROM dl
+), tf AS (
+  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tok WHERE token IN ('spark', 'join', 'stream') GROUP BY 1, 2
+), df AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
+), part_scores AS (
+  SELECT tf.doc_id, tf.token,
+         ln(1 + (n_docs - df.df + 0.5) / (df.df + 0.5))
+           * (tf.tf * 2.2) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / avgdl)) AS s
+  FROM tf JOIN df USING (token) JOIN dl USING (doc_id) CROSS JOIN stats
+), pivoted AS (
+  SELECT doc_id,
+         CAST(FLOOR((
+           COALESCE(MAX(CASE WHEN token = 'spark' THEN s END), 0)
+         + COALESCE(MAX(CASE WHEN token = 'join' THEN s END), 0)
+         + COALESCE(MAX(CASE WHEN token = 'stream' THEN s END), 0)) * 1000000) AS BIGINT) AS score_micro
+  FROM part_scores GROUP BY 1
+)
+SELECT doc_id, score_micro FROM pivoted ORDER BY score_micro DESC, doc_id LIMIT 20
+"""
+
+
+@register("bm25_search", SQL_BM25_SEARCH, doc="BM25 top-20 corpus search for a fixed term set", tags=("text", "ranking", "topk"))
+def q_bm25_search(spark, sf_dir):
+    from .registry import dim_join, scalar_join
+
+    d = t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), TOKEN_SPLIT_RE)).alias("token"),
+    )
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+    )
+    tf = (
+        tok.filter(F.col("token").isin(*BM25_TERMS))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    j = dim_join(tf, df_, "token").join(dl, "doc_id")
+    j = scalar_join(j, "doc_id", stats)
+    # Per-(doc, term) BM25 partial, IEEE evaluation order mirrored in the
+    # oracle text exactly (2.2 is the folded k1+1).
+    s = (
+        F.log(1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+        * (F.col("tf") * 2.2)
+        / (F.col("tf") + 1.2 * (1 - 0.75 + 0.75 * F.col("dl") / F.col("avgdl")))
+    )
+    part = j.select("doc_id", "token", s.alias("s"))
+    # Fixed-order sum of the per-term partials (a float SUM across shuffle
+    # partitions would be order-dependent; three MAX-pivoted columns added
+    # left-to-right are bit-stable in both engines).
+    pivoted = part.groupBy("doc_id").agg(
+        *[
+            F.max(F.when(F.col("token") == term, F.col("s"))).alias(f"_s_{i}")
+            for i, term in enumerate(BM25_TERMS)
+        ]
+    )
+    score = None
+    for i in range(len(BM25_TERMS)):
+        piece = F.coalesce(F.col(f"_s_{i}"), F.lit(0).cast("double"))
+        score = piece if score is None else score + piece
+    # Fixed-point micro-score for cross-engine bit-stability (ln is
+    # libm-dependent); ordering by it keeps the top-20 cut identical.
+    return (
+        pivoted.select("doc_id", F.floor(score * 1000000).cast("long").alias("score_micro"))
+        .orderBy(F.desc("score_micro"), "doc_id")
+        .limit(20)
+    )

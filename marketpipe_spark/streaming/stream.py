@@ -196,3 +196,71 @@ def stream_to_lake(
 def run_available_now(query) -> None:
     """Block until an AvailableNow query drains its backlog and stops."""
     query.awaitTermination()
+
+
+def dedup_within_watermark(bar_stream: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Exact streaming dedup on (symbol, ts_ns) with watermark-bounded state.
+
+    The built-in twin of :func:`highwater_dedup_stream` for the case where
+    bars may arrive out of order WITHIN the watermark (a high-water filter
+    would wrongly drop them): ``dropDuplicatesWithinWatermark`` keeps the
+    first row per key and evicts key state once event time passes the
+    watermark — state is bounded by (arrival rate × watermark), independent
+    of stream length. Reference semantics: duplicate-ts rejection, P8
+    (validation/validators.py timestamp-uniqueness rule).
+    """
+    with_ts = bar_stream.withColumn(
+        "event_time", F.timestamp_micros((F.col("ts_ns") / 1000).cast("long"))
+    )
+    return (
+        with_ts.withWatermark("event_time", watermark)
+        .dropDuplicatesWithinWatermark(["symbol", "ts_ns"])
+        .drop("event_time")
+    )
+
+
+def anomaly_stream(bar_stream: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """Custom stateful streaming operator: per-symbol extreme-movement
+    detector — emits bars whose close moved more than ``threshold``
+    (fractional) from the PREVIOUS bar's close, across microbatch
+    boundaries. The streaming twin of batch validation rule 7
+    (extreme_movement; reference: validation/validators.py price-movement
+    rule).
+
+    State is one (last_ts_ns, last_close) pair per symbol — bounded by
+    symbol cardinality, partitioned by the group key. Rows inside a batch
+    are processed in event order, so the detector sees the same neighbor
+    pairs the batch window (lag) sees.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = (
+        "symbol string, ts_ns long, close double, prev_close double, move_frac double"
+    )
+
+    def detect(key, pdfs, state):
+        (symbol,) = key
+        last_ts, last_close = state.get if state.exists else (-1, float("nan"))
+        outs = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("ts_ns", kind="stable")
+            for ts_ns, close in zip(pdf["ts_ns"], pdf["close"]):
+                if last_ts >= 0 and last_close:
+                    move = abs(close - last_close) / abs(last_close)
+                    if move > threshold:
+                        outs.append((symbol, int(ts_ns), float(close), float(last_close), move))
+                last_ts, last_close = int(ts_ns), float(close)
+        state.update((last_ts, last_close))
+        if outs:
+            yield pd.DataFrame(
+                outs, columns=["symbol", "ts_ns", "close", "prev_close", "move_frac"]
+            )
+
+    return bar_stream.groupBy("symbol").applyInPandasWithState(
+        detect,
+        outputStructType=out_schema,
+        stateStructType="last_ts_ns long, last_close double",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -223,3 +223,67 @@ def test_enrich_stream_matches_batch_interval_join(spark, tmp_path):
         | (F.col("q_ts_ns") < F.col("ts_ns") - F.lit(5 * NS_MIN))
     )
     assert bad.count() == 0
+
+
+def test_dedup_within_watermark(spark, tmp_path):
+    from marketpipe_spark.streaming.stream import dedup_within_watermark
+
+    landing = str(tmp_path / "landing")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    base = _bars_df(spark, "AAPL", DAY1, 10)
+    # duplicates of 4 bars (same symbol+ts, different prices) in the same batch
+    dups = _bars_df(spark, "AAPL", DAY1, 4, base=900.0)
+    base.unionByName(dups).coalesce(1).write.mode("append").parquet(landing)
+
+    deduped = dedup_within_watermark(read_bar_stream(spark, landing))
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    run_available_now(q)
+    got = spark.read.parquet(out_dir)
+    assert got.count() == 10
+    assert got.select("ts_ns").distinct().count() == 10
+
+
+def test_anomaly_stream_crosses_microbatches(spark, tmp_path):
+    from marketpipe_spark.streaming.stream import anomaly_stream
+
+    landing = str(tmp_path / "landing")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    # batch 1: closes 100.5..104.5 (small moves only)
+    _bars_df(spark, "AAPL", DAY1, 5).coalesce(1).write.mode("append").parquet(landing)
+
+    def drain():
+        q = (
+            anomaly_stream(read_bar_stream(spark, landing), threshold=0.5)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        run_available_now(q)
+        import os
+
+        if not any(f.endswith(".parquet") for f in os.listdir(out_dir)):
+            return []
+        return spark.read.parquet(out_dir).collect()
+
+    assert drain() == []
+
+    # batch 2: first bar close=200.5 — a >50% jump vs batch 1's LAST close
+    # (104.5), visible only if state carried across the microbatch boundary.
+    _bars_df(spark, "AAPL", DAY1 + 5 * NS_MIN, 2, base=200.0).coalesce(1).write.mode(
+        "append"
+    ).parquet(landing)
+    rows = drain()
+    assert len(rows) == 1
+    assert rows[0].prev_close == 104.5
+    assert rows[0].close == 200.5
