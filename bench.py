@@ -97,6 +97,9 @@ EXTRA = [
     "market_share",
     "local_supplier_volume",
     "forecast_revenue",
+    "tfidf_top_terms",
+    "bm25_search",
+    "duplicated_spans",
 ]
 
 #: The heavier LLM-pipeline operators (LSH/minhash/multimodal) stay out of

@@ -228,3 +228,56 @@ def ngram_contamination(
             ).alias("leak_frac"),
         )
     )
+
+
+def duplicated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 20,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """Substring-level duplication profile: for every ``window``-token span
+    of every document, detect spans that occur in >= 2 DISTINCT documents,
+    and report per document how much of it is covered by such cross-corpus
+    duplicated spans — the distributed analog of suffix-array substring
+    dedup (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better"), where the suffix array is replaced by windowed span
+    hashing: sublinear state per key, no global sort.
+
+    Output: one row per document with >= ``window`` tokens —
+    ``(id, n_windows, n_dup, dup_frac)`` where ``n_dup`` counts window
+    POSITIONS whose span also appears in another document.
+
+    Scale: the explode produces one row per token position (corpus token
+    count); both shuffles are keyed high-cardinality (span hash, then doc
+    id), rows crossing are two longs wide. The span-hash groupBy and the
+    join back share an identical child exchange, which Spark's
+    ReuseExchange dedupes. ``hash_family='md5_60'`` is the
+    oracle-verifiable configuration (see :func:`ngram_hashes`).
+    """
+    from .dedup import _hash64
+
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    eligible = df.select(F.col(id_col), toks.alias("toks")).filter(
+        F.size("toks") >= window
+    )
+    starts = F.sequence(F.lit(1), F.size("toks") - F.lit(window - 1))
+    win = eligible.select(
+        id_col,
+        F.explode(starts).alias("i"),
+        F.col("toks"),
+    ).select(
+        id_col,
+        _hash64(F.array_join(F.slice(F.col("toks"), F.col("i"), window), " "), None, hash_family).alias("wh"),
+    )
+    counts = win.groupBy("wh").agg(F.countDistinct(id_col).alias("nd"))
+    j = win.join(counts, "wh")
+    return (
+        j.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0)).alias("n_dup"),
+        )
+        .withColumn("dup_frac", F.col("n_dup") / F.col("n_windows"))
+    )

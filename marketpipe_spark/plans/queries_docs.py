@@ -921,3 +921,37 @@ def q_bm25_search(spark, sf_dir):
         .orderBy(F.desc("score_micro"), "doc_id")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Substring-level dedup: windowed span hashing as the distributed analog of
+# suffix-array substring dedup. md5_60 span hashes so the oracle reproduces
+# the exact same dup set.
+
+SQL_DUPLICATED_SPANS = r"""
+WITH tok AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM documents
+), eligible AS (
+  SELECT doc_id, toks FROM tok WHERE len(toks) >= 20
+), win AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(array_to_string(toks[g:g+19], ' ')), 1, 15)) AS BIGINT) AS wh
+  FROM eligible, unnest(generate_series(1, len(toks) - 19)) AS u(g)
+), counts AS (
+  SELECT wh, COUNT(DISTINCT doc_id) AS nd FROM win GROUP BY wh
+)
+SELECT doc_id,
+       COUNT(*) AS n_windows,
+       CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+       CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) / COUNT(*) AS dup_frac
+FROM win JOIN counts USING (wh)
+GROUP BY doc_id
+"""
+
+
+@register("duplicated_spans", SQL_DUPLICATED_SPANS, doc="cross-document duplicated 20-token spans per doc (suffix-array-style substring dedup)", tags=("text", "dedup"))
+def q_duplicated_spans(spark, sf_dir):
+    from ..operators.textclean import duplicated_spans
+
+    d = t(spark, sf_dir, "documents")
+    return duplicated_spans(d, window=20, hash_family="md5_60")

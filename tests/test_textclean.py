@@ -176,3 +176,32 @@ def test_ngram_contamination_family_equivalent_leaks(spark):
     }
     assert md5 == xxh
     assert md5[10] == (4, 1)  # "a b c d e" leaked from train doc 1
+
+
+def test_duplicated_spans_flags_cross_doc_spans_only(spark):
+    from marketpipe_spark.operators.textclean import duplicated_spans
+
+    shared = " ".join(f"w{i}" for i in range(20))          # 20-token span
+    rows = [
+        (1, shared + " tail1 " + " ".join(f"a{i}" for i in range(19))),
+        (2, "head2 " + shared),                            # shares the span with doc 1
+        (3, " ".join(f"b{i}" for i in range(40))),         # unique content
+        (4, "too short"),                                  # < 20 tokens: excluded
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in duplicated_spans(df, window=20).collect()}
+    assert set(out) == {1, 2, 3}            # doc 4 has no windows
+    assert out[3].n_dup == 0
+    # doc 2 has 2 window positions, exactly one of which is the shared span
+    assert out[2].n_windows == 2 and out[2].n_dup == 1
+    assert out[1].n_dup >= 1                 # the shared span's position in doc 1
+    assert abs(out[2].dup_frac - 0.5) < 1e-12
+
+
+def test_duplicated_spans_hash_families_agree(spark):
+    from marketpipe_spark.operators.textclean import duplicated_spans
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = sorted(map(tuple, duplicated_spans(df, window=10, hash_family="xxhash64").collect()))
+    b = sorted(map(tuple, duplicated_spans(df, window=10, hash_family="md5_60").collect()))
+    assert a == b
