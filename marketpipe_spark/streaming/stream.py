@@ -264,3 +264,73 @@ def anomaly_stream(bar_stream: DataFrame, threshold: float = 0.5) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def silence_alert_stream(bar_stream: DataFrame, silence_ms: int = 300_000) -> DataFrame:
+    """Timer-based stale-symbol detector on the next-generation
+    ``transformWithStateInPandas`` state API: emits an alert when a symbol
+    stops producing bars for ``silence_ms`` of EVENT time — the streaming
+    twin of batch gap detection (J3, reference: validation gap scan) and a
+    shape the older ``applyInPandasWithState`` cannot express (detecting
+    the ABSENCE of input requires timers; a group with no rows is never
+    invoked).
+
+    Per symbol: state is one long (last seen ts_ns) plus one event-time
+    timer re-armed at ``last_event + silence_ms``; when the watermark
+    passes an expiry with no newer bar, the expired timer fires and emits
+    ``(symbol, last_ts_ns, alert_time_ms)``. State and timer count are
+    bounded by symbol cardinality, partitioned by the group key,
+    checkpointed with the query.
+
+    Environment note: Spark's transformWithState Python runner requires
+    ``google.protobuf`` (shipped with standard ``pyspark[connect]``
+    installs); on minimal images without it the query fails at start with
+    STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE — the older
+    :func:`highwater_dedup_stream` / :func:`anomaly_stream`
+    (``applyInPandasWithState``) have no such dependency.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class SilenceDetector(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.handle = handle
+            self.last = handle.getValueState("last", "last_ts_ns long")
+
+        def handleInputRows(self, key, rows, timer_values):
+            max_ns = None
+            for pdf in rows:
+                m = int(pdf["ts_ns"].max())
+                max_ns = m if max_ns is None else max(max_ns, m)
+            if max_ns is not None:
+                prev = self.last.get()[0] if self.last.exists() else -1
+                if max_ns > prev:
+                    self.last.update((max_ns,))
+                    for expiry in list(self.handle.listTimers()):
+                        self.handle.deleteTimer(expiry)
+                    self.handle.registerTimer(max_ns // 1_000_000 + silence_ms)
+            return iter(())
+
+        def handleExpiredTimer(self, key, timer_values, expired_timer_info):
+            (symbol,) = key
+            last_ns = self.last.get()[0] if self.last.exists() else -1
+            yield pd.DataFrame(
+                {
+                    "symbol": [symbol],
+                    "last_ts_ns": [last_ns],
+                    "alert_time_ms": [expired_timer_info.getExpiryTimeInMs()],
+                }
+            )
+
+    with_ts = bar_stream.withColumn(
+        "event_time", F.timestamp_micros((F.col("ts_ns") / 1000).cast("long"))
+    ).withWatermark("event_time", "0 seconds")
+    return with_ts.groupBy("symbol").transformWithStateInPandas(
+        SilenceDetector(),
+        outputStructType="symbol string, last_ts_ns long, alert_time_ms long",
+        outputMode="Append",
+        timeMode="EventTime",
+    )

@@ -287,3 +287,48 @@ def test_anomaly_stream_crosses_microbatches(spark, tmp_path):
     assert len(rows) == 1
     assert rows[0].prev_close == 104.5
     assert rows[0].close == 200.5
+
+
+def test_silence_alert_stream_timer_fires_on_gap(spark, tmp_path):
+    """transformWithStateInPandas with event-time timers: a symbol that goes
+    quiet for >5min of event time produces an alert once the watermark
+    (advanced by other traffic in a later microbatch) passes its timer."""
+    import time as _time
+
+    pytest.importorskip("google.protobuf")  # TWS python runner dependency
+    from marketpipe_spark.streaming.stream import silence_alert_stream
+
+    landing = str(tmp_path / "landing")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    # file 1: AAPL bars ending at minute 4 — timer armed at minute 4 + 5min
+    _bars_df(spark, "AAPL", DAY1, 5).coalesce(1).write.mode("append").parquet(landing)
+    _time.sleep(1.1)  # file-source ordering is by modification time
+    # file 2: ZZZZ traffic 60min later advances the watermark past AAPL's timer
+    _bars_df(spark, "ZZZZ", DAY1 + 60 * NS_MIN, 2).coalesce(1).write.mode("append").parquet(landing)
+
+    alerts = silence_alert_stream(
+        read_bar_stream(spark, landing, max_files_per_trigger=1), silence_ms=5 * 60 * 1000
+    )
+    q = (
+        alerts.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    run_available_now(q)
+    import os
+
+    rows = (
+        spark.read.parquet(out_dir).collect()
+        if any(f.endswith(".parquet") for f in os.listdir(out_dir))
+        else []
+    )
+    by_symbol = {r.symbol: r for r in rows}
+    assert "AAPL" in by_symbol  # went silent; alert fired
+    a = by_symbol["AAPL"]
+    assert a.last_ts_ns == DAY1 + 4 * NS_MIN
+    assert a.alert_time_ms == (DAY1 + 4 * NS_MIN) // 1_000_000 + 5 * 60 * 1000
