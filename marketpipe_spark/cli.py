@@ -26,6 +26,13 @@ def cmd_query(args) -> int:
     spark = _spark("query")
     ensure_views(spark, args.agg_root)
     df = query(spark, args.sql)
+    if getattr(args, "explain", False):
+        # Physical plan without executing — the operator's pushdown /
+        # broadcast / codegen story is part of the supported surface.
+        print(df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        ))
+        return 0
     out = render(df, limit=args.limit, fmt="csv" if args.csv else "markdown")
     if not out.strip():
         print("Query returned no results")
@@ -438,6 +445,7 @@ def build_parser() -> argparse.ArgumentParser:
     q.add_argument("sql")
     q.add_argument("--agg-root", default="data/agg")
     q.add_argument("--csv", action="store_true")
+    q.add_argument("--explain", action="store_true", help="print the physical plan instead of running")
     q.add_argument("--limit", "-l", type=int, default=50)
     q.set_defaults(fn=cmd_query)
 

@@ -1278,3 +1278,36 @@ def q_gaps_by_symbol(spark, sf_dir):
         "symbol", F.to_date(F.timestamp_micros(F.expr("ts_ns div 1000"))).alias("date")
     )
     return gaps_by_symbol(lake, _dt.date(2024, 1, 1), _dt.date(2024, 2, 9), weekdays_only=True)
+
+
+# ---------------------------------------------------------------------------
+# Semi-structured extraction: the events ``props`` column is a JSON string;
+# extract a typed field JVM-side (get_json_object — no Python UDF) and
+# aggregate per event type. Map-only extraction then one hash-agg shuffle.
+
+SQL_JSON_PROPS_STATS = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+       CAST(CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS DOUBLE)
+         / COUNT(*) AS avg_k
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("json_props_stats", SQL_JSON_PROPS_STATS, doc="typed JSON field extraction from events.props + per-type aggregate", tags=("json", "agg"))
+def q_json_props_stats(spark, sf_dir):
+    from .registry import t
+
+    ev = t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return ev.select("event_type", k.alias("k")).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("k").alias("sum_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+        (F.sum("k").cast("double") / F.count(F.lit(1))).alias("avg_k"),
+    )

@@ -70,6 +70,15 @@ def test_cli_end_to_end(spark, tmp_path, capsys):
     out = capsys.readouterr().out
     assert rc == 0 and "AAPL,12" in out and "MSFT,12" in out  # 60 min -> 12 buckets
 
+    # query --explain prints the physical plan without executing
+    rc = main([
+        "query", "SELECT symbol, COUNT(*) AS n FROM bars_5m GROUP BY symbol",
+        "--agg-root", agg, "--explain",
+    ])
+    out = capsys.readouterr().out
+    assert rc == 0 and "Physical Plan" in out and "HashAggregate" in out
+    assert "AAPL" not in out  # plan only, no rows
+
     # validate the raw lake, write a CSV report
     report = str(tmp_path / "report")
     rc = main(["validate", raw, "--report", report])
