@@ -78,3 +78,90 @@ def test_resample_conservation(spark, bars):
         assert r.high == max(p + 1 for p in members)
         assert r.low == min(p - 1 for p in members)
         assert r.high >= r.open >= r.low and r.high >= r.close >= r.low
+
+
+docs_st = st.lists(
+    st.lists(st.sampled_from(["a", "b", "c"]), min_size=0, max_size=12),
+    min_size=1,
+    max_size=8,
+)
+
+
+@_settings
+@given(docs=docs_st)
+def test_duplicated_spans_matches_python_model(spark, docs):
+    """duplicated_spans vs a brute-force model: for window=3 over a tiny
+    alphabet, per-doc window totals and cross-doc duplicated positions."""
+    from marketpipe_spark.operators.textclean import duplicated_spans
+
+    W = 3
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.n_windows, r.n_dup) for r in duplicated_spans(df, window=W).collect()}
+
+    # python model (mirror the operator's tokenizer: split on whitespace runs
+    # of the trimmed, lowered text — empty text yields one empty token)
+    spans = {}  # doc -> list of span tuples
+    for i, toks in enumerate(docs):
+        text_toks = " ".join(toks).strip().lower().split()
+        if " ".join(toks).strip() == "":
+            text_toks = [""]
+        if len(text_toks) < W:
+            continue
+        spans[i] = [tuple(text_toks[j : j + W]) for j in range(len(text_toks) - W + 1)]
+    owners = {}
+    for i, ss in spans.items():
+        for s in ss:
+            owners.setdefault(s, set()).add(i)
+    want = {
+        i: (len(ss), sum(1 for s in ss if len(owners[s]) >= 2)) for i, ss in spans.items()
+    }
+    assert got == want
+
+
+@_settings
+@given(docs=docs_st)
+def test_tfidf_top_terms_matches_python_model(spark, docs):
+    """tfidf_top_terms (registry plan, micro-fixed-point) vs a pure-Python
+    TF-IDF: same ranking keys (score_micro desc, token) per document."""
+    import math as m
+
+    import marketpipe_spark.plans.queries_docs as qd
+
+    rows = [(i, " ".join(toks) if toks else "x") for i, toks in enumerate(docs)]
+    # route through a temp view-free path: write parquet and reuse the entry
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(rows, "doc_id long, text string").withColumn(
+            "lang", F.lit("en")
+        ).withColumn("source", F.lit("s")).withColumn(
+            "n_chars", F.length("text").cast("long")
+        ).write.parquet(f"{td}/documents.parquet")
+        got = {}
+        for r in qd.q_tfidf_top_terms(spark, td).collect():
+            got.setdefault(r.doc_id, []).append((r.rk, r.token, r.tf, r.score_micro))
+
+    # python model
+    tf = {}
+    for i, _ in enumerate(docs):
+        toks = rows[i][1].strip().lower().split()
+        for tok in toks:
+            tf[(i, tok)] = tf.get((i, tok), 0) + 1
+    df_ = {}
+    for (i, tok), _n in tf.items():
+        df_[tok] = df_.get(tok, 0) + 1
+    n_docs = float(len(rows))
+    per_doc = {}
+    for (i, tok), n in tf.items():
+        micro = m.floor(n * m.log(n_docs / df_[tok]) * 1000000)
+        per_doc.setdefault(i, []).append((tok, n, micro))
+    want = {}
+    for i, terms in per_doc.items():
+        ranked = sorted(terms, key=lambda x: (-x[2], x[0]))[:5]
+        want[i] = [(rk + 1, tok, n, micro) for rk, (tok, n, micro) in enumerate(ranked)]
+    got_sorted = {k: sorted(v) for k, v in got.items()}
+    want_sorted = {k: sorted(v) for k, v in want.items()}
+    assert got_sorted == want_sorted
