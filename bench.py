@@ -100,6 +100,8 @@ EXTRA = [
     "tfidf_top_terms",
     "bm25_search",
     "duplicated_spans",
+    "json_props_stats",
+    "profile_documents",
 ]
 
 #: The heavier LLM-pipeline operators (LSH/minhash/multimodal) stay out of
@@ -116,6 +118,7 @@ FULL_EXTRA = [
     "pack_documents",
     "lsh_topk",
     "ivf_topk",
+    "pq_topk",
 ]
 
 

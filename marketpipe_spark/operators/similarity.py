@@ -483,3 +483,182 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): the memory-scale path for ANN. Vectors compress
+# to m uint8 codes (one per subspace); queries scan codes with an ADC
+# (asymmetric distance computation) lookup table and only the top candidates
+# are rescored against raw vectors. At 100 TB the raw embeddings stay in
+# parquet; the code table is ~m bytes/vector (64x-512x smaller), so the scan
+# side fits hot storage. (Jégou et al. 2011, "Product Quantization for
+# Nearest Neighbor Search" — public method; FAISS-style train-on-sample.)
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    m: int = 8,
+    nbits: int = 4,
+    train_sample: int = 2048,
+    n_iter: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Train per-subspace codebooks on a DETERMINISTIC bounded sample.
+
+    The sample is the ``train_sample`` vectors with the smallest
+    ``xxhash64(id)`` — stable across runs and cluster layouts, and the
+    collect is bounded by construction (FAISS practice: PQ trains on a
+    sample, not the corpus; the corpus-sized passes are encode/scan, which
+    stay distributed). Per subspace, k=2**nbits centroids via Lloyd's with
+    deterministic farthest-first-style init (first k sample rows in hash
+    order). Returns numpy (m, k, d_sub), L2-normalized input space.
+    """
+    import numpy as np
+
+    rows = (
+        corpus.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v"))
+        .withColumn("_h", F.xxhash64(F.col("id")))
+        .orderBy("_h", "id")
+        .limit(train_sample)
+        .collect()
+    )
+    mat = np.stack([np.asarray(r["v"], dtype=np.float64) for r in rows])
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    n, dim = mat.shape
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    d_sub, k = dim // m, 1 << nbits
+    books = np.empty((m, k, d_sub))
+    for sub in range(m):
+        x = mat[:, sub * d_sub : (sub + 1) * d_sub]
+        cents = x[: min(k, n)].copy()
+        if len(cents) < k:  # degenerate tiny corpus: pad by repeating
+            cents = np.resize(cents, (k, d_sub))
+        for _ in range(n_iter):
+            d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            cells = np.argmin(d2, axis=1)
+            for c in range(k):
+                sel = x[cells == c]
+                if len(sel):
+                    cents[c] = sel.mean(axis=0)
+        books[sub] = cents
+    return books
+
+
+def pq_encode(
+    corpus: DataFrame,
+    books,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every vector to its m nearest-subspace-centroid codes — one
+    vectorized mapInPandas pass; only the (m, k, d_sub) codebook ships to
+    tasks. Output: (id, codes array<int>) — the compact scan table."""
+    import numpy as np
+    import pandas as pd
+
+    m, k, d_sub = books.shape
+
+    def enc(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack(pdf["v"].to_numpy())
+            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            codes = np.empty((len(mat), m), dtype=np.int64)
+            for sub in range(m):
+                x = mat[:, sub * d_sub : (sub + 1) * d_sub]
+                d2 = ((x[:, None, :] - books[sub][None, :, :]) ** 2).sum(axis=2)
+                codes[:, sub] = np.argmin(d2, axis=1)
+            yield pd.DataFrame({"id": pdf["id"].to_numpy(), "codes": list(codes)})
+
+    c = spread(corpus, id_col).select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    return c.mapInPandas(enc, "id long, codes array<long>")
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    nbits: int = 4,
+    refine_factor: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ-ADC approximate top-k with exact refinement.
+
+    Queries broadcast their per-subspace ADC tables (m × 2^nbits inner
+    products against the codebooks); the code table is scanned with pure
+    table lookups (np.take + sum — no floating dot per pair), the top
+    ``k * refine_factor`` ADC candidates per query survive, and those are
+    rescored with the exact sequential-fold cosine before the final top-k.
+    The corpus-sized work touches only codes (m bytes/vector); raw vectors
+    are fetched once for the k·refine_factor candidates per query.
+    """
+    import numpy as np
+    import pandas as pd
+
+    books = pq_codebooks(corpus, m=m, nbits=nbits, id_col=id_col, vec_col=vec_col)
+    codes = pq_encode(corpus, books, id_col=id_col, vec_col=vec_col)
+
+    qrows = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).cast("array<double>").alias("v")
+    ).collect()
+    qmat = np.stack([np.asarray(r["v"], dtype=np.float64) for r in qrows])
+    qmat = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    qids = np.array([r["qid"] for r in qrows])
+    m_, k_cent, d_sub = books.shape
+    # ADC tables: tables[q, sub, code] = <q_sub, centroid>; cosine of the
+    # reconstructed vector decomposes into a sum of these per-subspace terms.
+    qsub = qmat.reshape(len(qmat), m_, d_sub)
+    tables = np.einsum("qsd,skd->qsk", qsub, books)
+    n_cand = k * refine_factor
+
+    def adc(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cmat = np.stack(pdf["codes"].to_numpy())  # (n, m)
+            ids = pdf["id"].to_numpy()
+            # scores[q, n] = sum_sub tables[q, sub, code[n, sub]]
+            scores = np.zeros((len(qmat), len(cmat)))
+            for sub in range(m_):
+                scores += tables[:, sub, cmat[:, sub]]
+            take = min(n_cand, scores.shape[1])
+            idx = np.argpartition(-scores, take - 1, axis=1)[:, :take]
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(qids, take),
+                    "neighbor_id": ids[idx.ravel()],
+                    "adc": scores[np.arange(len(qmat))[:, None], idx].ravel(),
+                }
+            )
+
+    # Per-partition candidates → global per-query top-n_cand by ADC score,
+    # then exact rescore on the raw vectors.
+    cands = codes.mapInPandas(adc, "query_id long, neighbor_id long, adc double").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    w_adc = W.partitionBy("query_id").orderBy(F.desc("adc"), F.asc("neighbor_id"))
+    kept = (
+        cands.withColumn("_r", F.row_number().over(w_adc))
+        .filter(F.col("_r") <= n_cand)
+        .select("query_id", "neighbor_id")
+    )
+    nv = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("nv"))
+    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv"))
+    scored = (
+        kept.join(nv, "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .select("query_id", "neighbor_id", exact_pair_cosine().alias("cosine"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

@@ -955,3 +955,43 @@ def q_duplicated_spans(spark, sf_dir):
 
     d = t(spark, sf_dir, "documents")
     return duplicated_spans(d, window=20, hash_family="md5_60")
+
+
+# ---------------------------------------------------------------------------
+# Data profiling: one scan computes null/distinct/min/max per column (the
+# "describe my table" primitive every pipeline needs before trusting a new
+# source). The unpivot keeps it a single pass; values compare as strings so
+# one output schema covers heterogeneous columns, and counts are exact so
+# the oracle hash-matches.
+
+_PROFILE_COLS = ("doc_id", "lang", "source", "n_chars")
+
+SQL_PROFILE_DOCUMENTS = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS column_name, COUNT(*) AS n_rows, COUNT({c}) AS n_notnull,
+       CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       MIN(CAST({c} AS VARCHAR)) AS min_str, MAX(CAST({c} AS VARCHAR)) AS max_str
+FROM documents"""
+    for c in _PROFILE_COLS
+)
+
+
+@register("profile_documents", SQL_PROFILE_DOCUMENTS, doc="one-pass per-column profile: null/distinct/min/max", tags=("profiling", "agg"))
+def q_profile_documents(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col(c).cast("string").alias("val"),
+            )
+            for c in _PROFILE_COLS
+        ]
+    )
+    unpivoted = d.select(F.explode(structs).alias("s")).select("s.column_name", "s.val")
+    return unpivoted.groupBy("column_name").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("val").alias("n_notnull"),
+        F.countDistinct("val").alias("n_distinct"),
+        F.min("val").alias("min_str"),
+        F.max("val").alias("max_str"),
+    )

@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from ..operators.dedup import minhash_near_duplicates, ngram_jaccard_pairs, simhash_near_duplicates
 from ..operators.multimodal import attach_payload, extract_media_meta
-from ..operators.similarity import cosine_topk, cosine_topk_blocked, ivf_topk, lsh_topk
+from ..operators.similarity import cosine_topk, cosine_topk_blocked, ivf_topk, lsh_topk, pq_topk
 from .registry import parquet_num_rows, register, t
 
 # ---------------------------------------------------------------------------
@@ -80,6 +80,12 @@ def q_lsh_topk(spark, sf_dir):
 def q_ivf_topk(spark, sf_dir):
     emb = t(spark, sf_dir, "embeddings")
     return ivf_topk(emb, emb.filter(F.col("vec_id") < 20), k=5, n_cells=16, n_probe=4)
+
+
+@register("pq_topk", None, doc="product-quantization ADC top-5 (m=8 subspaces x 64 codes, 32x compression) with exact refine", tags=("similarity",))
+def q_pq_topk(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    return pq_topk(emb, emb.filter(F.col("vec_id") < 20), k=5, m=8, nbits=6, refine_factor=8)
 
 
 # ---------------------------------------------------------------------------

@@ -268,3 +268,40 @@ def test_cosine_topk_guard_routes_to_blocked(emb):
         for r in cosine_topk(emb, queries, k=3, max_collect_queries=4).collect()
     }
     assert routed == direct
+
+
+def test_pq_topk_recall_and_determinism(spark):
+    """PQ-ADC with exact refine: high recall vs brute force on real testdata,
+    bit-identical across runs (deterministic sample, init, and tie-breaks)."""
+    from pyspark.sql import functions as F
+
+    from marketpipe_spark.operators.similarity import cosine_topk, pq_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {(r.query_id, r.neighbor_id) for r in cosine_topk(emb, queries, k=5).collect()}
+    got1 = pq_topk(emb, queries, k=5, m=8, nbits=6, refine_factor=8).collect()
+    approx = {(r.query_id, r.neighbor_id) for r in got1}
+    assert len(exact & approx) / len(exact) >= 0.6
+    got2 = pq_topk(emb, queries, k=5, m=8, nbits=6, refine_factor=8).collect()
+    assert sorted(map(tuple, got1)) == sorted(map(tuple, got2))
+    # every query returns exactly k ranked neighbors, never itself
+    per_q = {}
+    for r in got1:
+        per_q.setdefault(r.query_id, []).append(r)
+        assert r.neighbor_id != r.query_id
+    assert all(sorted(x.rank for x in v) == [1, 2, 3, 4, 5] for v in per_q.values())
+
+
+def test_pq_encode_shapes_and_code_range(spark):
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from marketpipe_spark.operators.similarity import pq_codebooks, pq_encode
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    books = pq_codebooks(emb, m=4, nbits=4)
+    assert books.shape == (4, 16, 16)  # dim 64 -> 4 subspaces of 16
+    codes = pq_encode(emb, books).collect()
+    assert len(codes) == emb.count()
+    for r in codes[:20]:
+        assert len(r.codes) == 4 and all(0 <= c < 16 for c in r.codes)
