@@ -102,6 +102,13 @@ EXTRA = [
     "duplicated_spans",
     "json_props_stats",
     "profile_documents",
+    "atr_14",
+    "stochastic_14",
+    "obv",
+    "candle_patterns",
+    "macd_12_26",
+    "rfm_segments",
+    "winsorized_value_stats",
 ]
 
 #: The heavier LLM-pipeline operators (LSH/minhash/multimodal) stay out of

@@ -633,62 +633,6 @@ def q_cm_top_tokens(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# TF-IDF: classic relevance weighting over the corpus. Two hash-aggs (term
-# freq per doc, doc freq per term) + one shuffle join on the term key + a
-# per-doc window — every stage map-side-combines and AQE may broadcast the
-# doc-freq side when the vocabulary is small. idf is the LINEAR form
-# n_docs/df (not log): tf*n_docs is an exact integer below 2^53 and IEEE
-# division is correctly rounded, so both engines produce bit-identical
-# scores — libm log() carries no such cross-engine guarantee. Ranking (the
-# actual use of tf-idf) is order-isomorphic to the log form.
-
-SQL_TFIDF_TOP_TERMS = r"""
-WITH toks AS (
-  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok FROM documents
-),
-tk AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
-tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM tk GROUP BY doc_id, tok),
-dfq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok),
-n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
-s AS (
-  SELECT tf.doc_id, tf.tok, tf.tf, dfq.df,
-         CAST(tf.tf AS DOUBLE) * n.n_docs / dfq.df AS tfidf
-  FROM tf JOIN dfq USING (tok) CROSS JOIN n
-),
-r AS (
-  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, tok ASC) AS rk
-  FROM s
-)
-SELECT doc_id, tok, tf, df, tfidf FROM r WHERE rk <= 3
-"""
-
-
-@register("tfidf_top_terms", SQL_TFIDF_TOP_TERMS, doc="top-3 TF-IDF terms per document (linear idf for cross-engine bit parity)", tags=("text",))
-def q_tfidf_top_terms(spark, sf_dir):
-    from pyspark.sql.window import Window as W
-
-    d = t(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id",
-        F.explode(F.split(F.trim(F.lower(F.col("text"))), TOKEN_SPLIT_RE)).alias("tok"),
-    ).filter(F.col("tok") != "")
-    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
-    dfq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    from .registry import scalar_join
-
-    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
-    scored = scalar_join(tf.join(dfq, "tok"), "tok", n).withColumn(
-        "tfidf", F.col("tf").cast("double") * F.col("n_docs") / F.col("df")
-    )
-    w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("tok"))
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 3)
-        .select("doc_id", "tok", "tf", "df", "tfidf")
-    )
-
-
-# ---------------------------------------------------------------------------
 # Typo clustering (operators/dedup.edit1_token_pairs): SymSpell deletion-
 # neighborhood blocking at its canonical max_edit_distance=2 — tokens within
 # Levenshtein 2 share a delete-(<=2) variant, so one equi-join on the variant

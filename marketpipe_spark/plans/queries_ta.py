@@ -1,0 +1,495 @@
+"""Technical-analysis and customer-analytics queries (beyond-reference).
+
+The reference's query surface is open SQL over its bar views
+(reference: src/marketpipe/cli/query.py:11-40); these entries extend the
+engine's window/aggregation coverage with the classic TA indicator set
+(ATR, stochastic oscillator, OBV, candlestick patterns, windowed MACD)
+and event-log customer analytics (RFM segmentation, winsorized stats).
+
+All indicators run on the 5-minute OHLCV resample — the raw event-mapped
+bars have open=high=low=close, so candle bodies/ranges are only
+non-degenerate after aggregation.
+
+Cross-engine bit parity follows the repo's established discipline:
+inputs to any order-sensitive float reduction are µ-quantized to exact
+longs first (see queries_bars.SQL_BOLLINGER), and the windowed-EMA
+weights for MACD are precomputed ONCE in Python and inlined as the same
+integer literals into both the Spark plan and the DuckDB oracle — no
+libm pow() on either side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..functions import NS_PER_SEC
+from ..operators.resample import resample_intraday
+from .registry import SQL_BARS, bars, register, t, ts_ns_expr
+
+_R5_NS = 300 * NS_PER_SEC
+
+#: Shared oracle CTE: bars -> 5m OHLCV resample (same shape as resample_5m).
+SQL_R5 = f"""{SQL_BARS},
+rsb AS (SELECT symbol, ts_ns - (ts_ns % {_R5_NS}) AS bucket,
+               ts_ns, open, high, low, close, volume FROM bars),
+r5 AS (SELECT symbol, bucket AS ts_ns,
+              min_by(open, ts_ns) AS open, max(high) AS high, min(low) AS low,
+              max_by(close, ts_ns) AS close, CAST(SUM(volume) AS BIGINT) AS volume
+       FROM rsb GROUP BY symbol, bucket)"""
+
+
+def _r5(spark, sf_dir):
+    b = bars(spark, sf_dir).select("symbol", "ts_ns", "open", "high", "low", "close", "volume")
+    return resample_intraday(b, 300)
+
+
+# ---------------------------------------------------------------------------
+# ATR(14) — Wilder's true range averaged over a 14-bar frame. The TR is
+# computed on identical doubles in both engines, then µ-quantized so the
+# sliding-window sum is an exact integer (window sum order differs between
+# engines for floats — DuckDB uses segment trees).
+
+SQL_ATR = f"""
+WITH {SQL_R5},
+d AS (SELECT symbol, ts_ns, close, high, low,
+             LAG(close) OVER (PARTITION BY symbol ORDER BY ts_ns) AS pc
+      FROM r5),
+tr AS (SELECT symbol, ts_ns, close,
+              CAST(FLOOR(GREATEST(high - low, ABS(high - pc), ABS(low - pc)) * 1e6) AS BIGINT) AS tr_micro
+       FROM d WHERE pc IS NOT NULL),
+s AS (SELECT symbol, ts_ns, close,
+             SUM(tr_micro) OVER (PARTITION BY symbol ORDER BY ts_ns
+                                 ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS st,
+             COUNT(*) OVER (PARTITION BY symbol ORDER BY ts_ns
+                            ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS c
+      FROM tr)
+SELECT symbol, ts_ns, close,
+       CASE WHEN c >= 14 THEN CAST(st AS DOUBLE) / 1e6 / 14.0 END AS atr_14
+FROM s
+"""
+
+
+@register("atr_14", SQL_ATR, doc="ATR(14): true range over the 5m resample, exact µ-quantized window sum", tags=("window", "ta"))
+def q_atr_14(spark, sf_dir):
+    r5 = _r5(spark, sf_dir)
+    wo = W.partitionBy("symbol").orderBy("ts_ns")
+    d = r5.select(
+        "symbol", "ts_ns", "close", "high", "low", F.lag("close").over(wo).alias("pc")
+    ).filter(F.col("pc").isNotNull())
+    tr = F.greatest(
+        F.col("high") - F.col("low"),
+        F.abs(F.col("high") - F.col("pc")),
+        F.abs(F.col("low") - F.col("pc")),
+    )
+    d = d.select(
+        "symbol", "ts_ns", "close", F.floor(tr * F.lit(1e6)).cast("long").alias("tr_micro")
+    )
+    wf = wo.rowsBetween(-13, 0)
+    st = F.sum("tr_micro").over(wf)
+    c = F.count(F.lit(1)).over(wf)
+    return d.select(
+        "symbol",
+        "ts_ns",
+        "close",
+        F.when(c >= 14, st.cast("double") / F.lit(1e6) / F.lit(14.0)).alias("atr_14"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stochastic oscillator — %K = 100·(close − min14 low)/(max14 high − min14
+# low); %D = 3-bar average of µ-quantized %K. min/max are exact; %K is the
+# identical IEEE expression in both engines; %D sums exact longs.
+
+SQL_STOCHASTIC = f"""
+WITH {SQL_R5},
+s1 AS (SELECT symbol, ts_ns, close,
+              MIN(low)  OVER (PARTITION BY symbol ORDER BY ts_ns
+                              ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS mn,
+              MAX(high) OVER (PARTITION BY symbol ORDER BY ts_ns
+                              ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS mx,
+              COUNT(*)  OVER (PARTITION BY symbol ORDER BY ts_ns
+                              ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS c
+       FROM r5),
+s2 AS (SELECT symbol, ts_ns,
+              CASE WHEN mx > mn THEN 100.0 * (close - mn) / (mx - mn) ELSE 50.0 END AS pct_k
+       FROM s1 WHERE c >= 14),
+s3 AS (SELECT symbol, ts_ns, pct_k,
+              SUM(CAST(FLOOR(pct_k * 1e6) AS BIGINT))
+                OVER (PARTITION BY symbol ORDER BY ts_ns
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS sk,
+              COUNT(*) OVER (PARTITION BY symbol ORDER BY ts_ns
+                             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS c3
+       FROM s2)
+SELECT symbol, ts_ns, pct_k,
+       CASE WHEN c3 >= 3 THEN CAST(sk AS DOUBLE) / 1e6 / 3.0 END AS pct_d
+FROM s3
+"""
+
+
+@register("stochastic_14", SQL_STOCHASTIC, doc="stochastic oscillator %K(14)/%D(3) on the 5m resample", tags=("window", "ta"))
+def q_stochastic_14(spark, sf_dir):
+    r5 = _r5(spark, sf_dir)
+    wo = W.partitionBy("symbol").orderBy("ts_ns")
+    w14 = wo.rowsBetween(-13, 0)
+    s1 = r5.select(
+        "symbol",
+        "ts_ns",
+        "close",
+        F.min("low").over(w14).alias("mn"),
+        F.max("high").over(w14).alias("mx"),
+        F.count(F.lit(1)).over(w14).alias("c"),
+    )
+    k = F.when(
+        F.col("mx") > F.col("mn"),
+        F.lit(100.0) * (F.col("close") - F.col("mn")) / (F.col("mx") - F.col("mn")),
+    ).otherwise(F.lit(50.0))
+    s2 = s1.filter(F.col("c") >= 14).select("symbol", "ts_ns", k.alias("pct_k"))
+    w3 = wo.rowsBetween(-2, 0)
+    sk = F.sum(F.floor(F.col("pct_k") * F.lit(1e6)).cast("long")).over(w3)
+    c3 = F.count(F.lit(1)).over(w3)
+    return s2.select(
+        "symbol",
+        "ts_ns",
+        "pct_k",
+        F.when(c3 >= 3, sk.cast("double") / F.lit(1e6) / F.lit(3.0)).alias("pct_d"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# On-balance volume — cumulative signed-volume running total. Pure integer
+# arithmetic end to end (deltas on µ-quantized closes, volumes are longs).
+
+SQL_OBV = f"""
+WITH {SQL_R5},
+d AS (SELECT symbol, ts_ns, close, volume,
+             CAST(FLOOR(close * 1e6) AS BIGINT)
+               - LAG(CAST(FLOOR(close * 1e6) AS BIGINT))
+                 OVER (PARTITION BY symbol ORDER BY ts_ns) AS diff
+      FROM r5)
+SELECT symbol, ts_ns, close,
+       CAST(SUM(CASE WHEN diff > 0 THEN volume
+                     WHEN diff < 0 THEN -volume
+                     ELSE 0 END)
+              OVER (PARTITION BY symbol ORDER BY ts_ns
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS obv
+FROM d
+"""
+
+
+@register("obv", SQL_OBV, doc="on-balance volume: cumulative signed volume (exact integer running total)", tags=("window", "ta"))
+def q_obv(spark, sf_dir):
+    r5 = _r5(spark, sf_dir)
+    wo = W.partitionBy("symbol").orderBy("ts_ns")
+    cu = F.floor(F.col("close") * F.lit(1e6)).cast("long")
+    d = r5.select(
+        "symbol", "ts_ns", "close", "volume", (cu - F.lag(cu).over(wo)).alias("diff")
+    )
+    signed = (
+        F.when(F.col("diff") > 0, F.col("volume"))
+        .when(F.col("diff") < 0, -F.col("volume"))
+        .otherwise(F.lit(0))
+    )
+    wc = wo.rowsBetween(W.unboundedPreceding, 0)
+    return d.select(
+        "symbol", "ts_ns", "close", F.sum(signed).over(wc).cast("long").alias("obv")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Candlestick pattern counts — doji / hammer / engulfing flags from pure
+# comparisons on identical doubles (no float reductions at all), aggregated
+# per symbol. The doji test is multiplicative (|body|·10 ≤ range) to avoid
+# a division.
+
+SQL_CANDLE_PATTERNS = f"""
+WITH {SQL_R5},
+d AS (SELECT symbol, ts_ns, open, high, low, close,
+             close - open AS body, high - low AS rng,
+             LAG(open)  OVER (PARTITION BY symbol ORDER BY ts_ns) AS po,
+             LAG(close) OVER (PARTITION BY symbol ORDER BY ts_ns) AS pcl
+      FROM r5),
+fl AS (SELECT symbol,
+              CASE WHEN rng > 0 AND ABS(body) * 10 <= rng THEN 1 ELSE 0 END AS is_doji,
+              CASE WHEN rng > 0 AND LEAST(open, close) - low >= 2 * ABS(body)
+                        AND high - GREATEST(open, close) <= ABS(body) THEN 1 ELSE 0 END AS is_hammer,
+              CASE WHEN pcl IS NOT NULL AND pcl < po AND body > 0
+                        AND open <= pcl AND close >= po THEN 1 ELSE 0 END AS is_bull_engulf,
+              CASE WHEN pcl IS NOT NULL AND pcl > po AND body < 0
+                        AND open >= pcl AND close <= po THEN 1 ELSE 0 END AS is_bear_engulf
+       FROM d)
+SELECT symbol, COUNT(*) AS n_bars,
+       CAST(SUM(is_doji) AS BIGINT) AS n_doji,
+       CAST(SUM(is_hammer) AS BIGINT) AS n_hammer,
+       CAST(SUM(is_bull_engulf) AS BIGINT) AS n_bull_engulf,
+       CAST(SUM(is_bear_engulf) AS BIGINT) AS n_bear_engulf
+FROM fl GROUP BY symbol
+"""
+
+
+@register("candle_patterns", SQL_CANDLE_PATTERNS, doc="candlestick pattern counts (doji/hammer/engulfing) per symbol on the 5m resample", tags=("window", "ta", "agg"))
+def q_candle_patterns(spark, sf_dir):
+    r5 = _r5(spark, sf_dir)
+    wo = W.partitionBy("symbol").orderBy("ts_ns")
+    d = r5.select(
+        "symbol",
+        "ts_ns",
+        "open",
+        "high",
+        "low",
+        "close",
+        (F.col("close") - F.col("open")).alias("body"),
+        (F.col("high") - F.col("low")).alias("rng"),
+        F.lag("open").over(wo).alias("po"),
+        F.lag("close").over(wo).alias("pcl"),
+    )
+    body, rng = F.col("body"), F.col("rng")
+    po, pcl = F.col("po"), F.col("pcl")
+    one = lambda cond: F.when(cond, 1).otherwise(0)  # noqa: E731
+    fl = d.select(
+        "symbol",
+        one((rng > 0) & (F.abs(body) * 10 <= rng)).alias("is_doji"),
+        one(
+            (rng > 0)
+            & (F.least(F.col("open"), F.col("close")) - F.col("low") >= 2 * F.abs(body))
+            & (F.col("high") - F.greatest(F.col("open"), F.col("close")) <= F.abs(body))
+        ).alias("is_hammer"),
+        one(
+            pcl.isNotNull() & (pcl < po) & (body > 0) & (F.col("open") <= pcl) & (F.col("close") >= po)
+        ).alias("is_bull_engulf"),
+        one(
+            pcl.isNotNull() & (pcl > po) & (body < 0) & (F.col("open") >= pcl) & (F.col("close") <= po)
+        ).alias("is_bear_engulf"),
+    )
+    return fl.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n_bars"),
+        F.sum("is_doji").cast("long").alias("n_doji"),
+        F.sum("is_hammer").cast("long").alias("n_hammer"),
+        F.sum("is_bull_engulf").cast("long").alias("n_bull_engulf"),
+        F.sum("is_bear_engulf").cast("long").alias("n_bear_engulf"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# MACD (windowed) — EMA(12) and EMA(26) as finite 40-term weighted windows.
+# True EMA is recursive (unbounded state); the standard streaming
+# approximation truncates the tail, whose weight after 40 bars is < 0.2%
+# for span 26. The α(1−α)^j weights are precomputed ONCE here in Python and
+# inlined as the SAME integer literals into the Spark plan and the DuckDB
+# oracle, so both engines run sum(w_j · close_micro_j) / sum(w_j) on
+# identical integers — no pow() at query time, no cross-engine libm drift.
+
+_MACD_TERMS = 40
+
+
+def _ema_weights(span: int) -> list[int]:
+    a = 2.0 / (span + 1)
+    return [round(1_000_000 * a * (1 - a) ** j) for j in range(_MACD_TERMS)]
+
+
+_W12 = _ema_weights(12)
+_W26 = _ema_weights(26)
+
+
+def _sql_wsum(warr: list[int]) -> str:
+    # rev[1] is the CURRENT bar; weight index aligns newest->oldest.
+    return (
+        f"CAST(list_sum(list_transform(range(1, len(rev) + 1), i -> rev[i] * ({warr})[i])) AS DOUBLE)"
+        f" / CAST(list_sum(list_transform(range(1, len(rev) + 1), i -> ({warr})[i])) AS DOUBLE)"
+    )
+
+
+SQL_MACD = f"""
+WITH {SQL_R5},
+a AS (SELECT symbol, ts_ns, close,
+             list_reverse(list(CAST(FLOOR(close * 1e6) AS BIGINT))
+               OVER (PARTITION BY symbol ORDER BY ts_ns
+                     ROWS BETWEEN {_MACD_TERMS - 1} PRECEDING AND CURRENT ROW)) AS rev
+      FROM r5),
+e AS (SELECT symbol, ts_ns, close,
+             {_sql_wsum(_W12)} AS e12_micro,
+             {_sql_wsum(_W26)} AS e26_micro
+      FROM a)
+SELECT symbol, ts_ns, close,
+       e12_micro / 1e6 AS ema_12,
+       e26_micro / 1e6 AS ema_26,
+       (e12_micro - e26_micro) / 1e6 AS macd
+FROM e
+"""
+
+
+def _spark_wsum(rev, warr: list[int]):
+    wlit = F.lit(warr)
+    idx = F.sequence(F.lit(1), F.size(rev))
+    num = F.aggregate(
+        F.transform(idx, lambda i: F.element_at(rev, i) * F.element_at(wlit, i)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    den = F.aggregate(
+        F.transform(idx, lambda i: F.element_at(wlit, i)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return num.cast("double") / den.cast("double")
+
+
+@register("macd_12_26", SQL_MACD, doc="windowed MACD: 40-term EMA(12)/EMA(26) with shared precomputed integer weights", tags=("window", "ta", "array"))
+def q_macd_12_26(spark, sf_dir):
+    r5 = _r5(spark, sf_dir)
+    wf = W.partitionBy("symbol").orderBy("ts_ns").rowsBetween(-(_MACD_TERMS - 1), 0)
+    cu = F.floor(F.col("close") * F.lit(1e6)).cast("long")
+    a = r5.select(
+        "symbol", "ts_ns", "close", F.reverse(F.collect_list(cu).over(wf)).alias("rev")
+    )
+    e12 = _spark_wsum(F.col("rev"), _W12)
+    e26 = _spark_wsum(F.col("rev"), _W26)
+    e = a.select("symbol", "ts_ns", "close", e12.alias("e12_micro"), e26.alias("e26_micro"))
+    return e.select(
+        "symbol",
+        "ts_ns",
+        "close",
+        (F.col("e12_micro") / F.lit(1e6)).alias("ema_12"),
+        (F.col("e26_micro") / F.lit(1e6)).alias("ema_26"),
+        ((F.col("e12_micro") - F.col("e26_micro")) / F.lit(1e6)).alias("macd"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation over the raw event log — recency/frequency/monetary
+# quartiles per user, aggregated to segment counts. Quartile membership is
+# threshold-bucketed against interpolated percentiles attached via a
+# broadcast scalar join: NO global-order NTILE window (which would funnel
+# every user through one partition — the single-partition antipattern W2
+# already removed). Monetary sums are µ-quantized longs.
+
+SQL_RFM = """
+WITH u AS (
+  SELECT user_id, MAX(epoch_ns(ts)) AS last_ns,
+         CAST(COUNT(*) AS BIGINT) AS freq,
+         CAST(SUM(CAST(FLOOR(value * 1e6) AS BIGINT)) AS BIGINT) AS mon_micro
+  FROM events GROUP BY user_id
+),
+th AS (
+  SELECT quantile_cont(last_ns, 0.25) AS r25, quantile_cont(last_ns, 0.50) AS r50, quantile_cont(last_ns, 0.75) AS r75,
+         quantile_cont(freq, 0.25) AS f25, quantile_cont(freq, 0.50) AS f50, quantile_cont(freq, 0.75) AS f75,
+         quantile_cont(mon_micro, 0.25) AS m25, quantile_cont(mon_micro, 0.50) AS m50, quantile_cont(mon_micro, 0.75) AS m75
+  FROM u
+),
+q AS (
+  SELECT u.user_id, u.mon_micro,
+         1 + CASE WHEN u.last_ns >= th.r25 THEN 1 ELSE 0 END
+           + CASE WHEN u.last_ns >= th.r50 THEN 1 ELSE 0 END
+           + CASE WHEN u.last_ns >= th.r75 THEN 1 ELSE 0 END AS r_q,
+         1 + CASE WHEN u.freq >= th.f25 THEN 1 ELSE 0 END
+           + CASE WHEN u.freq >= th.f50 THEN 1 ELSE 0 END
+           + CASE WHEN u.freq >= th.f75 THEN 1 ELSE 0 END AS f_q,
+         1 + CASE WHEN u.mon_micro >= th.m25 THEN 1 ELSE 0 END
+           + CASE WHEN u.mon_micro >= th.m50 THEN 1 ELSE 0 END
+           + CASE WHEN u.mon_micro >= th.m75 THEN 1 ELSE 0 END AS m_q
+  FROM u CROSS JOIN th
+)
+SELECT r_q, f_q, m_q, CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(CAST(SUM(mon_micro) AS BIGINT) AS DOUBLE) / 1e6 AS total_value
+FROM q GROUP BY r_q, f_q, m_q
+"""
+
+
+@register("rfm_segments", SQL_RFM, doc="RFM quartile segmentation (threshold-bucketed, no global-order window)", tags=("analytics", "agg"))
+def q_rfm_segments(spark, sf_dir):
+    from .registry import scalar_join
+
+    ev = t(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.max(ts_ns_expr(ev)).alias("last_ns"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum(F.floor(F.col("value") * F.lit(1e6)).cast("long")).cast("long").alias("mon_micro"),
+    )
+    th = u.agg(
+        F.expr("percentile(last_ns, 0.25)").alias("r25"),
+        F.expr("percentile(last_ns, 0.50)").alias("r50"),
+        F.expr("percentile(last_ns, 0.75)").alias("r75"),
+        F.expr("percentile(freq, 0.25)").alias("f25"),
+        F.expr("percentile(freq, 0.50)").alias("f50"),
+        F.expr("percentile(freq, 0.75)").alias("f75"),
+        F.expr("percentile(mon_micro, 0.25)").alias("m25"),
+        F.expr("percentile(mon_micro, 0.50)").alias("m50"),
+        F.expr("percentile(mon_micro, 0.75)").alias("m75"),
+    )
+    q = scalar_join(u, "user_id", th)
+
+    def bucket(v, lo, mid, hi):
+        return (
+            F.lit(1)
+            + F.when(v >= F.col(lo), 1).otherwise(0)
+            + F.when(v >= F.col(mid), 1).otherwise(0)
+            + F.when(v >= F.col(hi), 1).otherwise(0)
+        )
+
+    q = q.select(
+        "user_id",
+        "mon_micro",
+        bucket(F.col("last_ns"), "r25", "r50", "r75").alias("r_q"),
+        bucket(F.col("freq"), "f25", "f50", "f75").alias("f_q"),
+        bucket(F.col("mon_micro"), "m25", "m50", "m75").alias("m_q"),
+    )
+    return q.groupBy("r_q", "f_q", "m_q").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        (F.sum("mon_micro").cast("long").cast("double") / F.lit(1e6)).alias("total_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Winsorized per-type value stats — p05/p95 clamp then exact µ-quantized
+# means. The per-type percentile aggregate is joined back to the fact rows
+# (tiny by construction: one row per event_type); AQE broadcasts it at
+# runtime. This is the robust-mean primitive for outlier-heavy telemetry.
+
+SQL_WINSORIZED = """
+WITH p AS (
+  SELECT event_type,
+         quantile_cont(value, 0.05) AS p05,
+         quantile_cont(value, 0.95) AS p95
+  FROM events GROUP BY event_type
+),
+c AS (
+  SELECT e.event_type, e.value,
+         LEAST(GREATEST(e.value, p.p05), p.p95) AS wv,
+         p.p05, p.p95
+  FROM events e JOIN p USING (event_type)
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       ANY_VALUE(p05) AS p05, ANY_VALUE(p95) AS p95,
+       CAST(CAST(SUM(CAST(FLOOR(value * 1e6) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e6 / COUNT(*) AS mean_raw,
+       CAST(CAST(SUM(CAST(FLOOR(wv * 1e6) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e6 / COUNT(*) AS mean_winsorized
+FROM c GROUP BY event_type
+"""
+
+
+@register("winsorized_value_stats", SQL_WINSORIZED, doc="per-type p05/p95 winsorized means (robust stats; exact µ-quantized sums)", tags=("analytics", "agg", "percentile"))
+def q_winsorized_value_stats(spark, sf_dir):
+    ev = t(spark, sf_dir, "events").select("event_type", "value")
+    p = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.05)").alias("p05"),
+        F.expr("percentile(value, 0.95)").alias("p95"),
+    )
+    c = ev.join(p, "event_type").select(
+        "event_type",
+        "value",
+        F.least(F.greatest(F.col("value"), F.col("p05")), F.col("p95")).alias("wv"),
+        "p05",
+        "p95",
+    )
+    n = F.count(F.lit(1))
+    mean_of = lambda col: (  # noqa: E731
+        F.sum(F.floor(F.col(col) * F.lit(1e6)).cast("long")).cast("long").cast("double")
+        / F.lit(1e6)
+        / n
+    )
+    return c.groupBy("event_type").agg(
+        n.alias("n"),
+        F.any_value(F.col("p05")).alias("p05"),
+        F.any_value(F.col("p95")).alias("p95"),
+        mean_of("value").alias("mean_raw"),
+        mean_of("wv").alias("mean_winsorized"),
+    )

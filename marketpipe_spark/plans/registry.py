@@ -157,7 +157,15 @@ def register(name: str, sql: str | None, doc: str = "", tags: tuple[str, ...] = 
 
 def all_queries() -> dict[str, Query]:
     # Import sibling modules for their registration side effects.
-    from . import queries_asof, queries_bars, queries_control, queries_docs, queries_sim, queries_tpch  # noqa: F401
+    from . import (  # noqa: F401
+        queries_asof,
+        queries_bars,
+        queries_control,
+        queries_docs,
+        queries_sim,
+        queries_ta,
+        queries_tpch,
+    )
 
     return dict(_REGISTRY)
 

@@ -11,7 +11,10 @@ columns sorted by name, rows sorted by repr, exact value equality (NaN
 normalized). Entries with no oracle SQL get the driver's weaker rows-only
 check and are marked ``"mode": "rows_only"``.
 
-Usage: python scripts/local_correctness.py [round_number] [sf_dir]
+Usage: python scripts/local_correctness.py [round_number] [sf_dir] [only]
+``only`` is a comma-separated entry-name filter for quick iteration; when
+given, the artifact is NOT written (partial sweeps must never masquerade
+as the full record).
 """
 
 from __future__ import annotations
@@ -54,12 +57,15 @@ def _comparable(colnames, rows):
 def main() -> int:
     rnd = sys.argv[1] if len(sys.argv) > 1 else "4"
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
     spark = get_spark("local-correctness")
     oracles = entry_mod.oracle_sql()
     queries = entry_mod.queries()
     out: dict[str, dict] = {}
     n_fail = 0
     for name in sorted(queries):
+        if only is not None and name not in only:
+            continue
         rec: dict = {
             "rows_match": None, "schema_match": None, "hash_match": None,
             "spark_rows": None, "oracle_rows": None, "err": None,
@@ -94,11 +100,14 @@ def main() -> int:
         print(f"{'PASS' if ok else 'FAIL'} {name} spark={rec['spark_rows']} oracle={rec['oracle_rows']}")
         out[name] = rec
     spark.stop()
-    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                        f"CORRECTNESS_LOCAL_r{rnd}.json")
-    with open(path, "w") as f:
-        json.dump(out, f, indent=2)
-    print(f"\n{len(out) - n_fail}/{len(out)} green -> {path}")
+    if only is None:
+        path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                            f"CORRECTNESS_LOCAL_r{rnd}.json")
+        with open(path, "w") as f:
+            json.dump(out, f, indent=2)
+        print(f"\n{len(out) - n_fail}/{len(out)} green -> {path}")
+    else:
+        print(f"\n{len(out) - n_fail}/{len(out)} green (partial sweep, artifact not written)")
     return 1 if n_fail else 0
 
 
