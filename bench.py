@@ -126,6 +126,7 @@ FULL_EXTRA = [
     "lsh_topk",
     "ivf_topk",
     "pq_topk",
+    "kll_value_quantiles",
 ]
 
 

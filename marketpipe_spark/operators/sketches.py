@@ -26,10 +26,17 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from .dedup import _hash64
 
-__all__ = ["cm_bucket_cols", "cm_sketch", "cm_estimate"]
+__all__ = [
+    "cm_bucket_cols",
+    "cm_sketch",
+    "cm_estimate",
+    "kll_partial_sketch",
+    "kll_quantiles",
+]
 
 
 def cm_bucket_cols(col: Column, depth: int, width: int, hash_family: str = "xxhash64") -> Column:
@@ -101,4 +108,105 @@ def cm_estimate(
         b.join(F.broadcast(sketch), ["d", "bucket"], "left")
         .groupBy(col)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0).cast("long"))).alias("cm_est"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# KLL-style quantile sketch — the mergeable-quantiles member of the sketch
+# family (CMS: frequencies, HLL: distincts, KLL: ranks). An exact global
+# quantile over 100 TB needs a full sort or an `interpolated percentile`
+# shuffle of every value; the sketch path compacts each partition to
+# O(k log(n/k)) weighted survivors locally (one mapInPandas pass, Arrow
+# batches), and the reduce side only ever sees the bounded union of partial
+# sketches — shuffle volume is independent of row count, exactly like
+# cm_sketch's cell grid.
+#
+# Compaction is the DETERMINISTIC even-index variant: a full level is
+# sorted and its even-indexed items promoted with doubled weight. Classic
+# KLL randomizes the parity to make the estimate unbiased; determinism is
+# worth more here (same input file -> same sketch -> reproducible
+# pipeline), and the worst-case rank error stays O(levels/k), verified
+# empirically in tests/test_sketches.py against exact percentiles.
+
+
+def kll_partial_sketch(df: DataFrame, col: str, k: int = 256) -> DataFrame:
+    """Per-partition KLL compaction → ``(value double, weight long)`` rows.
+
+    Each input partition yields at most ``2k + k·levels`` rows where
+    ``levels ≈ log2(partition_rows / k)`` — a few KiB regardless of
+    partition size. Output rows are mergeable by simple union: weights are
+    exact item multiplicities (2^level), so any downstream weighted-rank
+    computation over the union is a valid estimate for the whole dataset.
+    """
+    import numpy as np
+    import pandas as pd
+
+    cap = 2 * k
+
+    def compact_partition(batches):
+        levels: list[np.ndarray] = [np.empty(0, dtype=np.float64)]
+
+        def compact(lvl: int) -> None:
+            vals = np.sort(levels[lvl], kind="stable")
+            levels[lvl] = np.empty(0, dtype=np.float64)
+            promoted = vals[0::2]
+            if lvl + 1 >= len(levels):
+                levels.append(np.empty(0, dtype=np.float64))
+            levels[lvl + 1] = np.concatenate([levels[lvl + 1], promoted])
+            if len(levels[lvl + 1]) >= cap:
+                compact(lvl + 1)
+
+        for pdf in batches:
+            arr = pdf[col].to_numpy(dtype=np.float64)
+            arr = arr[~np.isnan(arr)]
+            levels[0] = np.concatenate([levels[0], arr])
+            while len(levels[0]) >= cap:
+                compact(0)
+        out_v: list[np.ndarray] = []
+        out_w: list[np.ndarray] = []
+        for lvl, vals in enumerate(levels):
+            if len(vals):
+                out_v.append(vals)
+                out_w.append(np.full(len(vals), 1 << lvl, dtype=np.int64))
+        if not out_v:
+            yield pd.DataFrame({"value": pd.Series(dtype="float64"), "weight": pd.Series(dtype="int64")})
+            return
+        yield pd.DataFrame(
+            {"value": np.concatenate(out_v), "weight": np.concatenate(out_w)}
+        )
+
+    return df.select(F.col(col).cast("double").alias(col)).mapInPandas(
+        compact_partition, schema="value double, weight long"
+    )
+
+
+def kll_quantiles(sketch: DataFrame, probs: list[float]) -> DataFrame:
+    """Quantile estimates from a (unioned) partial sketch → ``(p, value)``.
+
+    The sketch is bounded (O(partitions · k · log) rows), so the global
+    ordered window here is NOT the single-partition antipattern — it sorts
+    kilobytes, the same size class as cm_estimate's broadcast grid. Each
+    row computes the half-open rank interval it covers and emits exactly
+    the requested probabilities falling inside it (map-only after the
+    window; no inequality join, no nested-loop plan).
+    """
+    from ..plans.registry import scalar_join
+
+    total = sketch.agg(F.sum("weight").cast("long").alias("total_w"))
+    wo = W.orderBy("value", "weight")
+    s = scalar_join(sketch, "value", total).select(
+        "value",
+        (F.sum("weight").over(wo).cast("double") / F.col("total_w")).alias("frac"),
+    )
+    # Window expressions are not allowed inside higher-order-function
+    # lambdas — materialize the previous cumulative fraction first.
+    s = s.withColumn(
+        "prev_frac", F.coalesce(F.lag("frac").over(W.orderBy("frac", "value")), F.lit(0.0))
+    )
+    parr = F.array(*[F.lit(float(p)) for p in sorted(probs)])
+    covered = F.filter(parr, lambda p: (p > F.col("prev_frac")) & (p <= F.col("frac")))
+    return (
+        s.withColumn("p", F.explode(covered))
+        .select("p", "value")
+        .orderBy("p")
     )

@@ -493,3 +493,19 @@ def q_winsorized_value_stats(spark, sf_dir):
         mean_of("value").alias("mean_raw"),
         mean_of("wv").alias("mean_winsorized"),
     )
+
+
+# ---------------------------------------------------------------------------
+# KLL quantile sketch over the event values — approximate by construction
+# (rank error ~ levels/k), so no SQL oracle: the driver records the weaker
+# rows-only check, and tests/test_sketches.py pins the rank-error bound
+# against exact percentiles plus determinism across runs.
+
+
+@register("kll_value_quantiles", None, doc="mergeable KLL quantile sketch estimates (rows-only; error bound pinned in tests)", tags=("sketch", "percentile"))
+def q_kll_value_quantiles(spark, sf_dir):
+    from ..operators.sketches import kll_partial_sketch, kll_quantiles
+
+    ev = t(spark, sf_dir, "events")
+    sk = kll_partial_sketch(ev, "value", k=256)
+    return kll_quantiles(sk, [0.25, 0.5, 0.75, 0.9, 0.99])

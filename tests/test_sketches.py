@@ -69,3 +69,52 @@ def test_cm_weighted(spark):
     est = cm_estimate(df.select("k").distinct(), "k", sk, DEPTH, WIDTH)
     got = {r["k"]: r["cm_est"] for r in est.collect()}
     assert got["a"] >= 15 and got["b"] >= 1 and got["c"] >= 7
+
+
+# ---------------------------------------------------------------------------
+# KLL quantile sketch
+
+
+def test_kll_rank_error_bound(spark):
+    """Estimated quantiles must land within 5% rank error of exact
+    percentiles on the real event values (k=256, deterministic compaction)."""
+    from marketpipe_spark.operators.sketches import kll_partial_sketch, kll_quantiles
+
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet").select("value")
+    n = ev.count()
+    probs = [0.1, 0.25, 0.5, 0.75, 0.9]
+    sk = kll_partial_sketch(ev, "value", k=256)
+    est = {r["p"]: r["value"] for r in kll_quantiles(sk, probs).collect()}
+    assert set(est) == set(probs)
+    for p, v in est.items():
+        rank = ev.filter(F.col("value") <= v).count() / n
+        assert abs(rank - p) <= 0.05, f"p={p}: est={v} true rank={rank:.3f}"
+
+
+def test_kll_deterministic_and_bounded(spark):
+    """Same input -> identical sketch rows (even-index compaction has no
+    randomness), and the sketch stays small regardless of input rows."""
+    from marketpipe_spark.operators.sketches import kll_partial_sketch
+
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet").select("value")
+    a = sorted(map(tuple, kll_partial_sketch(ev, "value", k=64).collect()))
+    b = sorted(map(tuple, kll_partial_sketch(ev, "value", k=64).collect()))
+    assert a == b
+    # partitions * (2k + k*levels) ceiling, far below the input row count
+    assert len(a) < ev.count()
+    assert len(a) <= ev.rdd.getNumPartitions() * 64 * 12
+
+
+def test_kll_mergeable_across_slices(spark):
+    """Sketching two disjoint slices and unioning the partials estimates the
+    whole dataset: quantiles from the union stay inside the error bound."""
+    from marketpipe_spark.operators.sketches import kll_partial_sketch, kll_quantiles
+
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet").select("value", "event_id")
+    n = ev.count()
+    a = kll_partial_sketch(ev.filter(F.col("event_id") % 2 == 0).select("value"), "value", k=256)
+    b = kll_partial_sketch(ev.filter(F.col("event_id") % 2 == 1).select("value"), "value", k=256)
+    merged = a.unionByName(b)
+    est = {r["p"]: r["value"] for r in kll_quantiles(merged, [0.5]).collect()}
+    rank = ev.filter(F.col("value") <= est[0.5]).count() / n
+    assert abs(rank - 0.5) <= 0.05
