@@ -195,6 +195,24 @@ def _sql_store(spark, db: str, kind: str):
     return cls(spark, db)
 
 
+def cmd_manifest(args) -> int:
+    from .manifest import build_manifest, skipping_ratio
+
+    spark = _spark("manifest")
+    m = build_manifest(spark, args.root).cache()
+    stats = skipping_ratio(m, args.start_ns, args.end_ns)
+    if args.start_ns is not None or args.end_ns is not None:
+        print(
+            f"range [{args.start_ns}, {args.end_ns}]: keep {stats['files_kept']}"
+            f"/{stats['files_total']} files (skip ratio {stats['skip_ratio']})"
+        )
+    else:
+        print(f"{stats['files_total']} files in manifest")
+    for r in m.orderBy("path").limit(args.limit).collect():
+        print(f"  {r['path']}  rows={r['n_rows']} ts=[{r['min_ts']}, {r['max_ts']}]")
+    return 0
+
+
 def cmd_jobs(args) -> int:
     spark = _spark("jobs")
     if args.db:
@@ -487,6 +505,13 @@ def build_parser() -> argparse.ArgumentParser:
     pr.add_argument("--dry-run", action="store_true")
     pr.add_argument("--limit", type=int, default=20)
     pr.set_defaults(fn=cmd_prune)
+
+    mf = sub.add_parser("manifest", help="file-stats manifest + data-skipping preview")
+    mf.add_argument("root", help="lake root directory")
+    mf.add_argument("--start-ns", type=int, default=None)
+    mf.add_argument("--end-ns", type=int, default=None)
+    mf.add_argument("--limit", type=int, default=20)
+    mf.set_defaults(fn=cmd_manifest)
 
     j = sub.add_parser("jobs", help="job state summary / details")
     j.add_argument("job_id", nargs="?", default=None)

@@ -191,19 +191,27 @@ FROM u GROUP BY frame, symbol
 
 @register("availability_summary", SQL_AVAILABILITY, doc="A6 per-frame availability (duckdb_views.py:128-162)", tags=("agg", "setop"))
 def q_availability(spark, sf_dir):
+    # Single scan: each input row explodes to its three frame buckets, then
+    # ONE groupBy with two countDistincts (bucket ≡ resampled row, day of
+    # bucket) — partial aggregation dedups map-side, so the only exchange
+    # carries near-aggregated rows. The UNION-of-three-distincts form this
+    # replaces scanned the events three times and shuffled four.
     b = _bars_core(spark, sf_dir)
-    parts = []
-    for frame, sec in (("5m", 300), ("1h", 3600), ("1d", 86400)):
-        w = sec * NS_PER_SEC
-        parts.append(
-            b.select("symbol", (F.col("ts_ns") - F.col("ts_ns") % F.lit(w)).alias("b"))
-            .distinct()
-            .withColumn("frame", F.lit(frame))
-        )
-    u = parts[0].unionByName(parts[1]).unionByName(parts[2])
-    return u.groupBy("frame", "symbol").agg(
+    frames = F.array(
+        *[
+            F.struct(
+                F.lit(frame).alias("frame"),
+                (F.col("ts_ns") - F.col("ts_ns") % F.lit(sec * NS_PER_SEC)).alias("b"),
+            )
+            for frame, sec in (("5m", 300), ("1h", 3600), ("1d", 86400))
+        ]
+    )
+    x = b.select("symbol", F.explode(frames).alias("x")).select(
+        "symbol", F.col("x.frame").alias("frame"), F.col("x.b").alias("b")
+    )
+    return x.groupBy("frame", "symbol").agg(
         F.countDistinct(F.col("b") - F.col("b") % F.lit(NS_PER_DAY)).alias("days"),
-        F.count(F.lit(1)).alias("row_count"),
+        F.countDistinct("b").alias("row_count"),
     )
 
 

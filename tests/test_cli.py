@@ -139,3 +139,25 @@ def test_cli_backfill(spark, tmp_path, capsys):
                "--output", raw, "--agg-root", agg])
     out = capsys.readouterr().out
     assert rc == 0 and "no gaps found" in out
+
+
+def test_cli_manifest(spark, tmp_path, capsys):
+    from marketpipe_spark.lake import write_bars
+    from marketpipe_spark.sources.fake import fake_bars
+
+    root = str(tmp_path / "mlake")
+    start = 1_704_067_200_000_000_000
+    day_ns = 86_400 * 10**9
+    for day in range(2):
+        write_bars(fake_bars(spark, ["AAPL"], start + day * day_ns, 30), root, "1m")
+
+    rc = main(["manifest", root])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "2 files in manifest" in out
+    assert "rows=30" in out
+
+    rc = main(["manifest", root, "--start-ns", str(start + day_ns)])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "keep 1/2 files" in out
