@@ -109,6 +109,9 @@ EXTRA = [
     "macd_12_26",
     "rfm_segments",
     "winsorized_value_stats",
+    "twap",
+    "symbol_beta",
+    "return_correlations",
 ]
 
 #: The heavier LLM-pipeline operators (LSH/minhash/multimodal) stay out of

@@ -509,3 +509,174 @@ def q_kll_value_quantiles(spark, sf_dir):
     ev = t(spark, sf_dir, "events")
     sk = kll_partial_sketch(ev, "value", k=256)
     return kll_quantiles(sk, [0.25, 0.5, 0.75, 0.9, 0.99])
+
+
+# ---------------------------------------------------------------------------
+# TWAP — time-weighted average price per symbol per day: each 5m bar's
+# close weighted by its holding interval (next bar start, or end of day for
+# the last bar). Weights are exact integer SECONDS (ns div 1e9) and closes
+# µ-quantized longs, so Σ(close_µ·w) stays under 2^59 and both engines
+# divide identical integers.
+
+_DAY_NS = 86_400 * 1_000_000_000
+
+SQL_TWAP = f"""
+WITH {SQL_R5},
+d AS (SELECT symbol, ts_ns, close,
+             ts_ns - (ts_ns % {_DAY_NS}) AS day_ns,
+             LEAD(ts_ns) OVER (PARTITION BY symbol, ts_ns - (ts_ns % {_DAY_NS})
+                               ORDER BY ts_ns) AS nxt
+      FROM r5),
+w AS (SELECT symbol, day_ns,
+             CAST(FLOOR(close * 1e6) AS BIGINT) AS close_micro,
+             (COALESCE(nxt, day_ns + {_DAY_NS}) - ts_ns) // 1000000000 AS w_s
+      FROM d)
+SELECT symbol, day_ns,
+       CAST(SUM(close_micro * w_s) AS BIGINT) AS twap_num_micro,
+       CAST(SUM(w_s) AS BIGINT) AS total_s,
+       CAST(CAST(SUM(close_micro * w_s) AS BIGINT) AS DOUBLE)
+         / CAST(SUM(w_s) AS BIGINT) / 1e6 AS twap
+FROM w GROUP BY symbol, day_ns
+"""
+
+
+@register("twap", SQL_TWAP, doc="time-weighted average price per symbol-day (exact integer interval weights)", tags=("agg", "ta"))
+def q_twap(spark, sf_dir):
+    r5 = _r5(spark, sf_dir)
+    day_ns = (F.col("ts_ns") - F.col("ts_ns") % F.lit(_DAY_NS)).alias("day_ns")
+    wo = W.partitionBy("symbol", "day_ns").orderBy("ts_ns")
+    d = r5.select("symbol", "ts_ns", "close", day_ns).withColumn(
+        "nxt", F.lead("ts_ns").over(wo)
+    )
+    w = d.select(
+        "symbol",
+        "day_ns",
+        F.floor(F.col("close") * F.lit(1e6)).cast("long").alias("close_micro"),
+        F.expr(f"(coalesce(nxt, day_ns + {_DAY_NS}) - ts_ns) div 1000000000").alias("w_s"),
+    )
+    num = F.sum(F.col("close_micro") * F.col("w_s")).cast("long")
+    den = F.sum("w_s").cast("long")
+    return w.groupBy("symbol", "day_ns").agg(
+        num.alias("twap_num_micro"),
+        den.alias("total_s"),
+        (num.cast("double") / den / F.lit(1e6)).alias("twap"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Beta per symbol vs the market — OLS slope of a symbol's 5m returns
+# against the market return (sum of all symbols' returns in the bucket,
+# window-summed per bucket: one shuffle on the high-cardinality bucket
+# key, never a join). Returns are centi-quantized so every power sum
+# (Σx, Σy, Σxy, Σyy) is an exact integer below 2^53; the closed form then
+# runs on identical doubles in both engines.
+
+SQL_SYMBOL_BETA = f"""
+WITH {SQL_R5},
+r AS (SELECT symbol, ts_ns,
+             CAST(FLOOR(close * 100) AS BIGINT)
+               - LAG(CAST(FLOOR(close * 100) AS BIGINT))
+                 OVER (PARTITION BY symbol ORDER BY ts_ns) AS x
+      FROM r5),
+rx AS (SELECT symbol, ts_ns, x FROM r WHERE x IS NOT NULL),
+m AS (SELECT symbol, ts_ns, x,
+             SUM(x) OVER (PARTITION BY ts_ns) AS y
+      FROM rx),
+s AS (SELECT symbol,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy, CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM m GROUP BY symbol)
+SELECT symbol, n,
+       CASE WHEN CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy <> 0.0 THEN
+         (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+           / (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)
+       END AS beta
+FROM s
+"""
+
+
+@register("symbol_beta", SQL_SYMBOL_BETA, doc="OLS beta of each symbol's returns vs the per-bucket market return (exact power sums)", tags=("agg", "ta", "window"))
+def q_symbol_beta(spark, sf_dir):
+    r5 = _r5(spark, sf_dir)
+    wo = W.partitionBy("symbol").orderBy("ts_ns")
+    cc = F.floor(F.col("close") * F.lit(100)).cast("long")
+    rx = r5.select("symbol", "ts_ns", (cc - F.lag(cc).over(wo)).alias("x")).filter(
+        F.col("x").isNotNull()
+    )
+    m = rx.withColumn("y", F.sum("x").over(W.partitionBy("ts_ns")))
+    s = m.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    den = nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy")
+    num = nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    return s.select("symbol", "n", F.when(den != 0.0, num / den).alias("beta"))
+
+
+# ---------------------------------------------------------------------------
+# Pairwise return correlation matrix — 5m returns self-joined on the time
+# bucket (equi-join on the high-cardinality bucket key; output pairs are
+# symbol², tiny). Same exact centi-quantized power-sum discipline; Pearson
+# runs on identical doubles.
+
+SQL_RETURN_CORRELATIONS = f"""
+WITH {SQL_R5},
+r AS (SELECT symbol, ts_ns,
+             CAST(FLOOR(close * 100) AS BIGINT)
+               - LAG(CAST(FLOOR(close * 100) AS BIGINT))
+                 OVER (PARTITION BY symbol ORDER BY ts_ns) AS x
+      FROM r5),
+rx AS (SELECT symbol, ts_ns, x FROM r WHERE x IS NOT NULL),
+p AS (SELECT a.symbol AS sym_a, b.symbol AS sym_b, a.x AS xa, b.x AS xb
+      FROM rx a JOIN rx b ON a.ts_ns = b.ts_ns AND a.symbol < b.symbol),
+s AS (SELECT sym_a, sym_b,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(xa) AS BIGINT) AS sa, CAST(SUM(xb) AS BIGINT) AS sb,
+             CAST(SUM(xa * xb) AS BIGINT) AS sab,
+             CAST(SUM(xa * xa) AS BIGINT) AS saa, CAST(SUM(xb * xb) AS BIGINT) AS sbb
+      FROM p GROUP BY sym_a, sym_b)
+SELECT sym_a, sym_b, n,
+       CASE WHEN (CAST(n AS DOUBLE) * saa - CAST(sa AS DOUBLE) * sa) > 0.0
+             AND (CAST(n AS DOUBLE) * sbb - CAST(sb AS DOUBLE) * sb) > 0.0 THEN
+         (CAST(n AS DOUBLE) * sab - CAST(sa AS DOUBLE) * sb)
+           / (sqrt(CAST(n AS DOUBLE) * saa - CAST(sa AS DOUBLE) * sa)
+              * sqrt(CAST(n AS DOUBLE) * sbb - CAST(sb AS DOUBLE) * sb))
+       END AS corr
+FROM s
+"""
+
+
+@register("return_correlations", SQL_RETURN_CORRELATIONS, doc="pairwise Pearson correlation of 5m returns (bucket equi-join, exact power sums)", tags=("agg", "ta", "join"))
+def q_return_correlations(spark, sf_dir):
+    r5 = _r5(spark, sf_dir)
+    wo = W.partitionBy("symbol").orderBy("ts_ns")
+    cc = F.floor(F.col("close") * F.lit(100)).cast("long")
+    rx = r5.select("symbol", "ts_ns", (cc - F.lag(cc).over(wo)).alias("x")).filter(
+        F.col("x").isNotNull()
+    )
+    a = rx.select(F.col("symbol").alias("sym_a"), "ts_ns", F.col("x").alias("xa"))
+    b = rx.select(F.col("symbol").alias("sym_b"), "ts_ns", F.col("x").alias("xb"))
+    p = a.join(b, "ts_ns").filter(F.col("sym_a") < F.col("sym_b"))
+    s = p.groupBy("sym_a", "sym_b").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xa").cast("long").alias("sa"),
+        F.sum("xb").cast("long").alias("sb"),
+        F.sum(F.col("xa") * F.col("xb")).cast("long").alias("sab"),
+        F.sum(F.col("xa") * F.col("xa")).cast("long").alias("saa"),
+        F.sum(F.col("xb") * F.col("xb")).cast("long").alias("sbb"),
+    )
+    nd = F.col("n").cast("double")
+    va = nd * F.col("saa") - F.col("sa").cast("double") * F.col("sa")
+    vb = nd * F.col("sbb") - F.col("sb").cast("double") * F.col("sb")
+    cov = nd * F.col("sab") - F.col("sa").cast("double") * F.col("sb")
+    return s.select(
+        "sym_a",
+        "sym_b",
+        "n",
+        F.when((va > 0.0) & (vb > 0.0), cov / (F.sqrt(va) * F.sqrt(vb))).alias("corr"),
+    )

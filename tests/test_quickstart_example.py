@@ -26,3 +26,16 @@ def test_quickstart_runs_end_to_end(spark, tmp_path, capsys):
     assert os.path.isdir(tmp_path / "data" / "raw")
     assert os.path.isdir(tmp_path / "data" / "agg")
     assert (tmp_path / "validation_report.csv").exists()
+
+
+def test_analytics_tour_runs_end_to_end(spark, tmp_path, capsys):
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        "examples", "analytics_tour.py")
+    spec = importlib.util.spec_from_file_location("analytics_tour_example", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    mod.run(str(tmp_path), spark=spark)
+    out = capsys.readouterr().out
+    assert "analytics tour complete" in out
+    assert "skip stats" in out
