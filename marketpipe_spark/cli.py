@@ -202,8 +202,10 @@ def cmd_manifest(args) -> int:
     m = build_manifest(spark, args.root).cache()
     stats = skipping_ratio(m, args.start_ns, args.end_ns)
     if args.start_ns is not None or args.end_ns is not None:
+        lo = args.start_ns if args.start_ns is not None else "-inf"
+        hi = args.end_ns if args.end_ns is not None else "+inf"
         print(
-            f"range [{args.start_ns}, {args.end_ns}]: keep {stats['files_kept']}"
+            f"range [{lo}, {hi}]: keep {stats['files_kept']}"
             f"/{stats['files_total']} files (skip ratio {stats['skip_ratio']})"
         )
     else:

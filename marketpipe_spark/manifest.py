@@ -104,13 +104,22 @@ def prune_files(
     Files without stats (null envelope) always survive — skipping must
     never be able to drop a row the full scan would return.
     """
+    return [
+        r["path"]
+        for r in manifest.filter(_survives(start_ns, end_ns)).select("path").collect()
+    ]
+
+
+def _survives(start_ns: int | None, end_ns: int | None):
+    """Predicate: the file's stats envelope may intersect the range (or the
+    envelope is unknown — null stats must always survive)."""
     keep = F.col("min_ts").isNull() | F.col("max_ts").isNull()
     cond = F.lit(True)
     if start_ns is not None:
         cond = cond & (F.col("max_ts") >= F.lit(start_ns))
     if end_ns is not None:
         cond = cond & (F.col("min_ts") <= F.lit(end_ns))
-    return [r["path"] for r in manifest.filter(keep | cond).select("path").collect()]
+    return keep | cond
 
 
 def read_pruned(
@@ -145,9 +154,13 @@ def read_pruned(
 def skipping_ratio(
     manifest: DataFrame, start_ns: int | None = None, end_ns: int | None = None
 ) -> dict:
-    """Observability: how much the manifest saves for a given range."""
+    """Observability: how much the manifest saves for a given range.
+
+    Counts distributed — never collects paths to the driver (on a
+    millions-of-files lake the path list is exactly what must not land on
+    the driver just to be counted)."""
     total = manifest.count()
-    kept = len(prune_files(manifest, start_ns, end_ns))
+    kept = manifest.filter(_survives(start_ns, end_ns)).count()
     return {
         "files_total": total,
         "files_kept": kept,

@@ -135,7 +135,9 @@ def kll_partial_sketch(df: DataFrame, col: str, k: int = 256) -> DataFrame:
     Each input partition yields at most ``2k + k·levels`` rows where
     ``levels ≈ log2(partition_rows / k)`` — a few KiB regardless of
     partition size. Output rows are mergeable by simple union: weights are
-    exact item multiplicities (2^level), so any downstream weighted-rank
+    exact item multiplicities (2^level), odd-length compactions park their
+    leftover item at the lower level, so ``sum(weight)`` over the sketch
+    equals the true row count EXACTLY and any downstream weighted-rank
     computation over the union is a valid estimate for the whole dataset.
     """
     import numpy as np
@@ -148,7 +150,16 @@ def kll_partial_sketch(df: DataFrame, col: str, k: int = 256) -> DataFrame:
 
         def compact(lvl: int) -> None:
             vals = np.sort(levels[lvl], kind="stable")
-            levels[lvl] = np.empty(0, dtype=np.float64)
+            if len(vals) % 2:
+                # Odd level: promoting ceil(L/2) items at doubled weight
+                # would inflate total mass by one item per compaction. Keep
+                # the largest item at this level instead — the remaining
+                # even-length prefix halves exactly, so sum(weight) over the
+                # sketch always equals the true row count.
+                levels[lvl] = vals[-1:]
+                vals = vals[:-1]
+            else:
+                levels[lvl] = np.empty(0, dtype=np.float64)
             promoted = vals[0::2]
             if lvl + 1 >= len(levels):
                 levels.append(np.empty(0, dtype=np.float64))

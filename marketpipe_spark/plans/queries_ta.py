@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from ..functions import NS_PER_SEC
+from ..functions import NS_PER_DAY, NS_PER_SEC
 from ..operators.resample import resample_intraday
 from .registry import SQL_BARS, bars, register, t, ts_ns_expr
 
@@ -518,7 +518,7 @@ def q_kll_value_quantiles(spark, sf_dir):
 # µ-quantized longs, so Σ(close_µ·w) stays under 2^59 and both engines
 # divide identical integers.
 
-_DAY_NS = 86_400 * 1_000_000_000
+_DAY_NS = NS_PER_DAY
 
 SQL_TWAP = f"""
 WITH {SQL_R5},

@@ -61,6 +61,11 @@ def main() -> int:
     spark = get_spark("local-correctness")
     oracles = entry_mod.oracle_sql()
     queries = entry_mod.queries()
+    if only is not None:
+        unknown = only - set(queries)
+        if unknown:
+            print(f"unknown entries in filter: {sorted(unknown)}", file=sys.stderr)
+            return 2
     out: dict[str, dict] = {}
     n_fail = 0
     for name in sorted(queries):

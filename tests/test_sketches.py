@@ -100,6 +100,9 @@ def test_kll_deterministic_and_bounded(spark):
     a = sorted(map(tuple, kll_partial_sketch(ev, "value", k=64).collect()))
     b = sorted(map(tuple, kll_partial_sketch(ev, "value", k=64).collect()))
     assert a == b
+    # Mass conservation: odd-length compactions park their leftover item
+    # instead of inflating promoted weight, so total weight == row count.
+    assert sum(w for _, w in a) == ev.count()
     # partitions * (2k + k*levels) ceiling, far below the input row count
     assert len(a) < ev.count()
     assert len(a) <= ev.rdd.getNumPartitions() * 64 * 12
