@@ -317,7 +317,24 @@ def cmd_providers(args) -> int:
 def cmd_migrate(args) -> int:
     """Apply pending control-store schema migrations (reference
     cli/utils.py:263-276 → migrations.apply_pending; here additive parquet
-    schema evolution via control.migrate_control_store)."""
+    schema evolution via control.migrate_control_store). With ``--db`` the
+    SQL backend is migrated instead (upgrade, or ``--downgrade <version>``
+    for the alembic-style reverse path)."""
+    if getattr(args, "db", None):
+        from . import control_sql as cs
+
+        is_pg = args.db.startswith(("postgresql://", "postgres://"))
+        dialect = cs.PostgresDialect(args.db) if is_pg else cs.SqliteDialect(args.db)
+        if getattr(args, "downgrade", None):
+            reverted = cs.downgrade_to_dialect(dialect, args.downgrade)
+            print(
+                f"reverted: {', '.join(reverted) if reverted else 'nothing (already at or below target)'}"
+            )
+        else:
+            applied = cs.apply_pending_dialect(dialect)
+            print(f"applied: {', '.join(applied) if applied else 'nothing (up-to-date)'}")
+        return 0
+
     from .control import migrate_control_store
 
     spark = _spark("migrate")
@@ -551,6 +568,9 @@ def build_parser() -> argparse.ArgumentParser:
 
     mg = sub.add_parser("migrate", help="apply pending control-store schema migrations")
     mg.add_argument("--path", "-p", default="data/raw_ctl", help="control-store root")
+    mg.add_argument("--db", default=None, help="SQL backend instead: SQLite path or postgresql:// DSN")
+    mg.add_argument("--downgrade", default=None, metavar="VERSION",
+                    help="revert SQL migrations above VERSION ('000' reverts all); requires --db")
     mg.set_defaults(fn=cmd_migrate)
 
     c = sub.add_parser(

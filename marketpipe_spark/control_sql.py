@@ -91,6 +91,25 @@ ALTER TABLE metrics ADD COLUMN feed TEXT NOT NULL DEFAULT 'unknown';
 """,
 }
 
+#: Reverse scripts, one per version (reference alembic ``downgrade()``
+#: functions; both dialects support ALTER TABLE DROP COLUMN — SQLite since
+#: 3.35). Downgrading is destructive by nature: 002's columns are dropped
+#: with their data, 001 removes the control tables entirely.
+DOWNGRADES: dict[str, str] = {
+    "002": """
+ALTER TABLE metrics DROP COLUMN provider;
+ALTER TABLE metrics DROP COLUMN feed;
+""",
+    "001": """
+DROP INDEX IF EXISTS idx_jobs_job;
+DROP INDEX IF EXISTS idx_metrics_ts_name;
+DROP INDEX IF EXISTS idx_metrics_name;
+DROP TABLE IF EXISTS ingestion_jobs;
+DROP TABLE IF EXISTS metrics;
+DROP TABLE IF EXISTS checkpoints;
+""",
+}
+
 
 # ---------------------------------------------------------------------------
 # dialects
@@ -211,6 +230,51 @@ def apply_pending_dialect(dialect) -> list[str]:
 def apply_pending(db_path: str | os.PathLike) -> list[str]:
     """SQLite convenience wrapper (the historical API)."""
     return apply_pending_dialect(SqliteDialect(db_path))
+
+
+def downgrade_to_dialect(dialect, target: str) -> list[str]:
+    """Revert applied migrations ABOVE ``target`` in reverse order, one
+    transaction each (reference alembic ``downgrade`` semantics). ``target``
+    of ``"000"`` (or any version below the first) reverts everything.
+    Returns the reverted versions, newest first.
+    """
+    if target != "000" and target not in MIGRATIONS:
+        raise ValueError(f"unknown target version: {target!r}")
+    reverted: list[str] = []
+    con = dialect.connect()
+    try:
+        cur = con.cursor()
+        try:
+            cur.execute("SELECT version FROM schema_version")
+        except Exception:
+            con.rollback()
+            return []  # never migrated -> nothing to revert
+        done = sorted((r[0] for r in cur.fetchall()), reverse=True)
+        for version in done:
+            if version <= target:
+                continue
+            if version not in DOWNGRADES:
+                raise RuntimeError(f"no downgrade script for version {version}")
+            try:
+                dialect.executescript(con, DOWNGRADES[version])
+                cur = con.cursor()
+                cur.execute(
+                    dialect.sql("DELETE FROM schema_version WHERE version = ?"),
+                    (version,),
+                )
+                con.commit()
+                reverted.append(version)
+            except Exception as e:
+                con.rollback()
+                raise RuntimeError(f"downgrade {version} failed: {e}") from e
+    finally:
+        con.close()
+    return reverted
+
+
+def downgrade_to(db_path: str | os.PathLike, target: str) -> list[str]:
+    """SQLite convenience wrapper for :func:`downgrade_to_dialect`."""
+    return downgrade_to_dialect(SqliteDialect(db_path), target)
 
 
 def applied_versions(db_path: str | os.PathLike) -> list[str]:

@@ -272,9 +272,12 @@ def q_candle_patterns(spark, sf_dir):
 
 # ---------------------------------------------------------------------------
 # MACD (windowed) — EMA(12) and EMA(26) as finite 40-term weighted windows.
-# True EMA is recursive (unbounded state); the standard streaming
-# approximation truncates the tail, whose weight after 40 bars is < 0.2%
-# for span 26. The α(1−α)^j weights are precomputed ONCE here in Python and
+# True EMA is recursive (unbounded state); this operator is DEFINED as the
+# truncated-window weighted mean: the weights are renormalized by their own
+# sum, so it is an exact weighted average over the last 40 bars (the
+# truncated tail mass is ~0.1% for span 12 and ~4.6% for span 26 — a
+# window-definition choice, not an error term, and identical in both
+# engines). The α(1−α)^j weights are precomputed ONCE here in Python and
 # inlined as the SAME integer literals into the Spark plan and the DuckDB
 # oracle, so both engines run sum(w_j · close_micro_j) / sum(w_j) on
 # identical integers — no pow() at query time, no cross-engine libm drift.

@@ -279,3 +279,84 @@ def test_incremental_job_with_postgres_backend(spark, tmp_path):
     assert states == {"completed"}
     assert cs.last_processed("pg-job", "AAPL") is not None
     assert len(ms.list_names()) > 0
+
+
+# ---------------------------------------------------------------------------
+# downgrades (reference alembic downgrade())
+
+
+def test_downgrade_roundtrip(tmp_path):
+    from marketpipe_spark.control_sql import downgrade_to
+
+    db = str(tmp_path / "core.db")
+    apply_pending(db)
+
+    # Step down to 001: the label columns are gone, core tables remain.
+    assert downgrade_to(db, "001") == ["002"]
+    cols = {r[1] for r in sqlite3.connect(db).execute("PRAGMA table_info(metrics)")}
+    assert "provider" not in cols and "feed" not in cols
+    assert {"ts", "name", "value"} <= cols
+    assert applied_versions(db) == ["001"]
+
+    # Re-upgrade restores the columns (idempotent runner resumes from 001).
+    assert apply_pending(db) == ["002"]
+    cols = {r[1] for r in sqlite3.connect(db).execute("PRAGMA table_info(metrics)")}
+    assert {"provider", "feed"} <= cols
+
+
+def test_downgrade_to_zero_drops_everything(tmp_path):
+    from marketpipe_spark.control_sql import downgrade_to
+
+    db = str(tmp_path / "core.db")
+    apply_pending(db)
+    assert downgrade_to(db, "000") == ["002", "001"]
+    names = {
+        r[0]
+        for r in sqlite3.connect(db).execute(
+            "SELECT name FROM sqlite_master WHERE type='table'"
+        )
+    }
+    assert "ingestion_jobs" not in names and "metrics" not in names
+    assert applied_versions(db) == []
+    # A fresh apply_pending rebuilds the whole schema.
+    assert apply_pending(db) == sorted(MIGRATIONS)
+
+
+def test_downgrade_never_migrated_and_bad_target(tmp_path):
+    import pytest as _pytest
+
+    from marketpipe_spark.control_sql import downgrade_to
+
+    db = str(tmp_path / "empty.db")
+    sqlite3.connect(db).close()
+    assert downgrade_to(db, "001") == []  # nothing ever applied
+    with _pytest.raises(ValueError):
+        downgrade_to(db, "999")
+
+
+def test_postgres_downgrade_through_shim(tmp_path):
+    from marketpipe_spark.control_sql import (
+        PostgresDialect,
+        apply_pending_dialect,
+        downgrade_to_dialect,
+    )
+
+    path = str(tmp_path / "pg-substitute.db")
+    dialect = PostgresDialect(connect_factory=lambda: _PgShimConnection(path))
+    assert apply_pending_dialect(dialect) == sorted(MIGRATIONS)
+    assert downgrade_to_dialect(dialect, "001") == ["002"]
+    cols = {r[1] for r in sqlite3.connect(path).execute("PRAGMA table_info(metrics)")}
+    assert "provider" not in cols
+    assert apply_pending_dialect(dialect) == ["002"]
+
+
+def test_cli_migrate_db_up_and_down(tmp_path, capsys):
+    from marketpipe_spark.cli import main
+
+    db = str(tmp_path / "cli.db")
+    assert main(["migrate", "--db", db]) == 0
+    assert "applied: 001, 002" in capsys.readouterr().out
+    assert main(["migrate", "--db", db, "--downgrade", "001"]) == 0
+    assert "reverted: 002" in capsys.readouterr().out
+    assert main(["migrate", "--db", db]) == 0
+    assert "applied: 002" in capsys.readouterr().out

@@ -165,3 +165,53 @@ def test_tfidf_top_terms_matches_python_model(spark, docs):
     got_sorted = {k: sorted(v) for k, v in got.items()}
     want_sorted = {k: sorted(v) for k, v in want.items()}
     assert got_sorted == want_sorted
+
+
+# ---------------------------------------------------------------------------
+# KLL sketch: rank error and mass conservation on randomized inputs
+
+
+@_settings
+@given(
+    vals=st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False),
+        min_size=10,
+        max_size=600,
+    ),
+    p=st.sampled_from([0.1, 0.5, 0.9]),
+)
+def test_kll_rank_error_and_mass_property(spark, vals, p):
+    from marketpipe_spark.operators.sketches import kll_partial_sketch, kll_quantiles
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(float(v),) for v in vals], "value double")
+    sk = kll_partial_sketch(df, "value", k=64).cache()
+    # Mass conservation holds for ANY input, not just the nice ones.
+    assert sk.agg(F.sum("weight")).collect()[0][0] == len(vals)
+    est = {r["p"]: r["value"] for r in kll_quantiles(sk, [p]).collect()}
+    # Tie-aware rank interval: the estimate's value may carry a large
+    # probability atom (duplicates), so the property is that p falls inside
+    # [F(v-), F(v)] up to the compaction error bound (loose: levels/k plus
+    # discretization on tiny inputs).
+    eps = max(0.1, 3.0 / len(vals))
+    rank_lo = sum(1 for v in vals if v < est[p]) / len(vals)
+    rank_hi = sum(1 for v in vals if v <= est[p]) / len(vals)
+    assert rank_lo - eps <= p <= rank_hi + eps
+
+
+def test_ema_weights_invariants():
+    """The inlined MACD weights must behave like truncated EMA weights."""
+    from marketpipe_spark.plans.queries_ta import _ema_weights
+
+    for span in (12, 26):
+        w = _ema_weights(span)
+        a = 2.0 / (span + 1)
+        assert len(w) == 40
+        assert all(x > 0 for x in w[: span * 2])  # head strictly positive
+        assert all(w[i] >= w[i + 1] for i in range(len(w) - 1))  # monotone
+        # Leading weight is alpha (scaled 1e6); the retained mass equals
+        # 1 - (1-a)^40 (the truncation is renormalized at query time, so
+        # this only characterizes the window, it is not an error term).
+        assert abs(w[0] - round(1_000_000 * a)) <= 1
+        retained = 1.0 - (1.0 - a) ** 40
+        assert abs(sum(w) / 1_000_000 - retained) < 0.001
