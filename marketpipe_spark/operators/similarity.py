@@ -588,6 +588,7 @@ def pq_topk(
     refine_factor: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_collect_queries: int = 65_536,
 ) -> DataFrame:
     """PQ-ADC approximate top-k with exact refinement.
 
@@ -598,6 +599,13 @@ def pq_topk(
     rescored with the exact sequential-fold cosine before the final top-k.
     The corpus-sized work touches only codes (m bytes/vector); raw vectors
     are fetched once for the k·refine_factor candidates per query.
+
+    Like :func:`cosine_topk`, the query side is collected to the driver and
+    shipped in the task closure — correct only for a BOUNDED query set.
+    ``max_collect_queries`` enforces the bound with a ``limit()``-guarded
+    collect (never scans more than the limit); corpus-scale query sets
+    (corpus-vs-corpus ANN) belong on :func:`cosine_topk_blocked` or the
+    IVF path, which keep both sides distributed.
     """
     import numpy as np
     import pandas as pd
@@ -605,9 +613,19 @@ def pq_topk(
     books = pq_codebooks(corpus, m=m, nbits=nbits, id_col=id_col, vec_col=vec_col)
     codes = pq_encode(corpus, books, id_col=id_col, vec_col=vec_col)
 
-    qrows = queries.select(
-        F.col(id_col).alias("qid"), F.col(vec_col).cast("array<double>").alias("v")
-    ).collect()
+    qrows = (
+        queries.select(
+            F.col(id_col).alias("qid"), F.col(vec_col).cast("array<double>").alias("v")
+        )
+        .limit(max_collect_queries + 1)
+        .collect()
+    )
+    if len(qrows) > max_collect_queries:
+        raise ValueError(
+            f"pq_topk collects the query side to the driver; got more than "
+            f"max_collect_queries={max_collect_queries} queries — use "
+            f"cosine_topk_blocked or ivf_topk for corpus-scale query sets"
+        )
     qmat = np.stack([np.asarray(r["v"], dtype=np.float64) for r in qrows])
     qmat = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
     qids = np.array([r["qid"] for r in qrows])

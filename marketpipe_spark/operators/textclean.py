@@ -258,7 +258,7 @@ def duplicated_spans(
     """
     from .dedup import _hash64
 
-    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    toks = F.split(F.trim(F.lower(F.col(text_col))), TOKEN_SPLIT_RE)
     eligible = df.select(F.col(id_col), toks.alias("toks")).filter(
         F.size("toks") >= window
     )

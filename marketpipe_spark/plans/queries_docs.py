@@ -785,17 +785,26 @@ def q_tfidf_top_terms(spark, sf_dir):
 #: so the IEEE evaluation order is identical.
 BM25_TERMS = ("spark", "join", "stream")
 
-SQL_BM25_SEARCH = r"""
+#: The IN-list and pivot arms are GENERATED from BM25_TERMS so the constant
+#: stays the single source of truth for both engines (hand-inlined literals
+#: would silently desynchronize the oracle on any term change).
+_BM25_IN = ", ".join(f"'{term}'" for term in BM25_TERMS)
+_BM25_ARMS = "\n         + ".join(
+    f"COALESCE(MAX(CASE WHEN token = '{term}' THEN s END), 0)" for term in BM25_TERMS
+)
+
+SQL_BM25_SEARCH = rf"""
 WITH tok AS (
   SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
   FROM documents
 ), dl AS (
-  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tok GROUP BY 1
+  SELECT doc_id, CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) AS dl
+  FROM documents
 ), stats AS (
   SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl, CAST(COUNT(*) AS DOUBLE) AS n_docs FROM dl
 ), tf AS (
   SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
-  FROM tok WHERE token IN ('spark', 'join', 'stream') GROUP BY 1, 2
+  FROM tok WHERE token IN ({_BM25_IN}) GROUP BY 1, 2
 ), df AS (
   SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
 ), part_scores AS (
@@ -806,9 +815,7 @@ WITH tok AS (
 ), pivoted AS (
   SELECT doc_id,
          CAST(FLOOR((
-           COALESCE(MAX(CASE WHEN token = 'spark' THEN s END), 0)
-         + COALESCE(MAX(CASE WHEN token = 'join' THEN s END), 0)
-         + COALESCE(MAX(CASE WHEN token = 'stream' THEN s END), 0)) * 1000000) AS BIGINT) AS score_micro
+           {_BM25_ARMS}) * 1000000) AS BIGINT) AS score_micro
   FROM part_scores GROUP BY 1
 )
 SELECT doc_id, score_micro FROM pivoted ORDER BY score_micro DESC, doc_id LIMIT 20
@@ -824,7 +831,14 @@ def q_bm25_search(spark, sf_dir):
         "doc_id",
         F.explode(F.split(F.trim(F.lower(F.col("text"))), TOKEN_SPLIT_RE)).alias("token"),
     )
-    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    # Per-doc length is map-only — size(split(...)) counts the identical
+    # token list without a corpus-wide explode + shuffle (the explode branch
+    # below only feeds the term-filtered tf, which DuckDB and Catalyst both
+    # prune to the IN-list before grouping).
+    dl = d.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.lower(F.col("text"))), TOKEN_SPLIT_RE)).cast("long").alias("dl"),
+    )
     stats = dl.agg(
         (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
         F.count(F.lit(1)).cast("double").alias("n_docs"),

@@ -228,9 +228,12 @@ def anomaly_stream(bar_stream: DataFrame, threshold: float = 0.5) -> DataFrame:
     rule).
 
     State is one (last_ts_ns, last_close) pair per symbol — bounded by
-    symbol cardinality, partitioned by the group key. Rows inside a batch
-    are processed in event order, so the detector sees the same neighbor
-    pairs the batch window (lag) sees.
+    symbol cardinality, partitioned by the group key. A group's rows arrive
+    as MULTIPLE Arrow chunks when the microbatch is large (governed by
+    ``spark.sql.execution.arrow.maxRecordsPerBatch``) and chunk boundaries
+    carry no ordering guarantee, so the chunks are concatenated and sorted
+    ONCE before the stateful scan — sorting each chunk independently would
+    compare non-adjacent bars on any backfill-sized batch.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
@@ -243,14 +246,13 @@ def anomaly_stream(bar_stream: DataFrame, threshold: float = 0.5) -> DataFrame:
         (symbol,) = key
         last_ts, last_close = state.get if state.exists else (-1, float("nan"))
         outs = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values("ts_ns", kind="stable")
-            for ts_ns, close in zip(pdf["ts_ns"], pdf["close"]):
-                if last_ts >= 0 and last_close:
-                    move = abs(close - last_close) / abs(last_close)
-                    if move > threshold:
-                        outs.append((symbol, int(ts_ns), float(close), float(last_close), move))
-                last_ts, last_close = int(ts_ns), float(close)
+        whole = pd.concat(list(pdfs), ignore_index=True).sort_values("ts_ns", kind="stable")
+        for ts_ns, close in zip(whole["ts_ns"], whole["close"]):
+            if last_ts >= 0 and last_close:
+                move = abs(close - last_close) / abs(last_close)
+                if move > threshold:
+                    outs.append((symbol, int(ts_ns), float(close), float(last_close), move))
+            last_ts, last_close = int(ts_ns), float(close)
         state.update((last_ts, last_close))
         if outs:
             yield pd.DataFrame(

@@ -332,3 +332,53 @@ def test_silence_alert_stream_timer_fires_on_gap(spark, tmp_path):
     a = by_symbol["AAPL"]
     assert a.last_ts_ns == DAY1 + 4 * NS_MIN
     assert a.alert_time_ms == (DAY1 + 4 * NS_MIN) // 1_000_000 + 5 * 60 * 1000
+
+
+def test_anomaly_stream_group_spanning_arrow_chunks(spark, tmp_path):
+    """A group larger than arrow.maxRecordsPerBatch arrives as MULTIPLE
+    Arrow chunks with no cross-chunk ordering; the detector must globally
+    sort the group before scanning (regression: per-chunk sorting compared
+    non-adjacent bars and fabricated alerts on backfill-sized batches)."""
+    import random
+
+    from marketpipe_spark.streaming.stream import anomaly_stream
+
+    landing = str(tmp_path / "landing")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "16")
+    try:
+        # 120 smoothly-rising bars (adjacent moves ~1%), written in SHUFFLED
+        # order so chunk boundaries interleave early and late timestamps.
+        rows = [
+            ("AAPL", DAY1 + i * NS_MIN, 100.0 + i, 101.0 + i, 99.0 + i, 100.0 + i, 10)
+            for i in range(120)
+        ]
+        random.Random(7).shuffle(rows)
+        spark.createDataFrame(rows, _bars_df(spark, "X", DAY1, 1).schema).coalesce(
+            1
+        ).write.mode("append").parquet(landing)
+
+        q = (
+            anomaly_stream(read_bar_stream(spark, landing), threshold=0.5)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        run_available_now(q)
+        import os
+
+        got = (
+            spark.read.parquet(out_dir).collect()
+            if any(f.endswith(".parquet") for f in os.listdir(out_dir))
+            else []
+        )
+        # In event order no adjacent move exceeds 1%; ANY alert here means
+        # the detector compared out-of-order neighbors.
+        assert got == []
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
