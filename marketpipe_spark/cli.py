@@ -185,7 +185,7 @@ def _sql_store(spark, db: str, kind: str):
     else is a SQLite file path."""
     from . import control_sql as cs
 
-    is_pg = db.startswith(("postgresql://", "postgres://"))
+    is_pg = cs.is_postgres_dsn(db)
     cls = {
         ("jobs", False): cs.SqliteJobsStore,
         ("jobs", True): cs.PostgresJobsStore,
@@ -323,7 +323,7 @@ def cmd_migrate(args) -> int:
     if getattr(args, "db", None):
         from . import control_sql as cs
 
-        is_pg = args.db.startswith(("postgresql://", "postgres://"))
+        is_pg = cs.is_postgres_dsn(args.db)
         dialect = cs.PostgresDialect(args.db) if is_pg else cs.SqliteDialect(args.db)
         if getattr(args, "downgrade", None):
             reverted = cs.downgrade_to_dialect(dialect, args.downgrade)

@@ -149,11 +149,16 @@ def load_config(path: str | os.PathLike) -> IngestionJobConfig:
 
     def _vernum(v: str) -> tuple[int, ...]:
         # Numeric ordering: lexicographic strings misorder once versions hit
-        # two digits ('10' < '2'). Dotted forms compare as int tuples.
+        # two digits ('10' < '2'). Dotted forms compare as int tuples, with
+        # trailing zero components stripped so '1.0' == '1' (YAML floats
+        # arrive as '1.0' for the current version).
         try:
-            return tuple(int(part) for part in v.split("."))
+            parts = tuple(int(part) for part in v.split("."))
         except ValueError:
             raise ConfigVersionError(f"config_version {v!r} is not a numeric version") from None
+        while len(parts) > 1 and parts[-1] == 0:
+            parts = parts[:-1]
+        return parts
 
     if _vernum(ver) < _vernum(MIN_SUPPORTED_VERSION):
         raise ConfigVersionError(

@@ -38,6 +38,7 @@ from __future__ import annotations
 
 import datetime as dt
 import os
+import re
 import sqlite3
 import time
 from contextlib import contextmanager
@@ -137,7 +138,39 @@ class SqliteDialect:
         con.execute("BEGIN IMMEDIATE")
 
     def executescript(self, con, script: str) -> None:
-        con.executescript(script)
+        # NOT sqlite3's Connection.executescript: that API commits the open
+        # transaction first and runs in autocommit, so a mid-script failure
+        # leaves earlier statements applied with no schema_version row —
+        # permanently wedging the migration runner ("duplicate column" on
+        # every retry). And Python's implicit-transaction rule covers DML
+        # only — DDL outside an open transaction autocommits — so an
+        # explicit BEGIN is required for the per-version rollback guarantee
+        # (SQLite DDL is transactional once inside one).
+        cur = con.cursor()
+        if not con.in_transaction:
+            cur.execute("BEGIN")
+        for stmt in script.split(";"):
+            if stmt.strip():
+                cur.execute(stmt)
+
+
+#: Postgres DSN shapes: libpq URLs plus SQLAlchemy-style driver-qualified
+#: forms (postgresql+psycopg2://...) — the reference's DATABASE_URL
+#: convention produces both.
+_PG_DSN_RE = re.compile(r"^postgres(ql)?(\+\w+)?://")
+
+
+def is_postgres_dsn(db: str) -> bool:
+    """True for any postgres-flavored URL (mis-sniffing one as a SQLite
+    file path would mkdir a junk 'postgresql+psycopg2:' directory and
+    silently serve an empty database)."""
+    return bool(_PG_DSN_RE.match(db))
+
+
+def normalize_pg_dsn(dsn: str) -> str:
+    """Strip the SQLAlchemy ``+driver`` qualifier — psycopg wants plain
+    ``postgresql://``."""
+    return _PG_DSN_RE.sub("postgresql://", dsn)
 
 
 class PostgresDialect:
@@ -156,7 +189,7 @@ class PostgresDialect:
     def __init__(self, dsn: str | None = None, connect_factory=None):
         if dsn is None and connect_factory is None:
             raise ValueError("PostgresDialect needs a dsn or a connect_factory")
-        self.dsn = dsn
+        self.dsn = normalize_pg_dsn(dsn) if dsn is not None else None
         self._factory = connect_factory
 
     def connect(self):

@@ -15,16 +15,23 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _with_calendar_days(
+    df: DataFrame, start: dt.date, end: dt.date, weekdays_only: bool
+) -> DataFrame:
+    """Append a generated ``day`` column covering [start, end] to every row
+    of ``df`` — THE calendar logic, shared by both gap APIs so a future
+    holiday/half-day rule changes in exactly one place."""
+    out = df.select("*", F.explode(F.sequence(F.lit(start), F.lit(end))).alias("day"))
+    if weekdays_only:
+        # dayofweek: 1=Sunday ... 7=Saturday
+        out = out.filter(~F.dayofweek("day").isin(1, 7))
+    return out
+
+
 def expected_days(
     spark: SparkSession, start: dt.date, end: dt.date, weekdays_only: bool = True
 ) -> DataFrame:
-    days = spark.range(1).select(
-        F.explode(F.sequence(F.lit(start), F.lit(end))).alias("day")
-    )
-    if weekdays_only:
-        # dayofweek: 1=Sunday ... 7=Saturday
-        days = days.filter(~F.dayofweek("day").isin(1, 7))
-    return days
+    return _with_calendar_days(spark.range(1), start, end, weekdays_only).select("day")
 
 
 def missing_days(
@@ -55,11 +62,6 @@ def gaps_by_symbol(
     expected set is built where the symbol row already lives), anti-joined
     against observed (symbol, day) pairs."""
     symbols = lake.select("symbol").distinct()
-    expected = symbols.select(
-        "symbol", F.explode(F.sequence(F.lit(start), F.lit(end))).alias("day")
-    )
-    if weekdays_only:
-        # dayofweek: 1=Sunday ... 7=Saturday
-        expected = expected.filter(~F.dayofweek("day").isin(1, 7))
+    expected = _with_calendar_days(symbols, start, end, weekdays_only)
     present = lake.select("symbol", F.col("date").cast("date").alias("day")).distinct()
     return expected.join(present, ["symbol", "day"], "left_anti").orderBy("symbol", "day")

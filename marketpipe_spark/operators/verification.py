@@ -101,8 +101,24 @@ def verify_ingestion(
             )
             .collect()
         }
-    except AnalysisException:  # empty/missing lake root → every symbol fails
-        bounds = {}
+    except AnalysisException as e:
+        cls = None
+        for attr in ("getCondition", "getErrorClass"):  # 4.x name, then 3.x
+            fn = getattr(e, attr, None)
+            if fn is not None:
+                try:
+                    cls = fn()
+                except Exception:
+                    cls = None
+                if cls:
+                    break
+        if "PATH_NOT_FOUND" in (cls or str(e)):
+            bounds = {}  # empty/missing lake root → every symbol fails as absent
+        else:
+            # Any OTHER analysis failure (schema drift, unresolved column)
+            # is an infrastructure error, not data absence — surface it.
+            bounds = {}
+            read_error = f"{type(e).__name__}: {e}"
     except Exception as e:  # infrastructure failure → surface, don't swallow
         bounds = {}
         read_error = f"{type(e).__name__}: {e}"

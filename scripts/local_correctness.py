@@ -66,6 +66,7 @@ def main() -> int:
         if unknown:
             print(f"unknown entries in filter: {sorted(unknown)}", file=sys.stderr)
             return 2
+    con = _duck(sf_dir)  # one connection for the whole sweep
     out: dict[str, dict] = {}
     n_fail = 0
     for name in sorted(queries):
@@ -84,11 +85,9 @@ def main() -> int:
                 rec["mode"] = "rows_only"
                 rec["rows_match"] = True  # driver semantics: ran, >= 0 rows
             else:
-                con = _duck(sf_dir)
                 cur = con.execute(oracles[name])
                 dcols = [d[0] for d in cur.description]
                 drows = cur.fetchall()
-                con.close()
                 rec["oracle_rows"] = len(drows)
                 rec["rows_match"] = len(srows) == len(drows)
                 rec["schema_match"] = sorted(scols) == sorted(dcols)
@@ -104,6 +103,7 @@ def main() -> int:
             n_fail += 1
         print(f"{'PASS' if ok else 'FAIL'} {name} spark={rec['spark_rows']} oracle={rec['oracle_rows']}")
         out[name] = rec
+    con.close()
     spark.stop()
     if only is None:
         path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),

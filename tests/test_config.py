@@ -162,3 +162,16 @@ def test_cli_ingest_bad_config_reports(tmp_path, capsys):
     rc = main(["ingest-ohlcv", "--config", p])
     assert rc == 1
     assert "config_version" in capsys.readouterr().err
+
+
+def test_dotted_zero_version_equals_current(tmp_path):
+    """YAML `config_version: 1.0` (an unquoted float) must parse as the
+    CURRENT version — no newer-than-supported warning (review fix: tuple
+    compare treated (1,0) > (1,))."""
+    import warnings
+
+    body = "config_version: 1.0\nsymbols: [AAPL]\nstart: 2024-01-02\nend: 2024-01-03\n"
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # any warning -> test failure
+        cfg = load_config(_write(tmp_path, body))
+    assert cfg.symbols == ["AAPL"]

@@ -360,3 +360,47 @@ def test_cli_migrate_db_up_and_down(tmp_path, capsys):
     assert "reverted: 002" in capsys.readouterr().out
     assert main(["migrate", "--db", db]) == 0
     assert "applied: 002" in capsys.readouterr().out
+
+
+def test_sqlite_migration_failure_rolls_back_whole_version(tmp_path, monkeypatch):
+    """A mid-script failure must leave NO partial statements applied (review
+    fix: sqlite3.executescript autocommits, permanently wedging the runner
+    on retry with 'duplicate column'). After the bad version is fixed,
+    apply_pending must succeed — not die on a half-applied script."""
+    from marketpipe_spark import control_sql as cs
+
+    db = str(tmp_path / "core.db")
+    apply_pending(db)
+
+    bad = dict(cs.MIGRATIONS)
+    bad["003"] = (
+        "ALTER TABLE metrics ADD COLUMN extra TEXT;\n"
+        "THIS IS NOT SQL;"
+    )
+    monkeypatch.setattr(cs, "MIGRATIONS", bad)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="migration 003 failed"):
+        apply_pending(db)
+    # The first statement of 003 must NOT have survived the rollback.
+    cols = {r[1] for r in sqlite3.connect(db).execute("PRAGMA table_info(metrics)")}
+    assert "extra" not in cols
+
+    good = dict(bad)
+    good["003"] = "ALTER TABLE metrics ADD COLUMN extra TEXT;"
+    monkeypatch.setattr(cs, "MIGRATIONS", good)
+    assert apply_pending(db) == ["003"]  # retry succeeds; no duplicate-column wedge
+    cols = {r[1] for r in sqlite3.connect(db).execute("PRAGMA table_info(metrics)")}
+    assert "extra" in cols
+
+
+def test_postgres_dsn_sniffing_and_normalization():
+    from marketpipe_spark.control_sql import PostgresDialect, is_postgres_dsn, normalize_pg_dsn
+
+    assert is_postgres_dsn("postgresql://u@h/db")
+    assert is_postgres_dsn("postgres://u@h/db")
+    assert is_postgres_dsn("postgresql+psycopg2://u@h/db")  # SQLAlchemy-style
+    assert not is_postgres_dsn("data/core.db")
+    assert not is_postgres_dsn("/tmp/postgresql.db")
+    assert normalize_pg_dsn("postgresql+psycopg2://u@h/db") == "postgresql://u@h/db"
+    assert PostgresDialect("postgres+psycopg://u@h/db").dsn == "postgresql://u@h/db"

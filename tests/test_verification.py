@@ -76,3 +76,16 @@ def test_cli_verify_ingest(spark, lake, capsys):
                "--start", "2024-01-02", "--end", "2024-01-02"])
     out = capsys.readouterr().out
     assert rc == 1 and "FAILED: TSLA" in out
+
+
+def test_verify_schema_drift_surfaces_error_not_absence(spark, tmp_path):
+    """A lake whose files lack the expected columns raises an analysis
+    error that must surface as the real message, NOT 'No data found'
+    (review fix: every AnalysisException was treated as absence)."""
+    root = str(tmp_path / "drifted")
+    spark.range(5).selectExpr("id AS wrong_col").write.parquet(f"{root}/frame=1m/symbol=AAPL/date=2024-01-02")
+    s = verify_ingestion(spark, root, ["AAPL"], D, D)
+    assert not s.all_passed
+    msg = s.results[0].error_message or ""
+    assert "No data found" not in msg
+    assert msg  # the real error text came through
