@@ -96,8 +96,6 @@ def upsert_bars(new_bars: DataFrame, root: str, frame: str, ingest_id: str | Non
     version: union the affected partitions with the new batch, keep the
     newest row per key, and dynamically overwrite ONLY those partitions.
     """
-    import os
-
     spark = new_bars.sparkSession
     tune(spark)
     # _gen separates existing (0) from incoming (1); _ord is the within-batch
@@ -111,9 +109,28 @@ def upsert_bars(new_bars: DataFrame, root: str, frame: str, ingest_id: str | Non
         .withColumn("_gen", F.lit(1))
         .withColumn("_ord", F.monotonically_increasing_id())
     )
+    keep_last = W.partitionBy("symbol", "ts_ns").orderBy(F.desc("_gen"), F.desc("_ord"))
 
-    if not os.path.exists(root):  # first write into an empty lake
-        write_bars(new_bars, root, frame, mode="append", ingest_id=ingest_id)
+    # Existence via the Hadoop FS API, not os.path — an hdfs://- or s3a://-
+    # scheme root is invisible to the local filesystem, and taking the
+    # append branch there would skip keep-last dedup on every call.
+    fs, hroot, _ = _hadoop_fs(spark, root)
+    if not fs.exists(hroot):  # first write into an empty lake
+        # Same keep-last discipline as the merge path: intra-batch duplicate
+        # (symbol, ts_ns) keys must resolve identically whether or not the
+        # lake already existed.
+        first = (
+            staged.withColumn("_rn", F.row_number().over(keep_last))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn", "_gen", "_ord")
+        )
+        (
+            first.repartition("frame", "symbol", "date")
+            .sortWithinPartitions("ts_ns")
+            .write.mode("append")
+            .partitionBy("frame", "symbol", "date")
+            .parquet(root)
+        )
         return
     existing = spark.read.parquet(root).filter(F.col("frame") == frame)
 
@@ -136,7 +153,6 @@ def upsert_bars(new_bars: DataFrame, root: str, frame: str, ingest_id: str | Non
         .select(*staged.columns)
     )
 
-    keep_last = W.partitionBy("symbol", "ts_ns").orderBy(F.desc("_gen"), F.desc("_ord"))
     merged = (
         existing.unionByName(staged)
         .withColumn("_rn", F.row_number().over(keep_last))

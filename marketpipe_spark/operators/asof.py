@@ -45,27 +45,38 @@ def asof_join(
     equal-ts right rows the last in (ts, input) order wins — callers with
     duplicate right keys should pre-dedup with keep_last.
     """
+    from pyspark.sql import types as T
+
     right_cols = right_cols or [c for c in right.columns if c not in (on, ts)]
     rts = f"{ts}{suffix}"
 
+    # The matched right row travels as ONE struct: carrying each payload
+    # column with its own last(ignorenulls) would stitch together fields
+    # from DIFFERENT right rows whenever a payload value is NULL (and let
+    # stale fields leak past the tolerance check). A struct is non-null
+    # exactly when a right row exists, so the whole row moves atomically —
+    # NULL payload fields stay NULL, matching DuckDB ASOF JOIN.
+    struct_t = T.StructType(
+        [T.StructField(rts, right.schema[ts].dataType)]
+        + [T.StructField(f"{c}{suffix}", right.schema[c].dataType) for c in right_cols]
+    )
+    left_cols = [c for c in left.columns if c not in (on, ts)]
     r = right.select(
         F.col(on),
         F.col(ts),
         F.lit(0).alias("_side"),
-        F.col(ts).alias(rts),
-        *[F.col(c).alias(f"{c}{suffix}") for c in right_cols],
+        F.struct(
+            F.col(ts).alias(rts), *[F.col(c).alias(f"{c}{suffix}") for c in right_cols]
+        ).alias("_r"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_cols],
     )
-    left_cols = [c for c in left.columns if c not in (on, ts)]
     l = left.select(
         F.col(on),
         F.col(ts),
         F.lit(1).alias("_side"),
-        F.lit(None).cast(right.schema[ts].dataType).alias(rts),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"{c}{suffix}") for c in right_cols],
+        F.lit(None).cast(struct_t).alias("_r"),
         *[F.col(c) for c in left_cols],
     )
-    r = r.select(*[F.lit(None).cast(left.schema[c].dataType).alias(c) if c in left_cols else F.col(c)
-                   for c in l.columns])
 
     # one shuffle: right rows sort before left rows at equal ts, so an
     # exact-ts quote is visible to its trade
@@ -74,24 +85,23 @@ def asof_join(
         .orderBy(F.col(ts).asc(), F.col("_side").asc())
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    carried = [F.last(f"{c}{suffix}", ignorenulls=True).over(w).alias(f"{c}{suffix}") for c in right_cols]
-    carried_ts = F.last(rts, ignorenulls=True).over(w).alias(rts)
     out = (
         r.unionByName(l)
-        .select(on, ts, "_side", carried_ts, *carried, *left_cols)
+        .select(on, ts, "_side", F.last("_r", ignorenulls=True).over(w).alias("_r"), *left_cols)
         .filter(F.col("_side") == 1)
         .drop("_side")
     )
+    rrow = F.col("_r")
     if tolerance is not None:
-        stale = F.col(rts).isNull() | (F.col(ts) - F.col(rts) > tolerance)
-        out = out.select(
-            on, ts, *left_cols,
-            F.when(~stale, F.col(rts)).alias(rts),
-            *[F.when(~stale, F.col(f"{c}{suffix}")).alias(f"{c}{suffix}") for c in right_cols],
-        )
-    else:
-        out = out.select(on, ts, *left_cols, rts, *[f"{c}{suffix}" for c in right_cols])
-    return out
+        stale = rrow.isNull() | (F.col(ts) - rrow.getField(rts) > tolerance)
+        rrow = F.when(~stale, rrow)
+    return out.select(
+        on,
+        ts,
+        *left_cols,
+        rrow.getField(rts).alias(rts),
+        *[rrow.getField(f"{c}{suffix}").alias(f"{c}{suffix}") for c in right_cols],
+    )
 
 
 def salted_join(
@@ -112,7 +122,17 @@ def salted_join(
     salt_factor×, so keep the factor small and the right side the smaller
     input. Salt comes from xxhash64 of the whole left row's key + a
     monotonic disambiguator — deterministic for a deterministic input plan.
+
+    Only inner/left-flavored joins are supported: replicated right rows
+    that match nothing would surface ``salt_factor`` times in a right/full
+    outer result.
     """
+    if how not in ("inner", "left", "leftouter", "left_outer", "left_semi", "leftsemi", "left_anti", "leftanti"):
+        raise ValueError(
+            f"salted_join supports inner/left-flavored joins only (got {how!r}): "
+            "unmatched replicated right rows would appear salt_factor times in "
+            "a right/full outer result"
+        )
     sl = left.withColumn(
         "_salt", F.pmod(F.xxhash64(F.col(on), F.monotonically_increasing_id()), F.lit(salt_factor))
     )

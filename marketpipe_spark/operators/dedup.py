@@ -57,8 +57,19 @@ def _band_hash(sig_slice: Column, family: str) -> Column:
 # exact / keep-last
 
 def exact_dedup(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
-    """Exact dedup: canonical row id per distinct value of ``cols``."""
-    key = F.xxhash64(*cols).alias("dup_key")
+    """Exact dedup: canonical row id per distinct value of ``cols``.
+
+    NULL inputs are skipped by Spark's hash expressions (the running hash
+    is left untouched), so ``xxhash64(a, b)`` would collide ('x', NULL)
+    with (NULL, 'x'). Interleaving each column with its null flag keeps
+    positional information: the flag always contributes, so a skipped
+    column still shifts the hash stream.
+    """
+    tagged: list = []
+    for c in cols:
+        tagged.append(F.col(c))
+        tagged.append(F.isnull(c))
+    key = F.xxhash64(*tagged).alias("dup_key")
     return (
         df.select(key, F.col(id_col))
         .groupBy("dup_key")
@@ -101,10 +112,11 @@ def minhash_signatures(
     num_perm: int = 64,
     k: int = 3,
     hash_family: str = "xxhash64",
+    text_col: str = "text",
 ) -> DataFrame:
     """MinHash signature per document: ``sig`` = array of num_perm minima of
     seeded shingle hashes. One explode + one groupBy(doc)."""
-    sh = with_shingles(docs, k=k).select(id_col, F.explode("shingles").alias("shingle"))
+    sh = with_shingles(docs, text_col, k=k).select(id_col, F.explode("shingles").alias("shingle"))
     mins = [F.min(_hash64(F.col("shingle"), i, hash_family)).alias(f"h{i}") for i in range(num_perm)]
     sig = sh.groupBy(id_col).agg(*mins)
     return sig.select(id_col, F.array(*[f"h{i}" for i in range(num_perm)]).alias("sig"))
@@ -171,7 +183,7 @@ def minhash_near_duplicates(
 
     docs = spread(docs, id_col)
     rows_per_band = num_perm // bands
-    sigs = minhash_signatures(docs, id_col, num_perm, k, hash_family)
+    sigs = minhash_signatures(docs, id_col, num_perm, k, hash_family, text_col=text_col)
     cands = lsh_candidate_pairs(sigs, id_col, bands, rows_per_band, hash_family=hash_family)
     sh = with_shingles(docs, text_col, k).select(
         F.col(id_col), F.col("shingles"), F.size("shingles").alias("n_sh")
@@ -445,9 +457,17 @@ def embedding_near_duplicates(
         a_ids = a["id"].to_numpy()
         if len(a_ids) == 0:
             return pd.DataFrame({"id_a": [], "id_b": []}).astype("int64")
+        # Same-block vs cross-block must come from the PAIR ID, not from
+        # "no side-1 rows": a cross-block pair whose partner block happens
+        # to be empty would otherwise recompute this block's intra-block
+        # triangle, duplicating those pairs once per empty partner.
+        pair_id = int(pdf["pair_id"].iloc[0])
+        is_diag = (pair_id // nb) == (pair_id % nb)
+        if len(b) == 0 and not is_diag:  # cross-block with an empty partner
+            return pd.DataFrame({"id_a": [], "id_b": []}).astype("int64")
         am = np.stack(a["v"].to_numpy())
         am = am / np.linalg.norm(am, axis=1, keepdims=True)
-        if len(b) == 0:  # same-block pair: upper triangle of A·Aᵀ
+        if is_diag:  # same-block pair: upper triangle of A·Aᵀ
             sims = am @ am.T
             ii, jj = np.nonzero((sims >= cut) & (a_ids[:, None] < a_ids[None, :]))
             return pd.DataFrame({"id_a": a_ids[ii], "id_b": a_ids[jj]})

@@ -45,7 +45,13 @@ class CheckpointStore:
         self.path = path
 
     def load(self) -> DataFrame:
-        if not os.path.exists(self.path):
+        # Hadoop FS existence check, not os.path: a remote (hdfs/s3a)
+        # checkpoint path is invisible to the local filesystem, which would
+        # make every resume silently restart from scratch.
+        from ..lake import _hadoop_fs
+
+        fs, hpath, _ = _hadoop_fs(self.spark, self.path)
+        if not fs.exists(hpath):
             return self.spark.createDataFrame([], CHECKPOINT_SCHEMA)
         return self.spark.read.parquet(self.path)
 
@@ -74,14 +80,16 @@ class CheckpointStore:
             )
         )
         # Materialize before overwriting the source of `merged`'s plan, then
-        # rewrite in place (control table is tiny — single file).
-        import shutil
+        # rewrite in place (control table is tiny — single file). Cleanup
+        # goes through the Hadoop FS so remote .tmp dirs don't leak.
+        from ..lake import _hadoop_fs
 
         tmp = self.path + ".tmp"
         merged.coalesce(1).write.mode("overwrite").parquet(tmp)
         final = self.spark.read.parquet(tmp).localCheckpoint(eager=True)
         final.coalesce(1).write.mode("overwrite").parquet(self.path)
-        shutil.rmtree(tmp, ignore_errors=True)
+        fs, htmp, _ = _hadoop_fs(self.spark, tmp)
+        fs.delete(htmp, True)
 
 
 def incremental_job(
@@ -145,7 +153,12 @@ def incremental_job(
         F.col("last_processed_ns").isNull() | (F.col("ts_ns") > F.col("last_processed_ns"))
     ).drop("last_processed_ns")
 
-    day = F.to_date(F.timestamp_micros((F.col("ts_ns") / 1000).cast("long"))).alias("date")
+    # Exact integer date math (shared trading_date): double division on an
+    # int64 ns epoch loses precision above 2^53 and can bucket a row within
+    # ~128 ns of midnight into the WRONG partition day.
+    from ..functions import trading_date
+
+    day = trading_date("ts_ns").alias("date")
     if jobs is not None:
         units = [(r.symbol, r.date) for r in fresh.select("symbol", day).distinct().collect()]
         if units:
@@ -158,6 +171,11 @@ def incremental_job(
 
     try:
         valid, errors = split_valid(fresh, market_hours=market_hours)
+        # Pin the validated batch once: its plan (checkpoint join + 13-rule
+        # validation pass) otherwise re-executes for the raw upsert, every
+        # frame's touched-join, the stats collect, and the errors output —
+        # ~6 recomputations of the same work per increment.
+        valid = valid.localCheckpoint(eager=True)
         upsert_bars(valid, raw_root, "1m", ingest_id=job_id)
 
         # event-chained legs (function composition, not a bus)
@@ -166,6 +184,8 @@ def incremental_job(
             read_bars(spark, raw_root, frame="1m")
             .join(F.broadcast(touched), ["symbol", "date"], "left_semi")
             .select("symbol", "ts_ns", "open", "high", "low", "close", "volume")
+            # One lake scan, re-used by every frame's resample below.
+            .localCheckpoint(eager=True)
         )
         # Returned outputs are pinned with an eager localCheckpoint: their lazy
         # plans read the checkpoint table and lake partitions that THIS job (and

@@ -106,3 +106,33 @@ def test_salted_join_matches_plain(spark):
     assert sorted(map(key, salted.collect())) == sorted(map(key, plain.collect()))
     # salt actually spreads the hot key across partitions of the join output
     assert salted.count() == 1000
+
+
+def test_asof_null_payload_fields_stay_atomic(spark):
+    """A NULL field in the matched right row must come through as NULL —
+    not backfilled from an OLDER right row (regression: per-column
+    last(ignorenulls) stitched composite rows that never existed)."""
+    trades = spark.createDataFrame(
+        [("A", 30, 1.0)], "symbol string, ts_ns long, trade_value double"
+    )
+    quotes = spark.createDataFrame(
+        [("A", 10, 10.0, 11.0), ("A", 20, None, 12.0)],
+        "symbol string, ts_ns long, bid double, ask double",
+    )
+    row = asof_join(trades, quotes).collect()[0]
+    assert row["ts_ns_right"] == 20
+    assert row["bid_right"] is None  # the t=20 row's bid IS null
+    assert row["ask_right"] == 12.0
+
+    # Tolerance must gate the WHOLE carried row on the matched ts.
+    row = asof_join(trades, quotes, tolerance=5).collect()[0]
+    assert row["ts_ns_right"] is None and row["bid_right"] is None and row["ask_right"] is None
+
+
+def test_salted_join_rejects_right_outer():
+    import pytest as _pytest
+
+    from marketpipe_spark.operators.asof import salted_join
+
+    with _pytest.raises(ValueError, match="inner/left"):
+        salted_join(None, None, "k", how="full")

@@ -305,3 +305,45 @@ def test_pq_encode_shapes_and_code_range(spark):
     assert len(codes) == emb.count()
     for r in codes[:20]:
         assert len(r.codes) == 4 and all(0 <= c < 16 for c in r.codes)
+
+
+def test_exact_dedup_null_column_shift_not_collided(spark):
+    """('x', NULL) and (NULL, 'x') are different rows — Spark's hash
+    skips NULL inputs, so naive xxhash64(a, b) collides them (regression:
+    interleaved null flags keep positional information)."""
+    df = spark.createDataFrame(
+        [(1, "x", None), (2, None, "x")], "doc_id long, a string, b string"
+    )
+    out = exact_dedup(df, ["a", "b"], "doc_id").collect()
+    assert len(out) == 2  # two distinct groups, not one collided pair
+
+
+def test_minhash_text_col_forwarded(spark):
+    """minhash_near_duplicates(text_col=...) must shingle THAT column
+    (regression: the signature stage hard-coded 'text')."""
+    from marketpipe_spark.operators.dedup import minhash_near_duplicates
+
+    rows = [(1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, "completely different words entirely here now")]
+    df = spark.createDataFrame(rows, "doc_id long, body string")
+    pairs = {(r.id_a, r.id_b) for r in minhash_near_duplicates(df, text_col="body").collect()}
+    assert (1, 2) in pairs
+
+
+def test_embedding_near_dup_empty_partner_blocks_no_duplicates(spark):
+    """With far more blocks than vectors, most cross-block pairs have an
+    empty partner; those groups must emit NOTHING (regression: they
+    recomputed the non-empty block's triangle, duplicating pairs)."""
+    import random
+
+    from marketpipe_spark.operators.dedup import embedding_near_duplicates
+
+    rng = random.Random(3)
+    base = [rng.gauss(0, 1) for _ in range(8)]
+    rows = [(i, [x + rng.gauss(0, 0.01) for x in base]) for i in range(10)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = [(r.id_a, r.id_b) for r in
+           embedding_near_duplicates(df, threshold=0.9, n_blocks=16).collect()]
+    assert len(out) == len(set(out)), "duplicate pairs emitted"
+    assert len(set(out)) == 45  # all 10-choose-2 pairs of near-identical vectors
