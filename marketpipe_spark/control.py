@@ -25,7 +25,6 @@ from __future__ import annotations
 
 import datetime as dt
 import os
-import shutil
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -64,14 +63,47 @@ def _now() -> dt.datetime:
     return dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
 
 
+def _exists(spark: SparkSession, path: str) -> bool:
+    """Hadoop FS existence (os.path is blind to hdfs:///s3a:// paths)."""
+    from .lake import _hadoop_fs
+
+    fs, hpath, _ = _hadoop_fs(spark, path)
+    return fs.exists(hpath)
+
+
+def _read_table(spark: SparkSession, path: str, schema) -> DataFrame:
+    """Read a control table, recovering from the ``.old`` generation if a
+    crash landed between :func:`_rewrite`'s two renames."""
+    if _exists(spark, path):
+        return spark.read.parquet(path)
+    if _exists(spark, path + ".old"):
+        return spark.read.parquet(path + ".old")
+    return spark.createDataFrame([], schema)
+
+
 def _rewrite(spark: SparkSession, df: DataFrame, path: str) -> None:
-    """Atomically replace a tiny control table (materialize before
-    overwriting the files its own plan reads)."""
-    tmp = path + ".tmp"
+    """Crash-safe replace of a tiny control table.
+
+    A bare ``mode('overwrite')`` on the destination deletes its files
+    BEFORE the job commits — a driver kill in that window loses all job
+    state. Instead: fully materialize the new generation beside the old
+    one, then swap by rename (atomic on HDFS/posix). A crash between the
+    two renames leaves ``.old`` in place, which :func:`_read_table`
+    recovers from. (This is the single-writer parquet backend; the SQL
+    backends in control_sql.py own the concurrent-writer story.)
+    """
+    from .lake import _hadoop_fs
+
+    tmp, old = path + ".tmp", path + ".old"
     df.coalesce(1).write.mode("overwrite").parquet(tmp)
-    final = spark.read.parquet(tmp).localCheckpoint(eager=True)
-    final.coalesce(1).write.mode("overwrite").parquet(path)
-    shutil.rmtree(tmp, ignore_errors=True)
+    fs, hpath, jvm = _hadoop_fs(spark, path)
+    hadoop_path = jvm.org.apache.hadoop.fs.Path
+    htmp, hold = hadoop_path(tmp), hadoop_path(old)
+    fs.delete(hold, True)
+    if fs.exists(hpath):
+        fs.rename(hpath, hold)
+    fs.rename(htmp, hpath)
+    fs.delete(hold, True)
 
 
 class JobsStore:
@@ -84,9 +116,7 @@ class JobsStore:
         self.path = path
 
     def load(self) -> DataFrame:
-        if not os.path.exists(self.path):
-            return self.spark.createDataFrame([], JOBS_SCHEMA)
-        return self.spark.read.parquet(self.path)
+        return _read_table(self.spark, self.path, JOBS_SCHEMA)
 
     def _rows(self) -> list:
         return self.load().collect()
@@ -148,9 +178,7 @@ class MetricsStore:
         self.path = path
 
     def load(self) -> DataFrame:
-        if not os.path.exists(self.path):
-            return self.spark.createDataFrame([], METRICS_SCHEMA)
-        return self.spark.read.parquet(self.path)
+        return _read_table(self.spark, self.path, METRICS_SCHEMA)
 
     def record(self, name: str, value: float, provider: str = "unknown",
                feed: str = "unknown", ts: int | None = None) -> None:
@@ -262,8 +290,15 @@ def metrics_average_windowed(m: DataFrame, name: str, window_secs: int) -> DataF
 def metrics_trend_windowed(m: DataFrame, name: str, buckets: int = 24,
                            bucket_minutes: int = 60) -> DataFrame:
     """A8 with ``now = max(ts)`` as a broadcast scalar instead of a driver
-    ``collect()`` — same bucket math as :func:`metrics_trend` (reference
-    metrics.py:218-248), collect-free end to end."""
+    ``collect()`` — collect-free end to end (reference metrics.py:218-248).
+
+    Because ``now`` here IS the newest sample's own timestamp, buckets are
+    top-inclusive: bucket i spans (now − (buckets−i)·step, now −
+    (buckets−i−1)·step]. The reference's half-open-from-above form (used by
+    :func:`metrics_trend`, whose ``now`` is a wall clock strictly after
+    every sample) would place the ts == max(ts) row outside every bucket —
+    silently excluding the newest point from its own trend.
+    """
     from .plans.registry import scalar_join
 
     step = bucket_minutes * 60
@@ -271,7 +306,7 @@ def metrics_trend_windowed(m: DataFrame, name: str, buckets: int = 24,
     s = m.filter(F.col("name") == name)
     mx = s.agg(F.max("ts").alias("_now_ts"))
     age = F.col("_now_ts") - F.col("ts")
-    idx = F.lit(buckets) - ((age + F.lit(step - 1)) / F.lit(step)).cast("long")
+    idx = F.lit(buckets - 1) - (age / F.lit(step)).cast("long")
     binned = (
         scalar_join(s, "ts", mx)
         .withColumn("bucket_id", idx)
@@ -323,7 +358,7 @@ def migrate_control_store(spark: SparkSession, root: str) -> list[tuple[str, str
     report: list[tuple[str, str]] = []
     for table, schema in _control_schemas().items():
         path = os.path.join(root, table)
-        if not os.path.exists(path):
+        if not _exists(spark, path):
             report.append((table, "absent"))
             continue
         df = spark.read.parquet(path)

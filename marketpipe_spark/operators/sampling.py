@@ -50,7 +50,11 @@ def stratified_sample(
     for stratum, frac in fractions.items():
         this = (F.col(strata_col) == stratum) & (h < F.lit(_threshold(frac)))
         cond = this if cond is None else cond | this
-    known = F.col(strata_col).isin(list(fractions))
+    # NULL strata take the default fraction: a bare ``isin`` yields NULL for
+    # a NULL stratum, ``~NULL`` stays NULL, and filter() treats NULL as
+    # false — which would silently drop every NULL-stratum row even at
+    # default_fraction=1.0.
+    known = F.coalesce(F.col(strata_col).isin(list(fractions)), F.lit(False))
     keep_default = ~known & (h < F.lit(_threshold(default_fraction)))
     return df.filter((cond | keep_default) if cond is not None else keep_default)
 

@@ -63,9 +63,29 @@ def normalize_stage(stage: DataFrame) -> DataFrame:
 
 def diff_snapshot(snapshot: DataFrame, master_current: DataFrame) -> DataFrame:
     """J2 — classify each natural_key as insert / update / unchanged /
-    (master-only keys are left open: the reference never deletes)."""
-    s = snapshot.select("natural_key", *[F.col(c).alias(f"s_{c}") for c in ATTR_COLS], "as_of")
-    m = master_current.select("natural_key", "id", *[F.col(c).alias(f"m_{c}") for c in ATTR_COLS])
+    (master-only keys are left open: the reference never deletes).
+
+    Snapshot presence is tracked with an explicit marker column, NOT by
+    testing payload columns for NULL — a genuine snapshot row can carry a
+    NULL symbol (FIGI-keyed, no ticker) and NULL company_name (blank
+    security_name, sources/symbols.py), and must still classify as
+    update/unchanged rather than silently dropping as 'absent'. Attribute
+    columns missing from either side (normalize_stage tolerates partial
+    stages) are treated as NULL.
+    """
+
+    def attr(df: DataFrame, c: str, alias: str):
+        return (F.col(c) if c in df.columns else F.lit(None)).alias(alias)
+
+    s = snapshot.select(
+        "natural_key",
+        F.lit(1).alias("_s_present"),
+        *[attr(snapshot, c, f"s_{c}") for c in ATTR_COLS],
+        "as_of",
+    )
+    m = master_current.select(
+        "natural_key", "id", *[attr(master_current, c, f"m_{c}") for c in ATTR_COLS]
+    )
     joined = s.join(m, "natural_key", "full_outer")
     changed = None
     for c in ATTR_COLS:
@@ -74,10 +94,10 @@ def diff_snapshot(snapshot: DataFrame, master_current: DataFrame) -> DataFrame:
     return joined.withColumn(
         "change_type",
         F.when(F.col("id").isNull(), "insert")
-        .when(F.col("s_symbol").isNull() & F.col("s_company_name").isNull(), "absent")
+        .when(F.col("_s_present").isNull(), "absent")
         .when(changed, "update")
         .otherwise("unchanged"),
-    )
+    ).drop("_s_present")
 
 
 def dense_ids(

@@ -62,6 +62,42 @@ def exact_pair_cosine(left: str = "qv", right: str = "nv") -> Column:
     )
 
 
+def _rescore_topk(
+    cands: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """Shared final stage of every top-k path: join candidate (query,
+    neighbor) pairs back to raw vectors, score with the oracle-matching
+    :func:`exact_pair_cosine`, rank per query. One implementation — the
+    five call sites previously carried copy-pasted variants, and one had
+    already drifted to a different norm factoring."""
+    nv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("nv")
+    )
+    qv = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
+    )
+    if broadcast_queries:
+        qv = F.broadcast(qv)
+    scored = (
+        cands.join(nv, "neighbor_id")
+        .join(qv, "query_id")
+        .select("query_id", "neighbor_id", exact_pair_cosine().alias("cosine"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -114,6 +150,8 @@ def cosine_topk(
 
     def local_topk(batches):
         for pdf in batches:
+            if len(pdf) == 0:  # empty Arrow batch: np.stack would raise
+                continue
             ids = pdf["id"].to_numpy()
             mat = np.stack(pdf["v"].to_numpy())
             mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
@@ -132,22 +170,7 @@ def cosine_topk(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
     )
     cands = c.mapInPandas(local_topk, "query_id long, neighbor_id long")
-
-    nv = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("nv"))
-    qv = queries.select(
-        F.col(query_id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
-    )
-    scored = (
-        cands.join(nv, "neighbor_id")
-        .join(F.broadcast(qv), "query_id")
-        .select("query_id", "neighbor_id", exact_pair_cosine().alias("cosine"))
-    )
-    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
-    )
+    return _rescore_topk(cands, corpus, queries, k, id_col, vec_col, query_id_col)
 
 
 def cosine_topk_blocked(
@@ -220,18 +243,10 @@ def cosine_topk_blocked(
     cands = c.unionByName(q).groupBy("pair_id").applyInPandas(
         block_topk, "query_id long, neighbor_id long"
     )
-    nv = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("nv"))
-    qv = queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv"))
-    scored = (
-        cands.join(nv, "neighbor_id")
-        .join(qv, "query_id")
-        .select("query_id", "neighbor_id", exact_pair_cosine().alias("cosine"))
-    )
-    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
+    # Unbounded query set: the query side must stay distributed (no
+    # broadcast) — that is this variant's entire reason to exist.
+    return _rescore_topk(
+        cands, corpus, queries, k, id_col, vec_col, query_id_col, broadcast_queries=False
     )
 
 
@@ -341,6 +356,8 @@ def ivf_topk(
 
     def assign(batches):
         for pdf in batches:
+            if len(pdf) == 0:  # empty Arrow batch: np.stack would raise
+                continue
             mat = np.stack(pdf["v"].to_numpy())
             mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
             cells = np.argmax(mat @ c_mat.T, axis=1)
@@ -348,6 +365,8 @@ def ivf_topk(
 
     def probe(batches):
         for pdf in batches:
+            if len(pdf) == 0:
+                continue
             mat = np.stack(pdf["v"].to_numpy())
             mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
             sims = mat @ c_mat.T
@@ -373,19 +392,7 @@ def ivf_topk(
         .select("query_id", F.col("id").alias("neighbor_id"))
         .distinct()
     )
-    nv = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("nv"))
-    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv"))
-    scored = (
-        cands.join(nv, "neighbor_id")
-        .join(F.broadcast(qv), "query_id")
-        .select("query_id", "neighbor_id", exact_pair_cosine().alias("cosine"))
-    )
-    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
-    )
+    return _rescore_topk(cands, corpus, queries, k, id_col, vec_col, id_col)
 
 
 def hyperplane_buckets(
@@ -470,19 +477,10 @@ def lsh_topk(
         .select("query_id", "neighbor_id")
         .distinct()
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("nv"))
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv"))
-    scored = (
-        cands.join(c, "neighbor_id")
-        .join(F.broadcast(q), "query_id")
-        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("nv")).alias("cosine"))
-    )
-    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
-    )
+    # exact_pair_cosine factoring (via the shared helper) — this path
+    # previously used cosine()'s sqrt(dot*dot) form, the one factoring
+    # drift the module's own parity contract forbids.
+    return _rescore_topk(cands, corpus, queries, k, id_col, vec_col, id_col)
 
 
 # ---------------------------------------------------------------------------
@@ -626,6 +624,8 @@ def pq_topk(
             f"max_collect_queries={max_collect_queries} queries — use "
             f"cosine_topk_blocked or ivf_topk for corpus-scale query sets"
         )
+    if not qrows:
+        raise ValueError("pq_topk: empty query set")
     qmat = np.stack([np.asarray(r["v"], dtype=np.float64) for r in qrows])
     qmat = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
     qids = np.array([r["qid"] for r in qrows])
@@ -667,16 +667,4 @@ def pq_topk(
         .filter(F.col("_r") <= n_cand)
         .select("query_id", "neighbor_id")
     )
-    nv = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("nv"))
-    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv"))
-    scored = (
-        kept.join(nv, "neighbor_id")
-        .join(F.broadcast(qv), "query_id")
-        .select("query_id", "neighbor_id", exact_pair_cosine().alias("cosine"))
-    )
-    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
-    )
+    return _rescore_topk(kept, corpus, queries, k, id_col, vec_col, id_col)

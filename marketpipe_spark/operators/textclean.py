@@ -36,12 +36,16 @@ def clean_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
     email-masked, whitespace-collapsed, trimmed). Map-only — no shuffle.
     """
     txt = F.col(text_col)
-    cleaned = F.regexp_replace(txt, URL_RE, "")
-    cleaned = F.regexp_replace(cleaned, EMAIL_RE, "<EMAIL>")
+    no_urls = F.regexp_replace(txt, URL_RE, "")
+    cleaned = F.regexp_replace(no_urls, EMAIL_RE, "<EMAIL>")
     cleaned = F.trim(F.regexp_replace(cleaned, TOKEN_SPLIT_RE, " "))
     return (
         df.withColumn("n_urls", F.regexp_count(txt, F.lit(URL_RE)).cast("long"))
-        .withColumn("n_emails", F.regexp_count(txt, F.lit(EMAIL_RE)).cast("long"))
+        # Counted on the URL-STRIPPED text, matching what masking actually
+        # sees: an address embedded in a URL query string is removed with
+        # the URL and never produces an <EMAIL> marker, so counting it
+        # would overstate the masked total.
+        .withColumn("n_emails", F.regexp_count(no_urls, F.lit(EMAIL_RE)).cast("long"))
         .withColumn("clean_text", cleaned)
     )
 

@@ -134,11 +134,14 @@ WITH {SQL_METRICS_SRC},
 s AS (SELECT * FROM m WHERE name = 'event.click'),
 mx AS (SELECT max(ts) AS now_ts FROM s),
 binned AS (
-  SELECT 24 - ((now_ts - ts + 3599) // 3600) AS bucket_id,
+  -- top-inclusive buckets: now == max(ts), so the newest sample (age 0)
+  -- must land in bucket 23, not fall off the end (see
+  -- control.metrics_trend_windowed)
+  SELECT 23 - ((now_ts - ts) // 3600) AS bucket_id,
          CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS avg_value,
          COUNT(*) AS n
   FROM s CROSS JOIN mx
-  WHERE 24 - ((now_ts - ts + 3599) // 3600) BETWEEN 0 AND 23
+  WHERE 23 - ((now_ts - ts) // 3600) BETWEEN 0 AND 23
   GROUP BY 1
 ),
 ids AS (SELECT unnest(range(24)) AS bucket_id)

@@ -267,7 +267,7 @@ SQL_STRATIFIED_SAMPLE = f"""
 SELECT doc_id, lang FROM documents
 WHERE (lang = 'en' AND {_h60_sql('sample')} < {_thr(0.25)})
    OR (lang = 'de' AND {_h60_sql('sample')} < {_thr(1.0)})
-   OR (lang NOT IN ('en', 'de') AND {_h60_sql('sample')} < {_thr(0.5)})
+   OR ((lang IS NULL OR lang NOT IN ('en', 'de')) AND {_h60_sql('sample')} < {_thr(0.5)})
 """
 
 
@@ -409,7 +409,8 @@ from ..operators.textclean import EMAIL_RE, URL_RE  # noqa: E402
 SQL_TEXT_CLEANING = rf"""
 SELECT doc_id,
        CAST(len(regexp_extract_all(text, '{URL_RE}')) AS BIGINT) AS n_urls,
-       CAST(len(regexp_extract_all(text, '{EMAIL_RE}')) AS BIGINT) AS n_emails,
+       -- emails counted on the URL-stripped text (what masking sees)
+       CAST(len(regexp_extract_all(regexp_replace(text, '{URL_RE}', '', 'g'), '{EMAIL_RE}')) AS BIGINT) AS n_emails,
        trim(regexp_replace(regexp_replace(regexp_replace(
            text, '{URL_RE}', '', 'g'), '{EMAIL_RE}', '<EMAIL>', 'g'), '\s+', ' ', 'g')) AS clean_text
 FROM documents

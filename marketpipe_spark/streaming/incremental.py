@@ -45,15 +45,12 @@ class CheckpointStore:
         self.path = path
 
     def load(self) -> DataFrame:
-        # Hadoop FS existence check, not os.path: a remote (hdfs/s3a)
-        # checkpoint path is invisible to the local filesystem, which would
-        # make every resume silently restart from scratch.
-        from ..lake import _hadoop_fs
+        # Shared crash-safe reader: Hadoop-FS existence (os.path is blind
+        # to hdfs/s3a paths) + recovery from the .old generation if a save
+        # crashed mid-swap.
+        from ..control import _read_table
 
-        fs, hpath, _ = _hadoop_fs(self.spark, self.path)
-        if not fs.exists(hpath):
-            return self.spark.createDataFrame([], CHECKPOINT_SCHEMA)
-        return self.spark.read.parquet(self.path)
+        return _read_table(self.spark, self.path, CHECKPOINT_SCHEMA)
 
     def last_processed(self, job_id: str, symbol: str) -> int | None:
         rows = (
@@ -79,17 +76,12 @@ class CheckpointStore:
                 F.max("updated_at").alias("updated_at"),
             )
         )
-        # Materialize before overwriting the source of `merged`'s plan, then
-        # rewrite in place (control table is tiny — single file). Cleanup
-        # goes through the Hadoop FS so remote .tmp dirs don't leak.
-        from ..lake import _hadoop_fs
+        # Shared crash-safe rename-swap (control._rewrite): the new
+        # generation is fully written beside the old one before any rename;
+        # a kill mid-swap is recovered by _read_table's .old fallback.
+        from ..control import _rewrite
 
-        tmp = self.path + ".tmp"
-        merged.coalesce(1).write.mode("overwrite").parquet(tmp)
-        final = self.spark.read.parquet(tmp).localCheckpoint(eager=True)
-        final.coalesce(1).write.mode("overwrite").parquet(self.path)
-        fs, htmp, _ = _hadoop_fs(self.spark, tmp)
-        fs.delete(htmp, True)
+        _rewrite(self.spark, merged, self.path)
 
 
 def incremental_job(
