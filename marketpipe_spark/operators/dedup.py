@@ -106,6 +106,31 @@ def with_shingles(docs: DataFrame, text_col: str = "text", k: int = 3) -> DataFr
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 
+#: Universal-hash permutation space: p = 2^31 - 1 (Mersenne prime).  31-bit
+#: products fit signed-64 arithmetic in BOTH engines (a*h31 + b < 2^63), so
+#: the permutation is exact integer math everywhere — no overflow, no ANSI
+#: trap, no HUGEINT needed on the oracle side.
+MINHASH_PRIME = 2_147_483_647
+
+
+def minhash_perm_constants(num_perm: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) constants for the ``num_perm`` universal-hash
+    permutations ``h_i = (a_i·h31 + b_i) mod p``. Derived from a fixed LCG so
+    the oracle SQL (queries_sim.SQL_MINHASH) can inline the IDENTICAL
+    literals — cross-engine parity is literal-for-literal, not seed-for-seed.
+    """
+    state = 0x5EEDC0FFEE
+    out = []
+    for _ in range(num_perm):
+        # MMIX LCG (Knuth) — full 64-bit period, pure int math.
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        a = state % (MINHASH_PRIME - 1) + 1  # a in [1, p-1]
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        b = state % MINHASH_PRIME  # b in [0, p-1]
+        out.append((a, b))
+    return out
+
+
 def minhash_signatures(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -115,10 +140,34 @@ def minhash_signatures(
     text_col: str = "text",
 ) -> DataFrame:
     """MinHash signature per document: ``sig`` = array of num_perm minima of
-    seeded shingle hashes. One explode + one groupBy(doc)."""
-    sh = with_shingles(docs, text_col, k=k).select(id_col, F.explode("shingles").alias("shingle"))
-    mins = [F.min(_hash64(F.col("shingle"), i, hash_family)).alias(f"h{i}") for i in range(num_perm)]
-    sig = sh.groupBy(id_col).agg(*mins)
+    permuted shingle hashes. One explode + one groupBy(doc).
+
+    Each shingle is hashed ONCE with the base family, then run through
+    ``num_perm`` universal-hash permutations ``(a_i·h31 + b_i) mod (2^31-1)``
+    (the datasketch formulation).  The alternative — num_perm independent
+    seeded string hashes — costs num_perm full hash evaluations per shingle
+    row (64 md5/xxhash calls each) and was the slowest line in the scale
+    bench; the permuted form is one hash plus 64 codegen'd multiply-add-mods,
+    ~4-20× cheaper with the same collision behavior for MinHash purposes.
+    """
+    sh = with_shingles(docs, text_col, k=k).select(id_col, "shingles")
+    return _signatures_from_shingles(sh, id_col, num_perm, hash_family)
+
+
+def _signatures_from_shingles(
+    sh: DataFrame, id_col: str, num_perm: int, hash_family: str
+) -> DataFrame:
+    """Signatures from an already-shingled ``(id, shingles array)`` frame —
+    lets the full pipeline tokenize once and reuse the frame for both the
+    signature and the verification branches."""
+    ex = sh.select(id_col, F.explode("shingles").alias("shingle"))
+    h31 = _hash64(F.col("shingle"), None, hash_family).bitwiseAND(F.lit(0x7FFFFFFF))
+    ex = ex.select(id_col, h31.alias("h31"))
+    mins = [
+        F.min((F.lit(a) * F.col("h31") + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(f"h{i}")
+        for i, (a, b) in enumerate(minhash_perm_constants(num_perm))
+    ]
+    sig = ex.groupBy(id_col).agg(*mins)
     return sig.select(id_col, F.array(*[f"h{i}" for i in range(num_perm)]).alias("sig"))
 
 
@@ -178,14 +227,26 @@ def minhash_near_duplicates(
     hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: shingle → sign → band → candidate
-    join → verify true Jaccard ≥ threshold on candidates only."""
+    join → verify true Jaccard ≥ threshold on candidates only.
+
+    The shingled frame is materialized ONCE (``localCheckpoint``) and feeds
+    all three consumers (signature aggregation, verify side a, verify side b)
+    — without it, lazy evaluation re-tokenizes the whole corpus three times,
+    and tokenization (regex split + k-gram assembly) is the dominant CPU of
+    the pipeline. At cluster scale this is the standard "persist the shingle
+    table between stages" design; executor-local disk bounds memory."""
     from .similarity import spread
 
     docs = spread(docs, id_col)
     rows_per_band = num_perm // bands
-    sigs = minhash_signatures(docs, id_col, num_perm, k, hash_family, text_col=text_col)
+    sh_base = (
+        with_shingles(docs, text_col, k)
+        .select(F.col(id_col), F.col("shingles"))
+        .localCheckpoint(eager=False)
+    )
+    sigs = _signatures_from_shingles(sh_base, id_col, num_perm, hash_family)
     cands = lsh_candidate_pairs(sigs, id_col, bands, rows_per_band, hash_family=hash_family)
-    sh = with_shingles(docs, text_col, k).select(
+    sh = sh_base.select(
         F.col(id_col), F.col("shingles"), F.size("shingles").alias("n_sh")
     )
     a = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"), F.col("n_sh").alias("n_a"))
@@ -300,6 +361,10 @@ def ngram_jaccard_pairs(
     sh = with_shingles(docs, text_col, k).select(
         F.col(id_col), F.explode("shingles").alias("shingle")
     ).select(id_col, F.xxhash64("shingle").alias("shingle"))
+    # Three consumers below (doc sizes, join side a, join side b) — pin the
+    # 16-byte/row hashed-posting table once instead of re-running the regex
+    # tokenizer + k-gram assembly three times over the corpus.
+    sh = sh.localCheckpoint(eager=False)
     if max_df is not None:
         # Broadcast the SMALL side: the high-df (stopword) shingle set is
         # bounded by total_postings / max_df rows, while the surviving-df

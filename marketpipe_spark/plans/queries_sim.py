@@ -155,6 +155,14 @@ def q_ngram_jaccard(spark, sf_dir):
 # uses the md5_60 family (60-bit int from md5 hex — identical in any engine
 # with md5); production default stays xxhash64 (dedup._hash64).
 
+def _minhash_perm_values() -> str:
+    """The Spark side's exact permutation constants as a SQL VALUES list —
+    parity is literal-for-literal (see dedup.minhash_perm_constants)."""
+    from ..operators.dedup import minhash_perm_constants
+
+    return ", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(minhash_perm_constants(64)))
+
+
 SQL_MINHASH = r"""
 WITH toks AS (
   SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents
@@ -164,11 +172,14 @@ sh AS (
          list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN range(1, len(t)-1)]) AS shingles
   FROM toks WHERE len(t) >= 3
 ),
-ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
-perms AS (SELECT unnest(range(64)) AS perm),
+ex AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(unnest(shingles)), 1, 15)) AS BIGINT) & 2147483647 AS h31
+  FROM sh
+),
+perms(perm, a, b) AS (VALUES __PERM_VALUES__),
 hashed AS (
-  SELECT doc_id, perm,
-         min(CAST(('0x' || substr(md5(shingle || ':' || perm), 1, 15)) AS BIGINT)) AS h
+  SELECT doc_id, perm, min((a * h31 + b) % 2147483647) AS h
   FROM ex CROSS JOIN perms
   GROUP BY doc_id, perm
 ),
@@ -194,10 +205,10 @@ scored AS (
   JOIN sizes sb ON sb.doc_id = id_b
 )
 SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.5
-"""
+""".replace("__PERM_VALUES__", _minhash_perm_values())
 
 
-@register("minhash_lsh_near_dup", SQL_MINHASH, doc="MinHash(64)+LSH(16x4) near-dup pairs, Jaccard-verified >= 0.5 (md5_60 cross-engine hashing)", tags=("dedup",))
+@register("minhash_lsh_near_dup", SQL_MINHASH, doc="MinHash(64, permuted)+LSH(16x4) near-dup pairs, Jaccard-verified >= 0.5 (md5_60 base hash, shared permutation literals)", tags=("dedup",))
 def q_minhash(spark, sf_dir):
     return minhash_near_duplicates(t(spark, sf_dir, "documents"), threshold=0.5, hash_family="md5_60")
 
