@@ -205,7 +205,13 @@ def ngram_contamination(
     saturate.
     """
     from .dedup import _hash64
+    from .similarity import spread
 
+    # Gram hashing is the CPU of this operator and runs BEFORE any exchange:
+    # if the corpus arrives in fewer partitions than the cluster has cores
+    # (one small parquet file), it would run single-threaded. spread() is a
+    # no-op once the scan yields enough splits (the 100 TB case).
+    train, test = spread(train, id_col), spread(test, id_col)
     gh = _hash64(F.col("gram"), None, family)
     train_raw = train.select(
         F.explode(_gram_text(F.col(text_col), n)).alias("gram")
@@ -261,7 +267,11 @@ def duplicated_spans(
     oracle-verifiable configuration (see :func:`ngram_hashes`).
     """
     from .dedup import _hash64
+    from .similarity import spread
 
+    # Span hashing is map-side CPU ahead of any exchange — redistribute a
+    # coarsely-partitioned input first (no-op when the scan gives splits).
+    df = spread(df, id_col)
     toks = F.split(F.trim(F.lower(F.col(text_col))), TOKEN_SPLIT_RE)
     eligible = df.select(F.col(id_col), toks.alias("toks")).filter(
         F.size("toks") >= window
@@ -275,6 +285,10 @@ def duplicated_spans(
         id_col,
         _hash64(F.array_join(F.slice(F.col("toks"), F.col("i"), window), " "), None, hash_family).alias("wh"),
     )
+    # Two consumers (span-frequency counts + the join back): pin the
+    # two-longs-per-row span table instead of re-running the windowed
+    # hashing, which costs more than everything downstream combined.
+    win = win.localCheckpoint(eager=False)
     counts = win.groupBy("wh").agg(F.countDistinct(id_col).alias("nd"))
     j = win.join(counts, "wh")
     return (
