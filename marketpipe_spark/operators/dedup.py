@@ -260,6 +260,111 @@ def minhash_near_duplicates(
     )
 
 
+def estimated_jaccard(sig_a: Column, sig_b: Column, num_perm: int) -> Column:
+    """MinHash Jaccard estimate: fraction of equal signature components.
+    Exact integer count / constant — bit-stable across engines."""
+    eq = F.aggregate(
+        F.zip_with(sig_a, sig_b, lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return eq.cast("double") / F.lit(num_perm)
+
+
+def minhash_incremental_pairs(
+    new_docs: DataFrame,
+    known_sigs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 64,
+    bands: int = 16,
+    max_bucket: int = 1000,
+    threshold: float = 0.5,
+    hash_family: str = "xxhash64",
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental near-dup: score a NEW batch against an existing signature
+    store without touching the old corpus text — the production shape of
+    dedup at 100 TB ("dedup today's crawl against everything ingested so
+    far"). Only the new batch is shingled; the store contributes
+    ``(id, sig)`` rows (persist it as a small parquet table next to the
+    lake, like the file manifest).
+
+    Returns ``(pairs, updated_store)``:
+
+    - ``pairs``: ``(id_a, id_b, jaccard_est)`` with MinHash-ESTIMATED
+      Jaccard ≥ threshold, where at least one side is from the new batch
+      (new×new and new×old; old×old pairs were reported when THEIR batch
+      arrived). Estimation (fraction of equal signature components) is used
+      because the store keeps signatures, not shingle sets — the standard
+      accuracy/state trade; with 64 permutations the estimate's std-err is
+      ≈ √(j(1-j)/64) ≤ 0.0625.
+    - ``updated_store``: the union store to persist for the next batch.
+
+    Candidate generation is the same banded equi-join as the batch pipeline,
+    restricted so the a-side is new docs only: per-batch cost is driven by
+    the new batch's band buckets, not the store size. The bucket-size skew
+    cap counts the WHOLE bucket (store + batch), so a pathological bucket is
+    capped identically to a full rerun.
+    """
+    sigs_new = minhash_signatures(
+        new_docs, id_col, num_perm, hash_family=hash_family, text_col=text_col
+    ).localCheckpoint(eager=False)
+    all_sigs = known_sigs.select(id_col, "sig").unionByName(
+        sigs_new.select(id_col, "sig")
+    )
+    rows_per_band = num_perm // bands
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                _band_hash(F.slice("sig", b * rows_per_band + 1, rows_per_band), hash_family).alias("band_hash"),
+            )
+            for b in range(bands)
+        ]
+    )
+
+    def banded(sigs: DataFrame) -> DataFrame:
+        return sigs.select(F.col(id_col), F.explode(band_structs).alias("bd")).select(
+            id_col, F.col("bd.band_id").alias("band_id"), F.col("bd.band_hash").alias("band_hash")
+        )
+
+    all_banded = banded(all_sigs)
+    sizes = all_banded.groupBy("band_id", "band_hash").agg(F.count(F.lit(1)).alias("_n"))
+    ok_buckets = sizes.filter(F.col("_n") <= max_bucket).select("band_id", "band_hash")
+    a = (
+        banded(sigs_new)
+        .join(ok_buckets, ["band_id", "band_hash"])
+        .select(F.col(id_col).alias("id_a"), "band_id", "band_hash")
+    )
+    b = all_banded.join(ok_buckets, ["band_id", "band_hash"]).select(
+        F.col(id_col).alias("id_b"), "band_id", "band_hash"
+    )
+    # a-side is new-only; order pairs (min, max) so a new×old pair keyed
+    # either way and a new×new pair found from both sides dedupe to one row.
+    cands = (
+        a.join(b, ["band_id", "band_hash"])
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+        )
+        .distinct()
+    )
+    sa = all_sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = all_sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
+    pairs = (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            estimated_jaccard(F.col("sig_a"), F.col("sig_b"), num_perm).alias("jaccard_est"),
+        )
+        .filter(F.col("jaccard_est") >= threshold)
+    )
+    return pairs, all_sigs
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 

@@ -208,6 +208,79 @@ SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.5
 """.replace("__PERM_VALUES__", _minhash_perm_values())
 
 
+# Incremental dedup: docs with doc_id % 5 == 0 arrive as the "new batch";
+# the rest are the already-ingested corpus, present only as a signature
+# store. Pairs must touch the new batch; scoring is the MinHash ESTIMATE
+# (equal signature components / 64) because the store holds signatures, not
+# shingle sets. The oracle reproduces the whole flow from scratch — the
+# batch split only changes WHICH pairs are reported, not any signature.
+
+SQL_MINHASH_INCREMENTAL = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN range(1, len(t)-1)]) AS shingles
+  FROM toks WHERE len(t) >= 3
+),
+ex AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(unnest(shingles)), 1, 15)) AS BIGINT) & 2147483647 AS h31
+  FROM sh
+),
+perms(perm, a, b) AS (VALUES __PERM_VALUES__),
+hashed AS (
+  SELECT doc_id, perm, min((a * h31 + b) % 2147483647) AS h
+  FROM ex CROSS JOIN perms
+  GROUP BY doc_id, perm
+),
+sig AS (SELECT doc_id, list(h ORDER BY perm) AS sig FROM hashed GROUP BY doc_id),
+bandids AS (SELECT unnest(range(16)) AS band_id),
+banded AS (
+  SELECT doc_id, band_id,
+         md5(array_to_string(list_slice(sig, band_id*4 + 1, band_id*4 + 4), ',')) AS band_hash
+  FROM sig CROSS JOIN bandids
+),
+okb AS (
+  SELECT band_id, band_hash FROM banded GROUP BY band_id, band_hash HAVING COUNT(*) <= 1000
+),
+bandok AS (SELECT b.* FROM banded b JOIN okb USING (band_id, band_hash)),
+cand AS (
+  SELECT DISTINCT least(a.doc_id, b.doc_id) AS id_a, greatest(a.doc_id, b.doc_id) AS id_b
+  FROM bandok a JOIN bandok b USING (band_id, band_hash)
+  WHERE a.doc_id != b.doc_id AND a.doc_id % 5 = 0
+)
+SELECT id_a, id_b,
+       list_sum(list_transform(range(1, 65),
+                i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) / 64.0 AS jaccard_est
+FROM cand
+JOIN sig sa ON sa.doc_id = id_a
+JOIN sig sb ON sb.doc_id = id_b
+WHERE list_sum(list_transform(range(1, 65),
+               i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) / 64.0 >= 0.5
+""".replace("__PERM_VALUES__", _minhash_perm_values())
+
+
+@register(
+    "minhash_incremental",
+    SQL_MINHASH_INCREMENTAL,
+    doc="incremental MinHash dedup: new batch (doc_id%5==0) scored against the stored-signature corpus, estimated Jaccard >= 0.5",
+    tags=("dedup", "incremental"),
+)
+def q_minhash_incremental(spark, sf_dir):
+    from ..operators.dedup import minhash_incremental_pairs, minhash_signatures
+
+    d = t(spark, sf_dir, "documents")
+    new = d.filter(F.col("doc_id") % 5 == 0)
+    old = d.filter(F.col("doc_id") % 5 != 0)
+    known = minhash_signatures(old, hash_family="md5_60")
+    pairs, _store = minhash_incremental_pairs(
+        new, known, threshold=0.5, hash_family="md5_60"
+    )
+    return pairs
+
+
 @register("minhash_lsh_near_dup", SQL_MINHASH, doc="MinHash(64, permuted)+LSH(16x4) near-dup pairs, Jaccard-verified >= 0.5 (md5_60 base hash, shared permutation literals)", tags=("dedup",))
 def q_minhash(spark, sf_dir):
     return minhash_near_duplicates(t(spark, sf_dir, "documents"), threshold=0.5, hash_family="md5_60")

@@ -347,3 +347,52 @@ def test_embedding_near_dup_empty_partner_blocks_no_duplicates(spark):
            embedding_near_duplicates(df, threshold=0.9, n_blocks=16).collect()]
     assert len(out) == len(set(out)), "duplicate pairs emitted"
     assert len(set(out)) == 45  # all 10-choose-2 pairs of near-identical vectors
+
+
+def test_minhash_incremental_matches_full_run_restricted(docs, spark):
+    """Incremental dedup (new batch vs signature store) must report EXACTLY
+    the full-run pairs that touch the new batch: signatures don't depend on
+    the batch split, and the bucket cap counts whole buckets either way."""
+    from marketpipe_spark.operators.dedup import (
+        minhash_incremental_pairs,
+        minhash_signatures,
+    )
+
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    old = docs.filter(F.col("doc_id") % 5 != 0)
+    store = minhash_signatures(old)
+    inc, updated = minhash_incremental_pairs(new, store, threshold=0.5)
+    got = {(r.id_a, r.id_b) for r in inc.collect()}
+
+    empty = docs.sparkSession.createDataFrame([], "doc_id long, sig array<bigint>")
+    full, _ = minhash_incremental_pairs(docs, empty, threshold=0.5)
+    want = {
+        (r.id_a, r.id_b)
+        for r in full.collect()
+        if r.id_a % 5 == 0 or r.id_b % 5 == 0
+    }
+    assert got == want and len(want) > 0
+    # old×old pairs never appear in the incremental result
+    assert all(a % 5 == 0 or b % 5 == 0 for a, b in got)
+    # the updated store covers every signable doc for the next batch
+    assert updated.count() == store.count() + minhash_signatures(new).count()
+
+
+def test_minhash_incremental_finds_cross_batch_dup(spark):
+    """A new doc near-duplicating a STORED doc is caught without ever
+    re-reading the old corpus text."""
+    from marketpipe_spark.operators.dedup import (
+        minhash_incremental_pairs,
+        minhash_signatures,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    old = spark.createDataFrame(
+        [(1, base), (2, "completely unrelated corpus text with other words entirely here")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame([(10, base + " extra")], "doc_id long, text string")
+    pairs, _ = minhash_incremental_pairs(new, minhash_signatures(old), threshold=0.5)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (1, 10) in got
+    assert all(10 in p for p in got)
