@@ -44,7 +44,7 @@ def windowed_ohlcv(
     watermark update their window; older ones are dropped.
     """
     with_ts = bar_stream.withColumn(
-        "event_time", F.timestamp_micros((F.col("ts_ns") / 1000).cast("long"))
+        "event_time", F.timestamp_micros(F.expr("ts_ns div 1000"))
     )
     win = F.window("event_time", f"{minutes} minutes")
     out = (
@@ -74,7 +74,7 @@ def session_stats_stream(
     open window per active symbol — the streaming twin of the batch
     ``operators.sessions.sessionize`` (which callers use for reprocessing)."""
     with_ts = bar_stream.withColumn(
-        "event_time", F.timestamp_micros((F.col("ts_ns") / 1000).cast("long"))
+        "event_time", F.timestamp_micros(F.expr("ts_ns div 1000"))
     )
     return (
         with_ts.withWatermark("event_time", watermark)
@@ -106,22 +106,30 @@ def highwater_dedup_stream(bar_stream: DataFrame) -> DataFrame:
     across executors by the group key, checkpointed with the query. This is
     the template for any custom stateful operator Spark lacks: Arrow-batched
     pandas per group + explicit state schema.
+
+    A group's rows arrive as MULTIPLE Arrow chunks on large microbatches and
+    chunk boundaries carry no ordering guarantee, so the chunks are
+    concatenated and deduped ONCE: processing them sequentially would treat
+    a later chunk's smaller-but-new timestamps as replays (dropping real
+    rows) and would keep the FIRST copy of a duplicate that spans chunks
+    instead of the last.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     def dedup(key, pdfs, state):
         max_ns = state.get[0] if state.exists else -1
-        frames = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values("ts_ns", kind="stable").drop_duplicates("ts_ns", keep="last")
-            fresh = pdf[pdf["ts_ns"] > max_ns]
-            if len(fresh):
-                max_ns = int(fresh["ts_ns"].max())
-                frames.append(fresh)
-        state.update((max_ns,))
-        if frames:
-            yield pd.concat(frames)
+        whole = (
+            pd.concat(list(pdfs), ignore_index=True)
+            .sort_values("ts_ns", kind="stable")
+            .drop_duplicates("ts_ns", keep="last")
+        )
+        fresh = whole[whole["ts_ns"] > max_ns]
+        if len(fresh):
+            state.update((int(fresh["ts_ns"].max()),))
+            yield fresh
+        else:
+            state.update((max_ns,))
 
     return bar_stream.groupBy("symbol").applyInPandasWithState(
         dedup,
@@ -153,12 +161,12 @@ def enrich_stream(
     trades once the watermark passes (null quote columns).
     """
     t = trade_stream.withColumn(
-        "event_time", F.timestamp_micros((F.col("ts_ns") / 1000).cast("long"))
+        "event_time", F.timestamp_micros(F.expr("ts_ns div 1000"))
     ).withWatermark("event_time", watermark)
     q = quote_stream.select(
         [F.col(c).alias(f"q_{c}") for c in quote_stream.columns]
     ).withColumn(
-        "q_event_time", F.timestamp_micros((F.col("q_ts_ns") / 1000).cast("long"))
+        "q_event_time", F.timestamp_micros(F.expr("q_ts_ns div 1000"))
     ).withWatermark("q_event_time", watermark)
     cond = (
         (F.col("symbol") == F.col("q_symbol"))
@@ -210,7 +218,7 @@ def dedup_within_watermark(bar_stream: DataFrame, watermark: str = "10 minutes")
     (validation/validators.py timestamp-uniqueness rule).
     """
     with_ts = bar_stream.withColumn(
-        "event_time", F.timestamp_micros((F.col("ts_ns") / 1000).cast("long"))
+        "event_time", F.timestamp_micros(F.expr("ts_ns div 1000"))
     )
     return (
         with_ts.withWatermark("event_time", watermark)
@@ -328,7 +336,7 @@ def silence_alert_stream(bar_stream: DataFrame, silence_ms: int = 300_000) -> Da
             )
 
     with_ts = bar_stream.withColumn(
-        "event_time", F.timestamp_micros((F.col("ts_ns") / 1000).cast("long"))
+        "event_time", F.timestamp_micros(F.expr("ts_ns div 1000"))
     ).withWatermark("event_time", "0 seconds")
     return with_ts.groupBy("symbol").transformWithStateInPandas(
         SilenceDetector(),

@@ -382,3 +382,56 @@ def test_anomaly_stream_group_spanning_arrow_chunks(spark, tmp_path):
         assert got == []
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
+def test_highwater_dedup_group_spanning_arrow_chunks(spark, tmp_path):
+    """A microbatch bigger than arrow.maxRecordsPerBatch reaches the
+    high-water dedup as MULTIPLE unordered Arrow chunks; the operator must
+    dedup the group globally (regression: chunk-sequential processing
+    dropped a later chunk's smaller-but-new timestamps as replays and kept
+    the FIRST copy of a duplicate spanning chunks instead of the last)."""
+    import os
+    import random
+
+    from marketpipe_spark.streaming.stream import highwater_dedup_stream
+
+    landing = str(tmp_path / "landing")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "16")
+    try:
+        # 100 distinct-ts bars in SHUFFLED order (so a later chunk holds
+        # earlier timestamps) + one cross-chunk duplicate ts where the
+        # LAST-sorted copy carries close=999.
+        rows = [
+            ("AAPL", DAY1 + i * NS_MIN, 1.0 + i, 1.0 + i, 1.0 + i, 1.0 + i, 1)
+            for i in range(100)
+        ]
+        random.Random(11).shuffle(rows)
+        rows.append(("AAPL", DAY1 + 50 * NS_MIN, 999.0, 999.0, 999.0, 999.0, 2))
+        spark.createDataFrame(rows, BARS_MIN_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(landing)
+
+        q = (
+            highwater_dedup_stream(read_bar_stream(spark, landing))
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        run_available_now(q)
+        got = (
+            spark.read.parquet(out_dir).collect()
+            if any(f.endswith(".parquet") for f in os.listdir(out_dir))
+            else []
+        )
+        by_ts = {r.ts_ns: r for r in got}
+        assert len(got) == 100 and len(by_ts) == 100  # nothing dropped, no dup
+        assert by_ts[DAY1 + 50 * NS_MIN].close == 999.0  # keep-LAST across chunks
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
