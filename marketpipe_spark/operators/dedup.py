@@ -149,7 +149,14 @@ def minhash_signatures(
     row (64 md5/xxhash calls each) and was the slowest line in the scale
     bench; the permuted form is one hash plus 64 codegen'd multiply-add-mods,
     ~4-20× cheaper with the same collision behavior for MinHash purposes.
+
+    Shingling is map CPU ahead of the group-by exchange — a
+    coarsely-partitioned input is redistributed first (no-op once the scan
+    yields enough splits).
     """
+    from .similarity import spread
+
+    docs = spread(docs, id_col)
     sh = with_shingles(docs, text_col, k=k).select(id_col, "shingles")
     return _signatures_from_shingles(sh, id_col, num_perm, hash_family)
 
@@ -171,6 +178,28 @@ def _signatures_from_shingles(
     return sig.select(id_col, F.array(*[f"h{i}" for i in range(num_perm)]).alias("sig"))
 
 
+def _banded_sigs(
+    signatures: DataFrame, id_col: str, bands: int, rows_per_band: int, hash_family: str
+) -> DataFrame:
+    """``(id, band_id, band_hash)`` rows — one pass over the signatures
+    (explode of a band-struct array). SHARED by the batch and incremental
+    pipelines: band compatibility of persisted signature stores depends on
+    both sides always hashing bands identically.
+    """
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                _band_hash(F.slice("sig", b * rows_per_band + 1, rows_per_band), hash_family).alias("band_hash"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return signatures.select(F.col(id_col), F.explode(band_structs).alias("bd")).select(
+        id_col, F.col("bd.band_id").alias("band_id"), F.col("bd.band_hash").alias("band_hash")
+    )
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     id_col: str = "doc_id",
@@ -184,22 +213,10 @@ def lsh_candidate_pairs(
     ``max_bucket`` drops degenerate buckets (skew guard): a bucket holding B
     docs yields B²/2 pairs; capping B bounds worst-case shuffle volume.
 
-    All bands are emitted from ONE pass over the signatures (explode of a
-    band-struct array) — a per-band union would recompute the upstream
-    signature aggregation once per band.
+    All bands are emitted from ONE pass over the signatures — a per-band
+    union would recompute the upstream signature aggregation once per band.
     """
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_id"),
-                _band_hash(F.slice("sig", b * rows_per_band + 1, rows_per_band), hash_family).alias("band_hash"),
-            )
-            for b in range(bands)
-        ]
-    )
-    banded = signatures.select(F.col(id_col), F.explode(band_structs).alias("bd")).select(
-        id_col, F.col("bd.band_id").alias("band_id"), F.col("bd.band_hash").alias("band_hash")
-    )
+    banded = _banded_sigs(signatures, id_col, bands, rows_per_band, hash_family)
 
     sizes = banded.groupBy("band_id", "band_hash").agg(F.count(F.lit(1)).alias("_n"))
     banded = banded.join(
@@ -300,39 +317,35 @@ def minhash_incremental_pairs(
       ≈ √(j(1-j)/64) ≤ 0.0625.
     - ``updated_store``: the union store to persist for the next batch.
 
-    Candidate generation is the same banded equi-join as the batch pipeline,
-    restricted so the a-side is new docs only: per-batch cost is driven by
-    the new batch's band buckets, not the store size. The bucket-size skew
-    cap counts the WHOLE bucket (store + batch), so a pathological bucket is
-    capped identically to a full rerun.
+    Candidate generation is the same banded equi-join as the batch pipeline
+    (shared ``_banded_sigs`` helper — the store's band compatibility must
+    never drift from the batch path), restricted so the a-side is new docs
+    only: per-batch cost is driven by the new batch's band buckets, not the
+    store size. The bucket-size skew cap counts the WHOLE bucket (store +
+    batch), so a pathological bucket is capped identically to a full rerun.
+
+    Ids present in BOTH the batch and the store (a retried batch, a
+    re-crawled document) take the batch's signature: the store copy is
+    anti-joined away before the union, so retries are idempotent — the
+    store never accumulates duplicate rows and pairs are emitted once.
     """
+    from .similarity import spread
+
+    new_docs = spread(new_docs, id_col)
     sigs_new = minhash_signatures(
         new_docs, id_col, num_perm, hash_family=hash_family, text_col=text_col
     ).localCheckpoint(eager=False)
-    all_sigs = known_sigs.select(id_col, "sig").unionByName(
-        sigs_new.select(id_col, "sig")
+    all_sigs = (
+        known_sigs.select(id_col, "sig")
+        .join(sigs_new.select(id_col), id_col, "left_anti")
+        .unionByName(sigs_new.select(id_col, "sig"))
     )
     rows_per_band = num_perm // bands
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_id"),
-                _band_hash(F.slice("sig", b * rows_per_band + 1, rows_per_band), hash_family).alias("band_hash"),
-            )
-            for b in range(bands)
-        ]
-    )
-
-    def banded(sigs: DataFrame) -> DataFrame:
-        return sigs.select(F.col(id_col), F.explode(band_structs).alias("bd")).select(
-            id_col, F.col("bd.band_id").alias("band_id"), F.col("bd.band_hash").alias("band_hash")
-        )
-
-    all_banded = banded(all_sigs)
+    all_banded = _banded_sigs(all_sigs, id_col, bands, rows_per_band, hash_family)
     sizes = all_banded.groupBy("band_id", "band_hash").agg(F.count(F.lit(1)).alias("_n"))
     ok_buckets = sizes.filter(F.col("_n") <= max_bucket).select("band_id", "band_hash")
     a = (
-        banded(sigs_new)
+        _banded_sigs(sigs_new, id_col, bands, rows_per_band, hash_family)
         .join(ok_buckets, ["band_id", "band_hash"])
         .select(F.col(id_col).alias("id_a"), "band_id", "band_hash")
     )

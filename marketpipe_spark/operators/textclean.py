@@ -210,8 +210,10 @@ def ngram_contamination(
     # Gram hashing is the CPU of this operator and runs BEFORE any exchange:
     # if the corpus arrives in fewer partitions than the cluster has cores
     # (one small parquet file), it would run single-threaded. spread() is a
-    # no-op once the scan yields enough splits (the 100 TB case).
-    train, test = spread(train, id_col), spread(test, id_col)
+    # no-op once the scan yields enough splits (the 100 TB case). The train
+    # side only contributes gram hashes — it need not carry id_col, so it
+    # spreads on text_col (high-cardinality, always present).
+    train, test = spread(train, text_col), spread(test, id_col)
     gh = _hash64(F.col("gram"), None, family)
     train_raw = train.select(
         F.explode(_gram_text(F.col(text_col), n)).alias("gram")

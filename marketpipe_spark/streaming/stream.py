@@ -108,24 +108,31 @@ def highwater_dedup_stream(bar_stream: DataFrame) -> DataFrame:
     pandas per group + explicit state schema.
 
     A group's rows arrive as MULTIPLE Arrow chunks on large microbatches and
-    chunk boundaries carry no ordering guarantee, so the chunks are
-    concatenated and deduped ONCE: processing them sequentially would treat
-    a later chunk's smaller-but-new timestamps as replays (dropping real
-    rows) and would keep the FIRST copy of a duplicate that spans chunks
-    instead of the last.
+    chunk boundaries carry no ordering guarantee, so the batch is folded
+    chunk-by-chunk into a running keep-last table and BOTH the duplicate
+    collapse and the high-water filter apply only after the last chunk:
+    per-chunk filtering would treat a later chunk's smaller-but-new
+    timestamps as replays (dropping real rows) and would keep the FIRST
+    copy of a duplicate that spans chunks instead of the last. The fold
+    keeps peak memory at distinct-timestamps + one chunk, not the whole
+    microbatch (a backfill's hot symbol can be millions of rows).
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     def dedup(key, pdfs, state):
         max_ns = state.get[0] if state.exists else -1
-        whole = (
-            pd.concat(list(pdfs), ignore_index=True)
-            .sort_values("ts_ns", kind="stable")
-            .drop_duplicates("ts_ns", keep="last")
-        )
-        fresh = whole[whole["ts_ns"] > max_ns]
-        if len(fresh):
+        best = None
+        for pdf in pdfs:
+            both = pdf if best is None else pd.concat([best, pdf], ignore_index=True)
+            # Stable sort keeps arrival order within equal ts; keep='last'
+            # therefore keeps the latest-arriving copy, matching the
+            # reference's keep-last semantics across chunk boundaries.
+            best = both.sort_values("ts_ns", kind="stable").drop_duplicates(
+                "ts_ns", keep="last"
+            )
+        fresh = best[best["ts_ns"] > max_ns] if best is not None else None
+        if fresh is not None and len(fresh):
             state.update((int(fresh["ts_ns"].max()),))
             yield fresh
         else:

@@ -396,3 +396,44 @@ def test_minhash_incremental_finds_cross_batch_dup(spark):
     got = {(r.id_a, r.id_b) for r in pairs.collect()}
     assert (1, 10) in got
     assert all(10 in p for p in got)
+
+
+def test_minhash_incremental_retry_is_idempotent(spark):
+    """Reprocessing a batch whose ids are already in the store (failed-run
+    retry / re-crawl) must not duplicate store rows or pair rows; the
+    batch's signature wins for overlapping ids."""
+    from marketpipe_spark.operators.dedup import (
+        minhash_incremental_pairs,
+        minhash_signatures,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    old = spark.createDataFrame(
+        [(1, base), (2, "completely unrelated corpus text with other words entirely here")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame([(10, base + " extra")], "doc_id long, text string")
+    store0 = minhash_signatures(old)
+    pairs1, store1 = minhash_incremental_pairs(new, store0, threshold=0.5)
+    got1 = sorted(map(tuple, pairs1.collect()))
+    # retry: the SAME batch against the updated store
+    pairs2, store2 = minhash_incremental_pairs(new, store1, threshold=0.5)
+    got2 = sorted(map(tuple, pairs2.collect()))
+    assert got1 == got2 and (1, 10) in {(a, b) for a, b, _ in got1}
+    assert store1.count() == 3 and store2.count() == 3  # no duplicate ids
+    assert store2.select("doc_id").distinct().count() == 3
+
+
+def test_ngram_contamination_train_without_id_column(spark):
+    """The train side only contributes gram hashes; a text-only train frame
+    must work regardless of input partitioning."""
+    from marketpipe_spark.operators.textclean import ngram_contamination
+
+    train = spark.createDataFrame(
+        [("alpha beta gamma delta epsilon zeta eta",)], "text string"
+    ).coalesce(1)
+    test = spark.createDataFrame(
+        [(1, "xx beta gamma delta epsilon zeta yy")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in ngram_contamination(train, test, n=5).collect()}
+    assert out[1].n_leaked >= 1
