@@ -35,7 +35,10 @@ def export_jsonl(
         w = w.partitionBy(*partition_by)
     w.json(path)
     manifest = build_manifest(df.sparkSession, path)
-    manifest["n_rows"] = df.count()
+    # Count the WRITTEN shards, not df: re-executing the upstream plan costs
+    # a full pipeline run at scale, and the checksum should attest what
+    # actually landed on disk.
+    manifest["n_rows"] = df.sparkSession.read.json(path).count()
     with open(os.path.join(path, "_manifest.json"), "w") as f:
         json.dump(manifest, f, indent=2, sort_keys=True)
     return manifest
