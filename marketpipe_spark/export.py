@@ -37,8 +37,9 @@ def export_jsonl(
     manifest = build_manifest(df.sparkSession, path)
     # Count the WRITTEN shards, not df: re-executing the upstream plan costs
     # a full pipeline run at scale, and the checksum should attest what
-    # actually landed on disk.
-    manifest["n_rows"] = df.sparkSession.read.json(path).count()
+    # actually landed on disk. The known schema skips JSON schema inference
+    # (which would read the whole dataset a second time just to plan).
+    manifest["n_rows"] = df.sparkSession.read.schema(df.schema).json(path).count()
     with open(os.path.join(path, "_manifest.json"), "w") as f:
         json.dump(manifest, f, indent=2, sort_keys=True)
     return manifest

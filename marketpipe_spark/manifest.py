@@ -26,6 +26,8 @@ Design notes for scale:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -96,18 +98,45 @@ def build_manifest(spark: SparkSession, root: str, ts_col: str = "ts_ns") -> Dat
     return fdf.mapInPandas(scan, schema=MANIFEST_SCHEMA)
 
 
+#: Hard bound on how many surviving paths :func:`prune_files` may collect to
+#: the driver. File planning is inherently driver-side (Delta/Iceberg do the
+#: same), but at a 10⁶–10⁷-file lake an unbounded path list is GBs of driver
+#: heap before the read starts — fail loudly instead and steer the caller to
+#: directory-partition pruning (lake.py) for the coarse cut.
+MAX_PRUNED_FILES = int(os.environ.get("MP_MAX_PRUNED_FILES", str(250_000)))
+
+
 def prune_files(
-    manifest: DataFrame, start_ns: int | None = None, end_ns: int | None = None
+    manifest: DataFrame,
+    start_ns: int | None = None,
+    end_ns: int | None = None,
+    max_files: int | None = None,
 ) -> list[str]:
     """Paths whose stats envelope intersects ``[start_ns, end_ns]``.
 
     Files without stats (null envelope) always survive — skipping must
     never be able to drop a row the full scan would return.
+
+    The collect is bounded BY CONSTRUCTION: ``limit(max_files + 1)`` caps
+    what can ever reach the driver, and exceeding ``max_files`` (default
+    :data:`MAX_PRUNED_FILES`, env ``MP_MAX_PRUNED_FILES``) raises instead of
+    materializing a huge path list.
     """
-    return [
-        r["path"]
-        for r in manifest.filter(_survives(start_ns, end_ns)).select("path").collect()
-    ]
+    cap = MAX_PRUNED_FILES if max_files is None else max_files
+    rows = (
+        manifest.filter(_survives(start_ns, end_ns))
+        .select("path")
+        .limit(cap + 1)
+        .collect()
+    )
+    if len(rows) > cap:
+        raise ValueError(
+            f"prune_files: more than {cap} files survive the stats filter; "
+            "a driver-side path list this large defeats the point of "
+            "planning. Narrow the range, prune by directory partitions "
+            "first (lake.scan), or raise MP_MAX_PRUNED_FILES explicitly."
+        )
+    return [r["path"] for r in rows]
 
 
 def _survives(start_ns: int | None, end_ns: int | None):
@@ -128,6 +157,7 @@ def read_pruned(
     manifest: DataFrame,
     start_ns: int | None = None,
     end_ns: int | None = None,
+    max_files: int | None = None,
 ) -> DataFrame:
     """Manifest-pruned lake scan, result-identical to the full filtered read.
 
@@ -136,7 +166,7 @@ def read_pruned(
     filter still applies — file skipping is an envelope test, not an exact
     one — and still pushes down to the surviving files' row groups.
     """
-    paths = prune_files(manifest, start_ns, end_ns)
+    paths = prune_files(manifest, start_ns, end_ns, max_files=max_files)
     if not paths:
         return (
             tune(spark)

@@ -20,11 +20,30 @@ Scale design:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 TOKEN_SPLIT_RE = r"\s+"
+
+
+def _pin(df: DataFrame) -> DataFrame:
+    """Materialize a frame that feeds several plan branches.
+
+    Default is ``localCheckpoint(eager=False)``: truncates lineage and keeps
+    blocks on executor-local storage — the cheapest pin, but those blocks are
+    NOT recoverable if an executor is lost mid-job. For long cluster runs set
+    ``MP_PIN_MODE=persist`` to use ``persist(DISK_ONLY)`` instead: lineage is
+    kept, so a lost block recomputes instead of failing the job (reliability
+    over the small lineage-bookkeeping cost — the ADVICE r4 trade).
+    """
+    if os.environ.get("MP_PIN_MODE", "local") == "persist":
+        from pyspark import StorageLevel
+
+        return df.persist(StorageLevel.DISK_ONLY)
+    return df.localCheckpoint(eager=False)
 
 
 def _hash64(col: Column, seed: int | None, family: str) -> Column:
@@ -256,10 +275,8 @@ def minhash_near_duplicates(
 
     docs = spread(docs, id_col)
     rows_per_band = num_perm // bands
-    sh_base = (
-        with_shingles(docs, text_col, k)
-        .select(F.col(id_col), F.col("shingles"))
-        .localCheckpoint(eager=False)
+    sh_base = _pin(
+        with_shingles(docs, text_col, k).select(F.col(id_col), F.col("shingles"))
     )
     sigs = _signatures_from_shingles(sh_base, id_col, num_perm, hash_family)
     cands = lsh_candidate_pairs(sigs, id_col, bands, rows_per_band, hash_family=hash_family)
@@ -332,10 +349,16 @@ def minhash_incremental_pairs(
     from .similarity import spread
 
     new_docs = spread(new_docs, id_col)
-    sigs_new = minhash_signatures(
-        new_docs, id_col, num_perm, hash_family=hash_family, text_col=text_col
-    ).localCheckpoint(eager=False)
-    all_sigs = (
+    sigs_new = _pin(
+        minhash_signatures(
+            new_docs, id_col, num_perm, hash_family=hash_family, text_col=text_col
+        )
+    )
+    # all_sigs feeds five consumers (bucket sizes, b-side, both verify sides,
+    # the returned store); when known_sigs is a live plan rather than a
+    # materialized table, pinning here stops the store computation from
+    # re-executing once per branch (ADVICE r4).
+    all_sigs = _pin(
         known_sigs.select(id_col, "sig")
         .join(sigs_new.select(id_col), id_col, "left_anti")
         .unionByName(sigs_new.select(id_col, "sig"))
@@ -482,7 +505,7 @@ def ngram_jaccard_pairs(
     # Three consumers below (doc sizes, join side a, join side b) — pin the
     # 16-byte/row hashed-posting table once instead of re-running the regex
     # tokenizer + k-gram assembly three times over the corpus.
-    sh = sh.localCheckpoint(eager=False)
+    sh = _pin(sh)
     if max_df is not None:
         # Broadcast the SMALL side: the high-df (stopword) shingle set is
         # bounded by total_postings / max_df rows, while the surviving-df

@@ -290,7 +290,9 @@ def duplicated_spans(
     # Two consumers (span-frequency counts + the join back): pin the
     # two-longs-per-row span table instead of re-running the windowed
     # hashing, which costs more than everything downstream combined.
-    win = win.localCheckpoint(eager=False)
+    from .dedup import _pin
+
+    win = _pin(win)
     counts = win.groupBy("wh").agg(F.countDistinct(id_col).alias("nd"))
     j = win.join(counts, "wh")
     return (

@@ -437,3 +437,14 @@ def test_ngram_contamination_train_without_id_column(spark):
     )
     out = {r.doc_id: r for r in ngram_contamination(train, test, n=5).collect()}
     assert out[1].n_leaked >= 1
+
+
+def test_pin_mode_persist_matches_local(docs, monkeypatch):
+    """MP_PIN_MODE=persist swaps localCheckpoint for persist(DISK_ONLY)
+    (recoverable lineage for long cluster runs) — results must be identical."""
+    from marketpipe_spark.operators.dedup import minhash_near_duplicates
+
+    base = sorted(map(tuple, minhash_near_duplicates(docs, threshold=0.5).collect()))
+    monkeypatch.setenv("MP_PIN_MODE", "persist")
+    got = sorted(map(tuple, minhash_near_duplicates(docs, threshold=0.5).collect()))
+    assert got == base

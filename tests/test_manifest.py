@@ -80,6 +80,24 @@ def test_null_stats_never_skipped(spark):
     assert "f3" not in kept  # provably disjoint
 
 
+def test_prune_files_driver_list_is_bounded(spark):
+    """A synthetic many-file manifest must refuse to collect past the cap —
+    the 100 TB lake guard: the limit(cap+1) bounds what can ever reach the
+    driver, and the error steers to directory-partition pruning."""
+    m = spark.range(5000).select(
+        F.concat(F.lit("f"), F.col("id")).alias("path"),
+        F.lit(10).alias("size"),
+        F.lit(5).alias("n_rows"),
+        F.lit(1).cast("int").alias("n_row_groups"),
+        F.col("id").alias("min_ts"),
+        (F.col("id") + 1).alias("max_ts"),
+    )
+    with pytest.raises(ValueError, match="MP_MAX_PRUNED_FILES"):
+        prune_files(m, start_ns=0, end_ns=10_000, max_files=100)
+    # Under the cap: all survivors come back.
+    assert len(prune_files(m, start_ns=0, end_ns=10_000, max_files=5001)) == 5000
+
+
 def test_empty_range_returns_empty_frame_with_schema(spark, stamped_lake):
     m = build_manifest(spark, stamped_lake)
     out = read_pruned(spark, stamped_lake, m, start_ns=START + 100 * DAY_NS, end_ns=None)
