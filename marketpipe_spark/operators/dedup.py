@@ -597,6 +597,8 @@ def embedding_near_duplicates(
     threshold: float = 0.95,
     n_blocks: int | None = None,
     n_rows: int | None = None,
+    max_exact_rows: int = 2_000_000,
+    on_exceed: str = "error",
 ) -> DataFrame:
     """All pairs with cosine ≥ threshold — exact, fully distributed.
 
@@ -610,7 +612,19 @@ def embedding_near_duplicates(
     runs on a 1000-executor cluster; for corpora where O(n²) itself is the
     binding constraint the sub-quadratic paths are
     :func:`minhash_near_duplicates` / :func:`simhash_near_duplicates` /
-    LSH-bucketed cosine (``similarity.lsh_topk``).
+    :func:`embedding_near_duplicates_lsh`.
+
+    **Scale guard** (mirrors ``similarity.cosine_topk``'s fail-over): the
+    compute is quadratic BY DESIGN, so above ``max_exact_rows`` (checked from
+    ``n_rows`` footer metadata / catalog stats — zero jobs) the call refuses
+    to launch an accidental 100 TB all-pairs. ``on_exceed`` picks the policy:
+
+    - ``"error"`` (default): raise, naming the sub-quadratic alternatives.
+    - ``"lsh"``: fail over to :func:`embedding_near_duplicates_lsh` —
+      hyperplane-bucketed candidates + the SAME exact rescore (reported
+      pairs keep bit-exact cosines; pairs colliding in no table can be
+      missed — recall<1, precision=1).
+    - ``"exact"``: explicit opt-in to the quadratic plan.
 
     Two phases for oracle-bit parity:
 
@@ -627,15 +641,28 @@ def embedding_near_duplicates(
     from .similarity import exact_pair_cosine
 
     cut = threshold - 1e-9
+    # The guard and the adaptive block count share one row-count estimate.
+    # It should come from the caller's catalog stats / parquet footer
+    # metadata (``n_rows`` — zero Spark jobs, see plans.parquet_num_rows);
+    # ``count()`` is the fallback ONLY, since at 100 TB it is a full extra
+    # pass over the table (VERDICT r3 item 5).
+    n = emb.count() if n_rows is None else n_rows
+    if n > max_exact_rows and on_exceed != "exact":
+        if on_exceed == "lsh":
+            return embedding_near_duplicates_lsh(
+                emb, id_col=id_col, vec_col=vec_col, threshold=threshold
+            )
+        raise ValueError(
+            f"embedding_near_duplicates: {n} rows exceeds max_exact_rows="
+            f"{max_exact_rows} and the plan is O(n²) by construction. Use "
+            "on_exceed='lsh' (hyperplane-bucketed candidates, exact rescore), "
+            "minhash_near_duplicates / simhash_near_duplicates for text, or "
+            "opt in explicitly with on_exceed='exact'."
+        )
     if n_blocks is None:
         # Adaptive block count ≈ √n/8 (block size ≈ 8√n rows): per-task
         # operand memory grows only as √n (≈4 MB of float64 at n=10⁸, d=64)
-        # while the O(n²) total work spreads over nb(nb+1)/2 tasks. The row
-        # count should come from the caller's catalog stats / parquet footer
-        # metadata (``n_rows`` — zero Spark jobs, see plans.parquet_num_rows);
-        # ``count()`` is the fallback ONLY, since at 100 TB it is a full
-        # extra pass over the table (VERDICT r3 item 5).
-        n = emb.count() if n_rows is None else n_rows
+        # while the O(n²) total work spreads over nb(nb+1)/2 tasks.
         n_blocks = max(1, min(1024, math.ceil(math.sqrt(max(n, 1)) / 8)))
     nb = n_blocks
 
@@ -686,6 +713,51 @@ def embedding_near_duplicates(
         return pd.DataFrame({"id_a": np.minimum(x, y), "id_b": np.maximum(x, y)})
 
     cands = fanned.groupBy("pair_id").applyInPandas(block_pair, "id_a long, id_b long")
+    va = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).cast("array<double>").alias("qv"))
+    vb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).cast("array<double>").alias("nv"))
+    return (
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", exact_pair_cosine().alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def embedding_near_duplicates_lsh(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 12,
+    n_tables: int = 16,
+    max_bucket: int = 10_000,
+) -> DataFrame:
+    """Sub-quadratic embedding near-dup: hyperplane-LSH candidate buckets +
+    exact rescore — the scale path :func:`embedding_near_duplicates` fails
+    over to above its ``max_exact_rows`` guard.
+
+    Candidates are pairs colliding in ≥1 of ``n_tables`` sign-bucket tables
+    (``similarity.hyperplane_buckets`` — one map-only vectorized pass, no
+    per-dimension explode); reported cosines come from the SAME sequential-
+    fold rescore as the exact path, so precision is 1 and values are
+    bit-identical — only recall is approximate. Per-table collision
+    probability for angle θ is (1 − θ/π)^n_planes; at threshold 0.95
+    (θ ≈ 18°) the 16-table OR reaches ≈ 0.997 recall. ``max_bucket`` drops
+    degenerate buckets (B² pair blowup), the standard LSH skew cap.
+    """
+    from .similarity import exact_pair_cosine, hyperplane_buckets
+
+    bk = hyperplane_buckets(emb, n_planes, id_col, vec_col, n_tables=n_tables)
+    sizes = bk.groupBy("table_id", "bucket").agg(F.count(F.lit(1)).alias("_n"))
+    bk = bk.join(sizes.filter(F.col("_n") <= max_bucket), ["table_id", "bucket"]).drop("_n")
+    a = bk.select(F.col(id_col).alias("id_a"), "table_id", "bucket")
+    b = bk.select(F.col(id_col).alias("id_b"), "table_id", "bucket")
+    cands = (
+        a.join(b, ["table_id", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
     va = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).cast("array<double>").alias("qv"))
     vb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).cast("array<double>").alias("nv"))
     return (

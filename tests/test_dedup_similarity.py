@@ -448,3 +448,45 @@ def test_pin_mode_persist_matches_local(docs, monkeypatch):
     monkeypatch.setenv("MP_PIN_MODE", "persist")
     got = sorted(map(tuple, minhash_near_duplicates(docs, threshold=0.5).collect()))
     assert got == base
+
+
+def test_embedding_near_dup_scale_guard(emb):
+    """Above max_exact_rows the quadratic plan must refuse (default) or fail
+    over to the LSH candidate path; below it, exact and LSH agree on this
+    corpus (precision 1 — every LSH pair carries the bit-exact cosine)."""
+    from marketpipe_spark.operators.dedup import (
+        embedding_near_duplicates,
+        embedding_near_duplicates_lsh,
+    )
+
+    with pytest.raises(ValueError, match="max_exact_rows"):
+        embedding_near_duplicates(emb, threshold=0.9, n_rows=10_000_000)
+
+    exact = {
+        (r.id_a, r.id_b): r.cosine
+        for r in embedding_near_duplicates(emb, threshold=0.9, n_rows=500).collect()
+    }
+    # Opt-in past the guard still runs the exact plan.
+    optin = {
+        (r.id_a, r.id_b): r.cosine
+        for r in embedding_near_duplicates(
+            emb, threshold=0.9, n_rows=500, max_exact_rows=10, on_exceed="exact"
+        ).collect()
+    }
+    assert optin == exact
+    # Fail-over route (n_rows above the bound, on_exceed='lsh').
+    lsh = {
+        (r.id_a, r.id_b): r.cosine
+        for r in embedding_near_duplicates(
+            emb, threshold=0.9, n_rows=500, max_exact_rows=10, on_exceed="lsh"
+        ).collect()
+    }
+    assert set(lsh) <= set(exact)  # precision 1
+    for k, v in lsh.items():
+        assert v == exact[k]  # rescore is bit-identical
+    assert len(lsh) >= 0.9 * len(exact)  # recall at threshold 0.9, 16 tables
+    direct = {
+        (r.id_a, r.id_b): r.cosine
+        for r in embedding_near_duplicates_lsh(emb, threshold=0.9).collect()
+    }
+    assert direct == lsh
