@@ -395,6 +395,30 @@ def ivf_topk(
     return _rescore_topk(cands, corpus, queries, k, id_col, vec_col, id_col)
 
 
+def md5_plane_matrix(dim: int, n: int):
+    """Deterministic plane matrix any md5-capable engine can reproduce:
+    ``plane[d, p] = double(int(md5(f"{d}:{p}")[:15 hex])) / 2⁵⁹ − 1``
+    (uniform in [−1, 1); spherical symmetry is not required for sign-bucket
+    LSH — only that the directions are fixed and data-independent). The
+    int→double conversion is IEEE round-to-nearest and the 2⁵⁹ division is
+    exact (power of two), so DuckDB's
+    ``CAST(('0x'||substr(md5(d||':'||p),1,15)) AS BIGINT)`` path yields the
+    bit-identical matrix — the cross-engine analog of dedup's ``md5_60``.
+    """
+    import hashlib
+
+    import numpy as np
+
+    h = np.array(
+        [
+            [int(hashlib.md5(f"{d}:{p}".encode()).hexdigest()[:15], 16) for p in range(n)]
+            for d in range(dim)
+        ],
+        dtype=np.float64,
+    )
+    return h / float(1 << 59) - 1.0
+
+
 def hyperplane_buckets(
     emb: DataFrame,
     n_planes: int = 12,
@@ -402,6 +426,7 @@ def hyperplane_buckets(
     vec_col: str = "embedding",
     seed: int = 7,
     n_tables: int = 1,
+    plane_family: str = "pcg64",
 ) -> DataFrame:
     """Random-hyperplane LSH buckets per vector: one row per (vector, table)
     with the table's bucket = packed sign bits of n_planes pseudo-random
@@ -415,6 +440,12 @@ def hyperplane_buckets(
     every task from a seeded PCG64 stream (a specified, platform-stable
     generator), so buckets are identical across runs, tasks, and cluster
     layouts with no driver-side state shipped.
+
+    ``plane_family="md5"`` swaps in :func:`md5_plane_matrix` and computes
+    projections as a SEQUENTIAL fold over dimensions (vectorized across rows,
+    ordered in d — the same summation order as DuckDB's
+    ``list_dot_product``), so the buckets are reproducible value-for-value in
+    external SQL. Production default stays ``pcg64`` + BLAS.
     """
     import numpy as np
     import pandas as pd
@@ -427,9 +458,22 @@ def hyperplane_buckets(
                 continue
             mat = np.stack(pdf["v"].to_numpy())
             if planes is None:
-                rng = np.random.default_rng(seed)
-                planes = rng.standard_normal((mat.shape[1], n_tables * n_planes))
-            signs = (mat @ planes) > 0.0
+                if plane_family == "md5":
+                    planes = md5_plane_matrix(mat.shape[1], n_tables * n_planes)
+                else:
+                    rng = np.random.default_rng(seed)
+                    planes = rng.standard_normal((mat.shape[1], n_tables * n_planes))
+            if plane_family == "md5":
+                # Ordered-in-d fold: acc = (...((v₀w₀) + v₁w₁) + ...) — each
+                # step is one IEEE multiply + one add, matching the oracle's
+                # sequential list_dot_product exactly (BLAS reorders sums,
+                # which could flip the sign of a near-zero projection).
+                proj = np.zeros((len(mat), planes.shape[1]))
+                for d in range(mat.shape[1]):
+                    proj += mat[:, d, None] * planes[None, d, :]
+            else:
+                proj = mat @ planes
+            signs = proj > 0.0
             packed = signs.reshape(len(mat), n_tables, n_planes).astype(np.int64) @ weights
             ids = pdf["id"].to_numpy()
             yield pd.DataFrame(
@@ -455,6 +499,7 @@ def lsh_topk(
     n_tables: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    plane_family: str = "pcg64",
 ) -> DataFrame:
     """Approximate top-k: score only vectors sharing a (table, bucket) with
     the query in at least one of ``n_tables`` hash tables, then keep the
@@ -464,9 +509,15 @@ def lsh_topk(
     1 − (1 − p)^n_tables — more tables raise recall, more planes cut
     candidate volume. Candidates are deduped BEFORE scoring so each pair's
     cosine is computed once regardless of how many tables it collides in.
+    ``plane_family="md5"`` makes the whole pipeline (bucketing → candidates
+    → exact rescore) reproducible in external SQL (see hyperplane_buckets).
     """
-    cb = hyperplane_buckets(corpus, n_planes, id_col, vec_col, n_tables=n_tables)
-    qb = hyperplane_buckets(queries, n_planes, id_col, vec_col, n_tables=n_tables)
+    cb = hyperplane_buckets(
+        corpus, n_planes, id_col, vec_col, n_tables=n_tables, plane_family=plane_family
+    )
+    qb = hyperplane_buckets(
+        queries, n_planes, id_col, vec_col, n_tables=n_tables, plane_family=plane_family
+    )
     cands = (
         cb.select(F.col(id_col).alias("neighbor_id"), "table_id", "bucket")
         .join(

@@ -36,6 +36,7 @@ __all__ = [
     "cm_estimate",
     "kll_partial_sketch",
     "kll_quantiles",
+    "kll_rank_check",
 ]
 
 
@@ -220,4 +221,39 @@ def kll_quantiles(sketch: DataFrame, probs: list[float]) -> DataFrame:
         s.withColumn("p", F.explode(covered))
         .select("p", "value")
         .orderBy("p")
+    )
+
+
+def kll_rank_check(
+    df: DataFrame, col: str, probs: list[float], k: int = 256, bound: float = 0.05
+) -> DataFrame:
+    """Self-validation of the sketch against the data it summarized:
+    ``(p, within_bound)`` where ``within_bound`` ⇔ the TRUE rank of the
+    sketch's p-quantile estimate (``count(value ≤ est)/n`` — exact integer
+    counting) lies within ``bound`` of p.
+
+    ONE distributed dataflow, zero driver collects: the (≤ len(probs))-row
+    estimate table is packed into a single array row, attached to every data
+    row via ``scalar_join`` (BroadcastHashJoin — never a nested loop, which
+    an inequality join against the estimates would plan as), exploded, and
+    counted per probe. The sketch VALUES are partition-layout-dependent and
+    so not externally pinnable; this rank-error check is layout-independent
+    because the error BOUND holds for any compaction order.
+    """
+    from ..plans.registry import scalar_join
+
+    vals = df.select(F.col(col).cast("double").alias(col))
+    sk = kll_partial_sketch(vals, col, k)
+    est = kll_quantiles(sk, probs)
+    packed = est.agg(
+        F.sort_array(F.collect_list(F.struct(F.col("p"), F.col("value")))).alias("_ests")
+    )
+    ex = scalar_join(vals, col, packed).select(F.col(col), F.explode("_ests").alias("e"))
+    ranks = ex.groupBy(F.col("e.p").alias("p")).agg(
+        F.sum((F.col(col) <= F.col("e.value")).cast("long")).alias("n_le"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return ranks.select(
+        "p",
+        (F.abs(F.col("n_le") / F.col("n") - F.col("p")) <= F.lit(bound)).alias("within_bound"),
     )

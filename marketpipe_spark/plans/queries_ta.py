@@ -499,19 +499,53 @@ def q_winsorized_value_stats(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# KLL quantile sketch over the event values — approximate by construction
-# (rank error ~ levels/k), so no SQL oracle: the driver records the weaker
-# rows-only check, and tests/test_sketches.py pins the rank-error bound
-# against exact percentiles plus determinism across runs.
+# KLL quantile sketch over the event values — the sketch VALUES are
+# partition-layout-dependent (compaction state is per-partition), so they
+# can't be pinned in SQL. The entry is SELF-VALIDATING instead: each probed
+# p emits the EXACT interpolated percentile (oracle: quantile_cont — the
+# value_percentiles precedent, bit-identical) plus ``within_bound`` = the
+# sketch estimate's TRUE rank (count(value ≤ est)/n, exact integer math)
+# lies within 5% of p. The oracle pins both; a sketch regression flips the
+# boolean and the driver row goes red — a green row asserts the error
+# bound, not just a row count. tests/test_sketches.py keeps the tighter
+# determinism/mergeability checks.
+
+_KLL_PROBS = [0.25, 0.5, 0.75, 0.9, 0.99]
+
+SQL_KLL_VALUE_QUANTILES = "\nUNION ALL\n".join(
+    f"SELECT CAST({p} AS DOUBLE) AS p, quantile_cont(value, {p}) AS exact_value, "
+    "TRUE AS within_bound FROM events"
+    for p in _KLL_PROBS
+)
 
 
-@register("kll_value_quantiles", None, doc="mergeable KLL quantile sketch estimates (rows-only; error bound pinned in tests)", tags=("sketch", "percentile"))
+@register(
+    "kll_value_quantiles",
+    SQL_KLL_VALUE_QUANTILES,
+    doc="mergeable KLL quantile sketch: exact percentiles + sketch rank-error-within-5% flag, both oracle-pinned",
+    tags=("sketch", "percentile"),
+)
 def q_kll_value_quantiles(spark, sf_dir):
-    from ..operators.sketches import kll_partial_sketch, kll_quantiles
+    from ..operators.sketches import kll_rank_check
 
-    ev = t(spark, sf_dir, "events")
-    sk = kll_partial_sketch(ev, "value", k=256)
-    return kll_quantiles(sk, [0.25, 0.5, 0.75, 0.9, 0.99])
+    ev = t(spark, sf_dir, "events").select("value")
+    check = kll_rank_check(ev, "value", _KLL_PROBS, k=256, bound=0.05)
+    exact = ev.agg(
+        *[F.expr(f"percentile(value, {p})").alias(f"e{i}") for i, p in enumerate(_KLL_PROBS)]
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(float(p)).alias("p"),
+                F.col(f"e{i}").alias("exact_value"),
+            )
+            for i, p in enumerate(_KLL_PROBS)
+        ]
+    )
+    exact_rows = exact.select(F.explode(rows).alias("r")).select("r.p", "r.exact_value")
+    # 5x5 equi-join on the probe literal (both sides carry the identical
+    # F.lit(float(p)) doubles) — a broadcast hash join, never a nested loop.
+    return exact_rows.join(check, "p").select("p", "exact_value", "within_bound")
 
 
 # ---------------------------------------------------------------------------
