@@ -187,7 +187,13 @@ def _signatures_from_shingles(
     lets the full pipeline tokenize once and reuse the frame for both the
     signature and the verification branches."""
     ex = sh.select(id_col, F.explode("shingles").alias("shingle"))
-    h31 = _hash64(F.col("shingle"), None, hash_family).bitwiseAND(F.lit(0x7FFFFFFF))
+    # Mask to 31 bits, then mod into [0, p-1]: a bare mask admits h31 == p
+    # itself, for which every permutation degenerates to b (a·p+b ≡ b mod p)
+    # and the shingle fully collides with h31 == 0. The oracle SQL applies
+    # the IDENTICAL mask-then-mod (parity is literal-for-literal).
+    h31 = _hash64(F.col("shingle"), None, hash_family).bitwiseAND(F.lit(0x7FFFFFFF)) % F.lit(
+        MINHASH_PRIME
+    )
     ex = ex.select(id_col, h31.alias("h31"))
     mins = [
         F.min((F.lit(a) * F.col("h31") + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(f"h{i}")

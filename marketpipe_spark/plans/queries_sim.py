@@ -257,7 +257,7 @@ sh AS (
 ),
 ex AS (
   SELECT doc_id,
-         CAST(('0x' || substr(md5(unnest(shingles)), 1, 15)) AS BIGINT) & 2147483647 AS h31
+         (CAST(('0x' || substr(md5(unnest(shingles)), 1, 15)) AS BIGINT) & 2147483647) % 2147483647 AS h31
   FROM sh
 ),
 perms(perm, a, b) AS (VALUES __PERM_VALUES__),
@@ -309,7 +309,7 @@ sh AS (
 ),
 ex AS (
   SELECT doc_id,
-         CAST(('0x' || substr(md5(unnest(shingles)), 1, 15)) AS BIGINT) & 2147483647 AS h31
+         (CAST(('0x' || substr(md5(unnest(shingles)), 1, 15)) AS BIGINT) & 2147483647) % 2147483647 AS h31
   FROM sh
 ),
 perms(perm, a, b) AS (VALUES __PERM_VALUES__),
