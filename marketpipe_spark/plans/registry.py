@@ -41,11 +41,28 @@ TABLES = (
 ).split()
 
 
+#: Resolved-relation cache: ``spark.read.parquet`` re-reads footers and
+#: re-resolves the schema on EVERY call (~70 ms of driver time here), and a
+#: single registry query touches up to five tables. The returned DataFrame
+#: is an immutable logical plan, safe to share across queries; keying on the
+#: session's id keeps plans from leaking across restarted sessions. This is
+#: driver-side planning cost only — it exists at any data scale.
+_TABLE_CACHE: dict[tuple[int, str, str], tuple[SparkSession, DataFrame]] = {}
+
+
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver table (tuning the session first — the driver may hand
     us a vanilla SparkSession that can't read TIMESTAMP(NANOS) parquet)."""
+    key = (id(spark), sf_dir, name)
+    ent = _TABLE_CACHE.get(key)
+    # The stored session reference both proves the cached plan belongs to
+    # THIS session and keeps the id from being reused by a successor.
+    if ent is not None and ent[0] is spark:
+        return ent[1]
     tune(spark)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    _TABLE_CACHE[key] = (spark, df)
+    return df
 
 
 def ts_ns_expr(ev: DataFrame, colname: str = "ts") -> Column:
