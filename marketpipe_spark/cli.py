@@ -474,6 +474,57 @@ def cmd_factory_reset(args) -> int:
     return 0
 
 
+def _deprecated(fn, old: str, new: str):
+    """Wrap a command so the legacy name keeps working but steers to the new
+    path — the reference's migration-friendly alias pattern
+    (reference: src/marketpipe/cli/__init__.py:70-85 deprecated_command)."""
+
+    def wrap(args) -> int:
+        print(
+            f"WARNING: '{old}' is deprecated; use '{new}' instead.",
+            file=sys.stderr,
+        )
+        return fn(args)
+
+    return wrap
+
+
+def _add_ingest_args(i: argparse.ArgumentParser) -> None:
+    i.add_argument("--config", default=None, help="YAML job config (flags override it)")
+    i.add_argument("--provider", default=None)
+    i.add_argument("--symbols", default=None, help="comma-separated (required without --config)")
+    i.add_argument("--start", default=None, help="ISO datetime (required without --config)")
+    i.add_argument("--bars", type=int, default=None, help="bars per symbol")
+    i.add_argument("--output", default=None)
+    i.add_argument("--agg-root", default="data/agg")
+    i.add_argument("--feed", default=None)
+    i.add_argument("--job-id", default=None)
+    i.set_defaults(fn=cmd_ingest)
+
+
+def _add_backfill_args(bf: argparse.ArgumentParser) -> None:
+    bf.add_argument("--start", required=True, help="ISO date")
+    bf.add_argument("--end", required=True, help="ISO date")
+    bf.add_argument("--output", default="data/raw")
+    bf.add_argument("--agg-root", default="data/agg")
+    bf.set_defaults(fn=cmd_backfill)
+
+
+def _add_aggregate_args(a: argparse.ArgumentParser) -> None:
+    a.add_argument("root", help="raw lake root")
+    a.add_argument("--frames", default="5m,15m,1h,1d")
+    a.add_argument("--agg-root", default="data/agg")
+    a.set_defaults(fn=cmd_aggregate)
+
+
+def _add_validate_args(v: argparse.ArgumentParser) -> None:
+    v.add_argument("root", help="lake root")
+    v.add_argument("--frame", default="1m")
+    v.add_argument("--report", default=None, help="CSV report path")
+    v.add_argument("--market-hours", action="store_true")
+    v.set_defaults(fn=cmd_validate)
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="marketpipe_spark", description=__doc__)
     sub = p.add_subparsers(dest="command", required=True)
@@ -486,37 +537,33 @@ def build_parser() -> argparse.ArgumentParser:
     q.add_argument("--limit", "-l", type=int, default=50)
     q.set_defaults(fn=cmd_query)
 
-    i = sub.add_parser("ingest-ohlcv", help="ingest bars (fake provider)")
-    i.add_argument("--config", default=None, help="YAML job config (flags override it)")
-    i.add_argument("--provider", default=None)
-    i.add_argument("--symbols", default=None, help="comma-separated (required without --config)")
-    i.add_argument("--start", default=None, help="ISO datetime (required without --config)")
-    i.add_argument("--bars", type=int, default=None, help="bars per symbol")
-    i.add_argument("--output", default=None)
-    i.add_argument("--agg-root", default="data/agg")
-    i.add_argument("--feed", default=None)
-    i.add_argument("--job-id", default=None)
-    i.set_defaults(fn=cmd_ingest)
+    # Nested OHLCV sub-app — the reference's canonical command group
+    # (reference: cli/__init__.py:109-149 `ohlcv ingest|validate|aggregate|
+    # backfill`), plus its convenience names and deprecated bare aliases.
+    oh = sub.add_parser("ohlcv", help="OHLCV pipeline commands (ingest / validate / aggregate / backfill)")
+    ohsub = oh.add_subparsers(dest="ohlcv_command", required=True)
+    _add_ingest_args(ohsub.add_parser("ingest", help="ingest bars"))
+    _add_validate_args(ohsub.add_parser("validate", help="run the 13-rule validation report"))
+    _add_aggregate_args(ohsub.add_parser("aggregate", help="re-aggregate raw 1m into frames"))
+    _add_backfill_args(ohsub.add_parser("backfill", help="detect and ingest missing daily gaps"))
 
-    bf = sub.add_parser("backfill", help="detect and ingest missing daily gaps (fake provider)")
-    bf.add_argument("--start", required=True, help="ISO date")
-    bf.add_argument("--end", required=True, help="ISO date")
-    bf.add_argument("--output", default="data/raw")
-    bf.add_argument("--agg-root", default="data/agg")
-    bf.set_defaults(fn=cmd_backfill)
+    _add_ingest_args(sub.add_parser("ingest-ohlcv", help="ingest bars (fake provider)"))
+    _add_validate_args(sub.add_parser("validate-ohlcv", help="alias of `ohlcv validate`"))
+    _add_aggregate_args(sub.add_parser("aggregate-ohlcv", help="alias of `ohlcv aggregate`"))
+    _add_backfill_args(sub.add_parser("ohlcv-backfill", help="alias of `ohlcv backfill`"))
+    _add_backfill_args(sub.add_parser("backfill", help="detect and ingest missing daily gaps (fake provider)"))
 
-    a = sub.add_parser("aggregate", help="re-aggregate raw 1m into frames")
-    a.add_argument("root", help="raw lake root")
-    a.add_argument("--frames", default="5m,15m,1h,1d")
-    a.add_argument("--agg-root", default="data/agg")
-    a.set_defaults(fn=cmd_aggregate)
+    ing = sub.add_parser("ingest", help="[DEPRECATED] use `ohlcv ingest`")
+    _add_ingest_args(ing)
+    ing.set_defaults(fn=_deprecated(cmd_ingest, "ingest", "ohlcv ingest"))
 
-    v = sub.add_parser("validate", help="run the 13-rule validation report")
-    v.add_argument("root", help="lake root")
-    v.add_argument("--frame", default="1m")
-    v.add_argument("--report", default=None, help="CSV report path")
-    v.add_argument("--market-hours", action="store_true")
-    v.set_defaults(fn=cmd_validate)
+    a = sub.add_parser("aggregate", help="[DEPRECATED] use `ohlcv aggregate`")
+    _add_aggregate_args(a)
+    a.set_defaults(fn=_deprecated(cmd_aggregate, "aggregate", "ohlcv aggregate"))
+
+    v = sub.add_parser("validate", help="[DEPRECATED] use `ohlcv validate`")
+    _add_validate_args(v)
+    v.set_defaults(fn=_deprecated(cmd_validate, "validate", "ohlcv validate"))
 
     pr = sub.add_parser("prune", help="delete partitions older than an age")
     pr.add_argument("root")

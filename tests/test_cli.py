@@ -161,3 +161,28 @@ def test_cli_manifest(spark, tmp_path, capsys):
     out = capsys.readouterr().out
     assert rc == 0
     assert "keep 1/2 files" in out
+
+
+def test_cli_ohlcv_subapp_and_aliases(spark, tmp_path, capsys):
+    """Reference CLI parity: the nested `ohlcv` group, convenience names and
+    deprecated bare aliases all reach the same commands
+    (reference: src/marketpipe/cli/__init__.py:109-149)."""
+    raw = str(tmp_path / "raw")
+    agg = str(tmp_path / "agg")
+    rc = main([
+        "ohlcv", "ingest", "--symbols", "AAPL", "--start", "2024-01-02T14:30:00",
+        "--bars", "30", "--output", raw, "--agg-root", agg,
+    ])
+    assert rc == 0
+    rc = main(["ohlcv", "validate", raw])
+    assert rc == 0
+    rc = main(["aggregate-ohlcv", raw, "--frames", "5m", "--agg-root", agg])
+    assert rc == 0
+    rc = main(["validate-ohlcv", raw])
+    assert rc == 0
+    capsys.readouterr()
+    # Deprecated bare alias still works but warns on stderr.
+    rc = main(["validate", raw])
+    got = capsys.readouterr()
+    assert rc == 0
+    assert "deprecated" in got.err and "ohlcv validate" in got.err
