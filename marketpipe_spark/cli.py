@@ -269,7 +269,10 @@ def cmd_metrics(args) -> int:
         from .metrics_server import MetricsServer
 
         srv = MetricsServer(m, host=args.host, port=args.port).start()
-        print(f"metrics server listening on {srv.url} (Ctrl-C to stop)")
+        print(
+            f"metrics server listening on {srv.url} "
+            f"(dashboard at http://{srv.host}:{srv.port}/dashboard, Ctrl-C to stop)"
+        )
         try:
             srv._thread.join()
         except KeyboardInterrupt:

@@ -75,3 +75,28 @@ def test_empty_store_serves_empty_scrape(spark, tmp_path):
         with urllib.request.urlopen(srv.url, timeout=10) as resp:
             body = resp.read().decode()
         assert "mp_scrapes_total 1" in body
+
+
+def test_dashboard_renders_real_series(store):
+    """The built-in human dashboard (reference cli/metrics_dashboard.py)
+    serves HTML over loopback with the recorded series visible."""
+    with MetricsServer(store, port=0) as srv:
+        url = srv.url.replace("/metrics", "/dashboard")
+        with urllib.request.urlopen(url, timeout=10) as resp:
+            assert resp.status == 200
+            assert resp.headers["Content-Type"].startswith("text/html")
+            html = resp.read().decode()
+        assert "ingest.bars" in html and "req.latency-ms" in html
+        assert "250" in html  # latest ingest.bars value for fake/iex
+        assert "alpaca" in html and "sip" in html
+        # Root serves the same view; /metrics link present for scrapers.
+        with urllib.request.urlopen(srv.url.replace("/metrics", "/"), timeout=10) as resp:
+            assert "ingest.bars" in resp.read().decode()
+        assert 'href="/metrics"' in html
+
+
+def test_dashboard_empty_store(spark, tmp_path):
+    m = MetricsStore(spark, str(tmp_path / "m2"))
+    with MetricsServer(m, port=0) as srv:
+        with urllib.request.urlopen(srv.url.replace("/metrics", "/dashboard"), timeout=10) as resp:
+            assert "No metrics recorded" in resp.read().decode()
