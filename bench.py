@@ -130,6 +130,7 @@ FULL_EXTRA = [
     "ivf_topk",
     "pq_topk",
     "kll_value_quantiles",
+    "bpe_trained_tokens",
 ]
 
 

@@ -70,6 +70,41 @@ def q_bpe_token_count(spark, sf_dir):
     )
 
 
+# Trained BPE (operators/tokenizer.py): merges are learned from this
+# corpus's own word frequencies (deterministic — exact integer counts +
+# lexicographic tie-breaks, so any partitioning yields the same table) and
+# applied distributed. Subword merging itself is not SQL-expressible, so
+# the entry is SELF-VALIDATING: per document it emits the word count (the
+# engine's established cross-engine split semantics — oracle pins it
+# exactly) and the tokenizer's losslessness invariant ``roundtrip_ok``
+# (re-joined tokens must reproduce every word); an encoder regression
+# flips the flag and the row goes red. Token-count properties (fewer
+# tokens with more merges, known tiny-corpus merges) are pinned in
+# tests/test_tokenizer.py.
+
+SQL_BPE_TRAINED_TOKENS = r"""
+SELECT doc_id,
+       CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) AS n_words,
+       TRUE AS roundtrip_ok
+FROM documents
+"""
+
+
+@register(
+    "bpe_trained_tokens",
+    SQL_BPE_TRAINED_TOKENS,
+    doc="trained BPE tokenizer (200 merges learned from corpus word frequencies): per-doc word count + lossless-roundtrip flag, both oracle-pinned",
+    tags=("text", "tokenizer"),
+)
+def q_bpe_trained_tokens(spark, sf_dir):
+    from ..operators.tokenizer import bpe_token_summary
+
+    d = t(spark, sf_dir, "documents")
+    return bpe_token_summary(d, n_merges=200, max_words=20_000).select(
+        "doc_id", "n_words", "roundtrip_ok"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Quality scoring: length/punctuation/stopword ratios, composite score
 
