@@ -45,8 +45,14 @@ GROUP BY l_returnflag, l_linestatus
 
 @register("pricing_summary", SQL_PRICING_SUMMARY, doc="TPC-H Q1-shape wide aggregate (flagship)", tags=("agg", "core"))
 def q_pricing_summary(spark, sf_dir):
-    l = t(spark, sf_dir, "lineitem").filter(
-        F.col("l_shipdate") <= F.lit("2000-12-01 00:00:00").cast("timestamp_ntz")
+    from .registry import widen
+
+    # All sums are exact decimals (order-independent), so widening the
+    # partial-agg stage past a coarse scan is parity-safe; no-op at scale.
+    l = widen(
+        t(spark, sf_dir, "lineitem").filter(
+            F.col("l_shipdate") <= F.lit("2000-12-01 00:00:00").cast("timestamp_ntz")
+        )
     )
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))

@@ -267,6 +267,22 @@ def dim_join(
     return fact.join(dim, on, how)
 
 
+def widen(df: DataFrame) -> DataFrame:
+    """Round-robin repartition a coarsely-split scan up to cluster
+    parallelism so CPU-heavy map-side work (wide decimal aggregates)
+    doesn't run on a handful of tasks. Strictly a coarse-input mitigation:
+    when the scan already yields at least half the cluster's parallelism
+    (any real lake at scale), this is a NO-OP — no exchange is added.
+    Round-robin is retry-safe (Spark sorts before repartitioning) and only
+    valid for order-insensitive consumers: exact decimal/integer
+    aggregates, never float sums."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() * 2 <= target:
+        return df.repartition(target)
+    return df
+
+
 def scalar_join(df: DataFrame, keycol: str, scalar: DataFrame) -> DataFrame:
     """Attach a 1-row aggregate (a global count, a min/max pair) to every row
     of ``df`` as a BroadcastHashJoin — never a nested-loop.
