@@ -215,3 +215,29 @@ def test_ema_weights_invariants():
         assert abs(w[0] - round(1_000_000 * a)) <= 1
         retained = 1.0 - (1.0 - a) ** 40
         assert abs(sum(w) / 1_000_000 - retained) < 0.001
+
+
+word_st = st.text(
+    alphabet=st.characters(blacklist_categories=("Zs", "Cc", "Cs")),
+    min_size=1,
+    max_size=12,
+)
+
+
+@_settings
+@given(words=st.dictionaries(word_st, st.integers(1, 50), min_size=1, max_size=30),
+       n_merges=st.integers(0, 40))
+def test_bpe_encoding_lossless_for_any_vocabulary(spark, words, n_merges):
+    """For ANY word-frequency table (arbitrary unicode, arbitrary merges),
+    training must terminate and encoding must be total and lossless —
+    re-joining a word's tokens (EOW stripped) reproduces the word."""
+    from marketpipe_spark.operators.tokenizer import EOW, bpe_encode_word, bpe_train
+
+    wf = spark.createDataFrame(list(words.items()), "word string, freq long")
+    merges = bpe_train(wf, n_merges=n_merges)
+    ranks = {p: i for i, p in enumerate(merges)}
+    for w in words:
+        enc = bpe_encode_word(w, ranks)
+        assert "".join(enc)[: -len(EOW)] == w
+        # a word is never more symbols than characters + the EOW marker
+        assert len(enc) <= len(w) + 1

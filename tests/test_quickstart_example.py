@@ -39,3 +39,19 @@ def test_analytics_tour_runs_end_to_end(spark, tmp_path, capsys):
     out = capsys.readouterr().out
     assert "analytics tour complete" in out
     assert "skip stats" in out
+
+
+def test_training_data_pipeline_runs_end_to_end(spark, tmp_path, capsys):
+    import importlib.util
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        "examples", "training_data_pipeline.py")
+    spec = importlib.util.spec_from_file_location("training_data_pipeline_example", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    out = mod.run(str(tmp_path), spark=spark)
+    printed = capsys.readouterr().out
+    assert out["exported"] > 0 and out["exported"] <= out["raw"]
+    assert set(out["splits"]) == {"train", "val", "test"}
+    assert "roundtrip OK" in printed and "pipeline complete" not in printed
