@@ -303,3 +303,113 @@ def duplicated_spans(
         )
         .withColumn("dup_frac", F.col("n_dup") / F.col("n_windows"))
     )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (beyond clean_documents' URL/email pass)
+
+#: Patterns shared verbatim with the DuckDB oracle — no lookarounds, so the
+#: same text compiles identically under Java regex (Spark) and RE2 (DuckDB).
+IPV4_RE = r"\b\d{1,3}(\.\d{1,3}){3}\b"
+CARD_RE = r"\b\d{4}-\d{4}-\d{4}-\d{4}\b"
+PHONE_RE = r"\+\d{1,3}[ -]\d{3}[ -]\d{3}[ -]?\d{2,4}"
+
+
+def scrub_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Mask emails, card-shaped numbers, IPv4 addresses, and international
+    phone numbers; count each class of redaction.
+
+    Extends :func:`clean_documents` (URL/email) with the remaining PII
+    classes a training-data pipeline redacts before tokenization. Each count
+    is taken on the text state that pattern actually sees (the
+    ``clean_documents`` precedent: a card number inside an already-masked
+    email local part must not double-count), and replacements are applied in
+    a fixed order — email → card → IPv4 → phone — chosen so no earlier
+    replacement token can be matched by a later pattern.
+
+    Map-only (no shuffle): four ``regexp_count`` + four ``regexp_replace``
+    JVM expressions inside one codegen stage. Adds ``n_emails``,
+    ``n_cards``, ``n_ips``, ``n_phones``, ``scrubbed_text``.
+    """
+    t0 = F.col(text_col)
+    t1 = F.regexp_replace(t0, EMAIL_RE, "<EMAIL>")
+    t2 = F.regexp_replace(t1, CARD_RE, "<CARD>")
+    t3 = F.regexp_replace(t2, IPV4_RE, "<IP>")
+    t4 = F.regexp_replace(t3, PHONE_RE, "<PHONE>")
+    return (
+        df.withColumn("n_emails", F.regexp_count(t0, F.lit(EMAIL_RE)).cast("long"))
+        .withColumn("n_cards", F.regexp_count(t1, F.lit(CARD_RE)).cast("long"))
+        .withColumn("n_ips", F.regexp_count(t2, F.lit(IPV4_RE)).cast("long"))
+        .withColumn("n_phones", F.regexp_count(t3, F.lit(PHONE_RE)).cast("long"))
+        .withColumn("scrubbed_text", t4)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-level exact segment dedup (the C4/RefinedWeb line-dedup family)
+
+def segment_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seg_tokens: int = 10,
+) -> DataFrame:
+    """Remove segments whose exact text already appeared earlier in the
+    corpus, rebuilding each document from its surviving segments.
+
+    The C4 pipeline deduplicates at *line* granularity across the whole
+    corpus (keep the first occurrence, drop every later one). The testdata
+    corpus has no line structure, so the segmentation unit here is a run of
+    ``seg_tokens`` whitespace tokens — the same operator shape with a
+    deterministic splitter. First occurrence is the (doc_id, seg_idx)
+    lexicographic minimum, a total order, so the kept set is unique under
+    any partitioning.
+
+    Returns one row per document: ``n_segments``, ``n_kept``, and
+    ``clean_text`` (surviving segments re-joined in document order; ``""``
+    when every segment was a repeat).
+
+    Scale shape (100 TB): tokenize + segment is map-only (array slice —
+    no per-token explode; rows inflate only by segments-per-doc ≈
+    n_tokens/seg_tokens); first-occurrence ranking is ONE hash shuffle
+    keyed by segment text (high-cardinality, self-balancing — a degenerate
+    corpus of one repeated segment is the only hot-key case, and that key
+    carries two longs per row); reconstruction is one shuffle back on the
+    unique doc id. Both aggregations take map-side partials.
+    """
+    from pyspark.sql.window import Window as W
+
+    t = F.split(F.trim(F.lower(F.col(text_col))), TOKEN_SPLIT_RE)
+    segs = (
+        df.select(F.col(id_col), t.alias("t"))
+        .select(
+            id_col,
+            F.explode(
+                F.expr(f"sequence(0, (size(t) + {seg_tokens - 1}) div {seg_tokens} - 1)")
+            ).alias("seg_idx"),
+            F.col("t"),
+        )
+        .select(
+            id_col,
+            "seg_idx",
+            F.array_join(
+                F.slice(F.col("t"), F.col("seg_idx") * seg_tokens + 1, seg_tokens), " "
+            ).alias("seg"),
+        )
+    )
+    w = W.partitionBy("seg").orderBy(id_col, "seg_idx")
+    marked = segs.withColumn("keep", F.row_number().over(w) == 1)
+    kept_struct = F.when(F.col("keep"), F.struct("seg_idx", "seg"))
+    return (
+        marked.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum(F.col("keep").cast("long")).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)), lambda s: s["seg"]
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+    )

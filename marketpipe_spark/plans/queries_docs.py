@@ -989,3 +989,205 @@ def q_profile_documents(spark, sf_dir):
         F.min("val").alias("min_str"),
         F.max("val").alias("max_str"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing. The driver corpus contains no PII (word-soup text, no
+# digits), so the entry PLANTS deterministic PII into a third of the
+# documents — identical string construction on both engines — and verifies
+# the scrub counts and the masked text value-for-value. The operator itself
+# (textclean.scrub_pii) is pattern-for-pattern the production path.
+
+from ..operators.textclean import CARD_RE, EMAIL_RE, IPV4_RE, PHONE_RE  # noqa: E402
+
+_PII_PLANT_SQL = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com "
+    "via +1 555 123 4567 from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || "
+    "'.1 card 4111-1111-1111-1111'"
+)
+
+SQL_PII_SCRUB = f"""
+WITH planted AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN {_PII_PLANT_SQL} ELSE text END AS text
+  FROM documents
+), s AS (
+  SELECT doc_id, text,
+         regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g') AS t1
+  FROM planted
+), s2 AS (
+  SELECT *, regexp_replace(t1, '{CARD_RE}', '<CARD>', 'g') AS t2 FROM s
+), s3 AS (
+  SELECT *, regexp_replace(t2, '{IPV4_RE}', '<IP>', 'g') AS t3 FROM s2
+), s4 AS (
+  SELECT *, regexp_replace(t3, '{PHONE_RE}', '<PHONE>', 'g') AS t4 FROM s3
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{EMAIL_RE}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(t1, '{CARD_RE}')) AS BIGINT) AS n_cards,
+       CAST(len(regexp_extract_all(t2, '{IPV4_RE}')) AS BIGINT) AS n_ips,
+       CAST(len(regexp_extract_all(t3, '{PHONE_RE}')) AS BIGINT) AS n_phones,
+       CAST(length(t4) AS BIGINT) AS clean_len,
+       t4 AS scrubbed_text
+FROM s4
+"""
+
+
+@register(
+    "pii_scrub",
+    SQL_PII_SCRUB,
+    doc="PII redaction (email/card/IPv4/phone) with per-class counts; deterministic planted PII since the driver corpus has none",
+    tags=("text", "cleaning"),
+)
+def q_pii_scrub(spark, sf_dir):
+    from ..operators.textclean import scrub_pii
+
+    d = t(spark, sf_dir, "documents")
+    planted = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com via +1 555 123 4567 from 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".1 card 4111-1111-1111-1111"),
+        ),
+    ).otherwise(F.col("text"))
+    out = scrub_pii(d.select("doc_id", planted.alias("text")))
+    return out.select(
+        "doc_id",
+        "n_emails",
+        "n_cards",
+        "n_ips",
+        "n_phones",
+        F.length("scrubbed_text").cast("long").alias("clean_len"),
+        "scrubbed_text",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-level exact segment dedup (C4's line-dedup shape). seg_tokens=3 on
+# this corpus: the testdata vocabulary is ~30 words, so 3-token segments
+# actually collide across documents and the keep/drop logic is exercised;
+# the production default (10) would make every segment unique here.
+
+SQL_SEGMENT_DEDUP = r"""
+WITH tok AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents
+), segs AS (
+  SELECT doc_id, unnest(range((len(t) + 2) // 3)) AS seg_idx, t FROM tok
+), seg AS (
+  SELECT doc_id, seg_idx,
+         array_to_string(list_slice(t, seg_idx * 3 + 1, (seg_idx + 1) * 3), ' ') AS seg
+  FROM segs
+), marked AS (
+  SELECT doc_id, seg_idx, seg,
+         ROW_NUMBER() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) = 1 AS keep
+  FROM seg
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_segments,
+       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       COALESCE(string_agg(seg, ' ' ORDER BY seg_idx) FILTER (WHERE keep), '') AS clean_text
+FROM marked GROUP BY doc_id
+"""
+
+
+@register(
+    "segment_dedup",
+    SQL_SEGMENT_DEDUP,
+    doc="corpus-level exact segment dedup (C4 line-dedup shape): keep first occurrence, rebuild documents",
+    tags=("dedup", "cleaning"),
+)
+def q_segment_dedup(spark, sf_dir):
+    from ..operators.textclean import segment_dedup
+
+    return segment_dedup(t(spark, sf_dir, "documents"), seg_tokens=3)
+
+
+# ---------------------------------------------------------------------------
+# Bigram language model + per-document surprisal (the CCNet/KenLM quality
+# family): train add-one-smoothed bigram counts on the corpus itself, score
+# every document's average negative log-probability. High xent = unusual
+# word sequences (spam/garbled); low = boilerplate. Everything before the
+# final ln() is exact integer arithmetic; the per-(doc,bigram) float terms
+# are micro-floored to BIGINT before summation (the tfidf/bm25 precedent),
+# so per-doc totals are order-independent and cross-engine bit-stable.
+
+SQL_LM_PERPLEXITY = r"""
+WITH tok AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents
+), big AS (
+  SELECT doc_id, unnest(range(1, len(t))) AS i, t FROM tok WHERE len(t) >= 2
+), bg AS (
+  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2 FROM big
+), inst AS (
+  SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS m FROM bg GROUP BY 1, 2, 3
+), c12 AS (
+  SELECT w1, w2, CAST(SUM(m) AS BIGINT) AS c12 FROM inst GROUP BY 1, 2
+), c1 AS (
+  SELECT w1, CAST(SUM(m) AS BIGINT) AS c1 FROM inst GROUP BY 1
+), vocab AS (
+  SELECT CAST(COUNT(DISTINCT token) AS BIGINT) AS v
+  FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token FROM documents)
+), scored AS (
+  SELECT inst.doc_id, inst.m,
+         CAST(FLOOR(inst.m * ln(CAST(c12.c12 + 1 AS DOUBLE) / (c1.c1 + vocab.v)) * 1000000) AS BIGINT) AS term_micro
+  FROM inst JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN vocab
+)
+SELECT doc_id,
+       CAST(SUM(m) AS BIGINT) AS n_bigrams,
+       CAST(-SUM(term_micro) AS BIGINT) AS nll_micro,
+       CAST(FLOOR(CAST(-SUM(term_micro) AS DOUBLE) / SUM(m)) AS BIGINT) AS xent_micro
+FROM scored GROUP BY doc_id
+"""
+
+
+@register(
+    "lm_perplexity",
+    SQL_LM_PERPLEXITY,
+    doc="add-one-smoothed bigram LM trained on the corpus; per-document surprisal (micro-nats, order-independent fixed-point)",
+    tags=("text", "quality", "lm"),
+)
+def q_lm_perplexity(spark, sf_dir):
+    from .registry import dim_join, scalar_join
+
+    d = t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split(F.trim(F.lower(F.col("text"))), TOKEN_SPLIT_RE).alias("t"))
+    bg = (
+        toks.filter(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr("transform(sequence(1, size(t) - 1), i -> struct(t[i-1] AS w1, t[i] AS w2))")
+            ).alias("b"),
+        )
+        .select("doc_id", "b.w1", "b.w2")
+    )
+    inst = bg.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("m"))
+    # Model counts are vocabulary-scale (V and V² bounded), not corpus-scale:
+    # both roll up from `inst`, which the (doc,w1,w2) pre-agg has already
+    # shrunk, and both get map-side partials.
+    c12 = inst.groupBy("w1", "w2").agg(F.sum("m").alias("c12"))
+    c1 = inst.groupBy("w1").agg(F.sum("m").alias("c1"))
+    vocab = d.select(
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), TOKEN_SPLIT_RE)).alias("token")
+    ).agg(F.countDistinct("token").alias("v"))
+    j = dim_join(dim_join(inst, c12, ["w1", "w2"]), c1, "w1")
+    j = scalar_join(j, "doc_id", vocab)
+    # Identical IEEE evaluation order to the oracle: m * ln((c12+1)/(c1+v)) * 1e6.
+    term_micro = F.floor(
+        F.col("m")
+        * F.log((F.col("c12") + 1).cast("double") / (F.col("c1") + F.col("v")))
+        * F.lit(1000000)
+    ).cast("long")
+    per_doc = j.select("doc_id", "m", term_micro.alias("term_micro")).groupBy("doc_id").agg(
+        F.sum("m").alias("n_bigrams"), (-F.sum("term_micro")).alias("nll_micro")
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_bigrams",
+        "nll_micro",
+        F.floor(F.col("nll_micro").cast("double") / F.col("n_bigrams")).cast("long").alias("xent_micro"),
+    )

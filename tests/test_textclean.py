@@ -205,3 +205,63 @@ def test_duplicated_spans_hash_families_agree(spark):
     a = sorted(map(tuple, duplicated_spans(df, window=10, hash_family="xxhash64").collect()))
     b = sorted(map(tuple, duplicated_spans(df, window=10, hash_family="md5_60").collect()))
     assert a == b
+
+
+def test_scrub_pii_masks_and_counts_each_class(spark):
+    from marketpipe_spark.operators.textclean import scrub_pii
+
+    rows = [
+        (1, "mail me at jo.doe+x@corp.example.org or visit 192.168.1.10"),
+        (2, "card 4111-1111-1111-1111 backup 5500-0000-0000-0004 tel +44 207 946 0958"),
+        (3, "nothing sensitive here"),
+        (4, "a@b.io b@c.io"),  # two emails
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in scrub_pii(df).collect()}
+    assert (out[1].n_emails, out[1].n_ips) == (1, 1)
+    assert "<EMAIL>" in out[1].scrubbed_text and "<IP>" in out[1].scrubbed_text
+    assert "jo.doe" not in out[1].scrubbed_text and "192.168" not in out[1].scrubbed_text
+    assert (out[2].n_cards, out[2].n_phones) == (2, 1)
+    assert out[2].scrubbed_text.count("<CARD>") == 2 and "<PHONE>" in out[2].scrubbed_text
+    assert (out[3].n_emails, out[3].n_cards, out[3].n_ips, out[3].n_phones) == (0, 0, 0, 0)
+    assert out[3].scrubbed_text == out[3].text
+    assert out[4].n_emails == 2 and out[4].scrubbed_text == "<EMAIL> <EMAIL>"
+
+
+def test_scrub_pii_no_double_counting_across_classes(spark):
+    from marketpipe_spark.operators.textclean import scrub_pii
+
+    # The card digits sit inside an email local part: the email mask removes
+    # them first, so the card pattern must see nothing.
+    df = spark.createDataFrame(
+        [(1, "x4111-1111-1111-1111@spam.example.com")], "doc_id long, text string"
+    )
+    r = scrub_pii(df).collect()[0]
+    assert (r.n_emails, r.n_cards) == (1, 0)
+    assert r.scrubbed_text == "<EMAIL>"
+
+
+def test_segment_dedup_keeps_first_occurrence_and_rebuilds(spark):
+    from marketpipe_spark.operators.textclean import segment_dedup
+
+    seg = "alpha beta gamma delta epsilon zeta eta theta iota kappa"  # 10 tokens
+    rows = [
+        (1, seg + " unique one two three four five six seven eight nine"),
+        (2, seg),                                    # exact repeat of doc 1's first segment
+        (3, "totally different words " + "x " * 6),  # no repeats
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in segment_dedup(df, seg_tokens=10).collect()}
+    assert out[1].n_segments == 2 and out[1].n_kept == 2
+    assert out[2].n_segments == 1 and out[2].n_kept == 0 and out[2].clean_text == ""
+    assert out[3].n_kept == out[3].n_segments
+    assert out[1].clean_text.startswith("alpha beta")
+
+
+def test_segment_dedup_partition_invariant(spark):
+    from marketpipe_spark.operators.textclean import segment_dedup
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = sorted(map(tuple, segment_dedup(df, seg_tokens=3).collect()))
+    b = sorted(map(tuple, segment_dedup(df.repartition(13), seg_tokens=3).collect()))
+    assert a == b
