@@ -737,6 +737,7 @@ def embedding_near_duplicates_lsh(
     n_planes: int = 12,
     n_tables: int = 16,
     max_bucket: int = 10_000,
+    plane_family: str = "pcg64",
 ) -> DataFrame:
     """Sub-quadratic embedding near-dup: hyperplane-LSH candidate buckets +
     exact rescore — the scale path :func:`embedding_near_duplicates` fails
@@ -750,10 +751,18 @@ def embedding_near_duplicates_lsh(
     probability for angle θ is (1 − θ/π)^n_planes; at threshold 0.95
     (θ ≈ 18°) the 16-table OR reaches ≈ 0.997 recall. ``max_bucket`` drops
     degenerate buckets (B² pair blowup), the standard LSH skew cap.
+
+    ``plane_family="md5"`` swaps the plane matrix for the md5-derived one
+    (similarity.md5_plane_matrix) with ordered-in-d fold projections, making
+    the WHOLE pipeline — buckets, candidates, rescore — reproducible
+    value-for-value in external SQL (the lsh_topk oracle precedent).
+    Production default stays ``pcg64`` + BLAS.
     """
     from .similarity import exact_pair_cosine, hyperplane_buckets
 
-    bk = hyperplane_buckets(emb, n_planes, id_col, vec_col, n_tables=n_tables)
+    bk = hyperplane_buckets(
+        emb, n_planes, id_col, vec_col, n_tables=n_tables, plane_family=plane_family
+    )
     sizes = bk.groupBy("table_id", "bucket").agg(F.count(F.lit(1)).alias("_n"))
     bk = bk.join(sizes.filter(F.col("_n") <= max_bucket), ["table_id", "bucket"]).drop("_n")
     a = bk.select(F.col(id_col).alias("id_a"), "table_id", "bucket")

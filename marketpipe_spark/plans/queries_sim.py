@@ -490,3 +490,80 @@ def q_label_centroids(spark, sf_dir):
 
     e = t(spark, sf_dir, "embeddings")
     return group_centroids(e, "label")
+
+
+# ---------------------------------------------------------------------------
+# LSH embedding near-dup — the scale path embedding_near_duplicates fails
+# over to, promoted to a first-class oracle-verified entry. The driver
+# corpus has no true near-duplicates (max pairwise cosine ≈ 0.51), so the
+# entry PLANTS exact duplicates (every 97th vector re-appears under
+# vec_id + 10M — identical construction on both engines) and detects them
+# at threshold 0.99. Exact duplicates project to identical sign buckets in
+# every table, so recall is 1 by construction and the output is exactly the
+# planted pair set with bit-stable cosines; the FULL pipeline — md5 plane
+# matrix, sign buckets, skew cap, candidate join, sequential-fold rescore —
+# runs on both engines (the lsh_topk oracle precedent, 12 planes x 8
+# tables here).
+
+SQL_EMBEDDING_NEAR_DUP_LSH = """
+WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+allv AS (
+  SELECT vec_id, emb FROM base
+  UNION ALL
+  SELECT vec_id + 10000000 AS vec_id, emb FROM base WHERE vec_id % 97 = 0
+),
+v AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM allv),
+pl AS (
+  SELECT pp.p,
+         list((CAST(('0x' || substr(md5(dd.d || ':' || pp.p), 1, 15)) AS BIGINT)
+               / 576460752303423488.0) - 1.0 ORDER BY dd.d) AS pw
+  FROM (SELECT unnest(range(96)) AS p) pp, (SELECT unnest(range(64)) AS d) dd
+  GROUP BY pp.p
+),
+bk AS (
+  SELECT vec_id, p // 12 AS table_id,
+         CAST(SUM(CASE WHEN list_dot_product(emb, pw) > 0
+                       THEN (CAST(1 AS BIGINT) << CAST(p % 12 AS INT))
+                       ELSE 0 END) AS BIGINT) AS bucket
+  FROM v CROSS JOIN pl
+  GROUP BY vec_id, p // 12
+),
+sz AS (SELECT table_id, bucket, COUNT(*) AS n FROM bk GROUP BY 1, 2),
+bk2 AS (
+  SELECT bk.vec_id, bk.table_id, bk.bucket
+  FROM bk JOIN sz USING (table_id, bucket) WHERE sz.n <= 10000
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM bk2 a JOIN bk2 b ON a.table_id = b.table_id AND a.bucket = b.bucket
+  WHERE a.vec_id < b.vec_id
+)
+SELECT id_a, id_b,
+       list_dot_product(qv.emb, nv.emb) / (qv.nrm * nv.nrm) AS cosine
+FROM cand
+JOIN v qv ON qv.vec_id = id_a
+JOIN v nv ON nv.vec_id = id_b
+WHERE list_dot_product(qv.emb, nv.emb) / (qv.nrm * nv.nrm) >= 0.99
+"""
+
+
+@register(
+    "embedding_near_dup_lsh",
+    SQL_EMBEDDING_NEAR_DUP_LSH,
+    doc="sub-quadratic LSH embedding near-dup (12 planes x 8 tables, skew cap, exact rescore) over planted exact duplicates; full pipeline oracle-verified under md5 planes",
+    tags=("dedup", "similarity"),
+)
+def q_embedding_near_dup_lsh(spark, sf_dir):
+    from ..operators.dedup import embedding_near_duplicates_lsh
+
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = emb.filter(F.col("vec_id") % 97 == 0).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding"
+    )
+    return embedding_near_duplicates_lsh(
+        emb.unionByName(planted),
+        threshold=0.99,
+        n_planes=12,
+        n_tables=8,
+        plane_family="md5",
+    )

@@ -490,3 +490,24 @@ def test_embedding_near_dup_scale_guard(emb):
         for r in embedding_near_duplicates_lsh(emb, threshold=0.9).collect()
     }
     assert direct == lsh
+
+
+def test_embedding_lsh_plane_families_find_all_exact_duplicates(spark):
+    from pyspark.sql import functions as F
+
+    from marketpipe_spark.operators.dedup import embedding_near_duplicates_lsh
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    planted = emb.filter(F.col("vec_id") % 97 == 0).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding", "label"
+    )
+    allv = emb.unionByName(planted)
+    expected = {(r.vec_id - 10_000_000, r.vec_id) for r in planted.collect()}
+    # An exact duplicate projects to identical sign buckets in EVERY table,
+    # so recall on the planted set is 1 under any plane family.
+    for fam in ("pcg64", "md5"):
+        out = embedding_near_duplicates_lsh(
+            allv, threshold=0.99, n_planes=12, n_tables=8, plane_family=fam
+        )
+        pairs = {(r.id_a, r.id_b) for r in out.collect()}
+        assert pairs == expected, fam
