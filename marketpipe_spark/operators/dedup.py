@@ -831,3 +831,87 @@ def edit1_token_pairs(
     return cand.filter(dist <= max_dist).select(
         "tok_a", "tok_b", dist.cast("long").alias("dist")
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup-style semantic dedup (cluster, then prune within cluster)
+
+def semantic_dedup(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_cells: int = 16,
+    refine_iters: int = 3,
+    max_cell: int = 100_000,
+) -> DataFrame:
+    """Semantic dedup over an embedding column (the SemDeDup recipe,
+    Abbas et al. 2023): k-means-cluster the embedding space, then within
+    each cluster drop every vector that has a smaller-id neighbor with
+    cosine ≥ ``threshold``. Returns one row per vector:
+    ``(id, cell_id, keep)``.
+
+    Distinct from :func:`embedding_near_duplicates` (exact all-pairs) and
+    :func:`embedding_near_duplicates_lsh` (bucketed candidates): here the
+    blocking is LEARNED — near-identical vectors cluster together, so the
+    quadratic term is confined to one cluster, and the keep decision is the
+    dedup policy itself (first occurrence by id survives), not a pair list.
+
+    Scale shape (100 TB): the coarse quantizer is
+    :func:`similarity.kmeans_centroids` (deterministic, distributed,
+    only centroid matrices move); assignment is one map-only vectorized
+    pass; the prune is ``applyInPandas`` per cell — one shuffle keyed by
+    cell_id. Size ``n_cells`` ≈ corpus_rows / target_cell_rows so each
+    cell's O(|cell|²) sim matrix fits a task (~10⁴ rows/cell ⇒ 800 MB of
+    float64 sims at the default cap); a cell larger than ``max_cell``
+    fails fast inside its task rather than OOMing.
+
+    Determinism: assignment depends only on vector values (identical
+    vectors land in the same cell under any partitioning); the drop rule is
+    evaluated against the id-sorted in-cell sim matrix, a total order.
+    Cosines here come from BLAS matmul (≈1e-15 reordering wobble vs the
+    sequential fold) — callers pinning a knife-edge threshold should
+    rescore pairs with ``similarity.exact_pair_cosine``.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from .similarity import kmeans_centroids, spread
+
+    c_mat = kmeans_centroids(emb, n_cells, refine_iters, id_col, vec_col)
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack(pdf["v"].to_numpy())
+            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            cells = np.argmax(mat @ c_mat.T, axis=1)
+            yield pd.DataFrame(
+                {"id": pdf["id"].to_numpy(), "cell_id": cells.astype("int64"), "v": pdf["v"]}
+            )
+
+    def prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) > max_cell:
+            raise ValueError(
+                f"semantic_dedup: cell {int(pdf['cell_id'].iloc[0])} holds "
+                f"{len(pdf)} vectors (> max_cell={max_cell}); raise n_cells "
+                "so the per-cell sim matrix stays task-sized."
+            )
+        ids = pdf["id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        mat = np.stack(pdf["v"].to_numpy())[order]
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        sims = mat @ mat.T
+        drop = np.tril(sims >= threshold, k=-1).any(axis=1)
+        return pd.DataFrame(
+            {"id": ids, "cell_id": pdf["cell_id"].iloc[0], "keep": ~drop}
+        )
+
+    v = spread(emb, id_col).select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    assigned = v.mapInPandas(assign, "id long, cell_id long, v array<double>")
+    out = assigned.groupBy("cell_id").applyInPandas(prune, "id long, cell_id long, keep boolean")
+    return out.select(F.col("id").alias(id_col), "cell_id", "keep")

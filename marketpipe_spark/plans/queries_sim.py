@@ -567,3 +567,39 @@ def q_embedding_near_dup_lsh(spark, sf_dir):
         n_tables=8,
         plane_family="md5",
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup semantic dedup. kmeans cell ids are not SQL-reproducible (float
+# centroid refinement), so the entry verifies the POLICY output end-to-end
+# on the planted-duplicate corpus (the embedding_near_dup_lsh construction):
+# an exact duplicate lands in its original's cell under any partitioning
+# (assignment depends only on vector values) with cosine ≈ 1 ≥ 0.95, so the
+# copy (larger id) must be dropped; natural pairs top out at cosine ≈ 0.51,
+# so every original must survive. The oracle pins that exact keep/drop set —
+# a broken quantizer, assignment, or prune rule flips rows red.
+
+SQL_SEMANTIC_DEDUP = """
+SELECT vec_id, TRUE AS keep FROM embeddings
+UNION ALL
+SELECT vec_id + 10000000 AS vec_id, FALSE AS keep FROM embeddings WHERE vec_id % 97 = 0
+"""
+
+
+@register(
+    "semantic_dedup",
+    SQL_SEMANTIC_DEDUP,
+    doc="SemDeDup semantic dedup (deterministic kmeans cells + in-cell smaller-id prune) over planted exact duplicates; keep/drop set oracle-pinned",
+    tags=("dedup", "similarity"),
+)
+def q_semantic_dedup(spark, sf_dir):
+    from ..operators.dedup import semantic_dedup
+
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = emb.filter(F.col("vec_id") % 97 == 0).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding"
+    )
+    out = semantic_dedup(
+        emb.unionByName(planted), threshold=0.95, n_cells=16, refine_iters=3
+    )
+    return out.select("vec_id", "keep")

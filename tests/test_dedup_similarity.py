@@ -511,3 +511,40 @@ def test_embedding_lsh_plane_families_find_all_exact_duplicates(spark):
         )
         pairs = {(r.id_a, r.id_b) for r in out.collect()}
         assert pairs == expected, fam
+
+
+def test_semantic_dedup_drops_in_cell_near_duplicates(spark):
+    from pyspark.sql import functions as F
+
+    from marketpipe_spark.operators.dedup import semantic_dedup
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    planted = emb.filter(F.col("vec_id") % 97 == 0).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding"
+    )
+    out = semantic_dedup(emb.unionByName(planted), threshold=0.95, n_cells=8)
+    rows = {r.vec_id: r for r in out.collect()}
+    n_base = emb.count()
+    assert len(rows) == n_base + planted.count()
+    for r in rows.values():
+        if r.vec_id >= 10_000_000:
+            assert not r.keep                                  # the copy is dropped...
+            assert r.cell_id == rows[r.vec_id - 10_000_000].cell_id  # ...from its original's cell
+        else:
+            assert r.keep                                      # originals survive
+
+
+def test_semantic_dedup_cell_guard_fails_fast(spark):
+    import pytest
+    from pyspark.errors.exceptions.captured import PythonException
+
+    from marketpipe_spark.operators.dedup import semantic_dedup
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    # n_cells=1 puts every vector in one cell, which must trip max_cell.
+    with pytest.raises(PythonException, match="max_cell"):
+        semantic_dedup(emb, n_cells=1, refine_iters=0, max_cell=10).collect()
