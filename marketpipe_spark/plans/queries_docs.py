@@ -1191,3 +1191,73 @@ def q_lm_perplexity(spark, sf_dir):
         "nll_micro",
         F.floor(F.col("nll_micro").cast("double") / F.col("n_bigrams")).cast("long").alias("xent_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Linear quality classifier — the fasttext-shaped stage that sits after the
+# heuristic quality_score rules in a real pipeline: hand-crafted features
+# through a FIXED logistic model (published-weights pattern; the sandbox has
+# no fasttext, and the point is the plan shape, not the weights). Every
+# feature is map-only (no shuffle anywhere), and the sigmoid is
+# micro-floored for cross-libm stability (exp/ln precedent).
+
+#: Fixed logistic weights: bias, stopword_ratio, avg_word_len, dup_ratio,
+#: ln(n_tokens). Shared literal-for-literal with the oracle SQL.
+QC_WEIGHTS = (-2.0, 3.0, 0.4, -2.5, 0.2)
+
+SQL_QUALITY_CLASSIFIER = rf"""
+WITH f AS (
+  SELECT doc_id,
+         CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct(regexp_split_to_array(trim(lower(text)), '\s+'))) AS BIGINT) AS n_distinct,
+         CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is)\b')) AS BIGINT) AS n_stop,
+         CAST(length(regexp_replace(text, '\s', '', 'g')) AS BIGINT) AS n_word_chars
+  FROM documents
+), s AS (
+  SELECT doc_id, n_tokens,
+         {QC_WEIGHTS[0]} + {QC_WEIGHTS[1]} * (CAST(n_stop AS DOUBLE) / n_tokens)
+                         + {QC_WEIGHTS[2]} * (CAST(n_word_chars AS DOUBLE) / n_tokens)
+                         + ({QC_WEIGHTS[3]}) * (1.0 - CAST(n_distinct AS DOUBLE) / n_tokens)
+                         + {QC_WEIGHTS[4]} * ln(CAST(n_tokens AS DOUBLE)) AS z
+  FROM f
+)
+SELECT doc_id, n_tokens,
+       CAST(FLOOR(1000000 / (1 + exp(-z))) AS BIGINT) AS prob_micro,
+       CAST(FLOOR(1000000 / (1 + exp(-z))) AS BIGINT) >= 500000 AS keep
+FROM s
+"""
+
+
+@register(
+    "quality_classifier",
+    SQL_QUALITY_CLASSIFIER,
+    doc="fixed-weight logistic quality classifier over map-only features (stopword/word-len/dup ratios, log length); micro-floored sigmoid",
+    tags=("text", "quality"),
+)
+def q_quality_classifier(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower(F.col("text"))), TOKEN_SPLIT_RE)
+    f = d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+        F.regexp_count(F.lower(F.col("text")), F.lit(STOPWORDS_RE)).cast("long").alias("n_stop"),
+        F.length(F.regexp_replace(F.col("text"), r"\s", "")).cast("long").alias("n_word_chars"),
+    )
+    w0, w1, w2, w3, w4 = QC_WEIGHTS
+    # Identical IEEE evaluation order to the oracle: left-to-right sum of
+    # the four weighted terms onto the bias.
+    z = (
+        F.lit(w0)
+        + F.lit(w1) * (F.col("n_stop").cast("double") / F.col("n_tokens"))
+        + F.lit(w2) * (F.col("n_word_chars").cast("double") / F.col("n_tokens"))
+        + F.lit(w3) * (F.lit(1.0) - F.col("n_distinct").cast("double") / F.col("n_tokens"))
+        + F.lit(w4) * F.log(F.col("n_tokens").cast("double"))
+    )
+    prob_micro = F.floor(F.lit(1000000) / (F.lit(1) + F.exp(-z))).cast("long")
+    return f.select(
+        "doc_id",
+        "n_tokens",
+        prob_micro.alias("prob_micro"),
+        (prob_micro >= 500000).alias("keep"),
+    )
