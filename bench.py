@@ -112,6 +112,13 @@ EXTRA = [
     "twap",
     "symbol_beta",
     "return_correlations",
+    # round-5 additions
+    "pii_scrub",
+    "segment_dedup",
+    "lm_perplexity",
+    "quality_classifier",
+    "embedding_near_dup_lsh",
+    "semantic_dedup",
 ]
 
 #: The heavier LLM-pipeline operators (LSH/minhash/multimodal) stay out of
