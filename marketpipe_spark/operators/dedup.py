@@ -656,7 +656,7 @@ def embedding_near_duplicates(
     if n > max_exact_rows and on_exceed != "exact":
         if on_exceed == "lsh":
             return embedding_near_duplicates_lsh(
-                emb, id_col=id_col, vec_col=vec_col, threshold=threshold
+                emb, id_col=id_col, vec_col=vec_col, threshold=threshold, n_rows=n
             )
         raise ValueError(
             f"embedding_near_duplicates: {n} rows exceeds max_exact_rows="
@@ -734,10 +734,11 @@ def embedding_near_duplicates_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
-    n_planes: int = 12,
+    n_planes: int | None = None,
     n_tables: int = 16,
     max_bucket: int = 10_000,
     plane_family: str = "pcg64",
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Sub-quadratic embedding near-dup: hyperplane-LSH candidate buckets +
     exact rescore — the scale path :func:`embedding_near_duplicates` fails
@@ -757,9 +758,25 @@ def embedding_near_duplicates_lsh(
     the WHOLE pipeline — buckets, candidates, rescore — reproducible
     value-for-value in external SQL (the lsh_topk oracle precedent).
     Production default stays ``pcg64`` + BLAS.
+
+    **Plane count must grow with the corpus**: at fixed ``n_planes`` the
+    per-bucket occupancy grows like n/2^n_planes, so candidate pairs grow
+    ~quadratically (the r5 scale sweep measured ×13.8 time per ×4 rows at a
+    pinned 12 planes). The default ``n_planes=None`` auto-tunes to
+    ``ceil(log2(n / 2))`` clamped to [8, 30] — constant expected bucket
+    occupancy, so candidate volume stays ~linear in n. ``n_rows`` supplies
+    n from parquet footer metadata / catalog stats (zero jobs;
+    plans.parquet_num_rows); without it a ``count()`` runs — fine
+    interactively, an extra full pass at 100 TB. Pin ``n_planes``
+    explicitly only when an external oracle must reproduce the buckets.
     """
+    import math
+
     from .similarity import exact_pair_cosine, hyperplane_buckets
 
+    if n_planes is None:
+        n = emb.count() if n_rows is None else n_rows
+        n_planes = min(30, max(8, math.ceil(math.log2(max(n, 2) / 2))))
     bk = hyperplane_buckets(
         emb, n_planes, id_col, vec_col, n_tables=n_tables, plane_family=plane_family
     )

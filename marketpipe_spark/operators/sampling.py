@@ -141,3 +141,36 @@ def length_outliers(df: DataFrame, group_col: str = "source",
         .filter((F.col("bucket") == 1) | (F.col("bucket") == n_buckets))
         .select(id_col, group_col, length_col, "bucket")
     )
+
+
+def training_order(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_shards: int = 16,
+    salt: str = "shuffle-v1",
+) -> DataFrame:
+    """Deterministic global pseudorandom shuffle + shard assignment — the
+    final stage before export: training jobs want documents in a fixed
+    random-looking order, reproducible across runs, engines, and cluster
+    layouts (``df.orderBy(rand())`` gives none of that).
+
+    Each row's shard and position derive ONLY from its id: shard =
+    ``md5_60(salt|id) mod n_shards``; position = rank of a second
+    independent hash within the shard (id as the tie-break for the ~2⁻⁶⁰
+    collision case, making the order a total order). Returns
+    ``(id, shard, pos)`` to join back onto the payload or feed
+    ``export_jsonl(partition_cols=["shard"])``.
+
+    Scale shape (100 TB): one map-only hash pass, one exchange keyed by
+    shard, one per-shard sort — the sort is the cost, so ``n_shards``
+    scales with the corpus to keep shards task-sized (10⁹ docs / 10⁴
+    shards ≈ 10⁵ rows per sort). Uniform hashing makes shard skew
+    negligible by construction.
+    """
+    shard = F.pmod(_row_hash(id_col, salt), F.lit(n_shards)).cast("long")
+    order = _row_hash(id_col, salt + ":order")
+    w = W.partitionBy("shard").orderBy(order, F.col(id_col))
+    return (
+        df.select(F.col(id_col), shard.alias("shard"))
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+    )

@@ -1261,3 +1261,34 @@ def q_quality_classifier(spark, sf_dir):
         prob_micro.alias("prob_micro"),
         (prob_micro >= 500000).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic training-order shuffle + shard assignment — the stage that
+# feeds export_jsonl(partition_cols=["shard"]). Shard and position are pure
+# functions of the row id (two independent md5_60 hashes), so the "random"
+# order is reproducible across runs, engines, and cluster layouts.
+
+SQL_SHUFFLE_SHARD = f"""
+WITH h AS (
+  SELECT doc_id,
+         {_h60_sql('shuffle-v1')} % 16 AS shard,
+         {_h60_sql('shuffle-v1:order')} AS ord
+  FROM documents
+)
+SELECT doc_id, shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY ord, doc_id) AS BIGINT) AS pos
+FROM h
+"""
+
+
+@register(
+    "shuffle_shard",
+    SQL_SHUFFLE_SHARD,
+    doc="deterministic global pseudorandom training order: hash-derived shard (16) + in-shard position, reproducible across engines",
+    tags=("sampling", "export"),
+)
+def q_shuffle_shard(spark, sf_dir):
+    from ..operators.sampling import training_order
+
+    return training_order(t(spark, sf_dir, "documents"), n_shards=16, salt="shuffle-v1")

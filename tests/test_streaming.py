@@ -435,3 +435,45 @@ def test_highwater_dedup_group_spanning_arrow_chunks(spark, tmp_path):
         assert by_ts[DAY1 + 50 * NS_MIN].close == 999.0  # keep-LAST across chunks
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
+def test_streaming_curation_matches_batch(spark, tmp_path):
+    """Map-only curation ops (PII scrub + quality features) run unchanged
+    under Structured Streaming: stream the documents table through
+    scrub_pii file-by-file and compare against the batch pass row-for-row.
+    At 100 TB this is the continuous-ingest curation leg — the SAME operator
+    serves both modes because it contains no shuffle."""
+    from pyspark.sql import functions as F
+
+    from marketpipe_spark.operators.textclean import scrub_pii
+
+    src = str(tmp_path / "docs_in")
+    out = str(tmp_path / "docs_out")
+    ck = str(tmp_path / "ck")
+    batch_df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(60)
+    # plant one email so the scrub does real work in-stream
+    batch_df = batch_df.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" ping a@b.io"))).otherwise(
+            F.col("text")
+        ),
+    )
+    batch_df.repartition(3).write.parquet(src)
+
+    stream = scrub_pii(
+        spark.readStream.schema(batch_df.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    ).select("doc_id", "n_emails", "scrubbed_text")
+    (
+        stream.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(120)
+    )
+    got = sorted(map(tuple, spark.read.parquet(out).collect()))
+    want = sorted(
+        map(tuple, scrub_pii(batch_df).select("doc_id", "n_emails", "scrubbed_text").collect())
+    )
+    assert got == want
+    assert sum(r[1] for r in got) == 12  # the planted emails were scrubbed in-stream

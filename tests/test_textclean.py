@@ -265,3 +265,20 @@ def test_segment_dedup_partition_invariant(spark):
     a = sorted(map(tuple, segment_dedup(df, seg_tokens=3).collect()))
     b = sorted(map(tuple, segment_dedup(df.repartition(13), seg_tokens=3).collect()))
     assert a == b
+
+
+def test_scrub_pii_idempotent(spark):
+    """Scrubbing already-scrubbed text must be a no-op: replacement tokens
+    contain no digits or @-addresses, so no pattern can re-fire."""
+    from marketpipe_spark.operators.textclean import scrub_pii
+
+    rows = [
+        (1, "a@b.io 10.0.0.1 +1 555 123 4567 card 4111-1111-1111-1111"),
+        (2, "plain text"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    once = scrub_pii(df).select("doc_id", F.col("scrubbed_text").alias("text"))
+    twice = {r.doc_id: r for r in scrub_pii(once).collect()}
+    for r in twice.values():
+        assert (r.n_emails, r.n_cards, r.n_ips, r.n_phones) == (0, 0, 0, 0)
+        assert r.scrubbed_text == r.text
