@@ -119,6 +119,7 @@ EXTRA = [
     "quality_classifier",
     "embedding_near_dup_lsh",
     "semantic_dedup",
+    "shuffle_shard",
 ]
 
 #: The heavier LLM-pipeline operators (LSH/minhash/multimodal) stay out of

@@ -282,3 +282,23 @@ def test_scrub_pii_idempotent(spark):
     for r in twice.values():
         assert (r.n_emails, r.n_cards, r.n_ips, r.n_phones) == (0, 0, 0, 0)
         assert r.scrubbed_text == r.text
+
+
+def test_training_order_deterministic_and_balanced(spark):
+    from marketpipe_spark.operators.sampling import training_order
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = sorted(map(tuple, training_order(df, n_shards=8).collect()))
+    b = sorted(map(tuple, training_order(df.repartition(11), n_shards=8).collect()))
+    assert a == b  # layout-independent
+    n = df.count()
+    assert len(a) == n
+    by_shard = {}
+    for _, shard, pos in a:
+        assert 0 <= shard < 8
+        by_shard.setdefault(shard, []).append(pos)
+    # positions are contiguous 1..len within every shard (a total order)
+    for positions in by_shard.values():
+        assert sorted(positions) == list(range(1, len(positions) + 1))
+    # uniform hashing: no shard more than 2x the fair share at n=500
+    assert max(len(v) for v in by_shard.values()) < 2 * (n / 8)
