@@ -351,3 +351,75 @@ def silence_alert_stream(bar_stream: DataFrame, silence_ms: int = 300_000) -> Da
         outputMode="Append",
         timeMode="EventTime",
     )
+
+
+def dedup_stream(
+    docs_stream: DataFrame,
+    store_path: str,
+    pairs_path: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    available_now: bool = True,
+    **minhash_kwargs,
+):
+    """Continuous corpus dedup: every micro-batch of documents is scored
+    against the persistent MinHash signature store
+    (``dedup.minhash_incremental_pairs``), near-dup pairs land under
+    ``pairs_path``, and the store is atomically replaced — the streaming
+    form of the "dedup today's crawl against everything so far" loop.
+
+    Crash/replay safety, leg by leg (foreachBatch is at-least-once):
+
+    - pairs are written to ``pairs_path/batch=<id>`` with overwrite, so a
+      replayed batch rewrites its own partition instead of appending
+      duplicates;
+    - the store swap is the control-plane two-rename pattern (materialize
+      the new generation beside the old, rename old → .old, tmp → live) —
+      a crash mid-swap leaves ``.old`` to recover from, and
+      ``minhash_incremental_pairs`` is retry-idempotent against a store
+      that already absorbed the batch (batch ids are anti-joined out
+      before the union).
+
+    Unlike the tiny control tables, the store scales with the corpus, so
+    the new generation keeps its natural partitioning (no coalesce(1)).
+    Returns the started StreamingQuery.
+    """
+    from ..control import _exists
+    from ..lake import _hadoop_fs
+    from ..operators.dedup import minhash_incremental_pairs
+
+    def _load_store(spark) -> DataFrame:
+        for p in (store_path, store_path + ".old"):
+            if _exists(spark, p):
+                return spark.read.parquet(p)
+        return spark.createDataFrame([], f"{id_col} long, sig array<bigint>")
+
+    def _swap_store(spark, updated: DataFrame) -> None:
+        tmp, old = store_path + ".tmp", store_path + ".old"
+        updated.write.mode("overwrite").parquet(tmp)
+        fs, hpath, jvm = _hadoop_fs(spark, store_path)
+        hadoop_path = jvm.org.apache.hadoop.fs.Path
+        htmp, hold = hadoop_path(tmp), hadoop_path(old)
+        fs.delete(hold, True)
+        if fs.exists(hpath):
+            fs.rename(hpath, hold)
+        fs.rename(htmp, hpath)
+        fs.delete(hold, True)
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        pairs, updated = minhash_incremental_pairs(
+            batch_df, _load_store(spark), id_col=id_col, text_col=text_col, **minhash_kwargs
+        )
+        pairs.write.mode("overwrite").parquet(f"{pairs_path}/batch={batch_id}")
+        _swap_store(spark, updated)
+
+    writer = docs_stream.writeStream.foreachBatch(_sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

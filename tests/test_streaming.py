@@ -477,3 +477,52 @@ def test_streaming_curation_matches_batch(spark, tmp_path):
     )
     assert got == want
     assert sum(r[1] for r in got) == 12  # the planted emails were scrubbed in-stream
+
+
+def test_dedup_stream_accumulates_store_and_matches_batch(spark, tmp_path):
+    """The continuous-dedup loop: two micro-batches of documents stream
+    through dedup_stream; the found pair set must equal running the
+    incremental operator by hand batch-by-batch, and the signature store
+    must hold every document exactly once."""
+    from conftest import SF_SMOKE
+    from marketpipe_spark.operators.dedup import minhash_incremental_pairs
+    from marketpipe_spark.streaming.stream import dedup_stream
+
+    docs = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .limit(80)
+        .select("doc_id", "text")
+    )
+    b1 = docs.filter(F.col("doc_id") % 2 == 0)
+    b2 = docs.filter(F.col("doc_id") % 2 == 1)
+    src = str(tmp_path / "in")
+    b1.coalesce(1).write.parquet(src)
+    b2.coalesce(1).write.mode("append").parquet(src)
+
+    store_p = str(tmp_path / "store")
+    pairs_p = str(tmp_path / "pairs")
+    q = dedup_stream(
+        spark.readStream.schema(docs.schema).option("maxFilesPerTrigger", 1).parquet(src),
+        store_p,
+        pairs_p,
+        str(tmp_path / "ck"),
+        threshold=0.5,
+    )
+    q.awaitTermination(180)
+
+    store = spark.read.parquet(store_p)
+    assert store.count() == docs.count()
+    assert store.select("doc_id").distinct().count() == docs.count()
+
+    got = {
+        (r.id_a, r.id_b) for r in spark.read.parquet(pairs_p).select("id_a", "id_b").collect()
+    }
+    # manual two-step reference run over the same batch split
+    empty = spark.createDataFrame([], "doc_id long, sig array<bigint>")
+    # file order = write order (coalesce(1) per batch); replicate either
+    # order-insensitively: pairs(batch1 vs empty) ∪ pairs(batch2 vs store1)
+    p1, s1 = minhash_incremental_pairs(b1, empty, threshold=0.5)
+    s1 = s1.localCheckpoint()
+    p2, _ = minhash_incremental_pairs(b2, s1, threshold=0.5)
+    want = {(r.id_a, r.id_b) for r in p1.unionByName(p2).select("id_a", "id_b").collect()}
+    assert got == want
