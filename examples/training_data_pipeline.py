@@ -1,5 +1,6 @@
-"""Training-data pipeline tour: raw documents → clean/curate → near-dup
-dedup → decontaminate → split → tokenize → sharded JSONL export.
+"""Training-data pipeline tour: raw documents → clean/curate → PII scrub →
+segment dedup → near-dup dedup → decontaminate → split → tokenize →
+deterministic shuffle → sharded JSONL export.
 
 Drives the LLM-pipeline operator family end to end on the driver-provided
 ``documents`` table — the workflow a 100 TB corpus job would run, at toy
@@ -25,7 +26,13 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from marketpipe_spark.export import export_jsonl, read_jsonl  # noqa: E402
 from marketpipe_spark.operators.dedup import minhash_near_duplicates  # noqa: E402
-from marketpipe_spark.operators.textclean import curate_corpus, ngram_contamination  # noqa: E402
+from marketpipe_spark.operators.sampling import training_order  # noqa: E402
+from marketpipe_spark.operators.textclean import (  # noqa: E402
+    curate_corpus,
+    ngram_contamination,
+    scrub_pii,
+    segment_dedup,
+)
 from marketpipe_spark.operators.tokenizer import (  # noqa: E402
     bpe_token_stats,
     bpe_train,
@@ -44,6 +51,24 @@ def run(workdir: str, sf_dir: str = "/root/testdata/sf0.01", spark=None) -> dict
     curated = curate_corpus(docs).cache()
     n_curated = curated.count()
     print(f"    survivors: {n_curated} ({n_raw - n_curated} dropped)")
+
+    print("=== 2b. PII scrub (emails / cards / IPv4 / phones)")
+    scrubbed = scrub_pii(curated, text_col="clean_text")
+    n_pii = scrubbed.agg(
+        F.sum(F.col("n_emails") + F.col("n_cards") + F.col("n_ips") + F.col("n_phones"))
+    ).collect()[0][0]
+    curated = scrubbed.drop("clean_text").withColumnRenamed("scrubbed_text", "clean_text")
+    print(f"    redactions: {n_pii} (synthetic corpus carries no PII; the pass is the point)")
+
+    print("=== 2c. Corpus-level exact segment dedup (C4 line-dedup shape)")
+    seg = segment_dedup(curated, text_col="clean_text", seg_tokens=3)
+    dropped_segs = seg.agg(F.sum(F.col("n_segments") - F.col("n_kept"))).collect()[0][0]
+    curated = (
+        curated.drop("clean_text")
+        .join(seg.select("doc_id", "clean_text"), "doc_id")
+        .cache()
+    )
+    print(f"    repeated segments removed: {dropped_segs}")
 
     print("=== 3. Near-duplicate pruning (MinHash+LSH, keep the smaller doc_id)")
     pairs = minhash_near_duplicates(docs, threshold=0.5)
@@ -84,6 +109,8 @@ def run(workdir: str, sf_dir: str = "/root/testdata/sf0.01", spark=None) -> dict
     final = clean.select(
         "doc_id", "lang", "split", F.col("clean_text").alias("text")
     )
+    print("    deterministic training order: hash-derived shard + in-shard position")
+    final = final.join(training_order(final, n_shards=4), "doc_id")
     manifest = export_jsonl(final, out, max_records_per_file=200, partition_by=["split"])
     print(f"    {manifest['n_rows']} rows in {manifest['n_shards']} shards "
           f"({manifest['total_bytes']} bytes)")

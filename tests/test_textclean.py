@@ -302,3 +302,24 @@ def test_training_order_deterministic_and_balanced(spark):
         assert sorted(positions) == list(range(1, len(positions) + 1))
     # uniform hashing: no shard more than 2x the fair share at n=500
     assert max(len(v) for v in by_shard.values()) < 2 * (n / 8)
+
+
+def test_segment_dedup_kept_equals_distinct_segments(spark):
+    """Corpus-level conservation: exactly one copy of every distinct segment
+    survives, so sum(n_kept) must equal the number of distinct segment
+    strings — the invariant that makes this dedup (not sampling)."""
+    from marketpipe_spark.operators.textclean import segment_dedup
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = segment_dedup(df, seg_tokens=3)
+    total_kept = out.agg(F.sum("n_kept")).collect()[0][0]
+
+    t = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    segs = (
+        df.select(F.col("doc_id"), t.alias("t"))
+        .select(
+            F.explode(F.expr("sequence(0, (size(t) + 2) div 3 - 1)")).alias("i"), F.col("t")
+        )
+        .select(F.array_join(F.slice(F.col("t"), F.col("i") * 3 + 1, 3), " ").alias("seg"))
+    )
+    assert total_kept == segs.distinct().count()
