@@ -352,13 +352,28 @@ def cmd_migrate(args) -> int:
 def cmd_curate(args) -> int:
     from pyspark.sql import functions as F
 
-    from .operators.textclean import curate_corpus
+    from .operators.textclean import curate_corpus, scrub_pii, segment_dedup
 
     spark = _spark("curate")
     docs = spark.read.parquet(args.input)
     out = curate_corpus(docs).select(
         "doc_id", "lang", "split", "n_tokens", F.col("clean_text").alias("text")
     )
+    if getattr(args, "scrub_pii", False):
+        out = (
+            scrub_pii(out)
+            .drop("text", "n_emails", "n_cards", "n_ips", "n_phones")
+            .withColumnRenamed("scrubbed_text", "text")
+        )
+    if getattr(args, "segment_dedup", 0):
+        seg = segment_dedup(out, seg_tokens=args.segment_dedup)
+        out = out.drop("text").join(
+            seg.select("doc_id", F.col("clean_text").alias("text")), "doc_id"
+        )
+    if getattr(args, "shuffle_shards", 0):
+        from .operators.sampling import training_order
+
+        out = out.join(training_order(out, n_shards=args.shuffle_shards), "doc_id")
     out.write.mode("overwrite").partitionBy("split").parquet(args.output)
     stats = (
         spark.read.parquet(args.output)
@@ -628,6 +643,25 @@ def build_parser() -> argparse.ArgumentParser:
     )
     c.add_argument("input", help="documents parquet (doc_id, text, lang columns)")
     c.add_argument("output", help="curated parquet root (partitioned by split)")
+    c.add_argument(
+        "--scrub-pii",
+        action="store_true",
+        help="mask emails/cards/IPv4s/phones in the curated text",
+    )
+    c.add_argument(
+        "--segment-dedup",
+        type=int,
+        metavar="N",
+        default=0,
+        help="corpus-level exact dedup of N-token segments (0 = off)",
+    )
+    c.add_argument(
+        "--shuffle-shards",
+        type=int,
+        metavar="S",
+        default=0,
+        help="add a deterministic training-order (shard, pos) over S shards (0 = off)",
+    )
     c.set_defaults(fn=cmd_curate)
 
     h = sub.add_parser("health-check", help="installation/configuration self-check")

@@ -186,3 +186,18 @@ def test_cli_ohlcv_subapp_and_aliases(spark, tmp_path, capsys):
     got = capsys.readouterr()
     assert rc == 0
     assert "deprecated" in got.err and "ohlcv validate" in got.err
+
+
+def test_cli_curate_with_scrub_segment_shuffle(spark, tmp_path, capsys):
+    out = str(tmp_path / "curated")
+    rc = main([
+        "curate", "/root/testdata/sf0.001/documents.parquet", out,
+        "--scrub-pii", "--segment-dedup", "3", "--shuffle-shards", "4",
+    ])
+    assert rc == 0
+    printed = capsys.readouterr().out
+    assert "docs" in printed and "tokens" in printed
+    got = spark.read.parquet(out)
+    assert {"doc_id", "text", "shard", "pos"} <= set(got.columns)
+    assert got.filter((got.shard < 0) | (got.shard >= 4)).count() == 0
+    assert got.count() > 0
