@@ -729,6 +729,18 @@ def embedding_near_duplicates(
     )
 
 
+def auto_plane_count(n: int, lo: int = 8, hi: int = 30) -> int:
+    """Hyperplane count keeping expected LSH bucket occupancy ~constant as
+    the corpus grows: the smallest p with 2^p ≥ ⌈n/2⌉, clamped to
+    [``lo``, ``hi``] — i.e. ceil(log2(n/2)) computed with integer
+    arithmetic only. Integer math (``bit_length``) rather than
+    ``ceil(log2(...))`` so an external SQL oracle can reproduce the same
+    count without cross-libm float edge cases (the same reason dedup's
+    hashes are integer-exact)."""
+    nh = max(1, (max(n, 0) + 1) // 2)
+    return min(hi, max(lo, (nh - 1).bit_length()))
+
+
 def embedding_near_duplicates_lsh(
     emb: DataFrame,
     id_col: str = "vec_id",
@@ -762,21 +774,21 @@ def embedding_near_duplicates_lsh(
     **Plane count must grow with the corpus**: at fixed ``n_planes`` the
     per-bucket occupancy grows like n/2^n_planes, so candidate pairs grow
     ~quadratically (the r5 scale sweep measured ×13.8 time per ×4 rows at a
-    pinned 12 planes). The default ``n_planes=None`` auto-tunes to
-    ``ceil(log2(n / 2))`` clamped to [8, 30] — constant expected bucket
-    occupancy, so candidate volume stays ~linear in n. ``n_rows`` supplies
-    n from parquet footer metadata / catalog stats (zero jobs;
-    plans.parquet_num_rows); without it a ``count()`` runs — fine
-    interactively, an extra full pass at 100 TB. Pin ``n_planes``
-    explicitly only when an external oracle must reproduce the buckets.
+    pinned 12 planes). The default ``n_planes=None`` auto-tunes via
+    :func:`auto_plane_count` — smallest p with 2^p ≥ ⌈n/2⌉, clamped to
+    [8, 30] (integer-exact ceil(log2(n/2)); no libm, so any engine agrees
+    on the count) — constant expected bucket occupancy, so candidate
+    volume stays ~linear in n. ``n_rows`` supplies n from parquet footer
+    metadata / catalog stats (zero jobs; plans.parquet_num_rows); without
+    it a ``count()`` runs — fine interactively, an extra full pass at
+    100 TB. Pin ``n_planes`` explicitly only when an external oracle must
+    reproduce the buckets with a fixed count.
     """
-    import math
-
     from .similarity import exact_pair_cosine, hyperplane_buckets
 
     if n_planes is None:
         n = emb.count() if n_rows is None else n_rows
-        n_planes = min(30, max(8, math.ceil(math.log2(max(n, 2) / 2))))
+        n_planes = auto_plane_count(n)
     bk = hyperplane_buckets(
         emb, n_planes, id_col, vec_col, n_tables=n_tables, plane_family=plane_family
     )

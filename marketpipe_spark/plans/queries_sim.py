@@ -500,10 +500,10 @@ def q_label_centroids(spark, sf_dir):
 # vec_id + 10M — identical construction on both engines) and detects them
 # at threshold 0.99. Exact duplicates project to identical sign buckets in
 # every table, so recall is 1 by construction and the output is exactly the
-# planted pair set with bit-stable cosines; the FULL pipeline — md5 plane
-# matrix, sign buckets, skew cap, candidate join, sequential-fold rescore —
-# runs on both engines (the lsh_topk oracle precedent, 12 planes x 8
-# tables here).
+# planted pair set with bit-stable cosines; the FULL pipeline — corpus-size-
+# derived plane count (integer-exact ceil(log2(n/2)), clamp [8,30]), md5
+# plane matrix, sign buckets, skew cap, candidate join, sequential-fold
+# rescore — runs on both engines (the lsh_topk oracle precedent; 8 tables).
 
 SQL_EMBEDDING_NEAR_DUP_LSH = """
 WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
@@ -512,21 +512,29 @@ allv AS (
   UNION ALL
   SELECT vec_id + 10000000 AS vec_id, emb FROM base WHERE vec_id % 97 = 0
 ),
+np AS (
+  SELECT LEAST(30, GREATEST(8, (
+    SELECT MIN(p) FROM (SELECT unnest(range(31)) AS p)
+    WHERE (CAST(1 AS BIGINT) << CAST(p AS INT))
+          >= ((SELECT COUNT(*) FROM allv) + 1) // 2
+  ))) AS np
+),
 v AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM allv),
 pl AS (
   SELECT pp.p,
          list((CAST(('0x' || substr(md5(dd.d || ':' || pp.p), 1, 15)) AS BIGINT)
                / 576460752303423488.0) - 1.0 ORDER BY dd.d) AS pw
-  FROM (SELECT unnest(range(96)) AS p) pp, (SELECT unnest(range(64)) AS d) dd
+  FROM (SELECT unnest(range(8 * (SELECT np FROM np))) AS p) pp,
+       (SELECT unnest(range(64)) AS d) dd
   GROUP BY pp.p
 ),
 bk AS (
-  SELECT vec_id, p // 12 AS table_id,
+  SELECT vec_id, p // (SELECT np FROM np) AS table_id,
          CAST(SUM(CASE WHEN list_dot_product(emb, pw) > 0
-                       THEN (CAST(1 AS BIGINT) << CAST(p % 12 AS INT))
+                       THEN (CAST(1 AS BIGINT) << CAST(p % (SELECT np FROM np) AS INT))
                        ELSE 0 END) AS BIGINT) AS bucket
   FROM v CROSS JOIN pl
-  GROUP BY vec_id, p // 12
+  GROUP BY vec_id, p // (SELECT np FROM np)
 ),
 sz AS (SELECT table_id, bucket, COUNT(*) AS n FROM bk GROUP BY 1, 2),
 bk2 AS (
@@ -550,20 +558,25 @@ WHERE list_dot_product(qv.emb, nv.emb) / (qv.nrm * nv.nrm) >= 0.99
 @register(
     "embedding_near_dup_lsh",
     SQL_EMBEDDING_NEAR_DUP_LSH,
-    doc="sub-quadratic LSH embedding near-dup (12 planes x 8 tables, skew cap, exact rescore) over planted exact duplicates; full pipeline oracle-verified under md5 planes",
+    doc="sub-quadratic LSH embedding near-dup (auto-scaled plane count x 8 tables, skew cap, exact rescore) over planted exact duplicates; full pipeline incl. the corpus-size-derived plane count oracle-verified under md5 planes",
     tags=("dedup", "similarity"),
 )
 def q_embedding_near_dup_lsh(spark, sf_dir):
-    from ..operators.dedup import embedding_near_duplicates_lsh
+    from ..operators.dedup import auto_plane_count, embedding_near_duplicates_lsh
 
     emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     planted = emb.filter(F.col("vec_id") % 97 == 0).select(
         (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding"
     )
+    corpus = emb.unionByName(planted)
+    # The production auto-tune (constant expected bucket occupancy): the
+    # plane count is derived from the corpus size with integer-only math,
+    # so the oracle's np CTE lands on the identical count — the growth-curve
+    # sweep runs THIS entry and must not bend quadratic at a pinned count.
     return embedding_near_duplicates_lsh(
-        emb.unionByName(planted),
+        corpus,
         threshold=0.99,
-        n_planes=12,
+        n_planes=auto_plane_count(corpus.count()),
         n_tables=8,
         plane_family="md5",
     )

@@ -492,6 +492,32 @@ def test_embedding_near_dup_scale_guard(emb):
     assert direct == lsh
 
 
+def test_auto_plane_count_is_integer_exact_ceil_log2_half():
+    import math
+
+    from marketpipe_spark.operators.dedup import auto_plane_count
+
+    # Clamp floor/ceiling.
+    assert auto_plane_count(0) == 8
+    assert auto_plane_count(2) == 8
+    assert auto_plane_count(10**12) == 30
+    # Agreement with the float formula across sizes incl. power-of-two
+    # boundaries (where libm log2 could round either way — ours cannot).
+    for n in [500, 512, 513, 1024, 1025, 2021, 4096, 4097, 32330, 10**6]:
+        want = min(30, max(8, math.ceil(math.log2(n / 2))))
+        assert auto_plane_count(n) == want, n
+    # The DuckDB oracle's np CTE uses the same integer comparison.
+    import duckdb
+
+    for n in [500, 512, 513, 2021, 32330]:
+        got = duckdb.sql(
+            f"""SELECT LEAST(30, GREATEST(8, (
+                 SELECT MIN(p) FROM (SELECT unnest(range(31)) AS p)
+                 WHERE (CAST(1 AS BIGINT) << CAST(p AS INT)) >= ({n} + 1) // 2)))"""
+        ).fetchone()[0]
+        assert got == auto_plane_count(n), n
+
+
 def test_embedding_lsh_plane_families_find_all_exact_duplicates(spark):
     from pyspark.sql import functions as F
 
