@@ -815,6 +815,79 @@ def embedding_near_duplicates_lsh(
 # ---------------------------------------------------------------------------
 # SymSpell-style edit-distance-1 token pairs
 
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    window: int = 4,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD'03 — the MOSS algorithm): hash every ``k``-token gram, slide a
+    ``window``-gram window, and select each window's minimum hash with
+    ties broken to the RIGHTMOST position. Winnowing guarantees any match
+    of ``window + k - 1`` tokens or longer shares a selected fingerprint,
+    at ~2/(window+1) sampling density — position-robust partial-overlap
+    detection that whole-document hashing (``fingerprint``) cannot give.
+
+    Variant note: windows slide from the first gram (prefix windows are
+    allowed), so documents shorter than ``window`` grams still emit ≥ 1
+    fingerprint; classic winnowing's full-window selections are a subset
+    of ours, so the match guarantee is preserved.
+
+    Returns one row per selected fingerprint ``(id, pos, gram_hash)``
+    (pos = 1-based gram position). Join on ``gram_hash`` to find
+    cross-document overlaps; ``duplicated_spans`` is the dense-span
+    counterpart that keeps EVERY gram.
+
+    Scale shape (100 TB): gram build is a map-only array-slice pass (no
+    per-token explode before hashing — grams inflate rows ~n_tokens×,
+    which is the operator's inherent output size); selection is ONE
+    per-document window (rightmost-min via an ordered struct-min frame —
+    lexicographic struct comparison, identical in external SQL engines)
+    over a shuffle keyed by the unique doc id; the final dedup of selected
+    positions is map-side combinable. ``hash_family="md5_60"`` makes every
+    fingerprint value engine-portable for oracle verification; production
+    default stays xxhash64 (JVM codegen).
+    """
+    from pyspark.sql.window import Window as W
+
+    t = F.split(F.trim(F.lower(F.col(text_col))), TOKEN_SPLIT_RE)
+    grams = (
+        df.select(F.col(id_col), t.alias("t"))
+        .filter(F.size("t") >= k)
+        .select(
+            id_col,
+            F.explode(
+                F.expr(f"sequence(1, size(t) - {k - 1})")
+            ).alias("pos"),
+            F.col("t"),
+        )
+        .select(
+            id_col,
+            "pos",
+            _hash64(
+                F.array_join(F.slice(F.col("t"), F.col("pos"), k), " "), None, hash_family
+            ).alias("h"),
+        )
+    )
+    wf = (
+        W.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(-(window - 1), W.currentRow)
+    )
+    sel = grams.select(
+        id_col,
+        F.min(F.struct(F.col("h"), (-F.col("pos")).alias("negpos"))).over(wf).alias("m"),
+    )
+    return sel.select(
+        id_col,
+        (-F.col("m.negpos")).cast("long").alias("pos"),
+        F.col("m.h").alias("gram_hash"),
+    ).distinct()
+
+
 def edit1_token_pairs(
     tokens: DataFrame, col: str = "tok", min_len: int = 4, max_dist: int = 1
 ) -> DataFrame:

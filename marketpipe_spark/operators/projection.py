@@ -169,3 +169,86 @@ def group_centroids(
             ),
         )
     )
+
+
+def nearest_centroid_label(
+    corpus: DataFrame,
+    group_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+    max_labels: int = 1000,
+) -> DataFrame:
+    """Nearest-centroid (Rocchio) classification over an embedding column:
+    assign each vector the label of its highest-cosine class centroid —
+    the standard cheap auto-labeler / quality probe for curation pipelines
+    (and the per-class drift monitor when run against FROZEN centroids via
+    ``centroids=``).
+
+    Deterministic end-to-end: centroids come from
+    :func:`group_centroids`'s µ-quantized exact integer sums (identical
+    under any partitioning), cosines use the sequential-fold dot
+    (``similarity._dot``) with the norm factoring every oracle-verified
+    path shares, and argmax is an ordered struct-least (ties → smallest
+    label) — so an external SQL engine reproduces every prediction
+    bit-for-bit.
+
+    Returns ``(id, true_label, pred_label, cosine, correct)``.
+
+    Scale shape (100 TB): centroid fit is the group_centroids partial-sum
+    pass (shuffle carries tasks × labels × dims rows, KBs). The fitted
+    centroids are a MODEL ARTIFACT, not data — labels × dims doubles,
+    bounded by ``max_labels`` (fail-fast beyond it) — so they ship to
+    tasks as plan literals (the PQ-codebook precedent) and scoring is a
+    single map-only projection over the corpus: one fold per label plus a
+    struct-least argmax, no join, no shuffle, no corpus row inflation. A
+    labels-×-corpus cross join — even broadcast — would plan as a
+    nested-loop join and inflate rows L×; shipping the model avoids the
+    join operator entirely.
+    """
+    from .similarity import _dot
+
+    cent = centroids if centroids is not None else group_centroids(corpus, group_col, vec_col)
+    carr = (
+        cent.groupBy(group_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "centroid"))),
+                lambda s: s["centroid"],
+            ).alias("cv")
+        )
+        .select(F.col(group_col).cast("long").alias("cand_label"), "cv")
+        .limit(max_labels + 1)
+        .collect()
+    )
+    if len(carr) > max_labels:
+        raise ValueError(
+            f"nearest_centroid_label: > {max_labels} distinct labels; raise "
+            "max_labels only if the per-row scoring expression (labels x dims "
+            "literals) is genuinely intended"
+        )
+    v = corpus.select(
+        F.col(id_col),
+        F.col(group_col).cast("long").alias("true_label"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    vn = F.sqrt(_dot(F.col("v"), F.col("v")))
+    cands = []
+    for r in sorted(carr, key=lambda r: r.cand_label):
+        cv = F.array(*[F.lit(float(x)) for x in r.cv])
+        cos = _dot(F.col("v"), cv) / (vn * F.sqrt(_dot(cv, cv)))
+        cands.append(
+            F.struct(
+                (-cos).alias("negcos"),
+                F.lit(int(r.cand_label)).cast("long").alias("cand_label"),
+                cos.alias("cos"),
+            )
+        )
+    m = cands[0] if len(cands) == 1 else F.least(*cands)
+    return v.select(
+        id_col,
+        "true_label",
+        m["cand_label"].alias("pred_label"),
+        m["cos"].alias("cosine"),
+        (m["cand_label"] == F.col("true_label")).alias("correct"),
+    )

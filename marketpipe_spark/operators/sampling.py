@@ -174,3 +174,46 @@ def training_order(
         df.select(F.col(id_col), shard.alias("shard"))
         .withColumn("pos", F.row_number().over(w).cast("long"))
     )
+
+
+def token_budget_sample(
+    df: DataFrame,
+    budget: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    salt: str = "budget-v1",
+) -> DataFrame:
+    """Deterministic per-group token-budget sample: within each group, take
+    documents in hash order until the cumulative token count reaches
+    ``budget`` — how a training mixture is actually materialized once
+    per-source token budgets are decided (the counterpart of
+    :func:`source_mixture_weights`, which only computes the targets).
+
+    Hash order (``md5_60(salt|id)``) makes the selection a pure function
+    of row ids: reproducible across runs, engines, and partitionings, and
+    REFRESHABLE — growing the corpus leaves previously-selected documents
+    selected until the budget itself changes (the property a
+    ``ORDER BY rand() LIMIT``-style sample lacks). The greedy prefix rule
+    (keep while cumulative ≤ budget, first overflowing doc excluded) is
+    integer-exact, so an external SQL oracle reproduces the exact set.
+
+    Returns ``(id, group, tokens, cum_tokens)`` for the selected rows.
+
+    Scale shape (100 TB): one map-only hash pass, one exchange keyed by
+    group, one per-group sort for the running sum — the same shape as
+    :func:`training_order`; groups (sources/domains) are natural shard
+    keys. A pathologically large single group turns into one big sort
+    task: pre-aggregate per (group, hash-bucket) if a group exceeds task
+    size, or raise ``budget`` granularity — documented, not hidden.
+    """
+    h = _row_hash(id_col, salt)
+    w = W.partitionBy(group_col).orderBy(h.asc(), F.col(id_col).asc())
+    cum = F.sum(F.col(tokens_col)).over(
+        w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        df.select(F.col(id_col), F.col(group_col), F.col(tokens_col))
+        .withColumn("cum_tokens", cum.cast("long"))
+        .filter(F.col("cum_tokens") <= budget)
+    )

@@ -413,3 +413,78 @@ def segment_dedup(
             ).alias("clean_text"),
         )
     )
+
+
+def boilerplate_strip(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seg_tokens: int = 10,
+    max_docs: int = 2,
+) -> DataFrame:
+    """Remove boilerplate segments — those appearing in more than
+    ``max_docs`` DISTINCT documents — from every document that contains
+    them (CCNet / RefinedWeb-style frequent-line stripping; reference has
+    no text pipeline — this is beyond-reference LLM-curation surface).
+
+    Differs from :func:`segment_dedup` in policy: segment_dedup keeps the
+    FIRST occurrence of a repeated segment, this drops ALL occurrences of
+    over-frequent ones ("© 2024 Example Corp — all rights reserved" should
+    survive in no document, not in one). Both use the same deterministic
+    ``seg_tokens``-token segmentation, so a corpus can be scrubbed with
+    either policy over identical units.
+
+    Returns one row per document: ``n_segments``, ``n_boiler`` (segments
+    stripped), and ``clean_text`` (survivors re-joined in document order).
+
+    Scale shape (100 TB): segmentation is the same map-only array-slice
+    pass as segment_dedup; the document-frequency table is ONE hash
+    aggregation keyed by segment text (countDistinct takes a two-level
+    partial — (seg, doc) dedup then count — both map-side combined); the
+    boilerplate set it filters to is tiny (segments crossing a
+    document-frequency threshold are vocabulary-scale, the Zipf head), so
+    the membership join back onto segments is a broadcast-able
+    left-anti-shaped join keyed by high-cardinality text. Reconstruction
+    is one shuffle on the unique doc id.
+    """
+    t = F.split(F.trim(F.lower(F.col(text_col))), TOKEN_SPLIT_RE)
+    segs = (
+        df.select(F.col(id_col), t.alias("t"))
+        .select(
+            id_col,
+            F.explode(
+                F.expr(f"sequence(0, (size(t) + {seg_tokens - 1}) div {seg_tokens} - 1)")
+            ).alias("seg_idx"),
+            F.col("t"),
+        )
+        .select(
+            id_col,
+            "seg_idx",
+            F.array_join(
+                F.slice(F.col("t"), F.col("seg_idx") * seg_tokens + 1, seg_tokens), " "
+            ).alias("seg"),
+        )
+    )
+    boiler = (
+        segs.groupBy("seg")
+        .agg(F.countDistinct(id_col).alias("_docs"))
+        .filter(F.col("_docs") > max_docs)
+        .select("seg", F.lit(True).alias("_boiler"))
+    )
+    marked = segs.join(boiler, "seg", "left").withColumn(
+        "keep", F.col("_boiler").isNull()
+    )
+    kept_struct = F.when(F.col("keep"), F.struct("seg_idx", "seg"))
+    return (
+        marked.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum((~F.col("keep")).cast("long")).alias("n_boiler"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)), lambda s: s["seg"]
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+    )

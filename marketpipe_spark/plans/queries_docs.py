@@ -1292,3 +1292,136 @@ def q_shuffle_shard(spark, sf_dir):
     from ..operators.sampling import training_order
 
     return training_order(t(spark, sf_dir, "documents"), n_shards=16, salt="shuffle-v1")
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate stripping (CCNet/RefinedWeb frequent-line removal). Policy
+# complement of segment_dedup: segments in > max_docs DISTINCT documents are
+# dropped from EVERY document (segment_dedup keeps the first occurrence).
+# seg_tokens=3 / max_docs=2 on this corpus: 248 of 7.6k distinct segments at
+# sf0.001 cross the threshold, so the strip path is genuinely exercised.
+
+SQL_BOILERPLATE_STRIP = r"""
+WITH tok AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents
+), segs AS (
+  SELECT doc_id, unnest(range((len(t) + 2) // 3)) AS seg_idx, t FROM tok
+), seg AS (
+  SELECT doc_id, seg_idx,
+         array_to_string(list_slice(t, seg_idx * 3 + 1, (seg_idx + 1) * 3), ' ') AS seg
+  FROM segs
+), freq AS (
+  SELECT seg FROM (
+    SELECT seg, COUNT(DISTINCT doc_id) AS d FROM seg GROUP BY seg
+  ) WHERE d > 2
+), marked AS (
+  SELECT s.doc_id, s.seg_idx, s.seg, f.seg IS NULL AS keep
+  FROM seg s LEFT JOIN freq f USING (seg)
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_segments,
+       CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_boiler,
+       COALESCE(string_agg(seg, ' ' ORDER BY seg_idx) FILTER (WHERE keep), '') AS clean_text
+FROM marked GROUP BY doc_id
+"""
+
+
+@register(
+    "boilerplate_strip",
+    SQL_BOILERPLATE_STRIP,
+    doc="CCNet-style boilerplate removal: segments in >2 distinct documents dropped from every document",
+    tags=("text", "cleaning"),
+)
+def q_boilerplate_strip(spark, sf_dir):
+    from ..operators.textclean import boilerplate_strip
+
+    return boilerplate_strip(t(spark, sf_dir, "documents"), seg_tokens=3, max_docs=2)
+
+
+# ---------------------------------------------------------------------------
+# Per-source token-budget sampling — materializing a training mixture once
+# per-source budgets are decided (source_mixture_weights computes targets;
+# this selects the documents). Selection = hash-ordered greedy prefix with
+# integer cumulative sums, so the oracle reproduces the exact set. budget=700
+# keeps roughly half of each ~1.3k-token source at sf0.01 and ~5% at sf0.1.
+
+SQL_TOKEN_BUDGET_SAMPLE = f"""
+WITH d AS (
+  SELECT doc_id, source,
+         CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+         {_h60_sql('budget-v1')} AS h
+  FROM documents
+), c AS (
+  SELECT doc_id, source, n_tokens,
+         SUM(n_tokens) OVER (
+           PARTITION BY source ORDER BY h, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS cum_tokens
+  FROM d
+)
+SELECT doc_id, source, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM c WHERE cum_tokens <= 700
+"""
+
+
+@register(
+    "token_budget_sample",
+    SQL_TOKEN_BUDGET_SAMPLE,
+    doc="deterministic per-source token-budget sample: hash-ordered greedy prefix until 700 tokens per source",
+    tags=("sampling",),
+)
+def q_token_budget_sample(spark, sf_dir):
+    from ..operators.sampling import token_budget_sample
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.trim(F.col("text")), TOKEN_SPLIT_RE)).cast("long").alias("n_tokens"),
+    )
+    return token_budget_sample(d, budget=700, salt="budget-v1")
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer/Wilkerson/Aiken MOSS): k-gram hashes,
+# rightmost-min per sliding window — the selection rule is an ordered
+# struct-min, which DuckDB evaluates with identical lexicographic semantics,
+# and md5_60 gram hashes make the VALUES engine-portable. k=3/window=4 on
+# the ~30-word testdata vocabulary yields dense cross-document matches.
+
+SQL_WINNOW_FINGERPRINTS = r"""
+WITH tok AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents
+), grams AS (
+  SELECT doc_id, unnest(range(1, len(t) - 1)) AS pos, t
+  FROM tok WHERE len(t) >= 3
+), hashed AS (
+  SELECT doc_id, pos,
+         CAST(('0x' || substr(md5(array_to_string(list_slice(t, pos, pos + 2), ' ')), 1, 15)) AS BIGINT) AS h
+  FROM grams
+), sel AS (
+  SELECT doc_id,
+         min(struct_pack(h := h, negpos := -pos)) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW
+         ) AS m
+  FROM hashed
+)
+SELECT DISTINCT doc_id,
+       CAST(-struct_extract(m, 'negpos') AS BIGINT) AS pos,
+       struct_extract(m, 'h') AS gram_hash
+FROM sel
+"""
+
+
+@register(
+    "winnow_fingerprints",
+    SQL_WINNOW_FINGERPRINTS,
+    doc="winnowing (MOSS) fingerprints: rightmost-min 3-gram hash per 4-gram window, guaranteed to catch >=6-token overlaps",
+    tags=("text", "dedup"),
+)
+def q_winnow_fingerprints(spark, sf_dir):
+    from ..operators.dedup import winnow_fingerprints
+
+    return winnow_fingerprints(
+        t(spark, sf_dir, "documents"), k=3, window=4, hash_family="md5_60"
+    )

@@ -616,3 +616,57 @@ def q_semantic_dedup(spark, sf_dir):
         emb.unionByName(planted), threshold=0.95, n_cells=16, refine_iters=3
     )
     return out.select("vec_id", "keep")
+
+
+# ---------------------------------------------------------------------------
+# Nearest-centroid (Rocchio) classification: assign each vector the label of
+# its highest-cosine class centroid. Fully deterministic — µ-quantized
+# centroid sums (label_centroids precedent), sequential-fold cosines with
+# the shared norm factoring, struct-min argmax with ties to the smallest
+# label — so DuckDB reproduces every prediction AND the cosine values
+# bit-for-bit. Self-train/self-score here (the quality-probe shape: "are
+# the classes centroid-separable"); production passes frozen centroids.
+
+SQL_NEAREST_CENTROID = """
+WITH q AS (
+  SELECT label, dd.d AS dim,
+         CAST(floor(CAST(embedding[dd.d + 1] AS DOUBLE) * 1000000.0) AS BIGINT) AS q
+  FROM embeddings, (SELECT unnest(range(64)) AS d) dd
+), cent AS (
+  SELECT CAST(label AS BIGINT) AS cand_label, dim,
+         CAST(CAST(SUM(q) AS BIGINT) AS DOUBLE) / COUNT(*) / 1000000.0 AS centroid
+  FROM q GROUP BY label, dim
+), carr AS (
+  SELECT cand_label, list(centroid ORDER BY dim) AS cv FROM cent GROUP BY cand_label
+), v AS (
+  SELECT vec_id, CAST(label AS BIGINT) AS true_label,
+         CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings
+), scored AS (
+  SELECT vec_id, true_label, cand_label,
+         list_dot_product(v, cv)
+           / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))) AS cos
+  FROM v CROSS JOIN carr
+), best AS (
+  SELECT vec_id, true_label,
+         min(struct_pack(negcos := -cos, cand_label := cand_label, cos := cos)) AS m
+  FROM scored GROUP BY vec_id, true_label
+)
+SELECT vec_id, true_label,
+       struct_extract(m, 'cand_label') AS pred_label,
+       struct_extract(m, 'cos') AS cosine,
+       struct_extract(m, 'cand_label') = true_label AS correct
+FROM best
+"""
+
+
+@register(
+    "nearest_centroid",
+    SQL_NEAREST_CENTROID,
+    doc="nearest-centroid (Rocchio) labeling: per-label µ-quantized centroids, broadcast scoring, struct-min argmax; predictions and cosines oracle-exact",
+    tags=("embedding", "classify"),
+)
+def q_nearest_centroid(spark, sf_dir):
+    from ..operators.projection import nearest_centroid_label
+
+    return nearest_centroid_label(t(spark, sf_dir, "embeddings"))

@@ -124,3 +124,89 @@ def test_dedup_lines_keeps_first_occurrence(spark):
     assert out[1].cleaned_text == "header\nbody one\nbody two\nfooter"
     assert out[1].n_lines == 6 and out[1].n_unique_lines == 4
     assert out[2].cleaned_text == "clean\ndoc" and out[2].n_unique_lines == 2
+
+
+def test_token_budget_sample_greedy_prefix_properties(spark):
+    from pyspark.sql import functions as F
+
+    from marketpipe_spark.operators.sampling import token_budget_sample
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_tokens"),
+    )
+    out = token_budget_sample(docs, budget=700).collect()
+    assert out  # live selection
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.source, []).append(r)
+    for src, rows in by_src.items():
+        # Budget respected per group; cum_tokens is a consistent running sum.
+        assert max(r.cum_tokens for r in rows) <= 700
+        assert sum(r.n_tokens for r in rows) == max(r.cum_tokens for r in rows)
+    # Proper subset (budget binds on this corpus: ~1.3k tokens per source).
+    assert len(out) < docs.count()
+    # Deterministic + refreshable: doubling the corpus with NEW ids keeps
+    # every previously-selected doc whose hash prefix still fits selected.
+    again = {(r.source, r.doc_id) for r in token_budget_sample(docs, budget=700).collect()}
+    assert again == {(r.source, r.doc_id) for r in out}
+    # Partition-invariant.
+    rep = {(r.source, r.doc_id) for r in token_budget_sample(docs.repartition(7), budget=700).collect()}
+    assert rep == again
+
+
+def test_winnow_fingerprints_guarantee_and_density(spark):
+    from marketpipe_spark.operators.dedup import winnow_fingerprints
+
+    # Two docs sharing a long run of tokens must share a selected
+    # fingerprint — the winnowing guarantee for overlaps >= window+k-1 tokens.
+    shared = "one two three four five six seven eight nine ten"
+    rows = [
+        (1, "prefix junk words " + shared + " suffix alpha beta"),
+        (2, "completely other start " + shared + " different ending here"),
+        (3, "no overlap with anything else at all whatsoever today"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = winnow_fingerprints(df, k=3, window=4)
+    fp = {}
+    for r in out.collect():
+        fp.setdefault(r.doc_id, set()).add(r.gram_hash)
+    assert fp[1] & fp[2], "shared 10-token run must yield a common fingerprint"
+    assert not (fp[1] & fp[3]) and not (fp[2] & fp[3])
+    # Density: winnowing selects ~2/(w+1) of grams, far fewer than all.
+    n_grams_1 = len(rows[0][1].split()) - 2
+    assert len(fp[1]) < n_grams_1
+    # Short doc (fewer grams than window) still emits >= 1 fingerprint.
+    tiny = spark.createDataFrame([(9, "alpha beta gamma")], "doc_id long, text string")
+    assert winnow_fingerprints(tiny, k=3, window=4).count() == 1
+    # Partition invariance on real data.
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = sorted(map(tuple, winnow_fingerprints(docs, k=3, window=4).collect()))
+    b = sorted(map(tuple, winnow_fingerprints(docs.repartition(13), k=3, window=4).collect()))
+    assert a == b
+
+
+def test_nearest_centroid_label_recovers_separable_clusters(spark):
+    from marketpipe_spark.operators.projection import nearest_centroid_label
+
+    # Three well-separated synthetic classes: centroid labeling must be 100%.
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for label, base in [(0, [10.0, 0, 0, 0]), (1, [0, 10.0, 0, 0]), (2, [0, 0, 10.0, 0])]:
+        for i in range(20):
+            v = (np.array(base) + rng.normal(0, 0.5, 4)).tolist()
+            rows.append((label * 100 + i, label, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, label long, embedding array<double>")
+    out = nearest_centroid_label(df).collect()
+    assert len(out) == 60
+    assert all(r.correct for r in out)
+    assert all(r.pred_label == r.true_label for r in out)
+    # Frozen-centroid mode: score AGAINST centroids fit on a subset.
+    from marketpipe_spark.operators.projection import group_centroids
+
+    cent = group_centroids(df.filter("vec_id % 2 = 0"), "label")
+    out2 = nearest_centroid_label(df, centroids=cent).collect()
+    assert all(r.correct for r in out2)

@@ -323,3 +323,41 @@ def test_segment_dedup_kept_equals_distinct_segments(spark):
         .select(F.array_join(F.slice(F.col("t"), F.col("i") * 3 + 1, 3), " ").alias("seg"))
     )
     assert total_kept == segs.distinct().count()
+
+
+def test_boilerplate_strip_drops_all_occurrences(spark):
+    from marketpipe_spark.operators.textclean import boilerplate_strip
+
+    boiler = "all rights reserved"  # 3 tokens, appears in 3 docs
+    rows = [
+        (1, boiler + " unique alpha beta"),
+        (2, boiler + " other gamma delta"),
+        (3, boiler),
+        (4, "nothing shared here at all six"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in boilerplate_strip(df, seg_tokens=3, max_docs=2).collect()}
+    # The boilerplate segment is stripped from EVERY document (segment_dedup
+    # would have kept doc 1's copy).
+    for d in (1, 2, 3):
+        assert out[d].n_boiler == 1, d
+        assert boiler not in out[d].clean_text
+    assert out[1].clean_text == "unique alpha beta"
+    assert out[3].clean_text == ""
+    assert out[4].n_boiler == 0
+    assert out[4].clean_text == "nothing shared here at all six"
+    # max_docs=3 tolerates three occurrences -> nothing stripped.
+    out3 = {r.doc_id: r for r in boilerplate_strip(df, seg_tokens=3, max_docs=3).collect()}
+    assert all(r.n_boiler == 0 for r in out3.values())
+
+
+def test_boilerplate_strip_partition_invariant(spark):
+    from marketpipe_spark.operators.textclean import boilerplate_strip
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = sorted(map(tuple, boilerplate_strip(df, seg_tokens=3, max_docs=2).collect()))
+    b = sorted(
+        map(tuple, boilerplate_strip(df.repartition(13), seg_tokens=3, max_docs=2).collect())
+    )
+    assert a == b
+    assert any(r[2] > 0 for r in a)  # the corpus genuinely exercises the strip path
