@@ -120,6 +120,10 @@ EXTRA = [
     "embedding_near_dup_lsh",
     "semantic_dedup",
     "shuffle_shard",
+    "boilerplate_strip",
+    "token_budget_sample",
+    "winnow_fingerprints",
+    "nearest_centroid",
 ]
 
 #: The heavier LLM-pipeline operators (LSH/minhash/multimodal) stay out of

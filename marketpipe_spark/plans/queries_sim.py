@@ -10,8 +10,10 @@ Parity notes:
 - MinHash/SimHash pipelines run under the cross-engine ``md5_60`` hash
   family here so the FULL pipelines (signature → banding → candidates →
   verify) are reproduced in DuckDB SQL and value-hash-checked; production
-  default stays xxhash64. Only the LSH/IVF ANN entries are rows-only —
-  approximate by construction, with recall asserted in unit tests.
+  default stays xxhash64. The hyperplane-LSH entries are likewise fully
+  oracle-verified under the md5 plane family; the kmeans-dependent IVF/PQ
+  entries are SELF-VALIDATING (recall@k vs the in-engine exact top-k,
+  with the oracle pinning the bar) — no entry is rows-only.
 """
 
 from __future__ import annotations
