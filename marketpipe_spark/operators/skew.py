@@ -1,0 +1,101 @@
+"""Skew mitigation for hot join keys, and the diagnostic that finds them.
+
+At 100 TB a shuffle join hashes both sides on the join key; a key carrying
+1% of a 10¹²-row fact table lands 10¹⁰ rows on one task. AQE's skew-join
+split (`spark.sql.adaptive.skewJoin`, on in `session.tune`) handles most
+cases at runtime by splitting oversized partitions, but it only triggers on
+sort-merge joins and after a stage materializes; :func:`salted_join` is the
+explicit, planner-independent fix — spread each hot left row over ``salt``
+sub-keys and replicate the right side across them, turning one hot task
+into ``salt`` even ones. :func:`hot_key_profile` is the one-pass diagnostic
+that tells you whether (and where) you need either.
+
+Reference parity note: the reference engine is single-node and has no
+shuffle, so skew handling has no counterpart there (nearest concern:
+per-symbol partition loops, e.g. /root/reference/src/marketpipe/aggregation
+processing symbols independently); this module is beyond-reference scale
+surface, like the dedup/similarity families.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str] | str,
+    how: str = "inner",
+    salt: int = 16,
+) -> DataFrame:
+    """Inner/left join two LARGE frames on equi-keys with salting: the left
+    (skewed, fact) side gets a deterministic per-row salt in ``[0, salt)``,
+    the right side is replicated once per salt value, and the join runs on
+    ``keys + [salt]`` — so a hot key's rows spread over ``salt`` tasks
+    instead of one. Result rows are EXACTLY the plain join's (the salt is
+    dropped); only the physical distribution changes.
+
+    The salt is ``xxhash64`` of the whole left row — deterministic (same
+    input → same salt, partitioning-independent) and uniform even when one
+    key dominates. Join correctness never depends on the salt VALUE (every
+    ``(key, s)`` on the left finds the right row replicated at ``s``), so
+    even a task retry that re-derives salts cannot change the result.
+
+    Cost model: the right side shuffles ``salt×`` its size — use for
+    LARGE⋈LARGE where the right side is far smaller than the left's hot-key
+    volume but too big (or too mid-plan) to broadcast. For a genuinely
+    small right side, ``F.broadcast`` is strictly better (no shuffle at
+    all); for mild skew, AQE's runtime split is free. ``hot_key_profile``
+    quantifies which regime you are in.
+
+    ``how`` supports ``inner`` and ``left`` (right/full would need the
+    salt on the preserved side instead).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    if salt < 2:
+        raise ValueError("salt must be >= 2 (1 would be a plain join)")
+    keys = [on] if isinstance(on, str) else list(on)
+    lsalt = F.pmod(F.xxhash64(F.struct(*[F.col(c) for c in left.columns])), F.lit(salt))
+    l = left.withColumn("_salt", lsalt)
+    r = right.withColumn("_salt", F.explode(F.expr(f"sequence(0, {salt - 1})")))
+    return l.join(r, keys + ["_salt"], how).drop("_salt")
+
+
+def hot_key_profile(
+    df: DataFrame,
+    key: Column | str,
+    top: int = 10,
+) -> DataFrame:
+    """Per-key skew diagnostic: the ``top`` heaviest join-key values with
+    row counts, share of the table (micro-floored integer parts-per-million
+    so the number is engine-exact), and rank. The decision input for
+    broadcast vs AQE-split vs :func:`salted_join` — a key with share ≫
+    1/shuffle-partitions is a hot task in waiting.
+
+    One hash aggregation (map-side combined), then a distributed
+    top-``top`` (per-partition top-N + merge — TakeOrderedAndProject, never
+    a global sort or a one-task rank window over the distinct-key table);
+    only the ≤ ``top`` surviving rows pass through the final rank window.
+    Ties rank deterministically by key value.
+    """
+    from pyspark.sql.window import Window as W
+
+    from ..plans.registry import scalar_join
+
+    k = F.col(key) if isinstance(key, str) else key
+    counts = df.groupBy(k.alias("key")).agg(F.count(F.lit(1)).alias("n"))
+    total = counts.agg(F.sum("n").alias("_t"))
+    topk = (
+        scalar_join(counts, "key", total)
+        .orderBy(F.col("n").desc(), F.col("key").asc())
+        .limit(top)
+    )
+    return topk.withColumn(
+        "share_ppm", F.floor((F.col("n") * F.lit(1_000_000)) / F.col("_t")).cast("long")
+    ).withColumn(
+        "rank",
+        F.row_number().over(W.orderBy(F.col("n").desc(), F.col("key").asc())).cast("long"),
+    ).select("key", "n", "share_ppm", "rank")

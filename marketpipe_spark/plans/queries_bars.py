@@ -1319,3 +1319,56 @@ def q_json_props_stats(spark, sf_dir):
         F.max("k").alias("max_k"),
         (F.sum("k").cast("double") / F.count(F.lit(1))).alias("avg_k"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Skew machinery (operators/skew.py). hot_key_profile is the one-pass
+# diagnostic for join-key skew; salted_join is the explicit mitigation —
+# the entry proves the salted physical plan returns EXACTLY the plain
+# join's rows (the oracle IS the plain join), which is the whole contract.
+
+SQL_HOT_KEY_PROFILE = """
+WITH c AS (SELECT user_id AS key, COUNT(*) AS n FROM events GROUP BY user_id),
+tot AS (SELECT SUM(n) AS t FROM c),
+r AS (SELECT key, n, ROW_NUMBER() OVER (ORDER BY n DESC, key ASC) AS rank FROM c)
+SELECT key, n,
+       CAST(FLOOR(n * 1000000 / t) AS BIGINT) AS share_ppm,
+       CAST(rank AS BIGINT) AS rank
+FROM r, tot WHERE rank <= 10
+"""
+
+
+@register(
+    "hot_key_profile",
+    SQL_HOT_KEY_PROFILE,
+    doc="join-key skew diagnostic: top-10 heaviest user_id values with exact ppm share and deterministic rank",
+    tags=("agg", "skew", "profiling"),
+)
+def q_hot_key_profile(spark, sf_dir):
+    from ..operators.skew import hot_key_profile
+    from .registry import t
+
+    return hot_key_profile(t(spark, sf_dir, "events"), "user_id", top=10)
+
+
+SQL_SALTED_JOIN_PARITY = """
+WITH tc AS (SELECT event_type, COUNT(*) AS n_type FROM events GROUP BY event_type)
+SELECT e.event_id, e.event_type, tc.n_type
+FROM events e JOIN tc USING (event_type)
+"""
+
+
+@register(
+    "salted_join_parity",
+    SQL_SALTED_JOIN_PARITY,
+    doc="salted shuffle join (8-way left-row salt, replicated right) returns exactly the plain join's rows; oracle is the plain join",
+    tags=("join", "skew"),
+)
+def q_salted_join_parity(spark, sf_dir):
+    from ..operators.skew import salted_join
+    from .registry import t
+
+    ev = t(spark, sf_dir, "events")
+    tc = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_type"))
+    out = salted_join(ev.select("event_id", "event_type"), tc, on="event_type", salt=8)
+    return out.select("event_id", "event_type", "n_type")
