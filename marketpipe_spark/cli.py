@@ -386,6 +386,39 @@ def cmd_curate(args) -> int:
     return 0
 
 
+def cmd_export(args) -> int:
+    """Export a parquet dataset as training-ready shards: JSONL (text
+    pipelines) or WebDataset-style tar (multimodal loaders). Both write a
+    ``_manifest.json`` shard inventory."""
+    spark = _spark("export")
+    df = spark.read.parquet(args.input)
+    if args.format == "jsonl":
+        from .export import export_jsonl
+
+        m = export_jsonl(
+            df,
+            args.output,
+            compression=None if args.no_compression else "gzip",
+            partition_by=args.partition_by.split(",") if args.partition_by else None,
+        )
+    else:
+        from .export import export_webdataset
+
+        payload = {}
+        for spec in (args.payload or []):
+            col, _, ext = spec.partition(":")
+            payload[col] = ext or "bin"
+        m = export_webdataset(
+            df,
+            args.output,
+            key_col=args.key_col,
+            payload_cols=payload,
+            n_shards=args.shards,
+        )
+    print(f"{m.get('n_shards', len(m.get('shards', [])))} shards, {m['n_rows']} rows")
+    return 0
+
+
 def cmd_health_check(args) -> int:
     """Installation/configuration self-check (reference cli/health_check.py:
     python + deps + install + data-dir + provider checks, pass/warn/fail per
@@ -663,6 +696,28 @@ def build_parser() -> argparse.ArgumentParser:
         help="add a deterministic training-order (shard, pos) over S shards (0 = off)",
     )
     c.set_defaults(fn=cmd_curate)
+
+    x = sub.add_parser(
+        "export", help="export parquet as JSONL shards or WebDataset-style tar shards"
+    )
+    x.add_argument("input", help="input parquet path")
+    x.add_argument("output", help="output shard directory")
+    x.add_argument(
+        "--format", choices=("jsonl", "webdataset"), default="jsonl", help="shard container"
+    )
+    x.add_argument("--no-compression", action="store_true", help="jsonl: skip gzip")
+    x.add_argument(
+        "--partition-by", default="", help="jsonl: comma-separated hive partition columns"
+    )
+    x.add_argument("--key-col", default="doc_id", help="webdataset: member key column")
+    x.add_argument("--shards", type=int, default=4, help="webdataset: number of tar shards")
+    x.add_argument(
+        "--payload",
+        action="append",
+        metavar="COL[:EXT]",
+        help="webdataset: binary payload column (repeatable), e.g. payload:jpg",
+    )
+    x.set_defaults(fn=cmd_export)
 
     h = sub.add_parser("health-check", help="installation/configuration self-check")
     h.add_argument("--data-dir", default="data")

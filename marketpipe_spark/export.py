@@ -66,3 +66,112 @@ def build_manifest(spark: SparkSession, path: str) -> dict:
 def read_jsonl(spark: SparkSession, path: str) -> DataFrame:
     """Load an exported JSONL dataset (partitioned or flat)."""
     return tune(spark).read.json(path)
+
+
+def export_webdataset(
+    df: DataFrame,
+    path: str,
+    key_col: str = "doc_id",
+    payload_cols: dict[str, str] | None = None,
+    n_shards: int = 4,
+    salt: str = "shuffle-v1",
+) -> dict:
+    """Write ``df`` as WebDataset-style tar shards — the sequential-read
+    container multimodal training jobs consume (one ``shard-NNNNN.tar``
+    per shard; each row contributes ``<key>.json`` with its metadata plus
+    one member per binary payload column, e.g. ``<key>.jpg``).
+
+    Rows are placed by the same deterministic hash order as
+    ``sampling.training_order`` (shard = md5_60(salt|key) mod n_shards,
+    position = second independent hash), so the training order is
+    reproducible across runs/engines/layouts, and tar bytes themselves are
+    deterministic (members in position order; zeroed mtime/uid/gid) — two
+    exports of the same data are byte-identical, which makes shard
+    checksums meaningful.
+
+    ``payload_cols`` maps binary column name → member extension
+    (``{"payload": "jpg"}``); remaining columns go into the JSON member.
+
+    Scale shape (100 TB): one map-only hash pass, ONE exchange keyed by
+    shard (each shard's rows meet in exactly one task via groupBy +
+    applyInPandas), a per-shard in-task sort, and a local tar build
+    written atomically (temp file + rename — task retries cannot leave a
+    torn shard). A shard must fit a task: size ``n_shards`` so shards land
+    at the WebDataset-conventional 0.1-1 GB (10⁹ docs × 1 KB / 10⁴ shards
+    ≈ 100 MB), exactly the knob ``training_order`` documents. Returns the
+    manifest (shard inventory + per-shard row counts).
+
+    Filesystem contract: shard tasks write with POSIX ``open``/``rename``,
+    so ``path`` must be visible to every executor (local mode, NFS/Lustre,
+    or a FUSE-mounted object store). For HDFS/S3 proper, point ``path`` at
+    a mount or copy the shards up afterwards — tar append semantics don't
+    map onto object-store streaming writers.
+    """
+    import io
+    import tarfile
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from .operators.sampling import _row_hash
+
+    tune(df.sparkSession)
+    payload_cols = payload_cols or {}
+    meta_cols = [c for c in df.columns if c not in payload_cols]
+    os.makedirs(path, exist_ok=True)
+
+    shard = F.pmod(_row_hash(key_col, salt), F.lit(n_shards)).cast("long")
+    order = _row_hash(key_col, salt + ":order")
+    staged = df.withColumn("_shard", shard).withColumn("_ord", order)
+
+    def write_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        sid = int(pdf["_shard"].iloc[0])
+        pdf = pdf.sort_values(["_ord", key_col]).reset_index(drop=True)
+        fname = f"shard-{sid:05d}.tar"
+        os.makedirs(path, exist_ok=True)  # executor-side (shared FS contract)
+        tmp = os.path.join(path, f"._tmp-{fname}")
+        with tarfile.open(tmp, "w") as tar:
+            for _, row in pdf.iterrows():
+                key = str(row[key_col])
+                meta = {c: row[c] for c in meta_cols if c not in ("_shard", "_ord")}
+                blob = json.dumps(meta, sort_keys=True, default=str).encode()
+                for name, data in [(f"{key}.json", blob)] + [
+                    (f"{key}.{ext}", bytes(row[c]) if row[c] is not None else b"")
+                    for c, ext in payload_cols.items()
+                ]:
+                    info = tarfile.TarInfo(name=name)
+                    info.size = len(data)
+                    info.mtime = 0
+                    info.uid = info.gid = 0
+                    info.uname = info.gname = ""
+                    tar.addfile(info, io.BytesIO(data))
+        os.replace(tmp, os.path.join(path, fname))
+        return pd.DataFrame(
+            {"shard": [sid], "n_rows": [len(pdf)], "file": [fname]}
+        )
+
+    stats = (
+        staged.groupBy("_shard")
+        .applyInPandas(write_shard, "shard long, n_rows long, file string")
+        .collect()
+    )
+    manifest = {
+        "format": "webdataset-tar",
+        "n_shards": len(stats),
+        "n_rows": int(sum(r.n_rows for r in stats)),
+        "shards": sorted(
+            (
+                {
+                    "file": r.file,
+                    "shard": r.shard,
+                    "n_rows": r.n_rows,
+                    "bytes": os.path.getsize(os.path.join(path, r.file)),
+                }
+                for r in stats
+            ),
+            key=lambda s: s["shard"],
+        ),
+    }
+    with open(os.path.join(path, "_manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=2, sort_keys=True)
+    return manifest

@@ -210,3 +210,60 @@ def test_nearest_centroid_label_recovers_separable_clusters(spark):
     cent = group_centroids(df.filter("vec_id % 2 = 0"), "label")
     out2 = nearest_centroid_label(df, centroids=cent).collect()
     assert all(r.correct for r in out2)
+
+
+def test_export_webdataset_roundtrip_and_determinism(spark, tmp_path):
+    import hashlib
+    import json as _json
+    import tarfile
+
+    from pyspark.sql import functions as F
+
+    from marketpipe_spark.export import export_webdataset
+    from marketpipe_spark.operators.sampling import training_order
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "lang", "source", "text")
+        .withColumn("payload", F.encode(F.substring("text", 1, 8), "utf-8"))
+    )
+    out1 = str(tmp_path / "wds1")
+    m = export_webdataset(docs, out1, payload_cols={"payload": "bin"}, n_shards=4)
+    assert m["n_shards"] == 4 and m["n_rows"] == docs.count()
+
+    # Read every shard back: each doc contributes a .json and a .bin member;
+    # metadata round-trips; payload bytes match.
+    seen = {}
+    order_in_tar = {}
+    for s in m["shards"]:
+        with tarfile.open(f"{out1}/{s['file']}") as tar:
+            names = tar.getnames()
+            keys = [n[:-5] for n in names if n.endswith(".json")]
+            order_in_tar[s["shard"]] = [int(k) for k in keys]
+            for k in keys:
+                meta = _json.loads(tar.extractfile(f"{k}.json").read())
+                blob = tar.extractfile(f"{k}.bin").read()
+                seen[int(k)] = (meta["lang"], meta["source"], blob)
+    rows = {r.doc_id: r for r in docs.collect()}
+    assert set(seen) == set(rows)
+    for k, (lang, source, blob) in seen.items():
+        assert (lang, source) == (rows[k].lang, rows[k].source)
+        assert blob == bytes(rows[k].payload)
+
+    # In-shard member order IS the training_order position order.
+    to = training_order(docs, n_shards=4)
+    expected = {}
+    for r in sorted(to.collect(), key=lambda r: (r.shard, r.pos)):
+        expected.setdefault(r.shard, []).append(r.doc_id)
+    assert order_in_tar == expected
+
+    # Byte-determinism: a second export produces identical shard bytes.
+    out2 = str(tmp_path / "wds2")
+    export_webdataset(docs.repartition(7), out2, payload_cols={"payload": "bin"}, n_shards=4)
+    for s in m["shards"]:
+        h1 = hashlib.md5(open(f"{out1}/{s['file']}", "rb").read()).hexdigest()
+        h2 = hashlib.md5(open(f"{out2}/{s['file']}", "rb").read()).hexdigest()
+        assert h1 == h2, s["file"]
+    # Manifest agrees with the filesystem.
+    disk = _json.load(open(f"{out1}/_manifest.json"))
+    assert disk["n_rows"] == m["n_rows"] and len(disk["shards"]) == 4

@@ -201,3 +201,19 @@ def test_cli_curate_with_scrub_segment_shuffle(spark, tmp_path, capsys):
     assert {"doc_id", "text", "shard", "pos"} <= set(got.columns)
     assert got.filter((got.shard < 0) | (got.shard >= 4)).count() == 0
     assert got.count() > 0
+
+
+def test_cli_export_webdataset(spark, tmp_path, capsys):
+    import tarfile
+
+    out = str(tmp_path / "wds")
+    rc = main([
+        "export", "/root/testdata/sf0.001/documents.parquet", out,
+        "--format", "webdataset", "--shards", "2",
+    ])
+    assert rc == 0
+    assert "shards" in capsys.readouterr().out
+    shards = sorted(p.name for p in (tmp_path / "wds").glob("shard-*.tar"))
+    assert shards == ["shard-00000.tar", "shard-00001.tar"]
+    with tarfile.open(f"{out}/{shards[0]}") as tar:
+        assert any(n.endswith(".json") for n in tar.getnames())
