@@ -119,6 +119,15 @@ def run(workdir: str, sf_dir: str = "/root/testdata/sf0.01", spark=None) -> dict
     per_split = {r["split"]: r["n"] for r in
                  back.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
     print(f"    split sizes: {json.dumps(per_split, sort_keys=True)}")
+
+    print("=== 7. Export WebDataset-style tar shards (multimodal loader format)")
+    from marketpipe_spark.export import export_webdataset
+
+    wds = export_webdataset(
+        final.drop("shard", "pos"), os.path.join(workdir, "wds"), n_shards=4
+    )
+    print(f"    {wds['n_rows']} rows in {wds['n_shards']} deterministic tar shards")
+    assert wds["n_rows"] == manifest["n_rows"]
     return {"raw": n_raw, "exported": manifest["n_rows"], "splits": per_split}
 
 
