@@ -124,6 +124,8 @@ EXTRA = [
     "token_budget_sample",
     "winnow_fingerprints",
     "nearest_centroid",
+    "hot_key_profile",
+    "salted_join_parity",
 ]
 
 #: The heavier LLM-pipeline operators (LSH/minhash/multimodal) stay out of
