@@ -175,3 +175,29 @@ def test_dotted_zero_version_equals_current(tmp_path):
         warnings.simplefilter("error")  # any warning -> test failure
         cfg = load_config(_write(tmp_path, body))
     assert cfg.symbols == ["AAPL"]
+
+
+def test_pyproject_metadata_is_coherent():
+    """Packaging drift guard: the console-script target must resolve, the
+    runtime dependency list must match what the package actually imports,
+    and the version string must parse."""
+    import importlib
+    import os
+    import tomllib
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    with open(os.path.join(root, "pyproject.toml"), "rb") as f:
+        meta = tomllib.load(f)
+    proj = meta["project"]
+    assert proj["name"] == "marketpipe-spark"
+    assert all(part.isdigit() for part in proj["version"].split("."))
+    # Console script target resolves to a callable.
+    target = proj["scripts"]["marketpipe-spark"]
+    mod, _, attr = target.partition(":")
+    assert callable(getattr(importlib.import_module(mod), attr))
+    # Every declared runtime dependency is importable in this environment.
+    import_names = {"pyspark": "pyspark", "pyarrow": "pyarrow",
+                    "pandas": "pandas", "numpy": "numpy"}
+    for dep in proj["dependencies"]:
+        name = dep.split(">=")[0].split("==")[0].strip()
+        importlib.import_module(import_names[name])
