@@ -105,3 +105,39 @@ def test_zorder_ranges_are_local(spark):
         .collect()[0]
     )
     assert prof["dx"] <= 31 and prof["dy"] <= 31
+
+
+def test_write_zordered_improves_row_group_skipping(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from marketpipe_spark.bucketing import row_group_skip_stats, write_zordered
+
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet").select(
+        "event_id",
+        F.col("user_id").cast("long").alias("user_id"),
+        F.floor(F.col("value")).cast("long").alias("vbucket"),
+        "event_type",
+    )
+    box = {"x_col": "user_id", "y_col": "vbucket"}
+    lo_u, hi_u = 10, 40
+    lo_v, hi_v = 10, 30
+
+    plain = str(tmp_path / "plain")
+    ev.repartition(16).write.mode("overwrite").parquet(plain)
+    zed = str(tmp_path / "zed")
+    write_zordered(ev, zed, "user_id", "vbucket", bits=12, n_files=16)
+
+    sp = row_group_skip_stats(plain, x_range=(lo_u, hi_u), y_range=(lo_v, hi_v), **box)
+    sz = row_group_skip_stats(zed, x_range=(lo_u, hi_u), y_range=(lo_v, hi_v), **box)
+    # Hash-partitioned layout: every row group spans the full key ranges ->
+    # nothing skippable. Z-order: most row groups miss the box entirely.
+    assert sz["n_skippable"] > sp["n_skippable"]
+    assert sz["skip_ppm"] >= 500_000, sz  # >= half the row groups prune away
+
+    # Layout must not change content: the box query returns identical rows.
+    pred = (
+        (F.col("user_id").between(lo_u, hi_u)) & (F.col("vbucket").between(lo_v, hi_v))
+    )
+    a = sorted(r.event_id for r in spark.read.parquet(plain).filter(pred).collect())
+    b = sorted(r.event_id for r in spark.read.parquet(zed).filter(pred).collect())
+    assert a == b and len(a) > 0
