@@ -241,3 +241,57 @@ def test_bpe_encoding_lossless_for_any_vocabulary(spark, words, n_merges):
         assert "".join(enc)[: -len(EOW)] == w
         # a word is never more symbols than characters + the EOW marker
         assert len(enc) <= len(w) + 1
+
+
+# --- Winnowing (MOSS) guarantees as properties -----------------------------
+#
+# 1. Coverage: every window of `w` consecutive gram positions contains at
+#    least one selected fingerprint (the density guarantee).
+# 2. Matching: two documents sharing a run of >= w+k-1 tokens share at
+#    least one selected fingerprint VALUE (the detection guarantee) —
+#    provided the run's grams don't collide with surrounding context, which
+#    disjoint vocabularies ensure here.
+
+_tok = st.integers(min_value=0, max_value=6)
+
+
+@_settings
+@given(
+    doc=st.lists(_tok, min_size=3, max_size=40),
+    shared=st.lists(st.integers(min_value=100, max_value=104), min_size=6, max_size=12),
+    pre1=st.lists(_tok, min_size=0, max_size=8),
+    pre2=st.lists(st.integers(min_value=200, max_value=206), min_size=0, max_size=8),
+)
+def test_winnowing_coverage_and_matching_properties(spark, doc, shared, pre1, pre2):
+    from marketpipe_spark.operators.dedup import winnow_fingerprints
+
+    k, w = 3, 4
+    texts = [
+        (1, " ".join(map(str, doc))),
+        (2, " ".join(map(str, pre1 + shared + pre1))),
+        (3, " ".join(map(str, pre2 + shared + pre2))),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    out = winnow_fingerprints(df, k=k, window=w)
+    by_doc: dict[int, list] = {}
+    fp_vals: dict[int, set] = {}
+    for r in out.collect():
+        by_doc.setdefault(r.doc_id, []).append(r.pos)
+        fp_vals.setdefault(r.doc_id, set()).add(r.gram_hash)
+
+    # Coverage: for each doc with n >= k tokens, every w-window of gram
+    # positions [t, t+w-1] holds a selected position.
+    for did, text in texts:
+        n_grams = len(text.split()) - k + 1
+        if n_grams < 1:
+            assert did not in by_doc
+            continue
+        sel = sorted(by_doc[did])
+        assert sel, (did, text)
+        for t in range(1, max(n_grams - w + 1, 1) + 1):
+            assert any(t <= p <= t + w - 1 for p in sel), (did, t, sel)
+
+    # Matching: docs 2 and 3 share a >= w+k-1 = 6-token run from a vocab
+    # disjoint with their prefixes, so they must share a fingerprint value.
+    if len(shared) >= w + k - 1:
+        assert fp_vals[2] & fp_vals[3], (texts[1], texts[2])
