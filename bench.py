@@ -126,6 +126,7 @@ EXTRA = [
     "nearest_centroid",
     "hot_key_profile",
     "salted_join_parity",
+    "containment_dedup",
 ]
 
 #: The heavier LLM-pipeline operators (LSH/minhash/multimodal) stay out of

@@ -300,6 +300,54 @@ def minhash_near_duplicates(
     )
 
 
+def containment_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 64,
+    bands: int = 16,
+    k: int = 3,
+    threshold: float = 0.8,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """Asymmetric near-dup detection: shingle-set CONTAINMENT
+    |A∩B| / min(|A|, |B|) ≥ threshold — catches a short document that is
+    mostly a quote/excerpt of a longer one, which symmetric Jaccard
+    misses (a 50-shingle doc fully inside a 1000-shingle doc has
+    containment 1.0 but Jaccard 0.05).
+
+    Candidates come from the SAME MinHash-LSH banding as
+    :func:`minhash_near_duplicates` (one shingle table, pinned once, feeds
+    signature + both verify sides); only the verify formula differs.
+    Caveat, stated not hidden: Jaccard-tuned LSH under-recalls pairs with
+    HIGH containment but LOW Jaccard (very different sizes rarely
+    collide in a band). For an exhaustive containment search, partition
+    the corpus by size band and run per-band — this operator is the
+    single-pass screen for comparably-sized excerpts.
+    """
+    from .similarity import spread
+
+    docs = spread(docs, id_col)
+    rows_per_band = num_perm // bands
+    sh_base = _pin(
+        with_shingles(docs, text_col, k).select(F.col(id_col), F.col("shingles"))
+    )
+    sigs = _signatures_from_shingles(sh_base, id_col, num_perm, hash_family)
+    cands = lsh_candidate_pairs(sigs, id_col, bands, rows_per_band, hash_family=hash_family)
+    sh = sh_base.select(
+        F.col(id_col), F.col("shingles"), F.size("shingles").alias("n_sh")
+    )
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"), F.col("n_sh").alias("n_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"), F.col("n_sh").alias("n_b"))
+    joined = cands.join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    cont = inter.cast("double") / F.least("n_a", "n_b")
+    return (
+        joined.select("id_a", "id_b", cont.alias("containment"))
+        .filter(F.col("containment") >= threshold)
+    )
+
+
 def estimated_jaccard(sig_a: Column, sig_b: Column, num_perm: int) -> Column:
     """MinHash Jaccard estimate: fraction of equal signature components.
     Exact integer count / constant — bit-stable across engines."""

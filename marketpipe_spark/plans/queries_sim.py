@@ -672,3 +672,64 @@ def q_nearest_centroid(spark, sf_dir):
     from ..operators.projection import nearest_centroid_label
 
     return nearest_centroid_label(t(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# Asymmetric containment dedup: |A∩B| / min(|A|,|B|) over the SAME
+# MinHash-LSH candidates (identical md5_60 signatures on both engines →
+# identical candidate sets → parity holds independent of LSH recall). The
+# corpus's natural near-dups are same-length, so the entry PLANTS excerpts
+# (every 7th doc re-appears under doc_id+20M holding its first 40% of
+# tokens): containment 1.0 with Jaccard ≈ 0.4 — exactly the pair family
+# symmetric-Jaccard dedup misses. Which planted pairs band-collide is a
+# deterministic function of the hashes, the same on both engines.
+
+SQL_CONTAINMENT = (
+    SQL_MINHASH.replace(
+        "WITH toks AS (\n  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t FROM documents\n),",
+        """WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 20000000 AS doc_id,
+         array_to_string(list_slice(regexp_split_to_array(trim(text), '\\s+'),
+                                    1, (len(regexp_split_to_array(trim(text), '\\s+')) * 2) // 5),
+                         ' ') AS text
+  FROM documents WHERE doc_id % 7 = 0
+),
+toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t FROM corpus
+),""",
+    )
+    .replace(
+        """         CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+           / (sa.n_sh + sb.n_sh - len(list_intersect(sa.shingles, sb.shingles))) AS jaccard""",
+        """         CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+           / least(sa.n_sh, sb.n_sh) AS containment""",
+    )
+    .replace(
+        "SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.5",
+        "SELECT id_a, id_b, containment FROM scored WHERE containment >= 0.8",
+    )
+)
+assert "containment" in SQL_CONTAINMENT and "20000000" in SQL_CONTAINMENT
+
+
+@register(
+    "containment_dedup",
+    SQL_CONTAINMENT,
+    doc="asymmetric shingle containment >= 0.8 over MinHash-LSH candidates; planted 40%-excerpt docs (containment 1.0, Jaccard ~0.4) exercise the case Jaccard dedup misses",
+    tags=("dedup",),
+)
+def q_containment_dedup(spark, sf_dir):
+    from ..operators.dedup import containment_pairs
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = F.split(F.trim(F.col("text")), r"\s+")
+    excerpt = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 20_000_000).alias("doc_id"),
+        F.array_join(
+            F.slice(tok, 1, (F.size(tok) * 2).cast("int") / F.lit(5)), " "
+        ).alias("text"),
+    )
+    corpus = d.unionByName(excerpt)
+    return containment_pairs(corpus, threshold=0.8, hash_family="md5_60")

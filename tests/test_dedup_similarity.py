@@ -574,3 +574,28 @@ def test_semantic_dedup_cell_guard_fails_fast(spark):
     # n_cells=1 puts every vector in one cell, which must trip max_cell.
     with pytest.raises(PythonException, match="max_cell"):
         semantic_dedup(emb, n_cells=1, refine_iters=0, max_cell=10).collect()
+
+
+def test_containment_pairs_catch_excerpts_jaccard_misses(spark):
+    from pyspark.sql import functions as F
+
+    from marketpipe_spark.operators.dedup import containment_pairs, minhash_near_duplicates
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lam mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega "
+            "one two three four five six seven eight nine ten")
+    excerpt = " ".join(base.split()[:12])  # ~1/3 of the tokens
+    rows = [(1, base), (2, excerpt), (3, "entirely different words " * 8)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # Low bands/rows so the low-Jaccard pair still band-collides in-test.
+    cont = {
+        (r.id_a, r.id_b): r.containment
+        for r in containment_pairs(df, threshold=0.8, num_perm=16, bands=16).collect()
+    }
+    assert (1, 2) in cont and cont[(1, 2)] == 1.0  # excerpt fully contained
+    assert all(3 not in pair for pair in cont)
+    jac = {
+        (r.id_a, r.id_b)
+        for r in minhash_near_duplicates(df, threshold=0.5, num_perm=16, bands=16).collect()
+    }
+    assert (1, 2) not in jac  # symmetric Jaccard (~0.3) misses the excerpt
