@@ -71,11 +71,15 @@ def get_spark(
     app_name: str = "marketpipe-spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
     """Build (or get) a tuned SparkSession.
 
     ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` locally; on a real
-    cluster leave it unset and submit through spark-submit.
+    cluster leave it unset and submit through spark-submit. ``extra_conf``
+    is for context-level settings that must be present at JVM start (e.g.
+    ``spark.scheduler.mode``) — runtime SQL confs can just use
+    ``spark.conf.set`` afterwards.
     """
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
@@ -94,5 +98,7 @@ def get_spark(
         .config("spark.driver.bindAddress", "127.0.0.1")
     )
     for k, v in RUNTIME_CONF.items():
+        builder = builder.config(k, v)
+    for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return tune(builder.getOrCreate())
