@@ -165,3 +165,48 @@ def row_group_skip_stats(
         "n_skippable": skippable,
         "skip_ppm": (skippable * 1_000_000) // max(total, 1),
     }
+
+
+def zorder_key_n(cols: list[Column], bits: int = 16) -> Column:
+    """N-column Morton interleave: bit ``i`` of column ``j`` lands at output
+    position ``i*n + j`` (round-robin across columns — the 2-column case
+    reduces exactly to :func:`zorder_key`). ``n * bits`` must fit 63 bits,
+    so e.g. 4 columns × 15 bits. Pure codegen'd bit math; the same formula
+    is expressible in any SQL dialect with shifts (cf. zorder_key_sql).
+
+    Use with :func:`write_zordered_n` to cluster a lake table for
+    predicates on ANY of 3-4 dimensions (symbol bucket, day, user bucket)
+    — the N-dimensional generalization of the Delta/Iceberg OPTIMIZE
+    ZORDER call.
+    """
+    n = len(cols)
+    if n < 2:
+        raise ValueError("zorder_key_n needs >= 2 columns")
+    if n * bits > 63:
+        raise ValueError(f"{n} cols x {bits} bits = {n * bits} > 63 output bits")
+    out = None
+    for i in range(bits):
+        for j, c in enumerate(cols):
+            b = F.shiftleft(F.shiftright(c, i).bitwiseAND(F.lit(1)), i * n + j)
+            out = b if out is None else out.bitwiseOR(b)
+    return out
+
+
+def write_zordered_n(
+    df: DataFrame,
+    path: str,
+    z_cols: list[str],
+    bits: int = 15,
+    n_files: int = 16,
+) -> None:
+    """:func:`write_zordered` over N columns (see :func:`zorder_key_n`)."""
+    tune(df.sparkSession)
+    z = zorder_key_n([F.col(c) for c in z_cols], bits)
+    (
+        df.withColumn("_z", z)
+        .repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -141,3 +141,43 @@ def test_write_zordered_improves_row_group_skipping(spark, tmp_path):
     a = sorted(r.event_id for r in spark.read.parquet(plain).filter(pred).collect())
     b = sorted(r.event_id for r in spark.read.parquet(zed).filter(pred).collect())
     assert a == b and len(a) > 0
+
+
+def test_zorder_key_n_reduces_to_two_col_and_clusters_three(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from marketpipe_spark.bucketing import (
+        row_group_skip_stats,
+        write_zordered_n,
+        zorder_key,
+        zorder_key_n,
+    )
+
+    df = spark.range(512).select(
+        (F.col("id") % 23).alias("a"),
+        (F.col("id") % 19).alias("b"),
+        (F.col("id") % 17).alias("c"),
+    )
+    # 2-column zorder_key_n == zorder_key exactly.
+    two = df.select(
+        zorder_key(F.col("a"), F.col("b"), bits=8).alias("z1"),
+        zorder_key_n([F.col("a"), F.col("b")], bits=8).alias("z2"),
+    )
+    assert two.filter(F.col("z1") != F.col("z2")).count() == 0
+
+    import pytest
+
+    with pytest.raises(ValueError, match="63"):
+        zorder_key_n([F.col("a")] * 5, bits=16)
+
+    # 3-column layout prunes row groups on the THIRD dimension too.
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet").select(
+        "event_id",
+        F.col("user_id").cast("long").alias("u"),
+        F.floor("value").cast("long").alias("v"),
+        (F.col("event_id") % 64).alias("w"),
+    )
+    out = str(tmp_path / "z3")
+    write_zordered_n(ev, out, ["u", "v", "w"], bits=12, n_files=16)
+    s = row_group_skip_stats(out, "w", "w", (0, 7), (0, 7))
+    assert s["n_skippable"] > 0  # min/max stats on the 3rd dim prune
