@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import argparse
 import datetime as dt
+import os
 import sys
 
 
@@ -386,6 +387,33 @@ def cmd_curate(args) -> int:
     return 0
 
 
+def cmd_plan(args) -> int:
+    """Explain a registry entry's physical plan + its structural shape
+    (shuffles/sorts/joins — the counts the plan-shape gate pins)."""
+    import json as _json
+
+    from .plans import registry
+
+    qs = registry.spark_queries()
+    if args.entry not in qs:
+        import difflib
+
+        near = difflib.get_close_matches(args.entry, qs.keys(), n=5)
+        print(f"unknown entry {args.entry!r}; close: {', '.join(near) or '(none)'}")
+        return 1
+    spark = _spark("plan")
+    df = qs[args.entry](spark, args.sf_dir)
+    qe = df._jdf.queryExecution()
+    if args.formatted:
+        print(qe.explainString(spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+    else:
+        print(qe.executedPlan().toString())
+    from .plans.shape import plan_shape
+
+    print(_json.dumps(plan_shape(qe.executedPlan().toString())))
+    return 0
+
+
 def cmd_export(args) -> int:
     """Export a parquet dataset as training-ready shards: JSONL (text
     pipelines) or WebDataset-style tar (multimodal loaders). Both write a
@@ -696,6 +724,20 @@ def build_parser() -> argparse.ArgumentParser:
         help="add a deterministic training-order (shard, pos) over S shards (0 = off)",
     )
     c.set_defaults(fn=cmd_curate)
+
+    pl = sub.add_parser(
+        "plan", help="explain a registry entry's physical plan + structural shape"
+    )
+    pl.add_argument("entry", help="registry entry name (e.g. pricing_summary)")
+    pl.add_argument(
+        "--sf-dir",
+        default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"),
+        help="table directory the plan is built against",
+    )
+    pl.add_argument(
+        "--formatted", action="store_true", help="use explain('formatted') output"
+    )
+    pl.set_defaults(fn=cmd_plan)
 
     x = sub.add_parser(
         "export", help="export parquet as JSONL shards or WebDataset-style tar shards"

@@ -30,34 +30,7 @@ SNAPSHOT = os.path.join(REPO, "PLAN_SNAPSHOT.json")
 SF = os.environ.get("SPARK_GRAFT_PLAN_SF", "/root/testdata/sf0.001")
 
 
-def plan_shape(plan_text: str) -> dict[str, int]:
-    """Count plan operators from the executedPlan tree text. Line-based so
-    'BroadcastExchange' is not double-counted as a shuffle 'Exchange'."""
-    shape = {
-        "shuffle_exchanges": 0,
-        "broadcast_exchanges": 0,
-        "sorts": 0,
-        "hash_aggregates": 0,
-        "sort_merge_joins": 0,
-        "broadcast_hash_joins": 0,
-        "shuffled_hash_joins": 0,
-    }
-    for line in plan_text.splitlines():
-        if "BroadcastExchange" in line:
-            shape["broadcast_exchanges"] += 1
-        elif "Exchange" in line and "Reused" not in line:
-            shape["shuffle_exchanges"] += 1
-        if "SortMergeJoin" in line:
-            shape["sort_merge_joins"] += 1
-        elif "+- Sort " in line or line.strip().startswith("Sort "):
-            shape["sorts"] += 1
-        if "HashAggregate" in line:
-            shape["hash_aggregates"] += 1
-        if "BroadcastHashJoin" in line:
-            shape["broadcast_hash_joins"] += 1
-        if "ShuffledHashJoin" in line:
-            shape["shuffled_hash_joins"] += 1
-    return shape
+from marketpipe_spark.plans.shape import plan_shape  # noqa: E402
 
 
 def current_shapes() -> dict[str, dict[str, int]]:

@@ -217,3 +217,13 @@ def test_cli_export_webdataset(spark, tmp_path, capsys):
     assert shards == ["shard-00000.tar", "shard-00001.tar"]
     with tarfile.open(f"{out}/{shards[0]}") as tar:
         assert any(n.endswith(".json") for n in tar.getnames())
+
+
+def test_cli_plan_command(spark, capsys):
+    rc = main(["plan", "pricing_summary"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "HashAggregate" in out and "shuffle_exchanges" in out
+    rc = main(["plan", "pricing_summmmary"])
+    assert rc == 1
+    assert "close:" in capsys.readouterr().out

@@ -33,10 +33,7 @@ GATED = ("shuffle_exchanges", "sorts", "sort_merge_joins")
 
 @pytest.mark.parametrize("name", NAMES)
 def test_plan_shape_does_not_regress(spark, name):
-    import sys
-
-    sys.path.insert(0, os.path.join(sys_path_repo, "scripts"))
-    from plan_snapshot import plan_shape
+    from marketpipe_spark.plans.shape import plan_shape
 
     if name not in SNAPSHOT:
         pytest.skip(f"{name}: new entry, no snapshot row yet (regenerate)")
