@@ -50,13 +50,19 @@ def build_manifest(spark: SparkSession, path: str) -> dict:
     from .lake import _hadoop_fs
 
     fs, hpath, _ = _hadoop_fs(spark, path)
+    root = hpath.toString().rstrip("/") + "/"
     shards = []
     it = fs.listFiles(hpath, True)
     while it.hasNext():
         st = it.next()
         p = st.getPath().toString()
-        name = p.rsplit("/", 1)[-1]
-        if name.startswith(("_", ".")) :
+        # Skip hidden/underscore files AND files under hidden/underscore
+        # directories WITHIN the export root (the streaming file sink's
+        # _spark_metadata log holds plain-named files like "0" that only
+        # the path reveals; the root itself may legitimately live under a
+        # dotted directory).
+        rel = p.split(root, 1)[-1]
+        if any(seg.startswith(("_", ".")) for seg in rel.split("/")):
             continue
         shards.append({"path": p, "bytes": st.getLen()})
     shards.sort(key=lambda s: s["path"])
@@ -175,3 +181,105 @@ def export_webdataset(
     with open(os.path.join(path, "_manifest.json"), "w") as f:
         json.dump(manifest, f, indent=2, sort_keys=True)
     return manifest
+
+
+def export_stream_jsonl(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint: str,
+    partition_by: list[str] | None = None,
+    available_now: bool = True,
+):
+    """Continuously export a streaming DataFrame as JSONL shards — the
+    incremental leg of :func:`export_jsonl`: each micro-batch appends new
+    shards; Spark's file-sink commit log (``_spark_metadata`` +
+    ``checkpoint``) makes delivery exactly-once across restarts, so a
+    nightly training-data drop becomes "the stream has simply kept up"
+    rather than a full re-export.
+
+    Returns the started ``StreamingQuery``. With ``available_now`` the
+    query drains everything currently available and stops at the next
+    ``awaitTermination()`` — the batch-refresh pattern; pass ``False`` for
+    a long-running continuous export. After (each) termination,
+    :func:`build_manifest` regenerates the shard inventory (it skips the
+    sink's metadata directory).
+
+    Scale shape: the sink only appends files per micro-batch partition —
+    no global state, no driver bottleneck; partition_by gives
+    hive-partitioned shards exactly like the batch exporter.
+    """
+    tune(stream_df.sparkSession)
+    w = (
+        stream_df.writeStream.format("json")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+    )
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
+def read_webdataset(
+    spark: SparkSession,
+    path: str,
+    payload_exts: tuple[str, ...] = (),
+):
+    """Load WebDataset-style tar shards written by :func:`export_webdataset`
+    back into a DataFrame: one task per shard streams its tar sequentially
+    (the access pattern the format exists for) and yields
+    ``(shard, key, meta_json)`` plus one binary column per extension in
+    ``payload_exts``. Row order within a shard is the tar member order —
+    i.e. the deterministic training order the writer laid down.
+
+    Same shared-filesystem contract as the writer. The shard list is a
+    driver-side directory listing (bounded by shard count, not rows).
+    """
+    import pandas as pd
+
+    shard_files = sorted(
+        os.path.join(path, f)
+        for f in os.listdir(path)
+        if f.endswith(".tar") and not f.startswith(("_", "."))
+    )
+    if not shard_files:
+        raise FileNotFoundError(f"no .tar shards under {path}")
+    sdf = tune(spark).createDataFrame(
+        [(i, f) for i, f in enumerate(shard_files)], "shard long, shard_path string"
+    ).repartition(len(shard_files), "shard")
+
+    cols = ["shard", "key", "meta_json", *payload_exts]
+
+    def load(batches):
+        import tarfile
+
+        for pdf in batches:
+            for shard, sp in zip(pdf["shard"], pdf["shard_path"]):
+                rows = []
+                with tarfile.open(sp) as tar:
+                    groups: dict[str, dict[str, bytes]] = {}
+                    order: list[str] = []
+                    for m in tar.getmembers():
+                        key, _, ext = m.name.rpartition(".")
+                        if key not in groups:
+                            groups[key] = {}
+                            order.append(key)
+                        groups[key][ext] = tar.extractfile(m).read()
+                    for key in order:
+                        members = groups[key]
+                        row = {
+                            "shard": int(shard),
+                            "key": key,
+                            "meta_json": members.get("json", b"").decode(),
+                        }
+                        for e in payload_exts:
+                            row[e] = members.get(e)
+                        rows.append(row)
+                if rows:
+                    yield pd.DataFrame(rows, columns=cols)
+
+    schema = "shard long, key string, meta_json string" + "".join(
+        f", {e} binary" for e in payload_exts
+    )
+    return sdf.mapInPandas(load, schema)

@@ -267,3 +267,73 @@ def test_export_webdataset_roundtrip_and_determinism(spark, tmp_path):
     # Manifest agrees with the filesystem.
     disk = _json.load(open(f"{out1}/_manifest.json"))
     assert disk["n_rows"] == m["n_rows"] and len(disk["shards"]) == 4
+
+
+def test_read_webdataset_roundtrips_in_training_order(spark, tmp_path):
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from marketpipe_spark.export import export_webdataset, read_webdataset
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "lang", "text")
+        .withColumn("payload", F.encode(F.substring("text", 1, 6), "utf-8"))
+    )
+    out = str(tmp_path / "wds")
+    export_webdataset(docs, out, payload_cols={"payload": "bin"}, n_shards=3)
+    back = read_webdataset(spark, out, payload_exts=("bin",))
+    rows = back.collect()
+    assert len(rows) == docs.count()
+    orig = {str(r.doc_id): r for r in docs.collect()}
+    for r in rows:
+        meta = _json.loads(r.meta_json)
+        assert meta["lang"] == orig[r.key].lang
+        assert bytes(r.bin) == bytes(orig[r.key].payload)
+    # Within-shard row order is the tar member order (training order).
+    from marketpipe_spark.operators.sampling import training_order
+
+    to = {r.doc_id: (r.shard, r.pos) for r in training_order(docs, n_shards=3).collect()}
+    per_shard: dict[int, list[int]] = {}
+    for r in rows:
+        per_shard.setdefault(r.shard, []).append(int(r.key))
+    for shard, keys in per_shard.items():
+        expect = sorted((k for k in keys), key=lambda k: to[k][1])
+        assert keys == expect, shard
+
+
+def test_export_stream_jsonl_exactly_once_across_restart(spark, tmp_path):
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from marketpipe_spark.export import build_manifest, export_stream_jsonl, read_jsonl
+
+    src = str(tmp_path / "incoming")
+    out = str(tmp_path / "stream_out")
+    ckpt = str(tmp_path / "ckpt")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "lang", "text"
+    )
+    first = docs.filter(F.col("doc_id") % 2 == 0)
+    first.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    q = export_stream_jsonl(stream, out, ckpt)
+    q.awaitTermination()
+    n1 = read_jsonl(spark, out).count()
+    assert n1 == first.count()
+
+    # More files arrive; a RESTARTED query exports only the delta.
+    docs.filter(F.col("doc_id") % 2 == 1).write.mode("append").parquet(src)
+    q2 = export_stream_jsonl(spark.readStream.schema(docs.schema).parquet(src), out, ckpt)
+    q2.awaitTermination()
+    back = read_jsonl(spark, out)
+    assert back.count() == docs.count()
+    assert back.select("doc_id").distinct().count() == docs.count()  # no dupes
+    # Manifest skips the streaming sink's _spark_metadata log.
+    m = build_manifest(spark, out)
+    assert m["n_shards"] > 0
+    assert all("_spark_metadata" not in s["path"] for s in m["shards"])
+    shutil.rmtree(ckpt)
