@@ -1,0 +1,171 @@
+"""Structured Streaming entries with batch-SQL oracles.
+
+Every other streaming operator in this repo is verified by repo tests only
+(the driver's DuckDB oracle cannot run a stream). These entries close that
+gap: each runs a REAL Structured Streaming query — file-source ``readStream``
+over the driver's parquet, event-time watermarks, stateful operators — drained
+with ``Trigger.AvailableNow`` into a memory sink, and returns the sink table
+as a plain DataFrame. Because the input is bounded, the streaming semantics
+have an exact batch equivalent, so the driver's hash compare applies:
+
+- ``stream_resample_5m``: windowed OHLCV aggregation in COMPLETE mode. With
+  all state retained, the final emission over a bounded stream is exactly the
+  batch group-by — oracle is the batch resample SQL, unchanged.
+- ``stream_dedup_minute``: ``dropDuplicatesWithinWatermark`` emits the first
+  row per key; projected to the key columns the output is exactly
+  ``SELECT DISTINCT`` regardless of arrival order.
+- ``stream_sessions``: ``session_window`` in APPEND mode emits only sessions
+  the final watermark closed — the oracle reproduces gaps-and-islands
+  sessionization PLUS the watermark rule (session end ≤ max event-time ms −
+  delay), so the late-data semantics themselves are what is verified.
+
+Scale notes: the streaming plans are the production shape (keyed state,
+watermark-bounded eviction, file-source backlog draining — SURVEY §2.9); the
+memory sink exists only so the result can be compared. Production sinks are
+``stream_to_lake``'s foreachBatch upsert. Reference semantics cited:
+aggregation/domain/services.py:31-45 (A1 resample), validation timestamp-
+uniqueness (P8), and the checkpoint-resume loop
+(ingestion/application/services.py:470-553) which AvailableNow mirrors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import NS_PER_MIN, NS_PER_SEC
+from ..streaming.stream import run_to_memory, windowed_ohlcv
+from .queries_bars import _resample_sql
+from .registry import SQL_BARS, register, t, ts_ns_expr
+
+#: Watermark delay for the append-mode entries (must match the oracle cutoff).
+WM_MIN = 10
+GAP_MIN = 30
+
+
+def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the driver's events parquet. The schema comes
+    from the (cached) batch relation — a file stream source cannot infer.
+    The glob form keeps ``basePath`` a directory while matching one file."""
+    schema = t(spark, sf_dir, "events").schema
+    return spark.readStream.schema(schema).parquet(f"{sf_dir}/events*.parquet")
+
+
+def _bar_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of :func:`registry.bars` (same column mapping)."""
+    ev = _event_stream(spark, sf_dir)
+    return ev.select(
+        F.col("event_type").alias("symbol"),
+        ts_ns_expr(ev).alias("ts_ns"),
+        F.col("value").alias("open"),
+        F.col("value").alias("high"),
+        F.col("value").alias("low"),
+        F.col("value").alias("close"),
+        (F.col("event_id") % F.lit(1000)).alias("volume"),
+        F.col("event_id"),
+        F.col("user_id"),
+    )
+
+
+@register(
+    "stream_resample_5m",
+    _resample_sql(300 * NS_PER_SEC),
+    doc="Structured Streaming windowed OHLCV (complete mode, AvailableNow) == batch A1 resample",
+    tags=("streaming", "agg"),
+)
+def q_stream_resample_5m(spark, sf_dir):
+    agg = windowed_ohlcv(_bar_stream(spark, sf_dir), minutes=5, watermark=f"{WM_MIN} minutes")
+    return run_to_memory(agg, "stream_resample_5m", "complete")
+
+
+SQL_STREAM_DEDUP_MINUTE = f"""
+WITH {SQL_BARS}
+SELECT DISTINCT symbol, ts_ns - ts_ns % {NS_PER_MIN} AS minute_ns
+FROM bars
+"""
+
+
+@register(
+    "stream_dedup_minute",
+    SQL_STREAM_DEDUP_MINUTE,
+    doc="streaming dropDuplicatesWithinWatermark on (symbol, minute) == DISTINCT (P8 duplicate rejection)",
+    tags=("streaming", "dedup"),
+)
+def q_stream_dedup_minute(spark, sf_dir):
+    b = _bar_stream(spark, sf_dir)
+    keyed = b.withColumn("minute_ns", F.col("ts_ns") - F.col("ts_ns") % F.lit(NS_PER_MIN))
+    deduped = (
+        keyed.withColumn("event_time", F.timestamp_micros(F.expr("ts_ns div 1000")))
+        .withWatermark("event_time", f"{WM_MIN} minutes")
+        .dropDuplicatesWithinWatermark(["symbol", "minute_ns"])
+        .select("symbol", "minute_ns")
+    )
+    return run_to_memory(deduped, "stream_dedup_minute", "append")
+
+
+_GAP_NS = GAP_MIN * 60 * NS_PER_SEC
+_WM_MS = WM_MIN * 60 * 1000
+
+# The watermark cutoff reproduces Spark's bookkeeping exactly: event time is
+# µs (ts_ns div 1000), the tracked max is truncated to ms, the delay is
+# subtracted in ms, and append mode emits sessions whose END is at or below
+# the final watermark (end == watermark IS emitted — pinned empirically by
+# tests/test_streaming.py::test_session_emission_boundary_rule).
+SQL_STREAM_SESSIONS = f"""
+WITH {SQL_BARS},
+b AS (SELECT user_id, ts_ns, volume FROM bars),
+mx AS (SELECT ((MAX(ts_ns) // 1000000) - {_WM_MS}) * 1000000 AS wm_ns FROM b),
+ordered AS (
+  SELECT user_id, ts_ns, volume,
+         LAG(ts_ns) OVER (PARTITION BY user_id ORDER BY ts_ns) AS prev
+  FROM b
+),
+tagged AS (
+  SELECT user_id, ts_ns, volume,
+         CASE WHEN prev IS NULL OR ts_ns - prev >= {_GAP_NS} THEN 1 ELSE 0 END AS nb
+  FROM ordered
+),
+sids AS (
+  SELECT user_id, ts_ns, volume,
+         SUM(nb) OVER (PARTITION BY user_id ORDER BY ts_ns ROWS UNBOUNDED PRECEDING) AS sid
+  FROM tagged
+),
+sess AS (
+  SELECT user_id,
+         MIN(ts_ns) AS session_start_ns,
+         MAX(ts_ns) + {_GAP_NS} AS session_end_ns,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(volume) AS BIGINT) AS volume
+  FROM sids GROUP BY user_id, sid
+)
+SELECT user_id, session_start_ns, session_end_ns, n_events, volume
+FROM sess, mx
+WHERE session_end_ns <= wm_ns
+"""
+
+
+@register(
+    "stream_sessions",
+    SQL_STREAM_SESSIONS,
+    doc="streaming session_window (append mode): watermark-closed sessions == gaps-and-islands + watermark-cutoff oracle",
+    tags=("streaming", "sessions", "window"),
+)
+def q_stream_sessions(spark, sf_dir):
+    b = _bar_stream(spark, sf_dir)
+    sess = (
+        b.withColumn("event_time", F.timestamp_micros(F.expr("ts_ns div 1000")))
+        .withWatermark("event_time", f"{WM_MIN} minutes")
+        .groupBy(F.col("user_id"), F.session_window("event_time", f"{GAP_MIN} minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("volume").alias("volume"),
+        )
+        .select(
+            "user_id",
+            (F.unix_micros(F.col("w.start")) * 1000).alias("session_start_ns"),
+            (F.unix_micros(F.col("w.end")) * 1000).alias("session_end_ns"),
+            "n_events",
+            "volume",
+        )
+    )
+    return run_to_memory(sess, "stream_sessions", "append")

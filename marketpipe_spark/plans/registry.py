@@ -180,6 +180,7 @@ def all_queries() -> dict[str, Query]:
         queries_control,
         queries_docs,
         queries_sim,
+        queries_stream,
         queries_ta,
         queries_tpch,
     )

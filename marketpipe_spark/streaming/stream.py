@@ -213,6 +213,42 @@ def run_available_now(query) -> None:
     query.awaitTermination()
 
 
+_MEMORY_SINK_SEQ = 0
+
+
+def run_to_memory(stream_df: DataFrame, name: str, output_mode: str) -> DataFrame:
+    """Drain a bounded stream into a memory sink and return the result table.
+
+    Runs ``stream_df`` with ``Trigger.AvailableNow`` into an in-memory table
+    and blocks until the backlog (plus the trailing no-data microbatch that
+    advances the watermark and flushes closed append-mode state) drains.
+    The returned DataFrame is a plain batch scan of the sink table, so the
+    same streaming plan becomes oracle-comparable against batch SQL.
+
+    The sink table and checkpoint are per-invocation (monotonic suffix):
+    concurrent or repeated calls in one session never collide. Memory-sink
+    collection is driver-bounded BY DESIGN — this is the verification
+    harness for streaming semantics, not a production sink (production
+    paths use :func:`stream_to_lake`'s foreachBatch upsert).
+    """
+    global _MEMORY_SINK_SEQ
+    import tempfile
+
+    _MEMORY_SINK_SEQ += 1
+    qname = f"{name}_{_MEMORY_SINK_SEQ}"
+    ckpt = tempfile.mkdtemp(prefix=f"mp_stream_{name}_")
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(qname)
+
+
 def dedup_within_watermark(bar_stream: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     """Exact streaming dedup on (symbol, ts_ns) with watermark-bounded state.
 

@@ -526,3 +526,58 @@ def test_dedup_stream_accumulates_store_and_matches_batch(spark, tmp_path):
     p2, _ = minhash_incremental_pairs(b2, s1, threshold=0.5)
     want = {(r.id_a, r.id_b) for r in p1.unionByName(p2).select("id_a", "id_b").collect()}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# memory-sink verification entries (plans/queries_stream.py)
+
+
+def test_session_emission_boundary_rule(spark, tmp_path):
+    """Pin the append-mode emission rule the stream_sessions oracle encodes:
+    a session whose end equals the final watermark EXACTLY (max event-time ms
+    − delay ms) IS emitted (``end <= watermark``, not strict ``<``)."""
+    import pyspark.sql.types as T
+
+    from marketpipe_spark.streaming.stream import run_to_memory
+
+    t0 = 1_700_000_000_000_000_000
+    rows = [(1, t0), (2, t0 + 40 * 60 * 1_000_000_000)]
+    schema = T.StructType(
+        [T.StructField("user_id", T.LongType()), T.StructField("ts_ns", T.LongType())]
+    )
+    src = str(tmp_path / "in")
+    spark.createDataFrame(rows, schema).write.parquet(src)
+    st = spark.readStream.schema(schema).parquet(src)
+    sess = (
+        st.withColumn("event_time", F.timestamp_micros(F.expr("ts_ns div 1000")))
+        .withWatermark("event_time", "10 minutes")
+        .groupBy("user_id", F.session_window("event_time", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("user_id", (F.unix_micros(F.col("w.end")) * 1000).alias("end_ns"), "n")
+    )
+    out = run_to_memory(sess, "boundary_rule", "append").collect()
+    # watermark = (t0 + 40min) − 10min = t0 + 30min == user 1's session end:
+    # emitted. User 2's session (end t0 + 70min) stays open: not emitted.
+    assert [(r.user_id, r.end_ns) for r in out] == [(1, t0 + 30 * 60 * 1_000_000_000)]
+
+
+@pytest.mark.parametrize(
+    "name", ["stream_resample_5m", "stream_dedup_minute", "stream_sessions"]
+)
+def test_stream_entries_match_batch(spark, name):
+    """Each streaming registry entry equals its batch-SQL oracle executed by
+    Spark itself on the same data (the DuckDB side is covered by the
+    correctness sweep; this keeps the equivalence pinned in pytest)."""
+    import os
+
+    import __spark_entry__ as entry_mod
+    from conftest import SF_SMOKE
+
+    got = entry_mod.queries()[name](spark, SF_SMOKE)
+    for t in ("events",):
+        spark.read.parquet(os.path.join(SF_SMOKE, f"{t}.parquet")).createOrReplaceTempView(t)
+    sql = entry_mod.oracle_sql()[name].replace("epoch_ns(ts)", "unix_micros(cast(ts as timestamp)) * 1000")
+    sql = sql.replace("//", "div").replace("%", "%")
+    want = spark.sql(sql)
+    assert got.exceptAll(want.select(got.columns)).count() == 0
+    assert want.select(got.columns).exceptAll(got).count() == 0
