@@ -217,3 +217,94 @@ def token_budget_sample(
         .withColumn("cum_tokens", cum.cast("long"))
         .filter(F.col("cum_tokens") <= budget)
     )
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 65536,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """DSIR importance weights (Data Selection via Importance Resampling,
+    Xie et al. 2023, arXiv:2302.03169): score every document by the
+    log-likelihood ratio of a target-domain vs a raw-corpus hashed
+    bag-of-unigrams model, the published recipe for selecting pretraining
+    data that "looks like" a trusted target set.
+
+    ``target`` is a boolean Column evaluated per document (e.g.
+    ``F.col("lang") == "en"``); the raw model is the whole input. Tokens
+    hash into ``buckets`` buckets (fixed model size regardless of corpus
+    scale — the point of the hashed variant), both models are add-one
+    smoothed, and the per-bucket log-ratio is micro-floored to a BIGINT so
+    per-document sums are order-independent and cross-libm stable (the
+    lm_perplexity fixed-point precedent).
+
+    Returns ``(id, n_tokens, dsir_micro, avg_micro, keep)``: ``dsir_micro``
+    is the summed per-token log-ratio in micro-nats, ``avg_micro`` its
+    per-token (length-normalized) floor, and ``keep`` marks documents whose
+    per-token score beats the corpus mean — an integer-exact comparison
+    (``avg_micro * n_docs > Σ avg_micro``), so the boundary stays live even
+    when add-one smoothing shifts every raw score negative (target ⊂ raw
+    always biases ``ct ≤ cr``). For true DSIR *resampling*, feed
+    ``dsir_micro`` to :func:`training_order`-style Gumbel ordering; the
+    deterministic above-mean rule keeps the output oracle-exact.
+
+    Scale shape (100 TB): one explode pass pre-aggregated per (doc, bucket)
+    — the join input shrinks to distinct-buckets-per-doc; the model table
+    is ≤ ``buckets`` rows BY CONSTRUCTION (broadcast-safe at any corpus
+    size, hence ``always_broadcast``); totals attach via the keyed 1-row
+    broadcast of :func:`..plans.registry.scalar_join`. Three shuffles total
+    (doc-bucket pre-agg, bucket stats, per-doc sum), all map-side combined.
+    """
+    from ..plans.registry import dim_join, scalar_join
+
+    if buckets > (1 << 20):
+        raise ValueError("buckets must stay broadcast-safe (<= 2^20)")
+    tok = docs.select(
+        F.col(id_col),
+        target.alias("tgt"),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("token"),
+    )
+    tk = tok.select(
+        id_col,
+        "tgt",
+        F.pmod(_hash64(F.col("token"), None, hash_family), F.lit(buckets)).alias("bucket"),
+    )
+    inst = tk.groupBy(id_col, "tgt", "bucket").agg(F.count(F.lit(1)).alias("m"))
+    stats = inst.groupBy("bucket").agg(
+        F.sum(F.when(F.col("tgt"), F.col("m")).otherwise(F.lit(0))).alias("ct"),
+        F.sum("m").alias("cr"),
+    )
+    tot = stats.agg(F.sum("ct").alias("nt"), F.sum("cr").alias("nr"))
+    # Identical IEEE evaluation order to the SQL oracle:
+    # ln(double(ct+1) * (nr+B) / bigint((cr+1) * (nt+B))) * 1e6, floored.
+    lam_micro = F.floor(
+        F.log(
+            (F.col("ct") + 1).cast("double")
+            * (F.col("nr") + F.lit(buckets))
+            / ((F.col("cr") + 1) * (F.col("nt") + F.lit(buckets)))
+        )
+        * F.lit(1000000)
+    ).cast("long")
+    lam = scalar_join(stats, "bucket", tot).select("bucket", lam_micro.alias("lam_micro"))
+    j = dim_join(inst, lam, "bucket", always_broadcast=True)
+    per_doc = j.groupBy(id_col).agg(
+        F.sum("m").alias("n_tokens"),
+        F.sum(F.col("m") * F.col("lam_micro")).alias("dsir_micro"),
+    )
+    per_doc = per_doc.withColumn(
+        "avg_micro",
+        F.floor(F.col("dsir_micro").cast("double") / F.col("n_tokens")).cast("long"),
+    )
+    corpus = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("avg_micro").alias("tot_avg")
+    )
+    return scalar_join(per_doc, id_col, corpus).select(
+        id_col,
+        "n_tokens",
+        "dsir_micro",
+        "avg_micro",
+        (F.col("avg_micro") * F.col("n_docs") > F.col("tot_avg")).alias("keep"),
+    )

@@ -1425,3 +1425,70 @@ def q_winnow_fingerprints(spark, sf_dir):
     return winnow_fingerprints(
         t(spark, sf_dir, "documents"), k=3, window=4, hash_family="md5_60"
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights (Xie et al. 2023) — hashed-unigram target/raw
+# log-likelihood ratio per document. md5_60 bucket hashing so the whole
+# model (bucket counts -> smoothed log-ratio -> per-doc sum) is reproduced
+# bit-for-bit by the oracle; per-bucket terms micro-floored to BIGINT
+# before summation (lm_perplexity precedent).
+
+_DSIR_B = 65536
+
+SQL_DSIR_WEIGHTS = rf"""
+WITH tok AS (
+  SELECT doc_id, lang = 'en' AS tgt,
+         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+  FROM documents
+), tk AS (
+  SELECT doc_id, tgt,
+         CAST(('0x' || substr(md5(token), 1, 15)) AS BIGINT) % {_DSIR_B} AS bucket
+  FROM tok
+), inst AS (
+  SELECT doc_id, tgt, bucket, CAST(COUNT(*) AS BIGINT) AS m FROM tk GROUP BY 1, 2, 3
+), stats AS (
+  SELECT bucket,
+         CAST(SUM(CASE WHEN tgt THEN m ELSE 0 END) AS BIGINT) AS ct,
+         CAST(SUM(m) AS BIGINT) AS cr
+  FROM inst GROUP BY bucket
+), tot AS (
+  SELECT CAST(SUM(ct) AS BIGINT) AS nt, CAST(SUM(cr) AS BIGINT) AS nr FROM stats
+), lam AS (
+  SELECT bucket,
+         CAST(FLOOR(ln(CAST(ct + 1 AS DOUBLE) * (nr + {_DSIR_B})
+                       / ((cr + 1) * (nt + {_DSIR_B}))) * 1000000) AS BIGINT) AS lam_micro
+  FROM stats CROSS JOIN tot
+)
+, per_doc AS (
+  SELECT doc_id,
+         CAST(SUM(m) AS BIGINT) AS n_tokens,
+         CAST(SUM(m * lam_micro) AS BIGINT) AS dsir_micro,
+         CAST(FLOOR(CAST(SUM(m * lam_micro) AS DOUBLE) / SUM(m)) AS BIGINT) AS avg_micro
+  FROM inst JOIN lam USING (bucket)
+  GROUP BY doc_id
+), corpus AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(avg_micro) AS BIGINT) AS tot_avg
+  FROM per_doc
+)
+SELECT doc_id, n_tokens, dsir_micro, avg_micro,
+       avg_micro * n_docs > tot_avg AS keep
+FROM per_doc CROSS JOIN corpus
+"""
+
+
+@register(
+    "dsir_weights",
+    SQL_DSIR_WEIGHTS,
+    doc="DSIR importance weights: hashed-unigram target(lang=en)/raw log-ratio per doc, micro-floored (arXiv:2302.03169)",
+    tags=("sampling", "quality", "text"),
+)
+def q_dsir_weights(spark, sf_dir):
+    from ..operators.sampling import dsir_weights
+
+    return dsir_weights(
+        t(spark, sf_dir, "documents"),
+        target=F.col("lang") == "en",
+        buckets=_DSIR_B,
+        hash_family="md5_60",
+    )

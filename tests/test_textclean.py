@@ -361,3 +361,28 @@ def test_boilerplate_strip_partition_invariant(spark):
     )
     assert a == b
     assert any(r[2] > 0 for r in a)  # the corpus genuinely exercises the strip path
+
+
+def test_dsir_weights_prefers_target_like_documents(spark):
+    """DSIR (arXiv:2302.03169): documents from the target language must be
+    kept at a higher rate than non-target ones, the boundary must be live
+    (both keeps and drops), and the scoring must be partition-invariant."""
+    from pyspark.sql import functions as F
+
+    from marketpipe_spark.operators.sampling import dsir_weights
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    w = dsir_weights(docs, target=F.col("lang") == "en", buckets=4096)
+    rows = {r.doc_id: r for r in w.collect()}
+    langs = {r.doc_id: r.lang for r in docs.select("doc_id", "lang").collect()}
+    assert set(rows) == set(langs)
+
+    kept_en = sum(1 for d, r in rows.items() if r.keep and langs[d] == "en")
+    n_en = sum(1 for d in langs.values() if d == "en")
+    kept_other = sum(1 for d, r in rows.items() if r.keep and langs[d] != "en")
+    n_other = len(langs) - n_en
+    assert 0 < kept_en < n_en and 0 < kept_other < n_other  # live boundary
+    assert kept_en / n_en > kept_other / n_other  # target-like preferred
+
+    w2 = dsir_weights(docs.repartition(13), target=F.col("lang") == "en", buckets=4096)
+    assert sorted(map(tuple, w2.collect())) == sorted(map(tuple, w.collect()))
