@@ -146,6 +146,10 @@ FULL_EXTRA = [
     "pq_topk",
     "kll_value_quantiles",
     "bpe_trained_tokens",
+    "dsir_weights",
+    "stream_resample_5m",
+    "stream_dedup_minute",
+    "stream_sessions",
 ]
 
 

@@ -308,3 +308,37 @@ def dsir_weights(
         "avg_micro",
         (F.col("avg_micro") * F.col("n_docs") > F.col("tot_avg")).alias("keep"),
     )
+
+
+def gumbel_topk_sample(
+    df: DataFrame,
+    k: int,
+    weight_micro_col: str = "dsir_micro",
+    id_col: str = "doc_id",
+    salt: str = "gumbel-v1",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement via the Gumbel
+    top-k trick (Efraimidis & Spirakis 2006 / Gumbel-max): rank rows by
+    ``logit + Gumbel(noise)`` and keep the top ``k`` — exactly sampling k
+    items with probability proportional to ``exp(logit)``. With
+    ``weight_micro_col`` = DSIR's micro-nat log-ratio this IS the "R" in
+    DSIR: importance *resampling*, not just weighting.
+
+    The Gumbel noise is a pure function of the row id (``md5_60(salt|id)``
+    mapped to u ∈ (0,1), g = −ln(−ln(u))) — reproducible across runs,
+    engines, and partitionings, and micro-floored so the ranking key is an
+    integer (ties broken by id: a total order, oracle-exact).
+
+    Scale shape (100 TB): noise and key are map-only; the top-k is
+    ``orderBy(...).limit(k)``, which Spark plans as TakeOrderedAndProject —
+    per-partition partial top-k then a k-row driver merge, no global sort
+    shuffle. k is the bound on driver traffic BY CONSTRUCTION.
+    """
+    h = _row_hash(id_col, salt)
+    # u ∈ (0,1): (h+1)/(2^60+1); both engines evaluate BIGINT→DOUBLE casts
+    # and the division identically (IEEE round-to-nearest).
+    u = (h + F.lit(1)).cast("double") / F.lit(1152921504606846977).cast("double")
+    gumbel_micro = F.floor(-F.log(-F.log(u)) * F.lit(1000000)).cast("long")
+    key = (F.col(weight_micro_col) + gumbel_micro).alias("gumbel_key_micro")
+    keyed = df.select("*", key)
+    return keyed.orderBy(F.col("gumbel_key_micro").desc(), F.col(id_col).asc()).limit(k)

@@ -1492,3 +1492,46 @@ def q_dsir_weights(spark, sf_dir):
         buckets=_DSIR_B,
         hash_family="md5_60",
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR resampling — the "R": Gumbel top-k over the importance weights picks
+# k documents with probability proportional to exp(log-ratio). Noise is a
+# pure function of doc_id (md5_60), so the selected SET is deterministic
+# and the oracle reproduces key derivation, ranking, and cutoff exactly.
+
+_DSIR_K = 100
+
+SQL_DSIR_RESAMPLE = rf"""
+WITH dsir AS (
+  {SQL_DSIR_WEIGHTS.replace(chr(10), chr(10) + '  ')}
+), keyed AS (
+  SELECT doc_id, dsir_micro,
+         dsir_micro + CAST(FLOOR(-ln(-ln(
+             CAST(CAST(('0x' || substr(md5('gumbel-v1|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) + 1 AS DOUBLE)
+             / CAST(1152921504606846977 AS DOUBLE)
+         )) * 1000000) AS BIGINT) AS gumbel_key_micro
+  FROM dsir
+)
+SELECT doc_id, dsir_micro, gumbel_key_micro
+FROM keyed
+QUALIFY ROW_NUMBER() OVER (ORDER BY gumbel_key_micro DESC, doc_id ASC) <= {_DSIR_K}
+"""
+
+
+@register(
+    "dsir_resample",
+    SQL_DSIR_RESAMPLE,
+    doc="DSIR importance resampling: Gumbel top-k (deterministic md5 noise) over the hashed-unigram log-ratio weights",
+    tags=("sampling", "quality"),
+)
+def q_dsir_resample(spark, sf_dir):
+    from ..operators.sampling import dsir_weights, gumbel_topk_sample
+
+    w = dsir_weights(
+        t(spark, sf_dir, "documents"),
+        target=F.col("lang") == "en",
+        buckets=_DSIR_B,
+        hash_family="md5_60",
+    ).select("doc_id", "dsir_micro")
+    return gumbel_topk_sample(w, k=_DSIR_K, salt="gumbel-v1")

@@ -386,3 +386,26 @@ def test_dsir_weights_prefers_target_like_documents(spark):
 
     w2 = dsir_weights(docs.repartition(13), target=F.col("lang") == "en", buckets=4096)
     assert sorted(map(tuple, w2.collect())) == sorted(map(tuple, w.collect()))
+
+
+def test_gumbel_topk_sample_is_weighted_and_scale_shaped(spark):
+    """Gumbel top-k: a dominant-weight row always wins, the set is a pure
+    function of ids (partition-invariant), and the plan is
+    TakeOrderedAndProject (partial per-partition top-k), not a global sort."""
+    from pyspark.sql import functions as F
+
+    from marketpipe_spark.operators.sampling import gumbel_topk_sample
+
+    df = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") == 7, F.lit(10_000_000_000)).otherwise(F.lit(0)).alias("w_micro"),
+    )
+    top = gumbel_topk_sample(df, k=20, weight_micro_col="w_micro")
+    ids = {r.doc_id for r in top.collect()}
+    assert len(ids) == 20 and 7 in ids  # dominant logit always sampled
+
+    ids2 = {r.doc_id for r in gumbel_topk_sample(df.repartition(13), k=20, weight_micro_col="w_micro").collect()}
+    assert ids2 == ids
+
+    plan = top._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
