@@ -216,7 +216,9 @@ def run_available_now(query) -> None:
 _MEMORY_SINK_SEQ = 0
 
 
-def run_to_memory(stream_df: DataFrame, name: str, output_mode: str) -> DataFrame:
+def run_to_memory(
+    stream_df: DataFrame, name: str, output_mode: str, timeout_s: float = 900.0
+) -> DataFrame:
     """Drain a bounded stream into a memory sink and return the result table.
 
     Runs ``stream_df`` with ``Trigger.AvailableNow`` into an in-memory table
@@ -245,7 +247,12 @@ def run_to_memory(stream_df: DataFrame, name: str, output_mode: str) -> DataFram
         .option("checkpointLocation", ckpt)
         .start()
     )
-    q.awaitTermination()
+    # Bounded wait: an AvailableNow drain over healthy input finishes in
+    # seconds; an unbounded awaitTermination would let a wedged source hang
+    # the caller (and the correctness driver) forever.
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(f"stream {qname} did not drain within {timeout_s}s")
     return stream_df.sparkSession.table(qname)
 
 
