@@ -488,3 +488,73 @@ def boilerplate_strip(
             ).alias("clean_text"),
         )
     )
+
+
+def decontaminate_spans(
+    train: DataFrame,
+    test: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    family: str = "md5_60",
+) -> DataFrame:
+    """Span-level exact-substring decontamination (the GPT-3 appendix-C /
+    FineWeb recipe): REMOVE from every train document each word n-gram that
+    also appears anywhere in the test corpus, instead of merely flagging
+    the document (:func:`ngram_contamination` is the flagging half).
+
+    A train token is dropped iff it is covered by at least one contaminated
+    n-gram start: token position ``i`` dies when some matched start ``s``
+    satisfies ``s <= i < s + n``. The surviving tokens are rejoined in
+    order, so the output is the scrubbed (whitespace-normalized, lowercased
+    — the same normalization the gram hashes use) training text plus
+    removal counts.
+
+    Scale shape (100 TB): positioned train grams explode map-side; the test
+    side shrinks to ONE distinct 60-bit hash set (benchmark suites are MBs
+    against a multi-TB train corpus); the contamination join is a plain
+    shuffle hash join on ``gram_h`` (never a broadcast of the train side —
+    the contamination_check inversion lesson); matched starts fold back
+    per document as a bounded array (≤ tokens-per-doc, i.e. task-sized by
+    definition), and the span-erase + rejoin is a map-only higher-order
+    expression. For an even cheaper first pass, the bounded bucket
+    prefilter of :func:`ngram_contamination` composes in front unchanged.
+    """
+    from .dedup import _hash64
+    from .similarity import spread
+
+    toks_col = F.split(F.trim(F.lower(F.col(text_col))), TOKEN_SPLIT_RE)
+    tr = spread(train, text_col).select(F.col(id_col), toks_col.alias("toks"))
+    positioned = F.when(
+        F.size("toks") >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - F.lit(n - 1)),
+            lambda i: F.struct(
+                i.alias("i"), F.concat_ws(" ", F.slice("toks", i, n)).alias("gram")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<i:int,gram:string>>"))
+    grams = tr.select(F.col(id_col), F.explode(positioned).alias("g")).select(
+        id_col,
+        F.col("g.i").alias("i"),
+        _hash64(F.col("g.gram"), None, family).alias("gram_h"),
+    )
+    test_set = ngram_hashes(test, id_col, text_col, n, family).select("gram_h").distinct()
+    hits = grams.join(test_set, "gram_h")
+    starts = hits.groupBy(id_col).agg(F.collect_list("i").alias("starts"))
+    joined = tr.join(starts, id_col, "left").withColumn(
+        "starts", F.coalesce(F.col("starts"), F.array().cast("array<int>"))
+    )
+    keep_idx = F.filter(
+        F.sequence(F.lit(1), F.size("toks")),
+        lambda i: ~F.exists("starts", lambda s: (i >= s) & (i < s + F.lit(n))),
+    )
+    with_idx = joined.withColumn("keep_idx", keep_idx)
+    return with_idx.select(
+        id_col,
+        F.size("toks").cast("long").alias("n_tokens"),
+        (F.size("toks") - F.size("keep_idx")).cast("long").alias("n_removed"),
+        F.concat_ws(
+            " ", F.transform("keep_idx", lambda i: F.element_at("toks", i))
+        ).alias("clean_text"),
+    )

@@ -1535,3 +1535,87 @@ def q_dsir_resample(spark, sf_dir):
         hash_family="md5_60",
     ).select("doc_id", "dsir_micro")
     return gumbel_topk_sample(w, k=_DSIR_K, salt="gumbel-v1")
+
+
+# ---------------------------------------------------------------------------
+# Span-level decontamination — the removal half of ngram_contamination:
+# scrub every test-corpus word n-gram out of the train documents (GPT-3
+# appendix-C / FineWeb recipe). n=4 on this corpus: the synthetic 31-token
+# vocabulary makes 4 the gram size where removal is genuinely exercised
+# (real pipelines run 13-grams; the plan is gram-size-independent).
+
+_DC_N = 4
+
+SQL_DECONTAMINATE_SPANS = f"""
+WITH s AS (
+  SELECT doc_id, text,
+         CASE WHEN {_h60_sql('split')} < {_thr(0.9)} THEN 'train'
+              WHEN {_h60_sql('split')} < {_thr(0.95)} THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+),
+tokd AS (
+  SELECT doc_id, split, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+  FROM s WHERE split IN ('train', 'test')
+),
+te_set AS (
+  SELECT DISTINCT CAST(('0x' || substr(md5(gram), 1, 15)) AS BIGINT) AS gram_h
+  FROM (
+    SELECT unnest(CASE WHEN len(toks) >= {_DC_N}
+                  THEN list_transform(range(1, len(toks) - {_DC_N} + 2),
+                                      i -> array_to_string(toks[i:i+{_DC_N}-1], ' '))
+                  ELSE CAST([] AS VARCHAR[]) END) AS gram
+    FROM tokd WHERE split = 'test'
+  )
+),
+tr_grams AS (
+  SELECT doc_id, i,
+         CAST(('0x' || substr(md5(array_to_string(toks[i:i+{_DC_N}-1], ' ')), 1, 15)) AS BIGINT) AS gram_h
+  FROM (
+    SELECT doc_id, toks, unnest(range(1, len(toks) - {_DC_N} + 2)) AS i
+    FROM tokd WHERE split = 'train' AND len(toks) >= {_DC_N}
+  )
+),
+hits AS (
+  SELECT doc_id, i FROM tr_grams JOIN te_set USING (gram_h)
+),
+st AS (
+  SELECT doc_id, list(i) AS starts FROM hits GROUP BY doc_id
+),
+joined AS (
+  SELECT t.doc_id, t.toks, COALESCE(st.starts, CAST([] AS BIGINT[])) AS starts
+  FROM tokd t LEFT JOIN st USING (doc_id)
+  WHERE t.split = 'train'
+),
+kept AS (
+  SELECT doc_id, toks,
+         list_filter(range(1, len(toks) + 1),
+                     i -> len(list_filter(starts, s -> i >= s AND i < s + {_DC_N})) = 0) AS keep_idx
+  FROM joined
+)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(len(toks) - len(keep_idx) AS BIGINT) AS n_removed,
+       COALESCE(array_to_string(list_transform(keep_idx, i -> toks[i]), ' '), '') AS clean_text
+FROM kept
+"""
+
+
+@register(
+    "decontaminate_spans",
+    SQL_DECONTAMINATE_SPANS,
+    doc="span-level test-set decontamination: remove every test-corpus word n-gram from train docs (GPT-3/FineWeb recipe)",
+    tags=("text", "dedup", "cleaning", "sampling"),
+)
+def q_decontaminate_spans(spark, sf_dir):
+    from ..operators.sampling import with_split
+    from ..operators.textclean import decontaminate_spans
+
+    d = t(spark, sf_dir, "documents")
+    s = with_split(d, {"train": 0.9, "val": 0.05, "test": 0.05}, salt="split")
+    return decontaminate_spans(
+        s.filter(F.col("split") == "train"),
+        s.filter(F.col("split") == "test"),
+        n=_DC_N,
+        family="md5_60",
+    )

@@ -409,3 +409,38 @@ def test_gumbel_topk_sample_is_weighted_and_scale_shaped(spark):
 
     plan = top._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_decontaminate_spans_removes_only_covered_tokens(spark):
+    """Span erasure is surgical: only tokens covered by a matched n-gram die,
+    surrounding text survives, a full-duplicate train doc is fully scrubbed,
+    and short docs (< n tokens) pass through untouched."""
+    from marketpipe_spark.operators.textclean import decontaminate_spans
+
+    train = spark.createDataFrame(
+        [
+            (1, "alpha beta THE SECRET EVAL PROMPT gamma delta"),
+            (2, "the secret eval prompt"),      # exact duplicate of test content
+            (3, "totally unrelated words here"),
+            (4, "tiny doc"),                    # shorter than n
+        ],
+        "doc_id long, text string",
+    )
+    test = spark.createDataFrame(
+        [(99, "the secret eval prompt appears in a benchmark")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in decontaminate_spans(train, test, n=4).collect()}
+
+    assert out[1].n_removed == 4
+    assert out[1].clean_text == "alpha beta gamma delta"
+    assert out[2].n_removed == 4 and out[2].clean_text == ""
+    assert out[3].n_removed == 0 and out[3].clean_text == "totally unrelated words here"
+    assert out[4].n_removed == 0 and out[4].clean_text == "tiny doc"
+
+    out2 = {
+        r.doc_id: r for r in decontaminate_spans(train.repartition(5), test, n=4).collect()
+    }
+    assert {k: (v.n_removed, v.clean_text) for k, v in out.items()} == {
+        k: (v.n_removed, v.clean_text) for k, v in out2.items()
+    }
