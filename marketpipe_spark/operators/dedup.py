@@ -1065,3 +1065,70 @@ def semantic_dedup(
     assigned = v.mapInPandas(assign, "id long, cell_id long, v array<double>")
     out = assigned.groupBy("cell_id").applyInPandas(prune, "id long, cell_id long, keep boolean")
     return out.select(F.col("id").alias(id_col), "cell_id", "keep")
+
+
+def fuzzy_contamination(
+    train: DataFrame,
+    test: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 64,
+    bands: int = 16,
+    k: int = 3,
+    threshold: float = 0.5,
+    max_bucket: int = 1000,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """BIPARTITE near-duplicate contamination: test-corpus documents whose
+    shingle sets are Jaccard-similar to some train document — the paraphrase
+    / light-edit leakage that exact n-gram overlap
+    (:func:`..textclean.ngram_contamination`) and exact fingerprints
+    (``contamination_check``) both miss.
+
+    Same MinHash-LSH machinery as :func:`minhash_near_duplicates` (shared
+    ``_signatures_from_shingles`` / ``_banded_sigs`` — band compatibility
+    never drifts), but the candidate join is test-bands × train-bands
+    instead of a self-join: per-run cost is driven by the test side's band
+    buckets (benchmark suites are tiny against a multi-TB train corpus),
+    with the skew cap applied to the TRAIN side — the side whose buckets
+    grow with the corpus. Candidates are verified with EXACT Jaccard on the
+    shingle sets, so reported pairs carry true similarity, not an estimate.
+
+    Returns ``(test_id, train_id, jaccard)`` with ``jaccard >= threshold``.
+    """
+    from .similarity import spread
+
+    rows_per_band = num_perm // bands
+    sh_tr = _pin(
+        with_shingles(spread(train, id_col), text_col, k).select(F.col(id_col), F.col("shingles"))
+    )
+    sh_te = _pin(
+        with_shingles(spread(test, id_col), text_col, k).select(F.col(id_col), F.col("shingles"))
+    )
+    sig_tr = _signatures_from_shingles(sh_tr, id_col, num_perm, hash_family)
+    sig_te = _signatures_from_shingles(sh_te, id_col, num_perm, hash_family)
+    btr = _banded_sigs(sig_tr, id_col, bands, rows_per_band, hash_family)
+    bte = _banded_sigs(sig_te, id_col, bands, rows_per_band, hash_family)
+    sizes = btr.groupBy("band_id", "band_hash").agg(F.count(F.lit(1)).alias("_n"))
+    btr = btr.join(sizes.filter(F.col("_n") <= max_bucket), ["band_id", "band_hash"]).drop("_n")
+    cand = (
+        bte.select(F.col(id_col).alias("test_id"), "band_id", "band_hash")
+        .join(btr.select(F.col(id_col).alias("train_id"), "band_id", "band_hash"),
+              ["band_id", "band_hash"])
+        .select("test_id", "train_id")
+        .distinct()
+    )
+    a = sh_te.select(
+        F.col(id_col).alias("test_id"), F.col("shingles").alias("sh_a"),
+        F.size("shingles").alias("n_a"),
+    )
+    b = sh_tr.select(
+        F.col(id_col).alias("train_id"), F.col("shingles").alias("sh_b"),
+        F.size("shingles").alias("n_b"),
+    )
+    joined = cand.join(a, "test_id").join(b, "train_id")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = inter.cast("double") / (F.col("n_a") + F.col("n_b") - inter)
+    return joined.select("test_id", "train_id", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= threshold
+    )

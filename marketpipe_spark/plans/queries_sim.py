@@ -733,3 +733,103 @@ def q_containment_dedup(spark, sf_dir):
     )
     corpus = d.unionByName(excerpt)
     return containment_pairs(corpus, threshold=0.8, hash_family="md5_60")
+
+
+# ---------------------------------------------------------------------------
+# Bipartite fuzzy contamination: test docs near-duplicating TRAIN docs —
+# the paraphrase/light-edit leakage exact n-gram overlap misses. Same
+# signature/band derivation as SQL_MINHASH (shared permutation literals);
+# only the candidate join is bipartite (test bands x train bands) and the
+# exact-Jaccard verify keeps the sides labeled.
+
+def _split_h60(salt: str) -> str:
+    return f"CAST(('0x' || substr(md5('{salt}|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+
+
+SQL_FUZZY_CONTAMINATION = (
+    r"""
+WITH s AS (
+  SELECT doc_id, text,
+         CASE WHEN __H60__ < __THR90__ THEN 'train'
+              WHEN __H60__ < __THR95__ THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, split, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM s WHERE split IN ('train', 'test')
+),
+sh AS (
+  SELECT doc_id, split,
+         list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN range(1, len(t)-1)]) AS shingles
+  FROM toks WHERE len(t) >= 3
+),
+ex AS (
+  SELECT doc_id,
+         (CAST(('0x' || substr(md5(unnest(shingles)), 1, 15)) AS BIGINT) & 2147483647) % 2147483647 AS h31
+  FROM sh
+),
+perms(perm, a, b) AS (VALUES __PERM_VALUES__),
+hashed AS (
+  SELECT doc_id, perm, min((a * h31 + b) % 2147483647) AS h
+  FROM ex CROSS JOIN perms
+  GROUP BY doc_id, perm
+),
+sig AS (SELECT doc_id, list(h ORDER BY perm) AS sig FROM hashed GROUP BY doc_id),
+bandids AS (SELECT unnest(range(16)) AS band_id),
+banded AS (
+  SELECT doc_id, band_id,
+         md5(array_to_string(list_slice(sig, band_id*4 + 1, band_id*4 + 4), ',')) AS band_hash
+  FROM sig CROSS JOIN bandids
+),
+side AS (SELECT doc_id, split FROM sh),
+cand AS (
+  SELECT DISTINCT a.doc_id AS test_id, b.doc_id AS train_id
+  FROM banded a JOIN side sa ON sa.doc_id = a.doc_id AND sa.split = 'test'
+  JOIN banded b ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+  JOIN side sb ON sb.doc_id = b.doc_id AND sb.split = 'train'
+),
+sizes AS (SELECT doc_id, shingles, len(shingles) AS n_sh FROM sh),
+scored AS (
+  SELECT test_id, train_id,
+         CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+           / (sa.n_sh + sb.n_sh - len(list_intersect(sa.shingles, sb.shingles))) AS jaccard
+  FROM cand
+  JOIN sizes sa ON sa.doc_id = test_id
+  JOIN sizes sb ON sb.doc_id = train_id
+)
+SELECT test_id, train_id, jaccard FROM scored WHERE jaccard >= 0.5
+"""
+    .replace("__PERM_VALUES__", _minhash_perm_values())
+    .replace("__H60__", _split_h60("split"))
+)
+
+
+def _fuzzy_thr() -> str:
+    from ..operators.sampling import _threshold
+
+    return SQL_FUZZY_CONTAMINATION.replace(
+        "__THR90__", str(_threshold(0.9))
+    ).replace("__THR95__", str(_threshold(0.95)))
+
+
+SQL_FUZZY_CONTAMINATION = _fuzzy_thr()
+
+
+@register(
+    "fuzzy_contamination",
+    SQL_FUZZY_CONTAMINATION,
+    doc="bipartite MinHash-LSH contamination: test docs Jaccard>=0.5 near-duplicating train docs (paraphrase leakage)",
+    tags=("dedup", "sampling", "text"),
+)
+def q_fuzzy_contamination(spark, sf_dir):
+    from ..operators.dedup import fuzzy_contamination
+    from ..operators.sampling import with_split
+
+    d = t(spark, sf_dir, "documents")
+    s = with_split(d, {"train": 0.9, "val": 0.05, "test": 0.05}, salt="split")
+    return fuzzy_contamination(
+        s.filter(F.col("split") == "train"),
+        s.filter(F.col("split") == "test"),
+        hash_family="md5_60",
+    )

@@ -599,3 +599,28 @@ def test_containment_pairs_catch_excerpts_jaccard_misses(spark):
         for r in minhash_near_duplicates(df, threshold=0.5, num_perm=16, bands=16).collect()
     }
     assert (1, 2) not in jac  # symmetric Jaccard (~0.3) misses the excerpt
+
+
+def test_fuzzy_contamination_catches_paraphrase_leakage(spark):
+    """Bipartite MinHash contamination: a lightly-edited train copy of a test
+    document is reported (Jaccard >= 0.5 but below 1.0 — exact fingerprints
+    miss it), unrelated docs are not, and sides stay labeled."""
+    from pyspark.sql import functions as F
+
+    from marketpipe_spark.operators.dedup import fuzzy_contamination
+
+    base = "the quick brown fox jumps over the lazy dog near the quiet river bank today"
+    edited = base.replace("today", "tonight") + " extra trailing words"
+    train = spark.createDataFrame(
+        [(1, edited), (2, "completely different content about spark physical plans and shuffles")],
+        "doc_id long, text string",
+    )
+    test = spark.createDataFrame([(100, base)], "doc_id long, text string")
+
+    rows = fuzzy_contamination(train, test, threshold=0.5).collect()
+    assert [(r.test_id, r.train_id) for r in rows] == [(100, 1)]
+    assert 0.5 <= rows[0].jaccard < 1.0
+
+    # the exact whole-text fingerprint cannot see this pair
+    fp = lambda s_: s_.lower().strip()
+    assert fp(base) != fp(edited)
