@@ -49,3 +49,35 @@ def session_stats(
         (F.max(ts) - F.min(ts)).alias("duration_ns"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+def event_transitions(
+    events: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    typ: str = "event_type",
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """First-order Markov transition matrix over per-key event sequences:
+    for each ordered (from_type, to_type) adjacency, the count and the
+    exact integer parts-per-million conditional probability
+    P(to | from) — the journey-analysis / anomaly-baseline operator.
+
+    ``order_cols`` breaks timestamp ties (pass a unique event id) so the
+    sequence — and therefore the matrix — is total-order deterministic.
+    One window shuffle keyed by ``key`` for the lead, one hash-agg to the
+    (from, to) pairs (cardinality = |event types|²), and a window over
+    ``from_type`` on that tiny aggregate for the row totals.
+    """
+    order = [F.col(ts).asc()] + [F.col(c).asc() for c in (order_cols or [])]
+    w = W.partitionBy(key).orderBy(*order)
+    pairs = events.select(
+        F.col(typ).alias("from_type"), F.lead(typ).over(w).alias("to_type")
+    ).filter(F.col("to_type").isNotNull())
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    total = F.sum("n").over(W.partitionBy("from_type"))
+    return counts.withColumn(
+        "prob_ppm", F.floor(F.col("n") * 1_000_000 / total).cast("long")
+    )

@@ -116,6 +116,42 @@ def ngram_hashes(
     )
 
 
+def ngram_novelty(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3,
+    family: str = "md5_60",
+) -> DataFrame:
+    """Per-document novelty: the share of a document's DISTINCT word
+    n-grams whose first corpus occurrence (minimum ``id_col``) is this
+    document — the memorization/curriculum signal (documents near 0 are
+    retellings of earlier data; near 1e6 ppm are fresh content). Emits
+    ``n_grams``, ``n_novel`` and ``novelty_ppm`` (exact integer parts per
+    million, so cross-engine comparison needs no float tolerance).
+
+    Two shuffles, both on high-cardinality keys: one window over ``gram_h``
+    for the corpus-first tag (the rows crossing it are two longs, not gram
+    text — ``ngram_hashes``), one hash-agg back to documents. Linear in
+    corpus gram volume; ``family='xxhash64'`` is the cheap production
+    hashing, ``md5_60`` the externally-reproducible verification family.
+    """
+    from pyspark.sql.window import Window as W
+
+    grams = ngram_hashes(df, id_col, text_col, n, family)
+    first = F.min(id_col).over(W.partitionBy("gram_h"))
+    novel = (F.col("_first") == F.col(id_col)).cast("long")
+    return (
+        grams.withColumn("_first", first)
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum(novel).alias("n_novel"),
+        )
+        .withColumn(
+            "novelty_ppm",
+            F.floor(F.col("n_novel") * 1_000_000 / F.col("n_grams")).cast("long"),
+        )
+    )
+
+
 #: Curation thresholds (curate_corpus). Tuned so synthetic corpora keep a
 #: non-trivial subset; real pipelines override per corpus.
 MIN_TOKENS = 20

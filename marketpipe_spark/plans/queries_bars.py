@@ -1372,3 +1372,39 @@ def q_salted_join_parity(spark, sf_dir):
     tc = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_type"))
     out = salted_join(ev.select("event_id", "event_type"), tc, on="event_type", salt=8)
     return out.select("event_id", "event_type", "n_type")
+
+
+# ---------------------------------------------------------------------------
+# First-order Markov transition matrix over per-user event sequences —
+# journey analysis / anomaly baselining over the raw events table. The
+# sequence is total-ordered by (ts, event_id), so the matrix is
+# deterministic; probabilities are exact integer ppm (no float tolerance).
+
+SQL_EVENT_TRANSITIONS = """
+WITH seq AS (
+  SELECT event_type AS from_type,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+  FROM events
+), p AS (
+  SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT from_type, to_type, n,
+       CAST(FLOOR(n * 1000000 / SUM(n) OVER (PARTITION BY from_type)) AS BIGINT) AS prob_ppm
+FROM p
+"""
+
+
+@register(
+    "event_transitions",
+    SQL_EVENT_TRANSITIONS,
+    doc="per-user event-type Markov transition matrix with exact ppm conditional probabilities",
+    tags=("window", "agg", "analytics"),
+)
+def q_event_transitions(spark, sf_dir):
+    from ..operators.sessions import event_transitions
+    from .registry import t
+
+    return event_transitions(
+        t(spark, sf_dir, "events"), key="user_id", ts="ts", order_cols=["event_id"]
+    )

@@ -1619,3 +1619,136 @@ def q_decontaminate_spans(spark, sf_dir):
         n=_DC_N,
         family="md5_60",
     )
+
+
+# ---------------------------------------------------------------------------
+# URL-level dedup — the curation stage BEFORE any text dedup in a web-scale
+# pipeline: mirrors / refetches / tracking-tagged shares of one page collapse
+# by canonical URL (operators/urls.py). The driver corpus has no URL column,
+# so the entry PLANTS deterministic messy URLs — identical string
+# construction on both engines (the pii_scrub precedent): scheme/host case,
+# www., default :443 port, trailing slash, utm_* params, fragments all vary
+# while only (host mirror d%4, article d%7, ref d%2) decide the canonical →
+# 28 canonical classes, so keep/drop is genuinely exercised at every SF.
+
+_URL_PLANT_SQL = (
+    "(CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'https://' END) || "
+    "(CASE WHEN doc_id % 4 < 2 THEN 'WWW.' ELSE '' END) || "
+    "'Mirror' || CAST(doc_id % 4 AS VARCHAR) || '.Example.COM' || "
+    "(CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END) || "
+    "'/Articles/' || CAST(doc_id % 7 AS VARCHAR) || "
+    "(CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END) || "
+    "'?utm_source=feed&ref=' || CAST(doc_id % 2 AS VARCHAR) || "
+    "(CASE WHEN doc_id % 2 = 0 THEN '&utm_campaign=x' ELSE '' END) || "
+    "(CASE WHEN doc_id % 11 = 0 THEN '#Section' ELSE '' END)"
+)
+
+SQL_URL_DEDUP = f"""
+WITH planted AS (
+  SELECT doc_id, {_URL_PLANT_SQL} AS url FROM documents
+), parts AS (
+  SELECT doc_id, url,
+         lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+         lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostport,
+         regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS rawpath,
+         regexp_extract(url, '\\?([^#]*)', 1) AS rawq
+  FROM planted
+), canon AS (
+  SELECT doc_id, url, scheme,
+         CASE WHEN scheme = 'http' THEN regexp_replace(regexp_replace(hostport, '^www\\.', ''), ':80$', '')
+              WHEN scheme = 'https' THEN regexp_replace(regexp_replace(hostport, '^www\\.', ''), ':443$', '')
+              ELSE regexp_replace(hostport, '^www\\.', '') END AS host,
+         CASE WHEN regexp_replace(rawpath, '/+$', '') = '' THEN '/'
+              ELSE regexp_replace(rawpath, '/+$', '') END AS path,
+         array_to_string(list_sort(list_filter(string_split(rawq, '&'),
+             p -> p <> '' AND NOT regexp_matches(p, '^(utm_|fbclid|gclid)'))), '&') AS q
+  FROM parts
+), tagged AS (
+  SELECT doc_id, url,
+         scheme || '://' || host || path ||
+           (CASE WHEN q = '' THEN '' ELSE '?' || q END) AS canonical_url,
+         regexp_replace(regexp_replace(lower(regexp_extract(url,
+             '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), '^www\\.', ''),
+             ':[0-9]+$', '') AS host
+  FROM canon
+)
+SELECT doc_id, url, canonical_url, host,
+       doc_id = MIN(doc_id) OVER (PARTITION BY canonical_url) AS keep
+FROM tagged
+"""
+
+
+@register(
+    "url_dedup",
+    SQL_URL_DEDUP,
+    doc="canonical-URL dedup (lowercase scheme/host, strip www/default port/fragment/trailing slash/utm params, sort query): keep first doc per canonical URL",
+    tags=("dedup", "cleaning", "text"),
+)
+def q_url_dedup(spark, sf_dir):
+    from ..operators.urls import url_dedup
+
+    d = t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    planted = F.concat(
+        F.when(did % 2 == 0, F.lit("HTTPS://")).otherwise(F.lit("https://")),
+        F.when(did % 4 < 2, F.lit("WWW.")).otherwise(F.lit("")),
+        F.lit("Mirror"),
+        (did % 4).cast("string"),
+        F.lit(".Example.COM"),
+        F.when(did % 3 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/Articles/"),
+        (did % 7).cast("string"),
+        F.when(did % 5 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?utm_source=feed&ref="),
+        (did % 2).cast("string"),
+        F.when(did % 2 == 0, F.lit("&utm_campaign=x")).otherwise(F.lit("")),
+        F.when(did % 11 == 0, F.lit("#Section")).otherwise(F.lit("")),
+    )
+    return url_dedup(d.select("doc_id", planted.alias("url"))).select(
+        "doc_id", "url", "canonical_url", "host", "keep"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-document n-gram novelty: share of a document's distinct word 3-grams
+# whose first corpus occurrence (min doc_id) is this document — the
+# curriculum / memorization-analysis signal. Grams hash to md5_60 longs
+# before the shuffle (ngram_contamination precedent); ppm is exact integer.
+
+SQL_NGRAM_NOVELTY = r"""
+WITH tokd AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM documents
+), grams AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(toks) >= 3
+                THEN list_transform(range(1, len(toks) - 1),
+                                    i -> array_to_string(toks[i:i+2], ' '))
+                ELSE CAST([] AS VARCHAR[]) END) AS gram
+  FROM tokd
+), gh AS (
+  SELECT DISTINCT doc_id,
+         CAST(('0x' || substr(md5(gram), 1, 15)) AS BIGINT) AS gram_h
+  FROM grams
+), f AS (
+  SELECT gram_h, MIN(doc_id) AS first_doc FROM gh GROUP BY gram_h
+)
+SELECT gh.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN f.first_doc = gh.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       CAST(FLOOR(SUM(CASE WHEN f.first_doc = gh.doc_id THEN 1 ELSE 0 END) * 1000000
+                  / COUNT(*)) AS BIGINT) AS novelty_ppm
+FROM gh JOIN f USING (gram_h)
+GROUP BY gh.doc_id
+"""
+
+
+@register(
+    "ngram_novelty",
+    SQL_NGRAM_NOVELTY,
+    doc="per-document novelty: ppm of distinct word 3-grams first seen in this document (curriculum/memorization signal)",
+    tags=("text", "dedup", "profiling"),
+)
+def q_ngram_novelty(spark, sf_dir):
+    from ..operators.textclean import ngram_novelty
+
+    return ngram_novelty(t(spark, sf_dir, "documents"), n=3, family="md5_60")

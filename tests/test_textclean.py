@@ -444,3 +444,29 @@ def test_decontaminate_spans_removes_only_covered_tokens(spark):
     assert {k: (v.n_removed, v.clean_text) for k, v in out.items()} == {
         k: (v.n_removed, v.clean_text) for k, v in out2.items()
     }
+
+
+def test_ngram_novelty_first_doc_is_fully_novel_and_ppm_exact(spark):
+    rows = [
+        (1, "w1 w2 w3 w4"),          # grams: (w1 w2 w3), (w2 w3 w4) — both first here
+        (2, "w1 w2 w3 w9 w9 w9"),    # 4 distinct grams; (w1 w2 w3) seen in doc 1
+        (3, "zz zz"),                # < n tokens: no gram rows, absent from output
+    ]
+    from marketpipe_spark.operators.textclean import ngram_novelty
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in ngram_novelty(df, n=3).collect()}
+    assert set(out) == {1, 2}
+    assert (out[1]["n_grams"], out[1]["n_novel"], out[1]["novelty_ppm"]) == (2, 2, 1_000_000)
+    # doc 2 grams: w1w2w3 (old), w2w3w9 / w3w9w9 / w9w9w9 (novel) -> 3/4
+    assert (out[2]["n_grams"], out[2]["n_novel"], out[2]["novelty_ppm"]) == (4, 3, 750_000)
+
+
+def test_ngram_novelty_families_agree_on_ppm(spark):
+    rows = [(i, f"tok{i % 3} a b c d tok{i % 2}") for i in range(12)]
+    from marketpipe_spark.operators.textclean import ngram_novelty
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    md5 = ngram_novelty(df, n=3, family="md5_60").orderBy("doc_id").collect()
+    xx = ngram_novelty(df, n=3, family="xxhash64").orderBy("doc_id").collect()
+    assert [tuple(r) for r in md5] == [tuple(r) for r in xx]

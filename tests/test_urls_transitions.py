@@ -1,0 +1,82 @@
+"""URL canonicalization/dedup and event-transition matrix unit tests."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from marketpipe_spark.operators.sessions import event_transitions
+from marketpipe_spark.operators.urls import canonical_url, url_dedup, url_host
+
+
+def _canon(spark, url: str) -> str:
+    df = spark.createDataFrame([(url,)], "url string")
+    return df.select(canonical_url(F.col("url")).alias("c")).collect()[0]["c"]
+
+
+def test_canonical_url_normalizes_every_axis(spark):
+    # case, www, default port, trailing slash, fragment, utm params, sorting
+    assert (
+        _canon(spark, "HTTPS://WWW.Example.COM:443/a/b/?b=2&utm_source=x&a=1#frag")
+        == "https://example.com/a/b?a=1&b=2"
+    )
+    # http default port; non-default port kept
+    assert _canon(spark, "http://Example.com:80/x") == "http://example.com/x"
+    assert _canon(spark, "http://example.com:8080/x") == "http://example.com:8080/x"
+    # empty path becomes /; all-tracking query drops the '?'
+    assert _canon(spark, "https://example.com?utm_a=1&gclid=z") == "https://example.com/"
+    # path case is preserved (paths are case-sensitive), host case is not
+    assert _canon(spark, "https://EXAMPLE.com/CaseSensitive") == "https://example.com/CaseSensitive"
+    # fbclid stripped, surviving params sorted for order-independence
+    assert (
+        _canon(spark, "https://e.com/p?z=1&fbclid=abc&a=2")
+        == _canon(spark, "https://e.com/p?a=2&z=1")
+        == "https://e.com/p?a=2&z=1"
+    )
+
+
+def test_url_host_strips_port_and_www(spark):
+    df = spark.createDataFrame([("https://WWW.News.Example.org:8443/x?y=1",)], "url string")
+    assert df.select(url_host(F.col("url")).alias("h")).collect()[0]["h"] == "news.example.org"
+
+
+def test_url_dedup_keeps_first_id_per_canonical(spark):
+    rows = [
+        (1, "https://example.com/a?utm_source=x"),
+        (2, "HTTPS://WWW.EXAMPLE.COM:443/a/"),  # same canonical as 1
+        (3, "https://example.com/b"),
+        (4, "https://example.com/a#other"),  # same canonical as 1
+    ]
+    out = url_dedup(spark.createDataFrame(rows, "doc_id long, url string")).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[1]["canonical_url"] == by_id[2]["canonical_url"] == by_id[4]["canonical_url"]
+    assert [by_id[i]["keep"] for i in (1, 2, 3, 4)] == [True, False, True, False]
+    assert by_id[2]["host"] == "example.com"
+
+
+def test_event_transitions_matrix_exact(spark):
+    # user 1: a->b->a ; user 2: a->b ; ties broken by event_id
+    rows = [
+        (1, 1, 100, "a"),
+        (2, 1, 200, "b"),
+        (3, 1, 300, "a"),
+        (4, 2, 100, "a"),
+        (5, 2, 100, "b"),  # same ts as event 4: event_id orders a before b
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts long, event_type string")
+    out = event_transitions(df, key="user_id", ts="ts", order_cols=["event_id"]).collect()
+    m = {(r["from_type"], r["to_type"]): (r["n"], r["prob_ppm"]) for r in out}
+    # transitions: u1 a->b, b->a ; u2 a->b  => a->b n=2 (p=1.0), b->a n=1 (p=1.0)
+    assert m == {("a", "b"): (2, 1_000_000), ("b", "a"): (1, 1_000_000)}
+
+
+def test_event_transitions_ppm_is_exact_integer_division(spark):
+    rows = [(i, 1, i * 10, t) for i, t in enumerate("abaabac")]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts long, event_type string")
+    out = event_transitions(df, key="user_id", ts="ts", order_cols=["event_id"]).collect()
+    m = {(r["from_type"], r["to_type"]): (r["n"], r["prob_ppm"]) for r in out}
+    # sequence a b a a b a c: from 'a': ->b x2, ->a x1, ->c x1 (total 4)
+    assert m[("a", "b")] == (2, 500_000)
+    assert m[("a", "a")] == (1, 250_000)
+    assert m[("a", "c")] == (1, 250_000)
+    # from 'b': ->a x2 (total 2)
+    assert m[("b", "a")] == (2, 1_000_000)
