@@ -257,3 +257,92 @@ def kll_rank_check(
         "p",
         (F.abs(F.col("n_le") / F.col("n") - F.col("p")) <= F.lit(bound)).alias("within_bound"),
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog: mergeable distinct-count estimation. Spark's builtin
+# approx_count_distinct is the production path (test_plan_hygiene pins its
+# error bound); THIS implementation exists so the sketch itself is
+# externally verifiable — every step (md5_60 hash -> bucket/rho registers ->
+# raw/linear-counting estimate) is reproduced value-for-value by the DuckDB
+# oracle (plans/queries_bars.py::hll_distinct_users), the same bar the CMS
+# and KLL sketches meet. Registers are the mergeable state: per-bucket MAX
+# combines map-side, so the shuffle carries at most m rows per key per
+# partition regardless of input cardinality.
+
+HLL_P = 10  #: 2^10 = 1024 registers, sigma ~ 1.04/sqrt(m) ~ 3.3%
+HLL_M = 1 << HLL_P
+#: alpha_m = 0.7213/(1 + 1.079/m) at m=1024, fixed at ppm precision so both
+#: engines share one integer constant (float alpha would be a parity risk).
+HLL_ALPHA_PPM = 720541
+
+
+def hll_partial_registers(
+    df: DataFrame, key_cols: list[str], col: str, p: int = HLL_P,
+    family: str = "md5_60",
+) -> DataFrame:
+    """Per-key HLL registers: ``bucket`` (low ``p`` hash bits) and
+    ``reg`` = max over rows of rho (leading-zero count + 1 of the remaining
+    ``60-p`` hash bits; the md5_60 family hashes into [0, 2^60)). Merge two
+    register sets by unioning and re-taking the per-bucket MAX."""
+    h = _hash64(F.col(col).cast("string"), None, family)
+    m = 1 << p
+    max_rho = 60 - p + 1
+    w = F.shiftright(h, p)
+    rho = F.when(w == F.lit(0).cast("long"), F.lit(max_rho)).otherwise(
+        F.lit(max_rho) - F.length(F.bin(w))
+    )
+    return (
+        df.select(*key_cols, h.bitwiseAND(F.lit(m - 1)).alias("bucket"), rho.alias("rho"))
+        .groupBy(*key_cols, "bucket")
+        .agg(F.max("rho").cast("long").alias("reg"))
+    )
+
+
+def hll_estimate(
+    registers: DataFrame, key_cols: list[str], p: int = HLL_P,
+    alpha_ppm: int = HLL_ALPHA_PPM,
+) -> DataFrame:
+    """Registers -> per-key estimate, Flajolet et al.'s estimator with the
+    standard small-range rule: linear counting ``m*ln(m/V)`` (V = empty
+    registers) when the raw estimate is <= 2.5m, else the raw harmonic-mean
+    estimate ``alpha*m^2 / sum(2^-reg)``.
+
+    Cross-engine determinism: the harmonic sum is EXACT integer arithmetic
+    (``sum(2^(52-reg))`` — reg <= 51, m <= 4096 keeps it inside int64); the
+    two float estimates are micro-floored to ``est_x1000`` BIGINTs in a
+    fixed operation order (the lm_perplexity precedent), and the regime
+    switch compares already-floored integers, so the CASE can never diverge
+    between engines."""
+    m = 1 << p
+    per_key = registers.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_registers"),
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(52 - reg AS INT))"))
+        .cast("long")
+        .alias("s_nonzero"),
+    )
+    v = F.lit(m).cast("long") - F.col("n_registers")
+    s = F.col("s_nonzero") + v * F.lit(1 << 52).cast("long")
+    num = (F.lit(alpha_ppm).cast("long") * F.lit(m * m).cast("long")).cast("double") * F.lit(
+        float(1 << 52)
+    )
+    raw_x1000 = F.floor(num / s.cast("double") / F.lit(1000.0)).cast("long")
+    lin_x1000 = F.floor(
+        F.lit(float(m)) * F.log(F.lit(float(m)) / F.greatest(v, F.lit(1).cast("long")).cast("double")) * F.lit(1000.0)
+    ).cast("long")
+    est = F.when((v > 0) & (raw_x1000 <= F.lit(2500 * m).cast("long")), lin_x1000).otherwise(
+        raw_x1000
+    )
+    return per_key.select(
+        *key_cols,
+        F.col("n_registers"),
+        est.alias("hll_est_x1000"),
+    )
+
+
+def hll_distinct(
+    df: DataFrame, key_cols: list[str], col: str, p: int = HLL_P,
+    family: str = "md5_60",
+) -> DataFrame:
+    """End-to-end per-key distinct estimate (registers + estimator)."""
+    return hll_estimate(hll_partial_registers(df, key_cols, col, p, family), key_cols, p)

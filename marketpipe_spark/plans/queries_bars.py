@@ -1408,3 +1408,67 @@ def q_event_transitions(spark, sf_dir):
     return event_transitions(
         t(spark, sf_dir, "events"), key="user_id", ts="ts", order_cols=["event_id"]
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct users per event type — the sketch pipeline itself
+# (md5_60 hash -> bucket/rho registers -> raw / linear-counting estimate) is
+# what the oracle reproduces, completing the sketch family's verification
+# story (CMS: cm_top_tokens, KLL: kll_value_quantiles). The exact distinct
+# count rides along so a driver row also witnesses the estimate's accuracy.
+
+SQL_HLL_DISTINCT_USERS = """
+WITH h AS (
+  SELECT event_type,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+  FROM events
+), br AS (
+  SELECT event_type, h & 1023 AS bucket,
+         CASE WHEN (h >> 10) = 0 THEN 51
+              ELSE 51 - length(bin(h >> 10)) END AS rho
+  FROM h
+), reg AS (
+  SELECT event_type, bucket, MAX(rho) AS reg FROM br GROUP BY 1, 2
+), agg AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_registers,
+         CAST(SUM(1::BIGINT << CAST(52 - reg AS INTEGER)) AS BIGINT) AS s_nonzero
+  FROM reg GROUP BY 1
+), calc AS (
+  SELECT event_type, n_registers,
+         1024 - n_registers AS v,
+         CAST(FLOOR(CAST(720541::BIGINT * 1048576 AS DOUBLE) * 4503599627370496.0
+                    / CAST(s_nonzero + (1024 - n_registers) * (1::BIGINT << 52) AS DOUBLE)
+                    / 1000.0) AS BIGINT) AS raw_x1000,
+         CAST(FLOOR(1024.0 * ln(1024.0 / CAST(greatest(1024 - n_registers, 1) AS DOUBLE))
+                    * 1000.0) AS BIGINT) AS lin_x1000
+  FROM agg
+), ex AS (
+  SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+  FROM events GROUP BY 1
+)
+SELECT c.event_type, ex.n_exact, c.n_registers,
+       CASE WHEN c.v > 0 AND c.raw_x1000 <= 2560000 THEN c.lin_x1000
+            ELSE c.raw_x1000 END AS hll_est_x1000
+FROM calc c JOIN ex USING (event_type)
+"""
+
+
+@register(
+    "hll_distinct_users",
+    SQL_HLL_DISTINCT_USERS,
+    doc="HyperLogLog distinct-user estimate per event type (md5_60 registers, linear-counting small-range rule), exact count alongside",
+    tags=("agg", "sketch"),
+)
+def q_hll_distinct_users(spark, sf_dir):
+    from ..operators.sketches import hll_distinct
+    from .registry import t
+
+    ev = t(spark, sf_dir, "events")
+    est = hll_distinct(ev, ["event_type"], "user_id")
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("n_exact")
+    )
+    return est.join(exact, "event_type").select(
+        "event_type", "n_exact", "n_registers", "hll_est_x1000"
+    )

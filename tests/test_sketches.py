@@ -121,3 +121,41 @@ def test_kll_mergeable_across_slices(spark):
     est = {r["p"]: r["value"] for r in kll_quantiles(merged, [0.5]).collect()}
     rank = ev.filter(F.col("value") <= est[0.5]).count() / n
     assert abs(rank - 0.5) <= 0.05
+
+
+def test_hll_estimate_error_bound_and_regimes(spark):
+    from marketpipe_spark.operators.sketches import hll_distinct
+
+    # spans the linear-counting regime (n << m) and approaches raw (n ~ 2.5m)
+    rows = [(grp, f"u{grp}_{i}") for grp, n in (("tiny", 40), ("mid", 700), ("big", 3000)) for i in range(n)]
+    df = spark.createDataFrame(rows, "grp string, uid string")
+    out = {r["grp"]: r for r in hll_distinct(df, ["grp"], "uid").collect()}
+    for grp, n in (("tiny", 40), ("mid", 700), ("big", 3000)):
+        est = out[grp]["hll_est_x1000"] / 1000.0
+        assert abs(est - n) / n < 0.15, (grp, est, n)
+
+
+def test_hll_registers_merge_and_partition_invariance(spark):
+    from pyspark.sql import functions as F
+
+    from marketpipe_spark.operators.sketches import (
+        hll_estimate,
+        hll_partial_registers,
+    )
+
+    rows = [("g", f"user{i % 500}") for i in range(5000)]
+    df = spark.createDataFrame(rows, "grp string, uid string")
+    direct = hll_estimate(hll_partial_registers(df, ["grp"], "uid"), ["grp"]).collect()
+    # merge = union of two independently-sketched halves, per-bucket MAX
+    h1 = hll_partial_registers(df.filter(F.xxhash64("uid") % 2 == 0), ["grp"], "uid")
+    h2 = hll_partial_registers(df.filter(F.xxhash64("uid") % 2 != 0), ["grp"], "uid")
+    merged_regs = (
+        h1.unionByName(h2).groupBy("grp", "bucket").agg(F.max("reg").alias("reg"))
+    )
+    merged = hll_estimate(merged_regs, ["grp"]).collect()
+    assert [tuple(r) for r in direct] == [tuple(r) for r in merged]
+    # repartitioning must not change the sketch
+    repart = hll_estimate(
+        hll_partial_registers(df.repartition(7, "uid"), ["grp"], "uid"), ["grp"]
+    ).collect()
+    assert [tuple(r) for r in direct] == [tuple(r) for r in repart]
