@@ -581,3 +581,89 @@ def test_stream_entries_match_batch(spark, name):
     want = spark.sql(sql)
     assert got.exceptAll(want.select(got.columns)).count() == 0
     assert want.select(got.columns).exceptAll(got).count() == 0
+
+
+def test_checkpoint_restart_is_exactly_once_with_blind_append_sink(spark, tmp_path):
+    """Checkpoint semantics in isolation: the sink here APPENDS blindly (no
+    keep-last upsert to hide reprocessing), so any source batch replayed
+    across the restart would show up as duplicate rows. Across clean
+    stop/restart cycles on one checkpoint, the file source must hand each
+    input file to exactly one microbatch."""
+    landing = str(tmp_path / "landing")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def _run():
+        q = (
+            read_bar_stream(spark, landing)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        run_available_now(q)
+
+    _bars_df(spark, "AAPL", DAY1, 10).coalesce(1).write.mode("append").parquet(landing)
+    _run()
+    assert spark.read.parquet(sink).count() == 10
+
+    _bars_df(spark, "MSFT", DAY1, 7).coalesce(1).write.mode("append").parquet(landing)
+    _run()  # restart from the same checkpoint
+    out = spark.read.parquet(sink)
+    assert out.count() == 17  # 10 would be >17 if batch 0 replayed
+    assert out.groupBy("symbol", "ts_ns").count().filter(F.col("count") > 1).count() == 0
+
+    _run()  # third restart with NO new data must be a no-op
+    assert spark.read.parquet(sink).count() == 17
+
+
+def test_windowed_aggregation_state_recovers_across_restart(spark, tmp_path):
+    """Watermarked append-mode aggregation across a stop/restart: the second
+    run must resume the first run's window state (not re-emit closed windows,
+    not lose open ones) and the final sink must equal the batch resample."""
+    landing = str(tmp_path / "landing")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def _run():
+        q = (
+            windowed_ohlcv(read_bar_stream(spark, landing), minutes=5)
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        run_available_now(q)
+
+    # run 1: 20 bars (4 windows); watermark leaves the tail window open
+    _bars_df(spark, "AAPL", DAY1, 20).coalesce(1).write.mode("append").parquet(landing)
+    _run()
+    n_first = spark.read.parquet(sink).count()
+
+    # run 2 (restart): 20 more bars continuing the timeline, then a far-future
+    # flush bar so every real window's watermark passes
+    _bars_df(spark, "AAPL", DAY1 + 20 * NS_MIN, 20, base=200.0).coalesce(1).write.mode(
+        "append"
+    ).parquet(landing)
+    _bars_df(spark, "FLUSH", DAY1 + 10_000 * NS_MIN, 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(landing)
+    _run()
+
+    out = spark.read.parquet(sink).filter(F.col("symbol") == "AAPL")
+    assert out.count() > n_first  # restart appended, did not start from scratch
+    # no closed window emitted twice across the restart boundary
+    assert out.groupBy("symbol", "ts_ns").count().filter(F.col("count") > 1).count() == 0
+    # value parity with the batch resample over the same 40 bars
+    batch = resample_intraday(
+        _bars_df(spark, "AAPL", DAY1, 20).unionByName(
+            _bars_df(spark, "AAPL", DAY1 + 20 * NS_MIN, 20, base=200.0)
+        ),
+        300,
+    )
+    got = {tuple(r) for r in out.select("symbol", "ts_ns", "open", "high", "low", "close", "volume").collect()}
+    want = {tuple(r) for r in batch.select("symbol", "ts_ns", "open", "high", "low", "close", "volume").collect()}
+    assert got == want
