@@ -1132,3 +1132,81 @@ def fuzzy_contamination(
     return joined.select("test_id", "train_id", jac.alias("jaccard")).filter(
         F.col("jaccard") >= threshold
     )
+
+
+def setsim_join_exact(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold_ppm: int = 600_000,
+    family: str = "xxhash64",
+) -> DataFrame:
+    """EXACT all-pairs shingle-set Jaccard >= t via prefix filtering (the
+    PPJoin family — Bayardo et al. WWW'07, Xiao et al. WWW'08): recall 1
+    like :func:`ngram_jaccard_pairs` with ``max_df=None``, but the
+    candidate self-join touches only each document's PREFIX — its
+    ``n - floor(t*n) + 1`` globally-rarest shingles — instead of every
+    posting. Any pair with Jaccard >= t must share a prefix shingle under
+    one global shingle order (rarity-ascending here, which also keeps the
+    hottest stopword shingles out of small documents' prefixes), so unlike
+    the ``max_df`` stopword cap this prunes WITHOUT changing semantics.
+
+    The threshold is integer ppm and every pruning/acceptance comparison is
+    integer arithmetic (``shared * 1e6 >= t_ppm * union``); a float
+    ``t * n`` could round across an integer boundary and silently shrink a
+    prefix below the safe length. The reported ``jac`` double is a single
+    IEEE division (cross-engine deterministic).
+
+    Shuffles: postings build (doc), document frequency (shingle), per-doc
+    rank window (doc), prefix candidate join (shingle), verify join
+    (candidate pair) — all keyed by high-cardinality values. At 100 TB the
+    verify stage is output-bound (it scans only candidate pairs' postings),
+    and candidate volume is bounded by prefix postings², per shingle, on
+    the rarest shingles — the PPJoin contract.
+    """
+    from pyspark.sql.window import Window as W
+
+    from .similarity import spread
+
+    docs = spread(docs, id_col)
+    sh = (
+        with_shingles(docs, text_col, k)
+        .select(F.col(id_col), F.explode("shingles").alias("shingle"))
+        .select(id_col, _hash64(F.col("shingle"), None, family).alias("h"))
+    )
+    sh = _pin(sh)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    dfreq = sh.groupBy("h").agg(F.count(F.lit(1)).cast("long").alias("_df"))
+    rk = F.row_number().over(W.partitionBy(id_col).orderBy(F.col("_df").asc(), F.col("h").asc()))
+    ranked = sh.join(dfreq, "h").withColumn("rk", rk).join(sizes, id_col)
+    prefix_len = F.col("n") - F.floor(F.lit(threshold_ppm) * F.col("n") / F.lit(1_000_000)).cast("long") + F.lit(1)
+    prefix = ranked.filter(F.col("rk") <= prefix_len).select(id_col, "h", "n")
+    a = prefix.select(F.col(id_col).alias("id_a"), "h", F.col("n").alias("n_a"))
+    b = prefix.select(F.col(id_col).alias("id_b"), "h", F.col("n").alias("n_b"))
+    cand = (
+        a.join(b, "h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        # PPJoin length filter, integer-exact: t*max(n_a,n_b) <= min(n_a,n_b)
+        .filter(F.col("n_a") * 1_000_000 >= F.lit(threshold_ppm) * F.col("n_b"))
+        .filter(F.col("n_b") * 1_000_000 >= F.lit(threshold_ppm) * F.col("n_a"))
+        .select("id_a", "id_b", "n_a", "n_b")
+        .distinct()
+    )
+    pa = sh.select(F.col(id_col).alias("id_a"), "h")
+    pb = sh.select(F.col(id_col).alias("id_b"), "h")
+    shared = (
+        cand.join(pa, "id_a")
+        .join(pb, ["id_b", "h"])
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
+    )
+    union = F.col("n_a") + F.col("n_b") - F.col("shared")
+    return shared.filter(F.col("shared") * 1_000_000 >= F.lit(threshold_ppm) * union).select(
+        "id_a",
+        "id_b",
+        "shared",
+        "n_a",
+        "n_b",
+        (F.col("shared").cast("double") / union.cast("double")).alias("jac"),
+    )

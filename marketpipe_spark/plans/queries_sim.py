@@ -833,3 +833,57 @@ def q_fuzzy_contamination(spark, sf_dir):
         s.filter(F.col("split") == "test"),
         hash_family="md5_60",
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact set-similarity join via prefix filtering (PPJoin). The ORACLE is
+# the naive definition — every pair with shingle-set Jaccard >= 0.6 from a
+# full inverted-index self-join — while the ENGINE runs the prefix-filtered
+# plan (candidates only from each doc's rarest n - floor(t*n) + 1 shingles,
+# integer-ppm length and acceptance filters). A hash match therefore proves
+# the prefix-filter candidate generation loses no pair, which is the whole
+# point of the operator: sub-quadratic candidate volume at recall exactly 1,
+# where minhash_lsh_near_dup trades recall and ngram_jaccard(max_df) trades
+# semantics.
+
+SQL_SETSIM_JOIN = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN range(1, len(t)-1)]) AS shingles
+  FROM toks WHERE len(t) >= 3
+),
+ex AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(unnest(shingles)), 1, 15)) AS BIGINT) AS h
+  FROM sh
+),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM ex GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS shared
+  FROM ex a JOIN ex b USING (h) WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, shared, sa.n AS n_a, sb.n AS n_b,
+       CAST(shared AS DOUBLE) / CAST(sa.n + sb.n - shared AS DOUBLE) AS jac
+FROM shared
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE shared * 1000000 >= 600000 * (sa.n + sb.n - shared)
+"""
+
+
+@register(
+    "setsim_join_exact",
+    SQL_SETSIM_JOIN,
+    doc="exact Jaccard>=0.6 set-similarity join via prefix filtering (PPJoin): oracle is the naive all-pairs definition, so a match proves recall 1",
+    tags=("dedup", "join"),
+)
+def q_setsim_join_exact(spark, sf_dir):
+    from ..operators.dedup import setsim_join_exact
+
+    return setsim_join_exact(
+        t(spark, sf_dir, "documents"), k=3, threshold_ppm=600_000, family="md5_60"
+    )

@@ -624,3 +624,64 @@ def test_fuzzy_contamination_catches_paraphrase_leakage(spark):
     # the exact whole-text fingerprint cannot see this pair
     fp = lambda s_: s_.lower().strip()
     assert fp(base) != fp(edited)
+
+
+def test_setsim_join_exact_equals_brute_force_at_multiple_thresholds(spark):
+    import random
+
+    from marketpipe_spark.operators.dedup import ngram_jaccard_pairs, setsim_join_exact
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(30)]
+    base = [rng.choice(vocab) for _ in range(40)]
+    rows = []
+    for i in range(60):
+        if i % 3 == 0:
+            # perturbed copy of the base doc: high-Jaccard cluster
+            toks = list(base)
+            for _ in range(rng.randrange(0, 6)):
+                toks[rng.randrange(len(toks))] = rng.choice(vocab)
+            rows.append((i, " ".join(toks)))
+        else:
+            rows.append((i, " ".join(rng.choice(vocab) for _ in range(rng.randrange(5, 30)))))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    for t_ppm in (300_000, 600_000, 900_000):
+        got = {
+            (r["id_a"], r["id_b"], r["shared"], r["n_a"], r["n_b"])
+            for r in setsim_join_exact(df, threshold_ppm=t_ppm).collect()
+        }
+        # brute force: the full inverted-index join (recall-1 reference)
+        brute = {
+            (r["id_a"], r["id_b"])
+            for r in ngram_jaccard_pairs(df, k=3, threshold=t_ppm / 1e6).collect()
+        }
+        assert {(a, b) for a, b, *_ in got} == brute, t_ppm
+        assert got, t_ppm  # thresholds chosen so pairs actually exist
+
+
+def test_setsim_prefix_filter_prunes_candidate_volume(spark):
+    """The point of PPJoin: the prefix self-join must touch far fewer
+    postings than the full inverted index on a clustered corpus."""
+    from pyspark.sql import functions as F
+
+    from marketpipe_spark.operators.dedup import _hash64, _pin, with_shingles
+
+    rows = [(i, " ".join(f"tok{(i * 7 + j) % 40}" for j in range(30))) for i in range(80)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = (
+        with_shingles(df, "text", 3)
+        .select("doc_id", F.explode("shingles").alias("shingle"))
+        .select("doc_id", _hash64(F.col("shingle"), None, "xxhash64").alias("h"))
+    )
+    full_postings = sh.count()
+    # t = 0.8 -> prefix keeps n - floor(0.8 n) + 1 ~ 20% + 1 of each doc
+    from pyspark.sql.window import Window as W
+
+    dfreq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("_df"))
+    rk = F.row_number().over(W.partitionBy("doc_id").orderBy(F.col("_df").asc(), F.col("h").asc()))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    ranked = sh.join(dfreq, "h").withColumn("rk", rk).join(sizes, "doc_id")
+    plen = F.col("n") - F.floor(F.lit(800_000) * F.col("n") / F.lit(1_000_000)) + F.lit(1)
+    prefix_postings = ranked.filter(F.col("rk") <= plen).count()
+    assert prefix_postings < 0.35 * full_postings
