@@ -594,3 +594,67 @@ def decontaminate_spans(
             " ", F.transform("keep_idx", lambda i: F.element_at("toks", i))
         ).alias("clean_text"),
     )
+
+
+def token_psi(
+    a: DataFrame, b: DataFrame, text_col: str = "text", top_k: int = 20,
+    side_a: str = "n_a", side_b: str = "n_b",
+) -> DataFrame:
+    """Population stability index between two corpora's token
+    distributions — the drift monitor a production pipeline runs between
+    corpus snapshots (or train/serve splits) to catch composition shifts
+    before they reach training. Buckets are the ``top_k`` tokens by
+    combined count (ties: token ascending — a deterministic total order)
+    plus ``__other__``; counts are add-one smoothed over the live bucket
+    count so a token absent on one side cannot produce ln(0).
+
+    Per-bucket PSI terms ``(p-q)*ln(p/q)`` are micro-floored to
+    ``psi_x1e9`` BIGINTs in a fixed operation order (the lm_perplexity
+    precedent), so totals are order-independent and cross-engine stable.
+
+    Scale shape: one explode + hash-agg per side (vocabulary-sized
+    output), a distributed sort-limit for the top-k (TakeOrdered — no
+    full-vocabulary rank window), a broadcast membership join, and windows
+    only over the final <= top_k+1-row aggregate.
+    """
+    one = F.lit(1).cast("long")
+
+    def counts(df: DataFrame, name: str) -> DataFrame:
+        tok = F.explode(F.split(F.trim(F.lower(F.col(text_col))), TOKEN_SPLIT_RE)).alias("token")
+        return df.select(tok).groupBy("token").agg(F.count(F.lit(1)).cast("long").alias(name))
+
+    comb = (
+        counts(a, side_a)
+        .join(counts(b, side_b), "token", "full_outer")
+        .select(
+            "token",
+            F.coalesce(F.col(side_a), F.lit(0).cast("long")).alias(side_a),
+            F.coalesce(F.col(side_b), F.lit(0).cast("long")).alias(side_b),
+        )
+        .withColumn("_n_tot", F.col(side_a) + F.col(side_b))
+    )
+    top = (
+        comb.orderBy(F.col("_n_tot").desc(), F.col("token").asc())
+        .limit(top_k)
+        .select("token", F.lit(True).alias("_top"))
+    )
+    bucketed = (
+        comb.join(top, "token", "left")
+        .withColumn(
+            "bucket",
+            F.when(F.col("_top").isNotNull(), F.col("token")).otherwise(F.lit("__other__")),
+        )
+        .groupBy("bucket")
+        .agg(F.sum(side_a).alias(side_a), F.sum(side_b).alias(side_b))
+    )
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy()
+    tot_a, tot_b = F.sum(side_a).over(w), F.sum(side_b).over(w)
+    nb = F.count(F.lit(1)).over(w)
+    p = (F.col(side_a) + one).cast("double") / (tot_a + nb).cast("double")
+    q = (F.col(side_b) + one).cast("double") / (tot_b + nb).cast("double")
+    term = F.floor(((p - q) * F.log(p / q)) * F.lit(1000000000.0)).cast("long")
+    return bucketed.select(
+        F.col("bucket").alias("token"), side_a, side_b, term.alias("psi_x1e9")
+    )

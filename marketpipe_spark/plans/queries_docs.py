@@ -1752,3 +1752,71 @@ def q_ngram_novelty(spark, sf_dir):
     from ..operators.textclean import ngram_novelty
 
     return ngram_novelty(t(spark, sf_dir, "documents"), n=3, family="md5_60")
+
+
+# ---------------------------------------------------------------------------
+# Token-distribution drift (PSI) between the train and test splits — the
+# snapshot-over-snapshot data-quality monitor. Buckets: top-20 tokens by
+# combined count (ties: token asc) + __other__; add-one smoothing over the
+# live bucket count; per-bucket terms micro-floored to x1e9 BIGINTs in a
+# fixed operation order (lm_perplexity precedent).
+
+SQL_TOKEN_DRIFT_PSI = f"""
+WITH s AS (
+  SELECT doc_id, text,
+         CASE WHEN {_h60_sql('split')} < {_thr(0.9)} THEN 'train'
+              WHEN {_h60_sql('split')} < {_thr(0.95)} THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+),
+tok AS (
+  SELECT split, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+  FROM s WHERE split IN ('train', 'test')
+),
+c AS (
+  SELECT token,
+         CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+         CAST(SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS n_test
+  FROM tok GROUP BY token
+),
+top AS (
+  SELECT token FROM c ORDER BY n_train + n_test DESC, token ASC LIMIT 20
+),
+bucketed AS (
+  SELECT CASE WHEN c.token IN (SELECT token FROM top) THEN c.token
+              ELSE '__other__' END AS bucket,
+         CAST(SUM(n_train) AS BIGINT) AS n_train,
+         CAST(SUM(n_test) AS BIGINT) AS n_test
+  FROM c GROUP BY 1
+),
+calc AS (
+  SELECT bucket, n_train, n_test,
+         CAST(n_train + 1 AS DOUBLE) / CAST(SUM(n_train) OVER () + COUNT(*) OVER () AS DOUBLE) AS p,
+         CAST(n_test + 1 AS DOUBLE) / CAST(SUM(n_test) OVER () + COUNT(*) OVER () AS DOUBLE) AS q
+  FROM bucketed
+)
+SELECT bucket AS token, n_train, n_test,
+       CAST(FLOOR(((p - q) * ln(p / q)) * 1000000000.0) AS BIGINT) AS psi_x1e9
+FROM calc
+"""
+
+
+@register(
+    "token_drift_psi",
+    SQL_TOKEN_DRIFT_PSI,
+    doc="population stability index of token distributions between train and test splits (top-20 buckets + __other__, add-one smoothed)",
+    tags=("text", "profiling", "sampling"),
+)
+def q_token_drift_psi(spark, sf_dir):
+    from ..operators.sampling import with_split
+    from ..operators.textclean import token_psi
+
+    d = t(spark, sf_dir, "documents")
+    s = with_split(d, {"train": 0.9, "val": 0.05, "test": 0.05}, salt="split")
+    return token_psi(
+        s.filter(F.col("split") == "train"),
+        s.filter(F.col("split") == "test"),
+        top_k=20,
+        side_a="n_train",
+        side_b="n_test",
+    )

@@ -470,3 +470,37 @@ def test_ngram_novelty_families_agree_on_ppm(spark):
     md5 = ngram_novelty(df, n=3, family="md5_60").orderBy("doc_id").collect()
     xx = ngram_novelty(df, n=3, family="xxhash64").orderBy("doc_id").collect()
     assert [tuple(r) for r in md5] == [tuple(r) for r in xx]
+
+
+def test_token_psi_flags_planted_drift_and_near_zero_when_stable(spark):
+    from marketpipe_spark.operators.textclean import token_psi
+
+    a = spark.createDataFrame(
+        [(i, "alpha beta gamma delta " * 5) for i in range(50)], "doc_id long, text string"
+    )
+    same = spark.createDataFrame(
+        [(i, "alpha beta gamma delta " * 5) for i in range(50, 80)], "doc_id long, text string"
+    )
+    shifted = spark.createDataFrame(
+        [(i, "omega psi chi phi " * 5) for i in range(50, 80)], "doc_id long, text string"
+    )
+    stable = sum(r["psi_x1e9"] for r in token_psi(a, same).collect()) / 1e9
+    drifted = sum(r["psi_x1e9"] for r in token_psi(a, shifted).collect()) / 1e9
+    assert abs(stable) < 0.01
+    assert drifted > 1.0  # full vocabulary replacement is extreme drift
+    # every bucket row carries exact counts
+    row = {r["token"]: r for r in token_psi(a, shifted).collect()}
+    assert row["alpha"]["n_a"] == 250 and row["alpha"]["n_b"] == 0
+
+
+def test_token_psi_other_bucket_aggregates_tail(spark):
+    from marketpipe_spark.operators.textclean import token_psi
+
+    a = spark.createDataFrame(
+        [(i, " ".join(f"tail{i}_{j}" for j in range(3)) + " head head") for i in range(30)],
+        "doc_id long, text string",
+    )
+    out = {r["token"]: r for r in token_psi(a, a, top_k=5).collect()}
+    assert "__other__" in out
+    # tail tokens (90 distinct, one occurrence each) all fold into __other__
+    assert out["__other__"]["n_a"] >= 85

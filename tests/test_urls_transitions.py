@@ -80,3 +80,22 @@ def test_event_transitions_ppm_is_exact_integer_division(spark):
     assert m[("a", "c")] == (1, 250_000)
     # from 'b': ->a x2 (total 2)
     assert m[("b", "a")] == (2, 1_000_000)
+
+
+def test_canonical_url_is_idempotent(spark):
+    """canon(canon(u)) == canon(u): re-canonicalizing an already-canonical
+    URL must be a no-op, so repeated pipeline passes can't churn keys."""
+    urls = [
+        "HTTPS://WWW.Example.COM:443/a/b/?b=2&utm_source=x&a=1#frag",
+        "http://Example.com:80/",
+        "http://example.com:8080/x?z=9&y=8",
+        "https://e.com/p?fbclid=1",
+        "https://WWW.e.com/Deep/Path/",
+        "ftp://Files.Example.net:21/pub/",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    from pyspark.sql import functions as F
+
+    once = df.select(canonical_url(F.col("url")).alias("c"))
+    twice = once.select(F.col("c").alias("a"), canonical_url(F.col("c")).alias("b"))
+    assert twice.filter(F.col("a") != F.col("b")).count() == 0
