@@ -150,6 +150,13 @@ FULL_EXTRA = [
     "stream_resample_5m",
     "stream_dedup_minute",
     "stream_sessions",
+    "url_dedup",
+    "ngram_novelty",
+    "event_transitions",
+    "hll_distinct_users",
+    "setsim_join_exact",
+    "token_drift_psi",
+    "session_paths",
 ]
 
 

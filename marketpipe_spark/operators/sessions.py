@@ -81,3 +81,37 @@ def event_transitions(
     return counts.withColumn(
         "prob_ppm", F.floor(F.col("n") * 1_000_000 / total).cast("long")
     )
+
+
+def session_paths(
+    events: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts_ns",
+    typ: str = "event_type",
+    gap: int = 1_800_000_000_000,
+    order_cols: list[str] | None = None,
+    max_steps: int = 5,
+) -> DataFrame:
+    """Top journey paths: each session's ordered sequence of its first
+    ``max_steps`` event types joined with ``>`` (``signup>view>click``),
+    counted across the corpus — the funnel-discovery complement of
+    :func:`event_transitions` (full prefixes instead of first-order hops).
+
+    Truncation bounds the output at |event types|^max_steps rows however
+    long sessions get. The per-session sequence is assembled with
+    ``collect_list`` + ``array_sort`` on (ts, tiebreak) structs — bounded
+    per session by construction, deterministic under any partitioning —
+    then one hash-agg counts paths. Shuffles: the sessionize window (key),
+    the per-session agg (key, seq), the path count (path).
+    """
+    s = sessionize(events, key, ts, gap, order_cols)
+    tie = [F.col(c).alias(f"_o{i}") for i, c in enumerate(order_cols or [])]
+    item = F.struct(F.col(ts).alias("_ts"), *tie, F.col(typ).alias("_t"))
+    ordered = F.array_sort(F.collect_list(item))
+    path = F.concat_ws(
+        ">", F.transform(F.slice(ordered, 1, max_steps), lambda x: x.getField("_t"))
+    )
+    per_session = s.groupBy(key, "session_seq").agg(path.alias("path"))
+    return per_session.groupBy("path").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions")
+    )

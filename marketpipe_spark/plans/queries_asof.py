@@ -104,3 +104,60 @@ FROM ses GROUP BY user_id, session_seq
 def q_user_sessions(spark, sf_dir):
     b = bars(spark, sf_dir).select("user_id", "ts_ns", "event_id")
     return session_stats(b, key="user_id", ts="ts_ns", gap=NS_30MIN, order_cols=["event_id"])
+
+
+# ---------------------------------------------------------------------------
+# Journey paths: each 30-minute session's first-5 event-type sequence,
+# counted corpus-wide — funnel discovery over the same sessionization the
+# user_sessions entry verifies. Output is bounded at |types|^5 rows no
+# matter how long sessions get.
+
+SQL_SESSION_PATHS = f"""
+WITH {SQL_BARS},
+ordered AS (
+  SELECT user_id, ts_ns, event_id, symbol AS event_type,
+         LAG(ts_ns) OVER (PARTITION BY user_id ORDER BY ts_ns, event_id) AS prev
+  FROM bars
+),
+tagged AS (
+  SELECT user_id, ts_ns, event_id, event_type,
+         CASE WHEN prev IS NULL OR ts_ns - prev > {NS_30MIN} THEN 1 ELSE 0 END AS b
+  FROM ordered
+),
+ses AS (
+  SELECT user_id, ts_ns, event_id, event_type,
+         CAST(SUM(b) OVER (PARTITION BY user_id ORDER BY ts_ns, event_id
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+  FROM tagged
+),
+r AS (
+  SELECT user_id, session_seq, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id, session_seq
+                            ORDER BY ts_ns, event_id) AS rn
+  FROM ses
+),
+p AS (
+  SELECT user_id, session_seq,
+         COALESCE(string_agg(event_type, '>' ORDER BY rn)
+                  FILTER (WHERE rn <= 5), '') AS path
+  FROM r GROUP BY 1, 2
+)
+SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions FROM p GROUP BY path
+"""
+
+
+@register(
+    "session_paths",
+    SQL_SESSION_PATHS,
+    doc="top session journey paths: first-5 event-type sequence per 30min session, counted corpus-wide",
+    tags=("sessions", "analytics"),
+)
+def q_session_paths(spark, sf_dir):
+    from ..operators.sessions import session_paths
+
+    b = bars(spark, sf_dir).select(
+        "user_id", "ts_ns", "event_id", F.col("symbol").alias("event_type")
+    )
+    return session_paths(
+        b, key="user_id", ts="ts_ns", gap=NS_30MIN, order_cols=["event_id"], max_steps=5
+    )

@@ -99,3 +99,34 @@ def test_canonical_url_is_idempotent(spark):
     once = df.select(canonical_url(F.col("url")).alias("c"))
     twice = once.select(F.col("c").alias("a"), canonical_url(F.col("c")).alias("b"))
     assert twice.filter(F.col("a") != F.col("b")).count() == 0
+
+
+def test_session_paths_counts_truncated_journeys(spark):
+    from marketpipe_spark.operators.sessions import session_paths
+
+    GAP = 100
+    rows = [
+        # user 1, session 1: a b c ; session 2 (after gap): d
+        (1, 1, 10, "a"), (2, 1, 20, "b"), (3, 1, 30, "c"), (4, 1, 500, "d"),
+        # user 2, one session: a b c (same path as user 1's first)
+        (5, 2, 10, "a"), (6, 2, 20, "b"), (7, 2, 30, "c"),
+        # user 3, long session: 7 events, path truncated to first 5
+        *[(8 + i, 3, 10 + i, t) for i, t in enumerate("abcdefg")],
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts long, event_type string")
+    out = {r["path"]: r["n_sessions"] for r in session_paths(
+        df, key="user_id", ts="ts", gap=GAP, order_cols=["event_id"], max_steps=5
+    ).collect()}
+    assert out == {"a>b>c": 2, "d": 1, "a>b>c>d>e": 1}
+
+
+def test_session_paths_partition_invariant(spark):
+    from marketpipe_spark.operators.sessions import session_paths
+
+    rows = [(i, i % 7, (i * 37) % 1000, "xyzw"[i % 4]) for i in range(200)]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts long, event_type string")
+    base = sorted(map(tuple, session_paths(df, ts="ts", gap=50, order_cols=["event_id"]).collect()))
+    rep = sorted(map(tuple, session_paths(
+        df.repartition(13, "event_id"), ts="ts", gap=50, order_cols=["event_id"]
+    ).collect()))
+    assert base == rep
