@@ -179,6 +179,7 @@ def all_queries() -> dict[str, Query]:
         queries_bars,
         queries_control,
         queries_docs,
+        queries_graph,
         queries_sim,
         queries_stream,
         queries_ta,
