@@ -157,6 +157,14 @@ FULL_EXTRA = [
     "setsim_join_exact",
     "token_drift_psi",
     "session_paths",
+    "copurchase_pagerank",
+    "copurchase_triangles",
+    "copurchase_communities",
+    "copurchase_kcore",
+    "basket_rules",
+    "ewma_close",
+    "resample_5m_ffill",
+    "stream_attribution_join",
 ]
 
 

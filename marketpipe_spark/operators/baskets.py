@@ -1,0 +1,139 @@
+"""Market-basket analysis — capped baskets and association rules.
+
+MarketPipe's ``query`` surface is arbitrary analytical SQL over the lake
+(reference: src/marketpipe/cli/query.py:11-40); association-rule mining is
+the classic retail-analytics workload layered on top of such a store. The
+operators here follow the distributed market-basket recipe: deterministic
+per-basket item caps (the transaction-length truncation every scalable
+FP-growth implementation applies), pair co-occurrence counting, and
+support/confidence/lift scoring.
+
+Everything is integer fixed-point so results hash-match the DuckDB oracle
+bit-for-bit: confidence and lift are micro-units produced by truncating
+``DIV`` in a documented evaluation order. Lift is mathematically symmetric
+but the two-step truncated form ``((cnt*1e6 DIV cnt_ant) * n) DIV cnt_cons``
+is direction-dependent in its last few micro-units — deterministic on both
+engines, and it keeps every intermediate well inside int64 at 100 TB counts
+(cnt*1e6 <= 9.2e18 while cnt <= 9.2e12; the second factor is <= 1e6 * n).
+
+Scale design: the basket cap bounds the per-basket pair fan-out at
+C(cap, 2) (without it one mega-basket generates a quadratic pair blow-up —
+the market-basket analogue of the LSH bucket skew cap); pair counting is
+one shuffle hash aggregation; the final ranking is a bounded
+TakeOrderedAndProject. The only driver scalar is the basket count (one
+count, needed as a literal in the lift expression).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+MICRO = 1_000_000
+
+
+def capped_baskets(
+    df: DataFrame, basket_col: str, item_col: str, max_basket: int
+) -> DataFrame:
+    """Distinct (bk, item) pairs keeping at most ``max_basket`` items per
+    basket — deterministically the lowest item keys, so both engines and
+    any partitioning agree on which items survive."""
+    b = (
+        df.select(F.col(basket_col).alias("bk"), F.col(item_col).alias("item"))
+        .groupBy("bk", "item")
+        .agg(F.lit(1))
+        .select("bk", "item")
+    )
+    w = Window.partitionBy("bk").orderBy("item")
+    return (
+        b.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= max_basket)
+        .select("bk", "item")
+    )
+
+
+def capped_baskets_sql(basket_sql: str, max_basket: int) -> str:
+    """CTE list mirroring :func:`capped_baskets`: ``basket_sql`` must select
+    ``bk, item``; exposes ``bcap(bk, item)``."""
+    return (
+        f"b AS (SELECT bk, item FROM ({basket_sql}) GROUP BY bk, item),\n"
+        "bn AS (SELECT bk, item, ROW_NUMBER() OVER (PARTITION BY bk ORDER BY item) AS rn FROM b),\n"
+        f"bcap AS (SELECT bk, item FROM bn WHERE rn <= {max_basket})"
+    )
+
+
+def association_rules(
+    baskets: DataFrame,
+    min_support: int = 2,
+    top_n: int = 100,
+) -> DataFrame:
+    """Pairwise association rules over capped ``(bk, item)`` baskets.
+
+    Returns ``(antecedent, consequent, support_cnt, conf_micro, lift_micro)``
+    for every ordered pair co-occurring in >= ``min_support`` baskets, both
+    directions, ranked by (lift desc, confidence desc, antecedent,
+    consequent) and truncated to ``top_n``.
+    """
+    item_cnt = baskets.groupBy("item").agg(F.count(F.lit(1)).alias("icnt"))
+    n = baskets.select("bk").distinct().count()
+
+    a = baskets.alias("a")
+    c = baskets.alias("c")
+    pair_cnt = (
+        a.join(c, (F.col("a.bk") == F.col("c.bk")) & (F.col("a.item") < F.col("c.item")))
+        .groupBy(F.col("a.item").alias("u"), F.col("c.item").alias("v"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= min_support)
+    )
+
+    both = pair_cnt.select("u", "v", "cnt").unionByName(
+        pair_cnt.select(
+            F.col("v").alias("u"), F.col("u").alias("v"), F.col("cnt")
+        )
+    )
+    iu = item_cnt.select(F.col("item").alias("u"), F.col("icnt").alias("ucnt"))
+    iv = item_cnt.select(F.col("item").alias("v"), F.col("icnt").alias("vcnt"))
+    scored = (
+        both.join(iu, "u")
+        .join(iv, "v")
+        .select(
+            F.col("u").alias("antecedent"),
+            F.col("v").alias("consequent"),
+            F.col("cnt").alias("support_cnt"),
+            F.expr(f"cnt * {MICRO} DIV ucnt").alias("conf_micro"),
+            F.expr(f"(cnt * {MICRO} DIV ucnt) * {n} DIV vcnt").alias("lift_micro"),
+        )
+    )
+    return scored.orderBy(
+        F.col("lift_micro").desc(),
+        F.col("conf_micro").desc(),
+        "antecedent",
+        "consequent",
+    ).limit(top_n)
+
+
+def association_rules_sql(
+    basket_sql: str, max_basket: int, min_support: int = 2, top_n: int = 100
+) -> str:
+    """Full DuckDB query reproducing :func:`association_rules` literally
+    (same capped baskets, same truncating integer evaluation order)."""
+    return f"""
+WITH {capped_baskets_sql(basket_sql, max_basket)},
+ic AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS icnt FROM bcap GROUP BY item),
+nb AS (SELECT CAST(COUNT(DISTINCT bk) AS BIGINT) AS n FROM bcap),
+pc AS (
+  SELECT a.item AS u, c.item AS v, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM bcap a JOIN bcap c ON a.bk = c.bk AND a.item < c.item
+  GROUP BY a.item, c.item HAVING COUNT(*) >= {min_support}
+),
+bi AS (
+  SELECT u, v, cnt FROM pc
+  UNION ALL SELECT v AS u, u AS v, cnt FROM pc
+)
+SELECT bi.u AS antecedent, bi.v AS consequent, bi.cnt AS support_cnt,
+       bi.cnt * {MICRO} // iu.icnt AS conf_micro,
+       (bi.cnt * {MICRO} // iu.icnt) * (SELECT n FROM nb) // iv.icnt AS lift_micro
+FROM bi JOIN ic iu ON bi.u = iu.item JOIN ic iv ON bi.v = iv.item
+ORDER BY lift_micro DESC, conf_micro DESC, antecedent, consequent
+LIMIT {top_n}
+"""

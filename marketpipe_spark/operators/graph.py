@@ -131,6 +131,394 @@ def pagerank_oracle_sql(
     return ",\n".join(parts) + f"\nSELECT id, s AS score FROM s{iterations}"
 
 
+def cooccurrence_edges(baskets: DataFrame) -> DataFrame:
+    """Distinct undirected item–item edges (``u < v``) from capped
+    ``(bk, item)`` baskets (see :func:`baskets.capped_baskets` — the cap is
+    what bounds the per-basket quadratic pair fan-out at scale)."""
+    a = baskets.alias("a")
+    c = baskets.alias("c")
+    return (
+        a.join(c, (F.col("a.bk") == F.col("c.bk")) & (F.col("a.item") < F.col("c.item")))
+        .select(F.col("a.item").alias("u"), F.col("c.item").alias("v"))
+        .distinct()
+    )
+
+
+def triangle_stats(edges: DataFrame) -> DataFrame:
+    """Per-node triangle counts and local clustering coefficient over an
+    undirected edge list (``u < v`` distinct).
+
+    Degree-ordered enumeration (the scalable standard): each edge is
+    oriented from its lower-(degree, id) endpoint to the higher, so every
+    node's oriented out-neighborhood is bounded (~sqrt(|E|)) and the wedge
+    join cannot blow up on hub nodes — the textbook skew bound. Each
+    triangle is found exactly once (at its lowest-ranked vertex) and then
+    attributed to all three corners via a 3-way explode.
+
+    Returns ``(id, deg, triangles, lcc_micro)`` for every node;
+    ``lcc_micro = 2 * triangles * 1e6 DIV (deg * (deg-1))`` (truncating,
+    0 when deg < 2) — exact int64 as long as deg <= ~2e6 (beyond that the
+    numerator would overflow; a 100 TB caller with larger hubs should cap
+    degrees upstream the way the LSH paths cap buckets).
+    """
+    e = _pin(edges.select("u", "v").distinct())
+    deg = _pin(
+        e.select(F.col("u").alias("id"))
+        .unionByName(e.select(F.col("v").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    du = deg.select(F.col("id").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("id").alias("v"), F.col("deg").alias("dv"))
+    ed = e.join(du, "u").join(dv, "v")
+    # orient lower (deg, id) -> higher (deg, id)
+    fwd = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    eo = _pin(
+        ed.select(
+            F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("a"),
+            F.when(fwd, F.col("du")).otherwise(F.col("dv")).alias("da"),
+            F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("b"),
+            F.when(fwd, F.col("dv")).otherwise(F.col("du")).alias("db"),
+        )
+    )
+    e1 = eo.select(
+        F.col("a").alias("w_a"), F.col("b").alias("w_b"),
+        F.col("db").alias("w_db"),
+    )
+    e2 = eo.select(
+        F.col("a").alias("w_a"), F.col("b").alias("w_c"),
+        F.col("db").alias("w_dc"),
+    )
+    wedges = e1.join(e2, "w_a").where(
+        (F.col("w_db") < F.col("w_dc"))
+        | ((F.col("w_db") == F.col("w_dc")) & (F.col("w_b") < F.col("w_c")))
+    )
+    closing = eo.select(F.col("a").alias("w_b"), F.col("b").alias("w_c"))
+    tri = wedges.join(closing, ["w_b", "w_c"], "left_semi")
+    per_node = (
+        tri.select(
+            F.explode(F.array("w_a", "w_b", "w_c")).alias("id")
+        )
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    return (
+        deg.join(per_node, "id", "left_outer")
+        .select(
+            "id",
+            "deg",
+            F.coalesce("triangles", F.lit(0)).cast("long").alias("triangles"),
+            F.when(
+                F.col("deg") >= 2,
+                F.expr(
+                    "2 * coalesce(triangles, 0) * 1000000 DIV (deg * (deg - 1))"
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("lcc_micro"),
+        )
+    )
+
+
+def triangle_oracle_sql(edges_sql: str) -> str:
+    """CTE list reproducing :func:`triangle_stats`; ``edges_sql`` selects
+    distinct ``u, v`` with ``u < v``. Exposes ``tstats(id, deg, triangles,
+    lcc_micro)``."""
+    return f"""te AS (SELECT u, v FROM ({edges_sql}) GROUP BY u, v),
+tdeg AS (
+  SELECT id, CAST(COUNT(*) AS BIGINT) AS deg
+  FROM (SELECT u AS id FROM te UNION ALL SELECT v FROM te) GROUP BY id
+),
+teo AS (
+  SELECT CASE WHEN fwd THEN u ELSE v END AS a,
+         CASE WHEN fwd THEN du ELSE dv END AS da,
+         CASE WHEN fwd THEN v ELSE u END AS b,
+         CASE WHEN fwd THEN dv ELSE du END AS db
+  FROM (
+    SELECT te.u, te.v, x.deg AS du, y.deg AS dv,
+           (x.deg < y.deg OR (x.deg = y.deg AND te.u < te.v)) AS fwd
+    FROM te JOIN tdeg x ON te.u = x.id JOIN tdeg y ON te.v = y.id
+  )
+),
+ttri AS (
+  SELECT w.a, w.b, w.c FROM (
+    SELECT p.a, p.b AS b, q.b AS c, p.db, q.db AS dc
+    FROM teo p JOIN teo q ON p.a = q.a
+    WHERE p.db < q.db OR (p.db = q.db AND p.b < q.b)
+  ) w
+  WHERE EXISTS (SELECT 1 FROM teo z WHERE z.a = w.b AND z.b = w.c)
+),
+tper AS (
+  SELECT id, CAST(COUNT(*) AS BIGINT) AS triangles
+  FROM (SELECT a AS id FROM ttri UNION ALL SELECT b FROM ttri UNION ALL SELECT c FROM ttri)
+  GROUP BY id
+),
+tstats AS (
+  SELECT d.id, d.deg,
+         CAST(COALESCE(p.triangles, 0) AS BIGINT) AS triangles,
+         CAST(CASE WHEN d.deg >= 2
+              THEN 2 * COALESCE(p.triangles, 0) * 1000000 // (d.deg * (d.deg - 1))
+              ELSE 0 END AS BIGINT) AS lcc_micro
+  FROM tdeg d LEFT JOIN tper p ON d.id = p.id
+)"""
+
+
+def kcore_peel(
+    edges: DataFrame, k: int | None = None, rounds: int = 6
+) -> DataFrame:
+    """Fixed-round k-core peeling over an undirected edge list.
+
+    Each round drops every surviving node whose degree AMONG SURVIVORS is
+    below ``k``; after ``rounds`` rounds the result is the R-round peel
+    (equal to the true k-core once a round removes nothing). ``k=None``
+    derives the threshold from the graph itself — the ceiling of the
+    average degree, ``(2|E| + |N| - 1) DIV |N|`` — so the peel stays live
+    at any corpus scale instead of hard-coding a degree that a 100 TB
+    graph would make degenerate (everything or nothing surviving).
+
+    Returns ``(id, deg)`` for surviving nodes, where ``deg`` is the node's
+    degree among the previous round's survivors (the quantity the final
+    keep-decision was made on — identical on both engines by definition).
+
+    Scale: per round two semi-joins of the (pinned) symmetric edge list
+    against the survivor set plus one hash aggregation — linear in |E|;
+    survivor frames are checkpointed so plans do not nest. The only driver
+    scalars are |N| and 2|E| (two counts, used to derive ``k``).
+    """
+    e = edges.select("u", "v").distinct()
+    sym = _pin(
+        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    )
+    alive = _pin(sym.select(F.col("u").alias("id")).distinct())
+    if k is None:
+        n = alive.count()
+        m = sym.count()  # == 2|E|
+        k = (m + n - 1) // n
+    out = alive.withColumn("deg", F.lit(None).cast("long"))
+    for _ in range(rounds):
+        au = out.select(F.col("id").alias("u"))
+        av = out.select(F.col("id").alias("v"))
+        out = (
+            sym.join(au, "u", "left_semi")
+            .join(av, "v", "left_semi")
+            .groupBy(F.col("u").alias("id"))
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .where(F.col("deg") >= k)
+            .localCheckpoint(eager=True)
+        )
+    return out
+
+
+def kcore_oracle_sql(edges_sql: str, rounds: int = 6) -> str:
+    """CTE list reproducing :func:`kcore_peel` with ``k=None`` (average-
+    degree threshold) and one unrolled CTE per round; exposes the final
+    survivors as ``a{rounds}(id, deg)``."""
+    parts = [
+        f"ke AS (SELECT u, v FROM ({edges_sql}) GROUP BY u, v)",
+        "ks AS (SELECT u, v FROM ke UNION ALL SELECT v AS u, u AS v FROM ke)",
+        "a0 AS (SELECT DISTINCT u AS id FROM ks)",
+        "kv AS (SELECT ((SELECT COUNT(*) FROM ks) + (SELECT COUNT(*) FROM a0) - 1)"
+        " // (SELECT COUNT(*) FROM a0) AS k)",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"""a{i} AS (
+  SELECT ks.u AS id, CAST(COUNT(*) AS BIGINT) AS deg
+  FROM ks
+  WHERE ks.u IN (SELECT id FROM a{i - 1}) AND ks.v IN (SELECT id FROM a{i - 1})
+  GROUP BY ks.u HAVING COUNT(*) >= (SELECT k FROM kv)
+)"""
+        )
+    return ",\n".join(parts)
+
+
+def kcore_layers(
+    edges: DataFrame, k: int | None = None, rounds: int = 6
+) -> DataFrame:
+    """Onion decomposition: the round at which each node is peeled.
+
+    Runs the same fixed-round peel as :func:`kcore_peel` but returns EVERY
+    node with ``(id, peel_round, last_deg)``: ``peel_round`` is the round
+    (1-based) in which the node's survivor-degree first fell below ``k``
+    (0 if it survived all ``rounds``), and ``last_deg`` is the degree it
+    held among the previous round's survivors when that decision was made
+    (0 for a node isolated by earlier peels). Unlike the bare core — which
+    is legitimately EMPTY on near-regular graphs peeled at the average
+    degree — the layer assignment is a non-degenerate statistic on any
+    graph, so a correctness oracle over it exercises every round's join
+    logic even when the final core is empty.
+
+    Scale: identical per-round cost to :func:`kcore_peel` (two semi-joins
+    + one hash agg on the pinned symmetric edge list), plus ``rounds``
+    id->deg left joins at the end — each at most node-cardinality and
+    shuffle-partitioned on the same id key.
+    """
+    e = edges.select("u", "v").distinct()
+    sym = _pin(
+        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    )
+    alive = _pin(sym.select(F.col("u").alias("id")).distinct())
+    if k is None:
+        n = alive.count()
+        m = sym.count()  # == 2|E|
+        k = (m + n - 1) // n
+    degs = []  # per-round survivor-degree frames d1..d{rounds}
+    surv = alive
+    for _ in range(rounds):
+        au = surv.select(F.col("id").alias("u"))
+        av = surv.select(F.col("id").alias("v"))
+        d = (
+            sym.join(au, "u", "left_semi")
+            .join(av, "v", "left_semi")
+            .groupBy(F.col("u").alias("id"))
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .localCheckpoint(eager=True)
+        )
+        degs.append(d)
+        surv = d.where(F.col("deg") >= k)
+    out = alive
+    for i, d in enumerate(degs, start=1):
+        out = out.join(
+            d.select("id", F.col("deg").alias(f"d{i}")), "id", "left_outer"
+        )
+    peel = F.lit(0)
+    last = F.col(f"d{rounds}")
+    # build the CASE from the last round backwards so round 1 wins
+    for i in range(rounds, 0, -1):
+        dropped = F.col(f"d{i}").isNull() | (F.col(f"d{i}") < F.lit(k))
+        peel = F.when(dropped, F.lit(i)).otherwise(peel)
+        last = F.when(dropped, F.coalesce(F.col(f"d{i}"), F.lit(0))).otherwise(last)
+    return out.select(
+        "id",
+        peel.cast("long").alias("peel_round"),
+        last.cast("long").alias("last_deg"),
+    )
+
+
+def kcore_layers_oracle_sql(edges_sql: str, rounds: int = 6) -> str:
+    """CTE list reproducing :func:`kcore_layers` with ``k=None``: unrolled
+    per-round survivor-degree CTEs ``d1..d{rounds}`` left-joined back onto
+    the node set with the identical first-drop CASE; exposes
+    ``layers(id, peel_round, last_deg)``. Every CTE is ``MATERIALIZED``:
+    each ``d{{i}}`` is consumed by both ``s{{i}}`` and the final layer
+    joins, so DuckDB's default CTE inlining would re-evaluate the whole
+    round chain exponentially (2^rounds) without it."""
+    parts = [
+        f"ke AS MATERIALIZED (SELECT u, v FROM ({edges_sql}) GROUP BY u, v)",
+        "ks AS MATERIALIZED (SELECT u, v FROM ke UNION ALL SELECT v AS u, u AS v FROM ke)",
+        "a0 AS MATERIALIZED (SELECT DISTINCT u AS id FROM ks)",
+        "kv AS MATERIALIZED (SELECT ((SELECT COUNT(*) FROM ks) + (SELECT COUNT(*) FROM a0) - 1)"
+        " // (SELECT COUNT(*) FROM a0) AS k)",
+    ]
+    for i in range(1, rounds + 1):
+        prev = "a0" if i == 1 else f"s{i - 1}"
+        parts.append(
+            f"""d{i} AS MATERIALIZED (
+  SELECT ks.u AS id, CAST(COUNT(*) AS BIGINT) AS deg
+  FROM ks
+  WHERE ks.u IN (SELECT id FROM {prev}) AND ks.v IN (SELECT id FROM {prev})
+  GROUP BY ks.u
+)"""
+        )
+        parts.append(
+            f"s{i} AS MATERIALIZED (SELECT id, deg FROM d{i} WHERE deg >= (SELECT k FROM kv))"
+        )
+    drop = [
+        f"WHEN d{i}.deg IS NULL OR d{i}.deg < (SELECT k FROM kv)" for i in range(1, rounds + 1)
+    ]
+    peel = " ".join(
+        f"{w} THEN {i}" for i, w in enumerate(drop, start=1)
+    )
+    last = " ".join(
+        f"{w} THEN COALESCE(d{i}.deg, 0)" for i, w in enumerate(drop, start=1)
+    )
+    joins = " ".join(
+        f"LEFT JOIN d{i} ON a0.id = d{i}.id" for i in range(1, rounds + 1)
+    )
+    parts.append(
+        f"""layers AS (
+  SELECT a0.id,
+         CAST(CASE {peel} ELSE 0 END AS BIGINT) AS peel_round,
+         CAST(CASE {last} ELSE d{rounds}.deg END AS BIGINT) AS last_deg
+  FROM a0 {joins}
+)"""
+    )
+    return ",\n".join(parts)
+
+
+def label_propagation(edges: DataFrame, iterations: int = 4) -> DataFrame:
+    """Synchronous label propagation (community detection) over an
+    undirected edge list, deterministic by construction.
+
+    Every node starts labeled with its own id. Each round, node ``v``'s
+    votes are its neighbors' current labels plus its own (the self-vote
+    damps the flip-flop oscillation synchronous LPA is known for); the new
+    label is the smallest label among those with maximal count — a total
+    order, so the result is independent of partitioning and schedule,
+    unlike classic async LPA. Fixed ``iterations`` rounds.
+
+    Scale: per round one shuffle join of labels against the (pinned)
+    symmetric edge list plus one count aggregation and one per-node
+    argmax — linear in |E|; label frames are checkpointed between rounds
+    so plans do not nest. Returns ``(id, label)``.
+    """
+    e = edges.select("u", "v").distinct()
+    sym = _pin(
+        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    )
+    labels = _pin(
+        sym.select(F.col("u").alias("id")).distinct().withColumn(
+            "label", F.col("id")
+        )
+    )
+    for _ in range(iterations):
+        nbr = (
+            sym.join(labels, sym.v == labels.id)
+            .select(F.col("u").alias("id"), "label")
+        )
+        votes = (
+            nbr.unionByName(labels.select("id", "label"))
+            .groupBy("id", "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        labels = (
+            votes.groupBy("id")
+            .agg(F.expr("max_by(label, struct(cnt, -label))").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+    return labels
+
+
+def label_propagation_oracle_sql(edges_sql: str, iterations: int = 4) -> str:
+    """CTE list reproducing :func:`label_propagation` with one unrolled CTE
+    per round (``l0`` .. ``l{iterations}``); exposes the final labels as
+    ``l{iterations}(id, label)``."""
+    parts = [
+        f"le AS (SELECT u, v FROM ({edges_sql}) GROUP BY u, v)",
+        "ls AS (SELECT u, v FROM le UNION ALL SELECT v AS u, u AS v FROM le)",
+        "l0 AS (SELECT DISTINCT u AS id, u AS label FROM ls)",
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"""l{i} AS (
+  SELECT id, label FROM (
+    SELECT id, label,
+           ROW_NUMBER() OVER (PARTITION BY id ORDER BY cnt DESC, label ASC) AS rn
+    FROM (
+      SELECT id, label, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+        SELECT ls.u AS id, p.label FROM ls JOIN l{i - 1} p ON ls.v = p.id
+        UNION ALL SELECT id, label FROM l{i - 1}
+      ) GROUP BY id, label
+    )
+  ) WHERE rn = 1
+)"""
+        )
+    return ",\n".join(parts)
+
+
 def bipartite_edges(
     pairs: DataFrame, left: str, right: str
 ) -> DataFrame:

@@ -49,6 +49,135 @@ FROM fin
 """
 
 
+# Item co-occurrence graph: parts are connected when some order contains
+# both. Baskets are capped at 4 items (deterministically the lowest part
+# keys) so the per-basket pair fan-out is bounded — the cap genuinely bites
+# on TPC-H's 5-7-lineitem orders, so the truncation logic is exercised on
+# both engines, and at 100 TB it is what stops one mega-basket from
+# generating a quadratic pair blow-up.
+_MAX_BASKET = 4
+_BASKET_SQL = "SELECT l_orderkey AS bk, l_partkey AS item FROM lineitem"
+_COOC_SQL = (
+    "SELECT a.item AS u, c.item AS v FROM bcap a "
+    "JOIN bcap c ON a.bk = c.bk AND a.item < c.item GROUP BY a.item, c.item"
+)
+
+
+def _capped(spark, sf_dir):
+    from ..operators.baskets import capped_baskets
+
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    return capped_baskets(li, "l_orderkey", "l_partkey", _MAX_BASKET)
+
+
+def _triangles_sql() -> str:
+    from ..operators.baskets import capped_baskets_sql
+    from ..operators.graph import triangle_oracle_sql
+
+    return f"""
+WITH {capped_baskets_sql(_BASKET_SQL, _MAX_BASKET)},
+{triangle_oracle_sql(_COOC_SQL)}
+SELECT id AS part_key, deg, triangles, lcc_micro FROM tstats
+"""
+
+
+@register(
+    "copurchase_triangles",
+    _triangles_sql(),
+    doc="degree-ordered triangle counts and local clustering coefficient per part over the capped-basket co-occurrence graph",
+    tags=("graph", "joins", "aggregation"),
+)
+def q_copurchase_triangles(spark, sf_dir):
+    from ..operators.graph import cooccurrence_edges, triangle_stats
+
+    stats = triangle_stats(cooccurrence_edges(_capped(spark, sf_dir)))
+    return stats.select(
+        F.col("id").alias("part_key"), "deg", "triangles", "lcc_micro"
+    )
+
+
+_LPA_ITERS = 4
+
+
+def _communities_sql() -> str:
+    from ..operators.baskets import capped_baskets_sql
+    from ..operators.graph import label_propagation_oracle_sql
+
+    return f"""
+WITH {capped_baskets_sql(_BASKET_SQL, _MAX_BASKET)},
+{label_propagation_oracle_sql(_COOC_SQL, iterations=_LPA_ITERS)}
+SELECT id AS part_key, label AS community FROM l{_LPA_ITERS}
+"""
+
+
+@register(
+    "copurchase_communities",
+    _communities_sql(),
+    doc=f"deterministic synchronous label propagation ({_LPA_ITERS} rounds, self-vote, min-label tie-break) over the co-occurrence graph",
+    tags=("graph", "joins", "aggregation"),
+)
+def q_copurchase_communities(spark, sf_dir):
+    from ..operators.graph import cooccurrence_edges, label_propagation
+
+    labels = label_propagation(
+        cooccurrence_edges(_capped(spark, sf_dir)), iterations=_LPA_ITERS
+    )
+    return labels.select(
+        F.col("id").alias("part_key"), F.col("label").alias("community")
+    )
+
+
+_KCORE_ROUNDS = 6
+
+
+def _kcore_sql() -> str:
+    from ..operators.baskets import capped_baskets_sql
+    from ..operators.graph import kcore_layers_oracle_sql
+
+    return f"""
+WITH {capped_baskets_sql(_BASKET_SQL, _MAX_BASKET)},
+{kcore_layers_oracle_sql(_COOC_SQL, rounds=_KCORE_ROUNDS)}
+SELECT id AS part_key, peel_round, last_deg FROM layers
+"""
+
+
+@register(
+    "copurchase_kcore",
+    _kcore_sql(),
+    doc=f"onion decomposition ({_KCORE_ROUNDS}-round peel at the data-derived average-degree threshold): peel round + decision-time degree per part — non-degenerate even when the bare core is empty",
+    tags=("graph", "joins", "aggregation"),
+)
+def q_copurchase_kcore(spark, sf_dir):
+    from ..operators.graph import cooccurrence_edges, kcore_layers
+
+    layers = kcore_layers(
+        cooccurrence_edges(_capped(spark, sf_dir)), k=None, rounds=_KCORE_ROUNDS
+    )
+    return layers.select(
+        F.col("id").alias("part_key"), "peel_round", "last_deg"
+    )
+
+
+def _rules_sql() -> str:
+    from ..operators.baskets import association_rules_sql
+
+    return association_rules_sql(
+        _BASKET_SQL, _MAX_BASKET, min_support=2, top_n=100
+    )
+
+
+@register(
+    "basket_rules",
+    _rules_sql(),
+    doc="top-100 pairwise association rules (support/confidence/lift, integer micro-units) over capped order baskets",
+    tags=("baskets", "joins", "aggregation"),
+)
+def q_basket_rules(spark, sf_dir):
+    from ..operators.baskets import association_rules
+
+    return association_rules(_capped(spark, sf_dir), min_support=2, top_n=100)
+
+
 @register(
     "copurchase_pagerank",
     _pagerank_sql(),

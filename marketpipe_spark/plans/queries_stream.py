@@ -169,3 +169,70 @@ def q_stream_sessions(spark, sf_dir):
         )
     )
     return run_to_memory(sess, "stream_sessions", "append")
+
+
+# ---------------------------------------------------------------------------
+# Stream-stream join: click -> purchase attribution. Two independently
+# watermarked event streams joined on user within a 30-minute window after
+# the click — the canonical ad-attribution stream-stream inner join (both
+# sides keep watermark-bounded state; the range condition is what lets Spark
+# evict click state once the purchase-side watermark passes click_time +
+# 30 min). Over the driver's bounded input the inner join emits exactly the
+# batch self-join, which is the oracle below. Timestamps are µs-precision
+# (physical parquet type), so the event-time comparison and the oracle's
+# ts_ns arithmetic agree bit-for-bit.
+
+_ATTR_WINDOW_MIN = 30
+_ATTR_WINDOW_NS = _ATTR_WINDOW_MIN * 60 * NS_PER_SEC
+
+SQL_STREAM_ATTRIBUTION = f"""
+WITH e AS (SELECT event_id, user_id, event_type, epoch_ns(ts) AS ts_ns FROM events)
+SELECT a.user_id AS user_id, a.event_id AS click_id, b.event_id AS purchase_id,
+       b.ts_ns - a.ts_ns AS gap_ns
+FROM e a JOIN e b ON a.user_id = b.user_id
+WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+  AND b.ts_ns >= a.ts_ns AND b.ts_ns <= a.ts_ns + {_ATTR_WINDOW_NS}
+"""
+
+
+@register(
+    "stream_attribution_join",
+    SQL_STREAM_ATTRIBUTION,
+    doc=f"stream-stream inner join (click->purchase within {_ATTR_WINDOW_MIN}m, per-side watermarks + range condition) == batch self-join",
+    tags=("streaming", "joins"),
+)
+def q_stream_attribution_join(spark, sf_dir):
+    def leg(evtype: str, prefix: str):
+        ev = _event_stream(spark, sf_dir)
+        base = ev.select(
+            "event_id", "user_id", "event_type", ts_ns_expr(ev).alias("ts_ns")
+        )
+        return (
+            base.where(F.col("event_type") == evtype)
+            .withColumn("event_time", F.timestamp_micros(F.expr("ts_ns div 1000")))
+            .select(
+                F.col("event_id").alias(f"{prefix}_id"),
+                F.col("user_id").alias(f"{prefix}_user"),
+                F.col("ts_ns").alias(f"{prefix}_ts_ns"),
+                F.col("event_time").alias(f"{prefix}_time"),
+            )
+            .withWatermark(f"{prefix}_time", f"{WM_MIN} minutes")
+        )
+
+    clicks = leg("click", "click")
+    purchases = leg("purchase", "purchase")
+    joined = clicks.join(
+        purchases,
+        (F.col("click_user") == F.col("purchase_user"))
+        & (F.col("purchase_time") >= F.col("click_time"))
+        & (
+            F.col("purchase_time")
+            <= F.col("click_time") + F.expr(f"INTERVAL {_ATTR_WINDOW_MIN} MINUTES")
+        ),
+    ).select(
+        F.col("click_user").alias("user_id"),
+        F.col("click_id"),
+        F.col("purchase_id"),
+        (F.col("purchase_ts_ns") - F.col("click_ts_ns")).alias("gap_ns"),
+    )
+    return run_to_memory(joined, "stream_attribution_join", "append")

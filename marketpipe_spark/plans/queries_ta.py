@@ -717,3 +717,133 @@ def q_return_correlations(spark, sf_dir):
         "n",
         F.when((va > 0.0) & (vb > 0.0), cov / (F.sqrt(va) * F.sqrt(vb))).alias("corr"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gap-filled 5m resample with forward fill (LOCF). Market-data consumers
+# expect a dense bar grid per symbol; empty buckets carry the last close
+# forward (open=high=low=close=previous close, volume 0, is_gap=1). The
+# grid is generated per symbol from its own [min, max] bucket span with
+# sequence() — no driver loop, no cross join; the fill is a plain
+# ignore-nulls window copy of stored doubles (no float arithmetic, so
+# cross-engine parity is byte-exact).
+
+SQL_FFILL = f"""
+WITH {SQL_R5},
+sp AS (SELECT symbol, MIN(ts_ns) AS mn, MAX(ts_ns) AS mx FROM r5 GROUP BY symbol),
+grid AS (SELECT symbol, unnest(range(mn, mx + 1, {_R5_NS})) AS ts_ns FROM sp),
+j AS (
+  SELECT g.symbol, g.ts_ns, r5.open, r5.high, r5.low, r5.close, r5.volume
+  FROM grid g LEFT JOIN r5 ON g.symbol = r5.symbol AND g.ts_ns = r5.ts_ns
+),
+f AS (
+  SELECT symbol, ts_ns, open, high, low, close, volume,
+         last_value(close IGNORE NULLS) OVER (
+           PARTITION BY symbol ORDER BY ts_ns ROWS UNBOUNDED PRECEDING) AS fc
+  FROM j
+)
+SELECT symbol, ts_ns,
+       COALESCE(open, fc) AS open, COALESCE(high, fc) AS high,
+       COALESCE(low, fc) AS low, COALESCE(close, fc) AS close,
+       CAST(COALESCE(volume, 0) AS BIGINT) AS volume,
+       CASE WHEN close IS NULL THEN 1 ELSE 0 END AS is_gap
+FROM f
+"""
+
+
+@register(
+    "resample_5m_ffill",
+    SQL_FFILL,
+    doc="dense per-symbol 5m grid (sequence-generated) with last-observation-carried-forward fill for empty buckets",
+    tags=("window", "resample", "ta"),
+)
+def q_resample_5m_ffill(spark, sf_dir):
+    r5 = _r5(spark, sf_dir)
+    sp = r5.groupBy("symbol").agg(
+        F.min("ts_ns").alias("mn"), F.max("ts_ns").alias("mx")
+    )
+    grid = sp.select(
+        "symbol",
+        F.explode(F.sequence("mn", "mx", F.lit(_R5_NS).cast("long"))).alias("ts_ns"),
+    )
+    j = grid.join(r5, ["symbol", "ts_ns"], "left_outer")
+    wf = (
+        W.partitionBy("symbol")
+        .orderBy("ts_ns")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    f = j.withColumn("fc", F.last("close", ignorenulls=True).over(wf))
+    return f.select(
+        "symbol",
+        "ts_ns",
+        F.coalesce("open", "fc").alias("open"),
+        F.coalesce("high", "fc").alias("high"),
+        F.coalesce("low", "fc").alias("low"),
+        F.coalesce("close", "fc").alias("close"),
+        F.coalesce("volume", F.lit(0)).cast("long").alias("volume"),
+        F.when(F.col("close").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("is_gap"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Recursive EWMA over daily closes — the one indicator family that is a
+# genuine SEQUENTIAL fold (infinite memory, unlike MACD's windowed-EMA
+# approximation above). Per symbol: daily closes µ-quantized to longs,
+# ordered into a calendar-bounded array (days per symbol, not corpus rows),
+# then folded with the exact integer recurrence
+#   s' = (alpha_ppm * x + (1e6 - alpha_ppm) * s) DIV 1e6,  s0 = first close.
+# Spark's aggregate() higher-order fold and DuckDB's list_reduce have
+# identical first-element-init/left-fold semantics, so the truncating
+# integer states agree bit-for-bit at every step.
+
+_EWMA_ALPHA_PPM = 200_000
+
+SQL_EWMA = f"""
+WITH {SQL_BARS},
+dd AS (
+  SELECT symbol, ts_ns - ts_ns % {NS_PER_DAY} AS day,
+         CAST(FLOOR(max_by(close, ts_ns) * 1e6) AS BIGINT) AS cm
+  FROM bars GROUP BY symbol, ts_ns - ts_ns % {NS_PER_DAY}
+)
+SELECT symbol, CAST(COUNT(*) AS BIGINT) AS n_days,
+       list_reduce(list(cm ORDER BY day),
+                   (acc, v) -> ({_EWMA_ALPHA_PPM} * v + {1_000_000 - _EWMA_ALPHA_PPM} * acc) // 1000000) AS ewma_micro
+FROM dd GROUP BY symbol
+"""
+
+
+@register(
+    "ewma_close",
+    SQL_EWMA,
+    doc="recursive integer EWMA (alpha 0.2) over daily closes via higher-order fold — exact sequential state per symbol",
+    tags=("ta", "aggregation"),
+)
+def q_ewma_close(spark, sf_dir):
+    b = bars(spark, sf_dir)
+    dd = (
+        b.groupBy(
+            "symbol",
+            (F.col("ts_ns") - F.col("ts_ns") % F.lit(NS_PER_DAY)).alias("day"),
+        )
+        .agg(
+            F.expr("CAST(FLOOR(max_by(close, ts_ns) * 1e6) AS BIGINT)").alias("cm")
+        )
+    )
+    return (
+        dd.groupBy("symbol")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.array_sort(F.collect_list(F.struct("day", "cm"))).alias("a"),
+        )
+        .select(
+            "symbol",
+            "n_days",
+            # NB: element_at is 1-based like slice(); bracket indexing a[1]
+            # would be the SECOND element (0-based) and silently skip the
+            # first close while double-counting the second.
+            F.expr(
+                f"aggregate(slice(a, 2, size(a) - 1), element_at(a, 1).cm, "
+                f"(acc, x) -> ({_EWMA_ALPHA_PPM} * x.cm + {1_000_000 - _EWMA_ALPHA_PPM} * acc) div 1000000)"
+            ).alias("ewma_micro"),
+        )
+    )

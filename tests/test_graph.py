@@ -67,6 +67,151 @@ def test_pagerank_partition_invariant(spark):
     assert a == b
 
 
+def test_triangle_stats_k4_and_path(spark):
+    from marketpipe_spark.operators.graph import triangle_stats
+
+    # K4: every node has deg 3 and sits in 3 triangles -> lcc exactly 1e6.
+    k4 = [(u, v) for u in range(4) for v in range(u + 1, 4)]
+    df = spark.createDataFrame(k4, "u long, v long")
+    rows = {r["id"]: r for r in triangle_stats(df).collect()}
+    assert all(
+        (rows[i]["deg"], rows[i]["triangles"], rows[i]["lcc_micro"]) == (3, 3, 1_000_000)
+        for i in range(4)
+    )
+    # path 0-1-2-3: no triangles anywhere, lcc 0 (deg<2 endpoints included)
+    path = spark.createDataFrame([(0, 1), (1, 2), (2, 3)], "u long, v long")
+    prows = triangle_stats(path).collect()
+    assert all(r["triangles"] == 0 and r["lcc_micro"] == 0 for r in prows)
+
+
+def test_triangle_stats_pendant_and_partition_invariance(spark):
+    from marketpipe_spark.operators.graph import triangle_stats
+
+    # triangle 0-1-2 plus pendant 3 hanging off 2
+    edges = [(0, 1), (0, 2), (1, 2), (2, 3)]
+    df = spark.createDataFrame(edges, "u long, v long")
+    rows = {r["id"]: r for r in triangle_stats(df).collect()}
+    assert rows[0]["triangles"] == rows[1]["triangles"] == rows[2]["triangles"] == 1
+    assert rows[3] and rows[3]["triangles"] == 0
+    # deg(2)=3 -> lcc = 2*1*1e6 DIV 6 = 333333 (truncating)
+    assert rows[2]["lcc_micro"] == 333_333
+    assert rows[0]["lcc_micro"] == 1_000_000
+    b = {r["id"]: r for r in triangle_stats(df.repartition(7, "v")).collect()}
+    assert {k: (v["deg"], v["triangles"], v["lcc_micro"]) for k, v in rows.items()} == {
+        k: (v["deg"], v["triangles"], v["lcc_micro"]) for k, v in b.items()
+    }
+
+
+def test_label_propagation_two_cliques_converge_to_min_ids(spark):
+    from marketpipe_spark.operators.graph import label_propagation
+
+    def clique(ids):
+        return [(a, b) for a in ids for b in ids if a < b]
+
+    edges = clique([1, 2, 3]) + clique([10, 11, 12, 13])
+    df = spark.createDataFrame(edges, "u long, v long")
+    s = {r["id"]: r["label"] for r in label_propagation(df, iterations=4).collect()}
+    assert {s[1], s[2], s[3]} == {1}
+    assert {s[10], s[11], s[12], s[13]} == {10}
+    # deterministic under repartitioning
+    s2 = {
+        r["id"]: r["label"]
+        for r in label_propagation(df.repartition(5, "u"), iterations=4).collect()
+    }
+    assert s == s2
+
+
+def test_kcore_star_peels_to_empty(spark):
+    from marketpipe_spark.operators.graph import kcore_peel
+
+    # star: leaves die in round 1 (deg 1 < 2), the center in round 2.
+    edges = [(0, i) for i in range(1, 6)]
+    df = spark.createDataFrame(edges, "u long, v long")
+    assert kcore_peel(df, k=2, rounds=3).count() == 0
+
+
+def test_kcore_clique_survives_tail_peels(spark):
+    from marketpipe_spark.operators.graph import kcore_peel
+
+    k4 = [(u, v) for u in range(4) for v in range(u + 1, 4)]
+    tail = [(3, 10), (10, 11), (11, 12)]
+    df = spark.createDataFrame(k4 + tail, "u long, v long")
+    rows = {r["id"]: r["deg"] for r in kcore_peel(df, k=3, rounds=4).collect()}
+    assert rows == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_kcore_auto_threshold_is_avg_degree_ceiling(spark):
+    from marketpipe_spark.operators.graph import kcore_peel
+
+    # K4 + disjoint edge: degrees 3,3,3,3,1,1 -> k = ceil(14/6) = 3
+    k4 = [(u, v) for u in range(4) for v in range(u + 1, 4)]
+    df = spark.createDataFrame(k4 + [(10, 11)], "u long, v long")
+    rows = {r["id"]: r["deg"] for r in kcore_peel(df, k=None, rounds=3).collect()}
+    assert rows == {0: 3, 1: 3, 2: 3, 3: 3}
+    # partition invariance
+    rows2 = {
+        r["id"]: r["deg"]
+        for r in kcore_peel(
+            spark.createDataFrame(k4 + [(10, 11)], "u long, v long").repartition(5, "u"),
+            k=None,
+            rounds=3,
+        ).collect()
+    }
+    assert rows == rows2
+
+
+def test_kcore_layers_star_records_peel_rounds(spark):
+    from marketpipe_spark.operators.graph import kcore_layers
+
+    # star k=2: leaves peel in round 1 with deg 1; the center survives
+    # round 1 (deg 5) and peels in round 2 isolated (deg 0).
+    edges = [(0, i) for i in range(1, 6)]
+    df = spark.createDataFrame(edges, "u long, v long")
+    rows = {r["id"]: (r["peel_round"], r["last_deg"]) for r in kcore_layers(df, k=2, rounds=3).collect()}
+    assert rows[0] == (2, 0)
+    assert all(rows[i] == (1, 1) for i in range(1, 6))
+    # K4 + tail at k=3: clique survives (peel_round 0, deg 3 at final round)
+    k4 = [(u, v) for u in range(4) for v in range(u + 1, 4)]
+    df2 = spark.createDataFrame(k4 + [(3, 10), (10, 11)], "u long, v long")
+    rows2 = {r["id"]: (r["peel_round"], r["last_deg"]) for r in kcore_layers(df2, k=3, rounds=4).collect()}
+    assert all(rows2[i] == (0, 3) for i in range(4))
+    assert rows2[10] == (1, 2) and rows2[11] == (1, 1)
+    # partition invariance
+    rows3 = {
+        r["id"]: (r["peel_round"], r["last_deg"])
+        for r in kcore_layers(df2.repartition(7, "v"), k=3, rounds=4).collect()
+    }
+    assert rows2 == rows3
+
+
+def test_association_rules_exact_micro_math(spark):
+    from marketpipe_spark.operators.baskets import association_rules, capped_baskets
+
+    # baskets: {1,2} x3, {1,3} x1, {2,3} x1  (bk, item) rows
+    raw = []
+    for bk, items in [(10, [1, 2]), (11, [1, 2]), (12, [1, 2]), (13, [1, 3]), (14, [2, 3])]:
+        raw += [(bk, i) for i in items]
+    df = spark.createDataFrame(raw, "bk long, item long")
+    rules = association_rules(capped_baskets(df, "bk", "item", 8), min_support=2, top_n=10)
+    got = {(r["antecedent"], r["consequent"]): r for r in rules.collect()}
+    # only the (1,2) pair has support >= 2; n=5 baskets, cnt(1)=4, cnt(2)=4
+    assert set(got) == {(1, 2), (2, 1)}
+    r = got[(1, 2)]
+    assert r["support_cnt"] == 3
+    assert r["conf_micro"] == 3 * 1_000_000 // 4  # 750000
+    assert r["lift_micro"] == (3 * 1_000_000 // 4) * 5 // 4  # 937500
+
+
+def test_capped_baskets_keeps_lowest_items(spark):
+    from marketpipe_spark.operators.baskets import capped_baskets
+
+    df = spark.createDataFrame(
+        [(1, i) for i in [9, 3, 7, 5, 1]] + [(2, 4)], "bk long, item long"
+    )
+    kept = {(r["bk"], r["item"]) for r in capped_baskets(df, "bk", "item", 3).collect()}
+    assert kept == {(1, 1), (1, 3), (1, 5), (2, 4)}
+
+
 def test_bipartite_edges_disjoint_namespaces_and_symmetry(spark):
     pairs = spark.createDataFrame([(1, 1), (1, 2), (3, 2)], "c long, p long")
     e = bipartite_edges(pairs, "c", "p")
