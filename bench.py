@@ -165,6 +165,11 @@ FULL_EXTRA = [
     "ewma_close",
     "resample_5m_ffill",
     "stream_attribution_join",
+    "copurchase_reach",
+    "order_skyline",
+    "nation_customer_skyline",
+    "holt_trend",
+    "part_name_match",
 ]
 
 

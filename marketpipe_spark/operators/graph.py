@@ -449,6 +449,74 @@ def kcore_layers_oracle_sql(edges_sql: str, rounds: int = 6) -> str:
     return ",\n".join(parts)
 
 
+def khop_reach(edges: DataFrame, seeds: DataFrame, hops: int = 3) -> DataFrame:
+    """Breadth-first reachability: minimum hop distance (<= ``hops``) from a
+    seed set over an undirected edge list.
+
+    The frontier-expansion loop every distributed BFS uses: per hop one
+    semi-join of the pinned symmetric edge list against the current
+    frontier (neighbors), one anti-join against the visited set (novelty),
+    and a checkpointed union. Work per hop is O(edges incident to the
+    frontier); the visited set is the only growing state and it is bounded
+    by the node count. ``seeds`` is a DataFrame with an ``id`` column.
+
+    Returns ``(id, hop)`` for every node reachable within ``hops`` hops,
+    ``hop`` being the true BFS distance (0 for seeds) — deterministic
+    regardless of partitioning because a node joins the visited set at the
+    first hop that reaches it, and hops are sequential.
+    """
+    e = edges.select("u", "v").distinct()
+    sym = _pin(
+        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    )
+    visited = _pin(
+        seeds.select("id").distinct().withColumn("hop", F.lit(0).cast("long"))
+    )
+    frontier = visited.select("id")
+    for i in range(1, hops + 1):
+        nbrs = (
+            sym.join(frontier.withColumnRenamed("id", "u"), "u", "left_semi")
+            .select(F.col("v").alias("id"))
+            .distinct()
+        )
+        new = nbrs.join(visited.select("id"), "id", "left_anti")
+        visited = _pin(
+            visited.unionByName(
+                new.withColumn("hop", F.lit(i).cast("long"))
+            )
+        )
+        frontier = new
+    return visited
+
+
+def khop_reach_oracle_sql(edges_sql: str, seeds_sql: str, hops: int = 3) -> str:
+    """CTE list reproducing :func:`khop_reach`: MATERIALIZED per-hop
+    frontier/visited CTEs (each is consumed twice — novelty anti-join and
+    union — so default inlining would re-expand the chain exponentially);
+    exposes ``reach(id, hop)``. ``seeds_sql`` must select ``id``."""
+    parts = [
+        f"ge AS MATERIALIZED (SELECT u, v FROM ({edges_sql}) GROUP BY u, v)",
+        "gs AS MATERIALIZED (SELECT u, v FROM ge UNION ALL SELECT v AS u, u AS v FROM ge)",
+        f"v0 AS MATERIALIZED (SELECT DISTINCT id, CAST(0 AS BIGINT) AS hop FROM ({seeds_sql}))",
+        "f0 AS MATERIALIZED (SELECT id FROM v0)",
+    ]
+    for i in range(1, hops + 1):
+        parts.append(
+            f"n{i} AS MATERIALIZED (SELECT DISTINCT gs.v AS id FROM gs"
+            f" WHERE gs.u IN (SELECT id FROM f{i - 1}))"
+        )
+        parts.append(
+            f"f{i} AS MATERIALIZED (SELECT id FROM n{i}"
+            f" WHERE id NOT IN (SELECT id FROM v{i - 1}))"
+        )
+        parts.append(
+            f"v{i} AS MATERIALIZED (SELECT id, hop FROM v{i - 1}"
+            f" UNION ALL SELECT id, CAST({i} AS BIGINT) AS hop FROM f{i})"
+        )
+    parts.append(f"reach AS (SELECT id, hop FROM v{hops})")
+    return ",\n".join(parts)
+
+
 def label_propagation(edges: DataFrame, iterations: int = 4) -> DataFrame:
     """Synchronous label propagation (community detection) over an
     undirected edge list, deterministic by construction.

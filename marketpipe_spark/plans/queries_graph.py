@@ -178,6 +178,41 @@ def q_basket_rules(spark, sf_dir):
     return association_rules(_capped(spark, sf_dir), min_support=2, top_n=100)
 
 
+_REACH_HOPS = 3
+_SEEDS_SQL = "SELECT DISTINCT u AS id FROM gs ORDER BY id LIMIT 10"
+
+
+def _reach_sql() -> str:
+    from ..operators.baskets import capped_baskets_sql
+    from ..operators.graph import khop_reach_oracle_sql
+
+    return f"""
+WITH {capped_baskets_sql(_BASKET_SQL, _MAX_BASKET)},
+{khop_reach_oracle_sql(_COOC_SQL, _SEEDS_SQL, hops=_REACH_HOPS)}
+SELECT id AS part_key, hop FROM reach
+"""
+
+
+@register(
+    "copurchase_reach",
+    _reach_sql(),
+    doc=f"BFS reachability: minimum hop distance (<= {_REACH_HOPS}) from the 10 lowest part keys over the co-occurrence graph — frontier expansion with novelty anti-joins",
+    tags=("graph", "joins"),
+)
+def q_copurchase_reach(spark, sf_dir):
+    from ..operators.graph import cooccurrence_edges, khop_reach
+
+    e = cooccurrence_edges(_capped(spark, sf_dir))
+    nodes = (
+        e.select(F.col("u").alias("id"))
+        .unionByName(e.select(F.col("v").alias("id")))
+        .distinct()
+    )
+    seeds = nodes.orderBy("id").limit(10)
+    reach = khop_reach(e, seeds, hops=_REACH_HOPS)
+    return reach.select(F.col("id").alias("part_key"), "hop")
+
+
 @register(
     "copurchase_pagerank",
     _pagerank_sql(),

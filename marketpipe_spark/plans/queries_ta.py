@@ -847,3 +847,111 @@ def q_ewma_close(spark, sf_dir):
             ).alias("ewma_micro"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Holt double exponential smoothing (level + trend) — a sequential fold with
+# a STRUCT accumulator, extending the single-state EWMA precedent above.
+# Per symbol: daily closes mu-quantized to longs, ordered into a
+# calendar-bounded array, folded with the exact integer recurrences
+#   l' = (alpha*x + (1e6-alpha)*(l + b)) DIV 1e6
+#   b' = (beta*(l' - l) + (1e6-beta)*b) DIV 1e6
+# (l' is textually repeated inside b' — Spark's lambda dialect has no
+# let-binding, and repeating the truncated expression keeps the states
+# bit-identical). Init l = first close, b = 0; integer DIV truncates
+# toward zero in BOTH Spark (`div`) and DuckDB (`//`) — checked on
+# negatives, which matter here because the trend state CAN go negative.
+#
+# ORACLE NOTE: the DuckDB side deliberately does NOT use list_reduce with
+# a struct accumulator. DuckDB 1.0 evaluates the lambda's struct fields
+# SEQUENTIALLY against a mutating accumulator — acc.l inside the 'b'
+# field expression resolves to the 'l' value just computed in the SAME
+# invocation (reproduced: list_reduce over 3 elements with
+# {'l': f(acc), 'b': acc.l} returns b == the new l, not the old). Spark's
+# aggregate() has correct snapshot semantics and matches a reference
+# Python fold exactly, so the oracle instead unrolls the recurrence as a
+# recursive CTE stepping a per-symbol row index (the dedup_clusters
+# precedent), which is plain deterministic SQL on both engines' terms.
+
+_HOLT_ALPHA_PPM = 300_000
+_HOLT_BETA_PPM = 100_000
+_HOLT_H = 5  # forecast horizon, days
+
+_HOLT_L = (
+    f"({_HOLT_ALPHA_PPM} * x.cm + {1_000_000 - _HOLT_ALPHA_PPM}"
+    " * (acc.l + acc.b)) div 1000000"
+)
+_HOLT_L_SQL = _HOLT_L.replace("div", "//")
+
+_HOLT_NL_SQL = (
+    f"({_HOLT_ALPHA_PPM} * h.cm + {1_000_000 - _HOLT_ALPHA_PPM}"
+    " * (s.l + s.b)) // 1000000"
+)
+
+SQL_HOLT = f"""
+WITH RECURSIVE {SQL_BARS},
+hd AS (
+  SELECT symbol, ts_ns - ts_ns % {NS_PER_DAY} AS day,
+         CAST(FLOOR(max_by(close, ts_ns) * 1e6) AS BIGINT) AS cm
+  FROM bars GROUP BY symbol, ts_ns - ts_ns % {NS_PER_DAY}
+),
+hi AS MATERIALIZED (
+  SELECT symbol, cm,
+         ROW_NUMBER() OVER (PARTITION BY symbol ORDER BY day) AS i
+  FROM hd
+),
+hn AS (SELECT symbol, CAST(COUNT(*) AS BIGINT) AS n_days FROM hi GROUP BY symbol),
+st AS (
+  SELECT symbol, i, cm AS l, CAST(0 AS BIGINT) AS b FROM hi WHERE i = 1
+  UNION ALL
+  SELECT h.symbol, h.i,
+         {_HOLT_NL_SQL} AS l,
+         ({_HOLT_BETA_PPM} * ({_HOLT_NL_SQL} - s.l) + {1_000_000 - _HOLT_BETA_PPM} * s.b) // 1000000 AS b
+  FROM st s JOIN hi h ON h.symbol = s.symbol AND h.i = s.i + 1
+)
+SELECT st.symbol, hn.n_days, st.l AS level_micro, st.b AS trend_micro,
+       st.l + {_HOLT_H} * st.b AS forecast_{_HOLT_H}d_micro
+FROM st JOIN hn ON st.symbol = hn.symbol AND st.i = hn.n_days
+"""
+
+
+@register(
+    "holt_trend",
+    SQL_HOLT,
+    doc=f"Holt double exponential smoothing (integer level+trend struct fold, alpha 0.3 / beta 0.1) over daily closes with a {_HOLT_H}-day linear forecast",
+    tags=("ta", "aggregation"),
+)
+def q_holt_trend(spark, sf_dir):
+    b = bars(spark, sf_dir)
+    hd = b.groupBy(
+        "symbol",
+        (F.col("ts_ns") - F.col("ts_ns") % F.lit(NS_PER_DAY)).alias("day"),
+    ).agg(F.expr("CAST(FLOOR(max_by(close, ts_ns) * 1e6) AS BIGINT)").alias("cm"))
+    fold = (
+        "aggregate(slice(a, 2, size(a) - 1), "
+        "named_struct('l', element_at(a, 1).cm, 'b', CAST(0 AS BIGINT)), "
+        f"(acc, x) -> named_struct("
+        f"'l', {_HOLT_L}, "
+        f"'b', ({_HOLT_BETA_PPM} * (({_HOLT_L}) - acc.l) + {1_000_000 - _HOLT_BETA_PPM} * acc.b) div 1000000))"
+    )
+    return (
+        hd.groupBy("symbol")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.array_sort(F.collect_list(F.struct("day", "cm"))).alias("a"),
+        )
+        .select(
+            "symbol",
+            "n_days",
+            F.expr(fold).alias("s"),
+        )
+        .select(
+            "symbol",
+            "n_days",
+            F.col("s.l").alias("level_micro"),
+            F.col("s.b").alias("trend_micro"),
+            (F.col("s.l") + F.lit(_HOLT_H) * F.col("s.b")).alias(
+                f"forecast_{_HOLT_H}d_micro"
+            ),
+        )
+    )

@@ -180,7 +180,9 @@ def all_queries() -> dict[str, Query]:
         queries_control,
         queries_docs,
         queries_graph,
+        queries_linkage,
         queries_sim,
+        queries_skyline,
         queries_stream,
         queries_ta,
         queries_tpch,

@@ -184,6 +184,27 @@ def test_kcore_layers_star_records_peel_rounds(spark):
     assert rows2 == rows3
 
 
+def test_khop_reach_path_graph_distances(spark):
+    from marketpipe_spark.operators.graph import khop_reach
+
+    # path 0-1-2-3-4-5, seed {0}: hop = index, capped at 3
+    edges = [(i, i + 1) for i in range(5)]
+    df = spark.createDataFrame(edges, "u long, v long")
+    seeds = spark.createDataFrame([(0,)], "id long")
+    got = {r["id"]: r["hop"] for r in khop_reach(df, seeds, hops=3).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3}
+    # two seeds meet in the middle: min distance wins
+    seeds2 = spark.createDataFrame([(0,), (5,)], "id long")
+    got2 = {r["id"]: r["hop"] for r in khop_reach(df, seeds2, hops=3).collect()}
+    assert got2 == {0: 0, 5: 0, 1: 1, 4: 1, 2: 2, 3: 2}
+    # partition invariance
+    got3 = {
+        r["id"]: r["hop"]
+        for r in khop_reach(df.repartition(7, "u"), seeds2, hops=3).collect()
+    }
+    assert got2 == got3
+
+
 def test_association_rules_exact_micro_math(spark):
     from marketpipe_spark.operators.baskets import association_rules, capped_baskets
 

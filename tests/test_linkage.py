@@ -1,0 +1,63 @@
+"""Golden-value tests for blocked nearest-neighbor record linkage."""
+
+from marketpipe_spark.operators.linkage import nearest_field_match
+
+
+def _run(spark, rows, max_block=2000):
+    df = spark.createDataFrame(rows, "id long, f string, blk string")
+    return {
+        r["id"]: (r["match_id"], r["dist"])
+        for r in nearest_field_match(df, "id", "f", "blk", max_block).collect()
+    }
+
+
+def test_nearest_match_basic_and_tiebreak(spark):
+    rows = [
+        (1, "abcd", "x"),
+        (2, "abce", "x"),  # dist 1 from both 1 and 3
+        (3, "abcf", "x"),
+        (10, "zzzz", "y"),
+        (11, "zz", "y"),
+    ]
+    got = _run(spark, rows)
+    assert got[1] == (2, 1)  # abce at dist 1 beats abcf at dist 2
+    assert got[2] == (1, 1)  # tie dist 1 with id 3 -> lower match_id wins
+    assert got[3] == (1, 1)  # tie dist 1 (abcd, abce) -> lower match_id wins
+    assert got[10] == (11, 2) and got[11] == (10, 2)  # cross-block isolated pair
+
+
+def test_nearest_match_singleton_block_has_no_row(spark):
+    rows = [(1, "aaaa", "x"), (2, "bbbb", "y")]
+    assert _run(spark, rows) == {}
+
+
+def test_nearest_match_cap_restricts_candidates_deterministically(spark):
+    # cap 2: only ids 1 and 2 are candidates; id 3 still gets a row (its
+    # candidates are 1/2) but can never BE a candidate for others.
+    rows = [(1, "aaaa", "x"), (2, "aaab", "x"), (3, "aaaa", "x")]
+    got = _run(spark, rows, max_block=2)
+    assert got[1] == (2, 1)  # id 3 (dist 0) not a candidate under the cap
+    assert got[2] == (1, 1)
+    assert got[3] == (1, 0)
+
+
+def test_nearest_match_partition_invariance(spark):
+    import random
+
+    rng = random.Random(3)
+    rows = [
+        (i, "".join(rng.choice("ab") for _ in range(6)), rng.choice(["x", "y"]))
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "id long, f string, blk string")
+    a = sorted(
+        (r["id"], r["match_id"], r["dist"])
+        for r in nearest_field_match(df, "id", "f", "blk").collect()
+    )
+    b = sorted(
+        (r["id"], r["match_id"], r["dist"])
+        for r in nearest_field_match(
+            df.repartition(13, "f"), "id", "f", "blk"
+        ).collect()
+    )
+    assert a == b and len(a) == 120
