@@ -170,6 +170,7 @@ FULL_EXTRA = [
     "nation_customer_skyline",
     "holt_trend",
     "part_name_match",
+    "stream_top_users",
 ]
 
 

@@ -61,6 +61,14 @@ def pagerank(
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # NOTE (measured, not assumed): pre-partitioning ed/nodes on their
+    # join keys before the pin does NOT help here — in this Spark build a
+    # localCheckpoint surfaces as `Scan ExistingRDD` with UNKNOWN output
+    # partitioning, so EnsureRequirements re-exchanges regardless (verified
+    # with an explicit plan check: repartition+checkpoint join still plans
+    # 2 exchanges). The per-round exchanges below are therefore inherent to
+    # checkpoint-truncated loops; on a real cluster, persist() (which keeps
+    # partitioning) + a co-partitioned edge list is the upgrade path.
     ed = _pin(e.join(deg, "src"))
     nodes = _pin(
         e.select(F.col("src").alias("id"))

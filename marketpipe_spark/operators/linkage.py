@@ -57,15 +57,37 @@ def nearest_field_match(
         .where(F.col("rn") <= max_block)
         .select("id", "f", "blk")
     )
-    a = base.alias("a")
+    # Levenshtein is symmetric, so among candidates each unordered pair is
+    # scored ONCE (u < v) and mirrored — halving the edit-distance work,
+    # which dominates the operator's cost. Non-candidate records (only
+    # present past the cap) still score one-directionally against the
+    # candidate set. Output is identical to the naive both-directions
+    # join, so the oracle keeps the simple full form.
+    a = cand.alias("a")
     c = cand.alias("c")
-    pairs = a.join(
-        c, (F.col("a.blk") == F.col("c.blk")) & (F.col("a.id") != F.col("c.id"))
+    half = a.join(
+        c, (F.col("a.blk") == F.col("c.blk")) & (F.col("a.id") < F.col("c.id"))
     ).select(
         F.col("a.id").alias("id"),
         F.col("c.id").alias("match_id"),
         F.levenshtein(F.col("a.f"), F.col("c.f")).cast("long").alias("dist"),
     )
+    mirrored = half.unionByName(
+        half.select(
+            F.col("match_id").alias("id"),
+            F.col("id").alias("match_id"),
+            "dist",
+        )
+    )
+    rest = base.join(cand.select("id"), "id", "left_anti").alias("r")
+    rest_pairs = rest.join(
+        c, (F.col("r.blk") == F.col("c.blk")) & (F.col("r.id") != F.col("c.id"))
+    ).select(
+        F.col("r.id").alias("id"),
+        F.col("c.id").alias("match_id"),
+        F.levenshtein(F.col("r.f"), F.col("c.f")).cast("long").alias("dist"),
+    )
+    pairs = mirrored.unionByName(rest_pairs)
     wbest = Window.partitionBy("id").orderBy("dist", "match_id")
     return (
         pairs.withColumn("_rn", F.row_number().over(wbest))

@@ -236,3 +236,38 @@ def q_stream_attribution_join(spark, sf_dir):
         (F.col("purchase_ts_ns") - F.col("click_ts_ns")).alias("gap_ns"),
     )
     return run_to_memory(joined, "stream_attribution_join", "append")
+
+
+# ---------------------------------------------------------------------------
+# Complete-mode streaming top-N: global aggregation + sort + limit is legal
+# ONLY in complete output mode (append can never re-emit a displaced row) —
+# this entry pins that ranking semantics. Over the bounded drained input the
+# final complete emission equals the batch top-N with the same total-order
+# tie-break (count desc, user_id asc), which is the oracle.
+
+_TOPN_USERS = 20
+
+SQL_STREAM_TOP_USERS = f"""
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events
+GROUP BY user_id
+ORDER BY n_events DESC, user_id
+LIMIT {_TOPN_USERS}
+"""
+
+
+@register(
+    "stream_top_users",
+    SQL_STREAM_TOP_USERS,
+    doc=f"streaming complete-mode top-{_TOPN_USERS} users by event count (agg + sort + limit, the ranking shape only complete mode permits) == batch top-N",
+    tags=("streaming", "agg", "sort"),
+)
+def q_stream_top_users(spark, sf_dir):
+    ev = _event_stream(spark, sf_dir)
+    top = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy(F.col("n_events").desc(), "user_id")
+        .limit(_TOPN_USERS)
+    )
+    return run_to_memory(top, "stream_top_users", "complete")
