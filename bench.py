@@ -171,6 +171,8 @@ FULL_EXTRA = [
     "holt_trend",
     "part_name_match",
     "stream_top_users",
+    "copurchase_cheap_paths",
+    "cusum_drift",
 ]
 
 

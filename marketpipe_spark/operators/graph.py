@@ -525,6 +525,78 @@ def khop_reach_oracle_sql(edges_sql: str, seeds_sql: str, hops: int = 3) -> str:
     return ",\n".join(parts)
 
 
+def bounded_sssp(
+    wedges: DataFrame, seeds: DataFrame, rounds: int = 4
+) -> DataFrame:
+    """Bounded single-source(-set) shortest paths: minimum total edge
+    weight from a seed set using at most ``rounds`` edges — fixed-round
+    Bellman-Ford relaxation over the min-plus semiring (the weighted
+    counterpart of :func:`khop_reach`'s hop counting).
+
+    ``wedges`` is an UNDIRECTED weighted edge list ``(u, v, w)`` with
+    integer weights (symmetrized internally); ``seeds`` has an ``id``
+    column. Each round relaxes every edge out of the currently-reached
+    set (one shuffle join + one min aggregation over the union with the
+    previous distances) — linear in |E| per round, the textbook dataflow
+    SSSP step. Distances are exact integer sums, so the per-round MIN is
+    order- and partition-independent.
+
+    Returns ``(id, dist)`` for every node reachable within ``rounds``
+    edges (0 for seeds).
+    """
+    e = wedges.select("u", "v", "w").groupBy("u", "v").agg(F.min("w").alias("w"))
+    sym = _pin(
+        e.unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"), "w")
+        )
+    )
+    dist = _pin(
+        seeds.select("id").distinct().withColumn("dist", F.lit(0).cast("long"))
+    )
+    for _ in range(rounds):
+        cand = (
+            sym.join(dist.withColumnRenamed("id", "u"), "u")
+            .select(F.col("v").alias("id"), (F.col("dist") + F.col("w")).alias("dist"))
+        )
+        dist = _pin(
+            dist.unionByName(cand)
+            .groupBy("id")
+            .agg(F.min("dist").alias("dist"))
+        )
+    return dist
+
+
+def bounded_sssp_oracle_sql(
+    wedges_sql: str, seeds_sql: str, rounds: int = 4
+) -> str:
+    """CTE list reproducing :func:`bounded_sssp`: MATERIALIZED per-round
+    relax/min CTEs (each distance frame is consumed by both the next
+    relax join and the min union, so default CTE inlining would re-expand
+    the chain exponentially); exposes ``sdist(id, dist)``. ``wedges_sql``
+    must select ``u, v, w``; ``seeds_sql`` must select ``id`` and may
+    reference the ``ws`` symmetric edge CTE."""
+    parts = [
+        f"wde AS MATERIALIZED (SELECT u, v, CAST(MIN(w) AS BIGINT) AS w"
+        f" FROM ({wedges_sql}) GROUP BY u, v)",
+        "ws AS MATERIALIZED (SELECT u, v, w FROM wde"
+        " UNION ALL SELECT v AS u, u AS v, w FROM wde)",
+        f"wd0 AS MATERIALIZED (SELECT DISTINCT id, CAST(0 AS BIGINT) AS dist"
+        f" FROM ({seeds_sql}))",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"wc{i} AS MATERIALIZED (SELECT ws.v AS id, d.dist + ws.w AS dist"
+            f" FROM ws JOIN wd{i - 1} d ON ws.u = d.id)"
+        )
+        parts.append(
+            f"wd{i} AS MATERIALIZED (SELECT id, MIN(dist) AS dist FROM"
+            f" (SELECT id, dist FROM wd{i - 1} UNION ALL SELECT id, dist FROM wc{i})"
+            f" GROUP BY id)"
+        )
+    parts.append(f"sdist AS (SELECT id, dist FROM wd{rounds})")
+    return ",\n".join(parts)
+
+
 def label_propagation(edges: DataFrame, iterations: int = 4) -> DataFrame:
     """Synchronous label propagation (community detection) over an
     undirected edge list, deterministic by construction.

@@ -213,6 +213,56 @@ def q_copurchase_reach(spark, sf_dir):
     return reach.select(F.col("id").alias("part_key"), "hop")
 
 
+# Weighted co-occurrence: edge cost = 1e6 DIV (co-purchase count) — strongly
+# co-purchased parts are "close". Integer weights keep the min-plus sums
+# engine-exact.
+_SSSP_ROUNDS = 4
+_COOC_W_SQL = (
+    "SELECT a.item AS u, c.item AS v, 1000000 // CAST(COUNT(*) AS BIGINT) AS w "
+    "FROM bcap a JOIN bcap c ON a.bk = c.bk AND a.item < c.item "
+    "GROUP BY a.item, c.item"
+)
+_SSSP_SEEDS_SQL = "SELECT DISTINCT u AS id FROM ws ORDER BY id LIMIT 10"
+
+
+def _cheap_paths_sql() -> str:
+    from ..operators.baskets import capped_baskets_sql
+    from ..operators.graph import bounded_sssp_oracle_sql
+
+    return f"""
+WITH {capped_baskets_sql(_BASKET_SQL, _MAX_BASKET)},
+{bounded_sssp_oracle_sql(_COOC_W_SQL, _SSSP_SEEDS_SQL, rounds=_SSSP_ROUNDS)}
+SELECT id AS part_key, dist AS dist_micro FROM sdist
+"""
+
+
+@register(
+    "copurchase_cheap_paths",
+    _cheap_paths_sql(),
+    doc=f"bounded weighted shortest paths ({_SSSP_ROUNDS}-round Bellman-Ford, min-plus integer relaxation) from the 10 lowest part keys over the count-weighted co-occurrence graph",
+    tags=("graph", "joins", "aggregation"),
+)
+def q_copurchase_cheap_paths(spark, sf_dir):
+    from ..operators.graph import bounded_sssp
+
+    cap = _capped(spark, sf_dir)
+    a = cap.alias("a")
+    c = cap.alias("c")
+    wedges = (
+        a.join(c, (F.col("a.bk") == F.col("c.bk")) & (F.col("a.item") < F.col("c.item")))
+        .groupBy(F.col("a.item").alias("u"), F.col("c.item").alias("v"))
+        .agg(F.expr("1000000 DIV CAST(COUNT(*) AS BIGINT)").alias("w"))
+    )
+    nodes = (
+        wedges.select(F.col("u").alias("id"))
+        .unionByName(wedges.select(F.col("v").alias("id")))
+        .distinct()
+    )
+    seeds = nodes.orderBy("id").limit(10)
+    dist = bounded_sssp(wedges, seeds, rounds=_SSSP_ROUNDS)
+    return dist.select(F.col("id").alias("part_key"), F.col("dist").alias("dist_micro"))
+
+
 @register(
     "copurchase_pagerank",
     _pagerank_sql(),

@@ -955,3 +955,88 @@ def q_holt_trend(spark, sf_dir):
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# One-sided CUSUM change-point statistic over daily closes — the classic
+# drift/shift monitor (Page 1954): s_i = max(0, s_{i-1} + (x_i - mean)),
+# reported as the running maximum (the detection statistic) plus the final
+# state. A third sequential-fold family after EWMA (scalar) and Holt
+# (struct): here the fold carries (s, smax) and the recurrence has a hard
+# nonlinearity (the max-0 reset), so no window rewrite exists. The mean is
+# the per-symbol INTEGER mean (SUM DIV COUNT, truncating — closes are
+# positive so trunc == floor on both engines); all states are exact longs.
+# The oracle is a per-symbol recursive CTE (the holt_trend precedent — the
+# DuckDB list_reduce struct-mutation hazard documented there applies to
+# any multi-field fold, so lambda folds are avoided for them on the oracle
+# side entirely).
+
+SQL_CUSUM = f"""
+WITH RECURSIVE {SQL_BARS},
+cd AS (
+  SELECT symbol, ts_ns - ts_ns % {NS_PER_DAY} AS day,
+         CAST(FLOOR(max_by(close, ts_ns) * 1e6) AS BIGINT) AS cm
+  FROM bars GROUP BY symbol, ts_ns - ts_ns % {NS_PER_DAY}
+),
+cmn AS MATERIALIZED (
+  SELECT symbol, CAST(SUM(cm) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS m,
+         CAST(COUNT(*) AS BIGINT) AS n_days
+  FROM cd GROUP BY symbol
+),
+ci AS MATERIALIZED (
+  SELECT symbol, cm,
+         ROW_NUMBER() OVER (PARTITION BY symbol ORDER BY day) AS i
+  FROM cd
+),
+cs AS (
+  SELECT ci.symbol, ci.i,
+         GREATEST(CAST(0 AS BIGINT), ci.cm - cmn.m) AS s,
+         GREATEST(CAST(0 AS BIGINT), ci.cm - cmn.m) AS smax
+  FROM ci JOIN cmn ON ci.symbol = cmn.symbol WHERE ci.i = 1
+  UNION ALL
+  SELECT h.symbol, h.i,
+         GREATEST(CAST(0 AS BIGINT), p.s + h.cm - cmn.m) AS s,
+         GREATEST(p.smax, GREATEST(CAST(0 AS BIGINT), p.s + h.cm - cmn.m)) AS smax
+  FROM cs p
+  JOIN ci h ON h.symbol = p.symbol AND h.i = p.i + 1
+  JOIN cmn ON cmn.symbol = h.symbol
+)
+SELECT cs.symbol, cmn.n_days, cs.smax AS max_cusum_micro, cs.s AS final_cusum_micro
+FROM cs JOIN cmn ON cs.symbol = cmn.symbol AND cs.i = cmn.n_days
+"""
+
+
+@register(
+    "cusum_drift",
+    SQL_CUSUM,
+    doc="one-sided CUSUM change-point statistic (integer (s, smax) struct fold with max-0 reset) over daily closes per symbol",
+    tags=("ta", "aggregation"),
+)
+def q_cusum_drift(spark, sf_dir):
+    b = bars(spark, sf_dir)
+    cd = b.groupBy(
+        "symbol",
+        (F.col("ts_ns") - F.col("ts_ns") % F.lit(NS_PER_DAY)).alias("day"),
+    ).agg(F.expr("CAST(FLOOR(max_by(close, ts_ns) * 1e6) AS BIGINT)").alias("cm"))
+    agg = cd.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.expr("CAST(SUM(cm) AS BIGINT) DIV CAST(COUNT(*) AS BIGINT)").alias("m"),
+        F.array_sort(F.collect_list(F.struct("day", "cm"))).alias("a"),
+    )
+    s1 = "greatest(CAST(0 AS BIGINT), element_at(a, 1).cm - m)"
+    step = "greatest(CAST(0 AS BIGINT), acc.s + x.cm - m)"
+    fold = (
+        f"aggregate(slice(a, 2, size(a) - 1), "
+        f"named_struct('s', {s1}, 'smax', {s1}), "
+        f"(acc, x) -> named_struct('s', {step}, 'smax', greatest(acc.smax, {step})))"
+    )
+    return agg.select(
+        "symbol",
+        "n_days",
+        F.expr(fold).alias("st"),
+    ).select(
+        "symbol",
+        "n_days",
+        F.col("st.smax").alias("max_cusum_micro"),
+        F.col("st.s").alias("final_cusum_micro"),
+    )

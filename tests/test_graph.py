@@ -205,6 +205,28 @@ def test_khop_reach_path_graph_distances(spark):
     assert got2 == got3
 
 
+def test_bounded_sssp_weighted_path(spark):
+    from marketpipe_spark.operators.graph import bounded_sssp
+
+    # 0 -5- 1 -1- 2 and direct 0 -10- 2: within 2 rounds the two-edge
+    # route (6) beats the direct edge (10); node 3 hangs off 2.
+    wedges = spark.createDataFrame(
+        [(0, 1, 5), (1, 2, 1), (0, 2, 10), (2, 3, 4)], "u long, v long, w long"
+    )
+    seeds = spark.createDataFrame([(0,)], "id long")
+    got = {r["id"]: r["dist"] for r in bounded_sssp(wedges, seeds, rounds=2).collect()}
+    assert got == {0: 0, 1: 5, 2: 6, 3: 14}
+    # one round only: relaxation is bounded — direct edge wins for node 2
+    got1 = {r["id"]: r["dist"] for r in bounded_sssp(wedges, seeds, rounds=1).collect()}
+    assert got1 == {0: 0, 1: 5, 2: 10}
+    # partition invariance
+    got2 = {
+        r["id"]: r["dist"]
+        for r in bounded_sssp(wedges.repartition(7, "v"), seeds, rounds=2).collect()
+    }
+    assert got == got2
+
+
 def test_association_rules_exact_micro_math(spark):
     from marketpipe_spark.operators.baskets import association_rules, capped_baskets
 
