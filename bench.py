@@ -173,6 +173,8 @@ FULL_EXTRA = [
     "stream_top_users",
     "copurchase_cheap_paths",
     "cusum_drift",
+    "bootstrap_return_ci",
+    "ranksum_returns",
 ]
 
 

@@ -1040,3 +1040,206 @@ def q_cusum_drift(spark, sf_dir):
         F.col("st.smax").alias("max_cusum_micro"),
         F.col("st.s").alias("final_cusum_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bootstrap confidence interval for the mean daily return — deterministic
+# statistical resampling, the inference family (everything else in the TA
+# suite is a point estimate). B=200 bootstrap resamples are drawn WITH
+# replacement by hashing (symbol, replicate, position) through the md5_60
+# family (the dedup oracle-parity hash: first 15 md5 hex chars as a 60-bit
+# long, bit-identical in DuckDB) — the dsir_resample precedent of replacing
+# RNG with deterministic cross-engine hashing. Per resample the mean is an
+# integer DIV; the 2.5%/97.5% bounds are exact order statistics (5th and
+# 196th of 200 sorted integer means), so the whole interval is engine- and
+# partition-exact. Scale: B x returns rows per symbol (map-generated, one
+# shuffle join + two hash aggs); per-symbol state is 200 longs.
+
+_BOOT_B = 200
+
+SQL_BOOTSTRAP = f"""
+WITH {SQL_BARS},
+bd AS (
+  SELECT symbol, ts_ns - ts_ns % {NS_PER_DAY} AS day,
+         CAST(FLOOR(max_by(close, ts_ns) * 1e6) AS BIGINT) AS cm
+  FROM bars GROUP BY symbol, ts_ns - ts_ns % {NS_PER_DAY}
+),
+ri AS (
+  SELECT symbol, i, rm FROM (
+    SELECT symbol,
+           ROW_NUMBER() OVER (PARTITION BY symbol ORDER BY day) - 1 AS i,
+           cm - LAG(cm) OVER (PARTITION BY symbol ORDER BY day) AS rm
+    FROM bd
+  ) WHERE rm IS NOT NULL
+),
+rcnt AS (SELECT symbol, CAST(COUNT(*) AS BIGINT) AS n FROM ri GROUP BY symbol),
+bpos AS (SELECT symbol, n, unnest(range(1, n + 1)) AS pos FROM rcnt),
+bdrw AS (
+  SELECT symbol, n, pos, unnest(range(0, {_BOOT_B})) AS bno FROM bpos
+),
+bj AS (
+  SELECT symbol, bno,
+         (CAST(('0x' || substr(md5(symbol || ':' || bno || ':' || pos), 1, 15)) AS BIGINT) % n) + 1 AS j
+  FROM bdrw
+),
+bm AS (
+  SELECT d.symbol, d.bno,
+         CAST(SUM(r.rm) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS mean_micro
+  FROM bj d JOIN ri r ON d.symbol = r.symbol AND d.j = r.i
+  GROUP BY d.symbol, d.bno
+)
+SELECT symbol, CAST(COUNT(*) AS BIGINT) AS n_resamples,
+       list(mean_micro ORDER BY mean_micro)[5] AS lo_micro,
+       list(mean_micro ORDER BY mean_micro)[{_BOOT_B - 4}] AS hi_micro
+FROM bm GROUP BY symbol
+"""
+
+
+@register(
+    "bootstrap_return_ci",
+    SQL_BOOTSTRAP,
+    doc=f"bootstrap 95% CI for the mean daily return ({_BOOT_B} deterministic md5-resampled replicates, exact integer order-statistic bounds)",
+    tags=("ta", "aggregation", "sampling"),
+)
+def q_bootstrap_return_ci(spark, sf_dir):
+    b = bars(spark, sf_dir)
+    bd = b.groupBy(
+        "symbol",
+        (F.col("ts_ns") - F.col("ts_ns") % F.lit(NS_PER_DAY)).alias("day"),
+    ).agg(F.expr("CAST(FLOOR(max_by(close, ts_ns) * 1e6) AS BIGINT)").alias("cm"))
+    wo = W.partitionBy("symbol").orderBy("day")
+    ri = (
+        bd.select(
+            "symbol",
+            (F.row_number().over(wo) - F.lit(1)).alias("i"),
+            (F.col("cm") - F.lag("cm").over(wo)).alias("rm"),
+        )
+        .where(F.col("rm").isNotNull())
+    )
+    rcnt = ri.groupBy("symbol").agg(F.count(F.lit(1)).alias("n"))
+    bdrw = (
+        rcnt.select(
+            "symbol", "n", F.explode(F.sequence(F.lit(1), F.col("n"))).alias("pos")
+        )
+        .select(
+            "symbol",
+            "n",
+            "pos",
+            F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("bno"),
+        )
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.col("symbol"), F.col("bno"), F.col("pos"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    bj = bdrw.select(
+        "symbol", "bno", (F.pmod(h, F.col("n")) + F.lit(1)).alias("j")
+    )
+    bm = (
+        bj.join(ri, (bj.symbol == ri.symbol) & (bj.j == ri.i))
+        .groupBy(bj.symbol.alias("symbol"), "bno")
+        .agg(F.expr("CAST(SUM(rm) AS BIGINT) DIV CAST(COUNT(*) AS BIGINT)").alias("mean_micro"))
+    )
+    return (
+        bm.groupBy("symbol")
+        .agg(
+            F.count(F.lit(1)).alias("n_resamples"),
+            F.array_sort(F.collect_list("mean_micro")).alias("ms"),
+        )
+        .select(
+            "symbol",
+            "n_resamples",
+            F.element_at("ms", 5).alias("lo_micro"),
+            F.element_at("ms", _BOOT_B - 4).alias("hi_micro"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mann-Whitney rank-sum statistic per symbol vs the pooled rest — the
+# nonparametric two-sample location test, second member of the inference
+# family. Average-ranks-with-ties are kept exact by DOUBLING: for a tie
+# group starting at min-rank r with c members, 2*avgrank = 2r + c - 1 (all
+# integers). Ranks are computed on the DISTINCT-VALUE histogram (one
+# groupBy + a window over distinct return values — vocabulary-scale, not
+# corpus-scale; the global ordered prefix-sum runs over that small
+# histogram, the same bounded-global-pass argument as the skyline's final
+# window), then joined back. Outputs 2x rank-sum, 2x U, and 2x E[U] =
+# 2*n_i*(N-n_i)... /2 kept doubled so everything stays integer-exact.
+
+SQL_RANKSUM = f"""
+WITH {SQL_BARS},
+rd AS (
+  SELECT symbol, ts_ns - ts_ns % {NS_PER_DAY} AS day,
+         CAST(FLOOR(max_by(close, ts_ns) * 1e6) AS BIGINT) AS cm
+  FROM bars GROUP BY symbol, ts_ns - ts_ns % {NS_PER_DAY}
+),
+rr AS (
+  SELECT symbol, rm FROM (
+    SELECT symbol, cm - LAG(cm) OVER (PARTITION BY symbol ORDER BY day) AS rm
+    FROM rd
+  ) WHERE rm IS NOT NULL
+),
+hist AS (
+  SELECT rm, CAST(COUNT(*) AS BIGINT) AS c FROM rr GROUP BY rm
+),
+rk AS (
+  SELECT rm, c,
+         CAST(COALESCE(SUM(c) OVER (ORDER BY rm
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS before_cnt
+  FROM hist
+),
+rx AS (
+  SELECT rm, 2 * (before_cnt + 1) + c - 1 AS avgrank_x2 FROM rk
+),
+js AS (
+  SELECT rr.symbol, rx.avgrank_x2 FROM rr JOIN rx ON rr.rm = rx.rm
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS big_n FROM rr)
+SELECT symbol, CAST(COUNT(*) AS BIGINT) AS n_returns,
+       CAST(SUM(avgrank_x2) AS BIGINT) AS rank_sum_x2,
+       CAST(SUM(avgrank_x2) AS BIGINT)
+         - CAST(COUNT(*) AS BIGINT) * (CAST(COUNT(*) AS BIGINT) + 1) AS u_x2,
+       CAST(COUNT(*) AS BIGINT) * ((SELECT big_n FROM tot) - CAST(COUNT(*) AS BIGINT)) AS expected_u_x2
+FROM js GROUP BY symbol
+"""
+
+
+@register(
+    "ranksum_returns",
+    SQL_RANKSUM,
+    doc="Mann-Whitney rank-sum per symbol vs the pooled rest (integer doubled average-ranks over the distinct-value histogram; exact 2U and 2E[U])",
+    tags=("ta", "aggregation", "window"),
+)
+def q_ranksum_returns(spark, sf_dir):
+    b = bars(spark, sf_dir)
+    rd = b.groupBy(
+        "symbol",
+        (F.col("ts_ns") - F.col("ts_ns") % F.lit(NS_PER_DAY)).alias("day"),
+    ).agg(F.expr("CAST(FLOOR(max_by(close, ts_ns) * 1e6) AS BIGINT)").alias("cm"))
+    wo = W.partitionBy("symbol").orderBy("day")
+    rr = rd.select(
+        "symbol", (F.col("cm") - F.lag("cm").over(wo)).alias("rm")
+    ).where(F.col("rm").isNotNull())
+    hist = rr.groupBy("rm").agg(F.count(F.lit(1)).alias("c"))
+    wg = W.orderBy("rm").rowsBetween(W.unboundedPreceding, -1)
+    rx = hist.select(
+        "rm",
+        (
+            F.lit(2) * (F.coalesce(F.sum("c").over(wg), F.lit(0)) + F.lit(1))
+            + F.col("c")
+            - F.lit(1)
+        ).cast("long").alias("avgrank_x2"),
+    )
+    js = rr.join(rx, "rm").select("symbol", "avgrank_x2")
+    big_n = rr.count()
+    n = F.count(F.lit(1)).cast("long")
+    return js.groupBy("symbol").agg(
+        n.alias("n_returns"),
+        F.sum("avgrank_x2").cast("long").alias("rank_sum_x2"),
+        (F.sum("avgrank_x2").cast("long") - n * (n + F.lit(1))).alias("u_x2"),
+        (n * (F.lit(big_n).cast("long") - n)).alias("expected_u_x2"),
+    )
