@@ -33,6 +33,22 @@ from .dedup import _pin
 
 PPM = 1_000_000
 
+#: Per-round state frames (scores, labels, survivor/frontier/distance sets)
+#: are NODE-sized, but they come out of a localCheckpoint, which surfaces
+#: as `Scan ExistingRDD` with unknown statistics — the planner therefore
+#: SortMergeJoins the full pinned edge list against them EVERY round (4
+#: exchanges + 2 sorts per round, measured). Below this node-count cap the
+#: state is explicitly broadcast instead: the edge list is never shuffled
+#: or sorted, each round costs one exchange (its aggregation). Beyond the
+#: cap (≈ hundreds of MB of state on a 100 TB graph) the loops fall back
+#: to the plain shuffle joins. Results are identical either way.
+BROADCAST_STATE_MAX_NODES = 5_000_000
+
+
+def _state(df: DataFrame, n_nodes: int) -> DataFrame:
+    """Broadcast-hint a node-sized per-round state frame when small."""
+    return F.broadcast(df) if n_nodes <= BROADCAST_STATE_MAX_NODES else df
+
 
 def pagerank(
     edges: DataFrame,
@@ -82,13 +98,13 @@ def pagerank(
     scores = nodes.withColumn("score", F.lit(s0).cast("long"))
     for _ in range(iterations):
         arrived = (
-            ed.join(scores, ed.src == scores.id)
+            ed.join(_state(scores, n), ed.src == scores.id)
             .select("dst", F.expr("score DIV deg").alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("acc"))
         )
         scores = (
-            nodes.join(arrived, nodes.id == arrived.dst, "left_outer")
+            nodes.join(_state(arrived, n), nodes.id == arrived.dst, "left_outer")
             .select(
                 "id",
                 (
@@ -301,14 +317,14 @@ def kcore_peel(
         e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     )
     alive = _pin(sym.select(F.col("u").alias("id")).distinct())
+    n = alive.count()
     if k is None:
-        n = alive.count()
         m = sym.count()  # == 2|E|
         k = (m + n - 1) // n
     out = alive.withColumn("deg", F.lit(None).cast("long"))
     for _ in range(rounds):
-        au = out.select(F.col("id").alias("u"))
-        av = out.select(F.col("id").alias("v"))
+        au = _state(out.select(F.col("id").alias("u")), n)
+        av = _state(out.select(F.col("id").alias("v")), n)
         out = (
             sym.join(au, "u", "left_semi")
             .join(av, "v", "left_semi")
@@ -369,15 +385,15 @@ def kcore_layers(
         e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     )
     alive = _pin(sym.select(F.col("u").alias("id")).distinct())
+    n = alive.count()
     if k is None:
-        n = alive.count()
         m = sym.count()  # == 2|E|
         k = (m + n - 1) // n
     degs = []  # per-round survivor-degree frames d1..d{rounds}
     surv = alive
     for _ in range(rounds):
-        au = surv.select(F.col("id").alias("u"))
-        av = surv.select(F.col("id").alias("v"))
+        au = _state(surv.select(F.col("id").alias("u")), n)
+        av = _state(surv.select(F.col("id").alias("v")), n)
         d = (
             sym.join(au, "u", "left_semi")
             .join(av, "v", "left_semi")
@@ -480,14 +496,15 @@ def khop_reach(edges: DataFrame, seeds: DataFrame, hops: int = 3) -> DataFrame:
     visited = _pin(
         seeds.select("id").distinct().withColumn("hop", F.lit(0).cast("long"))
     )
+    n = sym.select(F.col("u").alias("id")).distinct().count()
     frontier = visited.select("id")
     for i in range(1, hops + 1):
         nbrs = (
-            sym.join(frontier.withColumnRenamed("id", "u"), "u", "left_semi")
+            sym.join(_state(frontier.withColumnRenamed("id", "u"), n), "u", "left_semi")
             .select(F.col("v").alias("id"))
             .distinct()
         )
-        new = nbrs.join(visited.select("id"), "id", "left_anti")
+        new = nbrs.join(_state(visited.select("id"), n), "id", "left_anti")
         visited = _pin(
             visited.unionByName(
                 new.withColumn("hop", F.lit(i).cast("long"))
@@ -553,9 +570,10 @@ def bounded_sssp(
     dist = _pin(
         seeds.select("id").distinct().withColumn("dist", F.lit(0).cast("long"))
     )
+    n = sym.select(F.col("u").alias("id")).distinct().count()
     for _ in range(rounds):
         cand = (
-            sym.join(dist.withColumnRenamed("id", "u"), "u")
+            sym.join(_state(dist.withColumnRenamed("id", "u"), n), "u")
             .select(F.col("v").alias("id"), (F.col("dist") + F.col("w")).alias("dist"))
         )
         dist = _pin(
@@ -622,9 +640,10 @@ def label_propagation(edges: DataFrame, iterations: int = 4) -> DataFrame:
             "label", F.col("id")
         )
     )
+    n = labels.count()
     for _ in range(iterations):
         nbr = (
-            sym.join(labels, sym.v == labels.id)
+            sym.join(_state(labels, n), sym.v == labels.id)
             .select(F.col("u").alias("id"), "label")
         )
         votes = (
