@@ -29,25 +29,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import _pin
+from .dedup import BROADCAST_STATE_MAX_NODES, _pin, _state  # noqa: F401
 
 PPM = 1_000_000
 
-#: Per-round state frames (scores, labels, survivor/frontier/distance sets)
-#: are NODE-sized, but they come out of a localCheckpoint, which surfaces
-#: as `Scan ExistingRDD` with unknown statistics — the planner therefore
-#: SortMergeJoins the full pinned edge list against them EVERY round (4
-#: exchanges + 2 sorts per round, measured). Below this node-count cap the
-#: state is explicitly broadcast instead: the edge list is never shuffled
-#: or sorted, each round costs one exchange (its aggregation). Beyond the
-#: cap (≈ hundreds of MB of state on a 100 TB graph) the loops fall back
-#: to the plain shuffle joins. Results are identical either way.
-BROADCAST_STATE_MAX_NODES = 5_000_000
-
-
-def _state(df: DataFrame, n_nodes: int) -> DataFrame:
-    """Broadcast-hint a node-sized per-round state frame when small."""
-    return F.broadcast(df) if n_nodes <= BROADCAST_STATE_MAX_NODES else df
+# Per-round state frames (scores, labels, survivor/frontier/distance sets)
+# are NODE-sized but surface from localCheckpoint with unknown statistics;
+# `_state` (shared with dedup_clusters, see dedup.BROADCAST_STATE_MAX_NODES)
+# broadcast-hints them below the 5M-node gate so the pinned edge list is
+# never re-shuffled or re-sorted per round (measured: 4 exchanges + 2 sorts
+# per round -> 1 exchange). Beyond the gate: plain shuffle joins.
 
 
 def pagerank(
