@@ -55,3 +55,17 @@ def test_training_data_pipeline_runs_end_to_end(spark, tmp_path, capsys):
     assert out["exported"] > 0 and out["exported"] <= out["raw"]
     assert set(out["splits"]) == {"train", "val", "test"}
     assert "roundtrip OK" in printed and "pipeline complete" not in printed
+
+
+def test_relational_mining_tour_runs_end_to_end(spark, tmp_path, capsys):
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        "examples", "relational_mining_tour.py")
+    spec = importlib.util.spec_from_file_location("relational_mining_tour_example", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    mod.run(str(tmp_path), spark=spark)
+    out = capsys.readouterr().out
+    assert "relational mining tour complete." in out
+    assert "communities" in out
+    assert "frontier" in out
