@@ -175,6 +175,7 @@ FULL_EXTRA = [
     "cusum_drift",
     "bootstrap_return_ci",
     "ranksum_returns",
+    "acf_returns",
 ]
 
 

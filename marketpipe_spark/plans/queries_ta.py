@@ -1243,3 +1243,91 @@ def q_ranksum_returns(spark, sf_dir):
         (F.sum("avgrank_x2").cast("long") - n * (n + F.lit(1))).alias("u_x2"),
         (n * (F.lit(big_n).cast("long") - n)).alias("expected_u_x2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Autocorrelation function of 5m returns at lags 1..3 — the serial-
+# correlation diagnostic (is the series momentum-driven, mean-reverting,
+# or white noise?). Same exact-parity recipe as return_correlations:
+# centi-quantized integer returns, per-(symbol, lag) integer power sums
+# over (x_t, x_{t-L}) lag pairs, and the Pearson ratio evaluated with the
+# IDENTICAL IEEE double expression on both engines. The lag pairing is a
+# window LAG per lag value unioned together — no self-join.
+
+_ACF_LAGS = (1, 2, 3)
+
+SQL_ACF = f"""
+WITH {SQL_R5},
+acr AS (SELECT symbol, ts_ns,
+               CAST(FLOOR(close * 100) AS BIGINT)
+                 - LAG(CAST(FLOOR(close * 100) AS BIGINT))
+                   OVER (PARTITION BY symbol ORDER BY ts_ns) AS x
+        FROM r5),
+acx AS (SELECT symbol, ts_ns, x FROM acr WHERE x IS NOT NULL),
+lp AS (
+{" UNION ALL ".join(f'''
+  SELECT symbol, {lag} AS lag, x AS y,
+         LAG(x, {lag}) OVER (PARTITION BY symbol ORDER BY ts_ns) AS xl
+  FROM acx QUALIFY xl IS NOT NULL''' for lag in _ACF_LAGS)}
+),
+acs AS (SELECT symbol, lag,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(xl) AS BIGINT) AS sa, CAST(SUM(y) AS BIGINT) AS sb,
+               CAST(SUM(xl * y) AS BIGINT) AS sab,
+               CAST(SUM(xl * xl) AS BIGINT) AS saa, CAST(SUM(y * y) AS BIGINT) AS sbb
+        FROM lp GROUP BY symbol, lag)
+SELECT symbol, CAST(lag AS BIGINT) AS lag, n,
+       CASE WHEN (CAST(n AS DOUBLE) * saa - CAST(sa AS DOUBLE) * sa) > 0.0
+             AND (CAST(n AS DOUBLE) * sbb - CAST(sb AS DOUBLE) * sb) > 0.0 THEN
+         (CAST(n AS DOUBLE) * sab - CAST(sa AS DOUBLE) * sb)
+           / (sqrt(CAST(n AS DOUBLE) * saa - CAST(sa AS DOUBLE) * sa)
+              * sqrt(CAST(n AS DOUBLE) * sbb - CAST(sb AS DOUBLE) * sb))
+       END AS acf
+FROM acs
+"""
+
+
+@register(
+    "acf_returns",
+    SQL_ACF,
+    doc="autocorrelation of 5m returns at lags 1-3 (window lag pairs, exact integer power sums, identical-IEEE Pearson ratio)",
+    tags=("ta", "window", "aggregation"),
+)
+def q_acf_returns(spark, sf_dir):
+    r5 = _r5(spark, sf_dir)
+    wo = W.partitionBy("symbol").orderBy("ts_ns")
+    cc = F.floor(F.col("close") * F.lit(100)).cast("long")
+    rx = r5.select("symbol", "ts_ns", (cc - F.lag(cc).over(wo)).alias("x")).filter(
+        F.col("x").isNotNull()
+    )
+    legs = []
+    for lag in _ACF_LAGS:
+        legs.append(
+            rx.select(
+                "symbol",
+                F.lit(lag).cast("long").alias("lag"),
+                F.col("x").alias("y"),
+                F.lag("x", lag).over(wo).alias("xl"),
+            ).filter(F.col("xl").isNotNull())
+        )
+    lp = legs[0]
+    for leg in legs[1:]:
+        lp = lp.unionByName(leg)
+    s = lp.groupBy("symbol", "lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xl").cast("long").alias("sa"),
+        F.sum("y").cast("long").alias("sb"),
+        F.sum(F.col("xl") * F.col("y")).cast("long").alias("sab"),
+        F.sum(F.col("xl") * F.col("xl")).cast("long").alias("saa"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("sbb"),
+    )
+    nd = F.col("n").cast("double")
+    va = nd * F.col("saa") - F.col("sa").cast("double") * F.col("sa")
+    vb = nd * F.col("sbb") - F.col("sb").cast("double") * F.col("sb")
+    cov = nd * F.col("sab") - F.col("sa").cast("double") * F.col("sb")
+    return s.select(
+        "symbol",
+        "lag",
+        "n",
+        F.when((va > 0.0) & (vb > 0.0), cov / (F.sqrt(va) * F.sqrt(vb))).alias("acf"),
+    )
