@@ -161,7 +161,7 @@ def cooccurrence_edges(baskets: DataFrame) -> DataFrame:
 
 def triangle_stats(edges: DataFrame) -> DataFrame:
     """Per-node triangle counts and local clustering coefficient over an
-    undirected edge list (``u < v`` distinct).
+    undirected edge list (either orientation accepted; canonicalized to ``u < v`` internally).
 
     Degree-ordered enumeration (the scalable standard): each edge is
     oriented from its lower-(degree, id) endpoint to the higher, so every
@@ -176,7 +176,11 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
     numerator would overflow; a 100 TB caller with larger hubs should cap
     degrees upstream the way the LSH paths cap buckets).
     """
-    e = _pin(edges.select("u", "v").distinct())
+    e = _pin(
+        edges.select(
+            F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+        ).distinct()
+    )  # canonicalize: tolerate either-orientation duplicates in the input
     deg = _pin(
         e.select(F.col("u").alias("id"))
         .unionByName(e.select(F.col("v").alias("id")))
@@ -242,7 +246,7 @@ def triangle_oracle_sql(edges_sql: str) -> str:
     """CTE list reproducing :func:`triangle_stats`; ``edges_sql`` selects
     distinct ``u, v`` with ``u < v``. Exposes ``tstats(id, deg, triangles,
     lcc_micro)``."""
-    return f"""te AS (SELECT u, v FROM ({edges_sql}) GROUP BY u, v),
+    return f"""te AS (SELECT LEAST(u, v) AS u, GREATEST(u, v) AS v FROM ({edges_sql}) GROUP BY 1, 2),
 tdeg AS (
   SELECT id, CAST(COUNT(*) AS BIGINT) AS deg
   FROM (SELECT u AS id FROM te UNION ALL SELECT v FROM te) GROUP BY id
@@ -303,7 +307,11 @@ def kcore_peel(
     survivor frames are checkpointed so plans do not nest. The only driver
     scalars are |N| and 2|E| (two counts, used to derive ``k``).
     """
-    e = edges.select("u", "v").distinct()
+    e = (
+        edges.select(
+            F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+        ).distinct()
+    )  # canonicalize: tolerate either-orientation duplicates in the input
     sym = _pin(
         e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     )
@@ -332,7 +340,7 @@ def kcore_oracle_sql(edges_sql: str, rounds: int = 6) -> str:
     degree threshold) and one unrolled CTE per round; exposes the final
     survivors as ``a{rounds}(id, deg)``."""
     parts = [
-        f"ke AS (SELECT u, v FROM ({edges_sql}) GROUP BY u, v)",
+        f"ke AS (SELECT LEAST(u, v) AS u, GREATEST(u, v) AS v FROM ({edges_sql}) GROUP BY 1, 2)",
         "ks AS (SELECT u, v FROM ke UNION ALL SELECT v AS u, u AS v FROM ke)",
         "a0 AS (SELECT DISTINCT u AS id FROM ks)",
         "kv AS (SELECT ((SELECT COUNT(*) FROM ks) + (SELECT COUNT(*) FROM a0) - 1)"
@@ -371,7 +379,11 @@ def kcore_layers(
     id->deg left joins at the end — each at most node-cardinality and
     shuffle-partitioned on the same id key.
     """
-    e = edges.select("u", "v").distinct()
+    e = (
+        edges.select(
+            F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+        ).distinct()
+    )  # canonicalize: tolerate either-orientation duplicates in the input
     sym = _pin(
         e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     )
@@ -422,7 +434,7 @@ def kcore_layers_oracle_sql(edges_sql: str, rounds: int = 6) -> str:
     joins, so DuckDB's default CTE inlining would re-evaluate the whole
     round chain exponentially (2^rounds) without it."""
     parts = [
-        f"ke AS MATERIALIZED (SELECT u, v FROM ({edges_sql}) GROUP BY u, v)",
+        f"ke AS MATERIALIZED (SELECT LEAST(u, v) AS u, GREATEST(u, v) AS v FROM ({edges_sql}) GROUP BY 1, 2)",
         "ks AS MATERIALIZED (SELECT u, v FROM ke UNION ALL SELECT v AS u, u AS v FROM ke)",
         "a0 AS MATERIALIZED (SELECT DISTINCT u AS id FROM ks)",
         "kv AS MATERIALIZED (SELECT ((SELECT COUNT(*) FROM ks) + (SELECT COUNT(*) FROM a0) - 1)"
@@ -480,7 +492,11 @@ def khop_reach(edges: DataFrame, seeds: DataFrame, hops: int = 3) -> DataFrame:
     regardless of partitioning because a node joins the visited set at the
     first hop that reaches it, and hops are sequential.
     """
-    e = edges.select("u", "v").distinct()
+    e = (
+        edges.select(
+            F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+        ).distinct()
+    )  # canonicalize: tolerate either-orientation duplicates in the input
     sym = _pin(
         e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     )
@@ -511,7 +527,7 @@ def khop_reach_oracle_sql(edges_sql: str, seeds_sql: str, hops: int = 3) -> str:
     union — so default inlining would re-expand the chain exponentially);
     exposes ``reach(id, hop)``. ``seeds_sql`` must select ``id``."""
     parts = [
-        f"ge AS MATERIALIZED (SELECT u, v FROM ({edges_sql}) GROUP BY u, v)",
+        f"ge AS MATERIALIZED (SELECT LEAST(u, v) AS u, GREATEST(u, v) AS v FROM ({edges_sql}) GROUP BY 1, 2)",
         "gs AS MATERIALIZED (SELECT u, v FROM ge UNION ALL SELECT v AS u, u AS v FROM ge)",
         f"v0 AS MATERIALIZED (SELECT DISTINCT id, CAST(0 AS BIGINT) AS hop FROM ({seeds_sql}))",
         "f0 AS MATERIALIZED (SELECT id FROM v0)",
@@ -552,7 +568,13 @@ def bounded_sssp(
     Returns ``(id, dist)`` for every node reachable within ``rounds``
     edges (0 for seeds).
     """
-    e = wedges.select("u", "v", "w").groupBy("u", "v").agg(F.min("w").alias("w"))
+    e = (
+        wedges.select(
+            F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"), "w"
+        )
+        .groupBy("u", "v")
+        .agg(F.min("w").alias("w"))  # canonicalized: min weight across duplicates/orientations
+    )
     sym = _pin(
         e.unionByName(
             e.select(F.col("v").alias("u"), F.col("u").alias("v"), "w")
@@ -585,8 +607,8 @@ def bounded_sssp_oracle_sql(
     must select ``u, v, w``; ``seeds_sql`` must select ``id`` and may
     reference the ``ws`` symmetric edge CTE."""
     parts = [
-        f"wde AS MATERIALIZED (SELECT u, v, CAST(MIN(w) AS BIGINT) AS w"
-        f" FROM ({wedges_sql}) GROUP BY u, v)",
+        f"wde AS MATERIALIZED (SELECT LEAST(u, v) AS u, GREATEST(u, v) AS v,"
+        f" CAST(MIN(w) AS BIGINT) AS w FROM ({wedges_sql}) GROUP BY 1, 2)",
         "ws AS MATERIALIZED (SELECT u, v, w FROM wde"
         " UNION ALL SELECT v AS u, u AS v, w FROM wde)",
         f"wd0 AS MATERIALIZED (SELECT DISTINCT id, CAST(0 AS BIGINT) AS dist"
@@ -622,7 +644,11 @@ def label_propagation(edges: DataFrame, iterations: int = 4) -> DataFrame:
     argmax — linear in |E|; label frames are checkpointed between rounds
     so plans do not nest. Returns ``(id, label)``.
     """
-    e = edges.select("u", "v").distinct()
+    e = (
+        edges.select(
+            F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+        ).distinct()
+    )  # canonicalize: tolerate either-orientation duplicates in the input
     sym = _pin(
         e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     )
@@ -655,7 +681,7 @@ def label_propagation_oracle_sql(edges_sql: str, iterations: int = 4) -> str:
     per round (``l0`` .. ``l{iterations}``); exposes the final labels as
     ``l{iterations}(id, label)``."""
     parts = [
-        f"le AS (SELECT u, v FROM ({edges_sql}) GROUP BY u, v)",
+        f"le AS (SELECT LEAST(u, v) AS u, GREATEST(u, v) AS v FROM ({edges_sql}) GROUP BY 1, 2)",
         "ls AS (SELECT u, v FROM le UNION ALL SELECT v AS u, u AS v FROM le)",
         "l0 AS (SELECT DISTINCT u AS id, u AS label FROM ls)",
     ]

@@ -295,3 +295,71 @@ def test_winnowing_coverage_and_matching_properties(spark, doc, shared, pre1, pr
     # disjoint with their prefixes, so they must share a fingerprint value.
     if len(shared) >= w + k - 1:
         assert fp_vals[2] & fp_vals[3], (texts[1], texts[2])
+
+
+edges_st = st.sets(
+    st.tuples(st.integers(0, 9), st.integers(0, 9)).filter(lambda e: e[0] != e[1]),
+    min_size=1,
+    max_size=14,
+)
+
+
+@_settings
+@given(edges=edges_st, rounds=st.integers(1, 4))
+def test_bounded_sssp_matches_python_bellman_ford(spark, edges, rounds):
+    from marketpipe_spark.operators.graph import bounded_sssp
+
+    wedges = [(u, v, (u + v) % 5 + 1) for u, v in edges]
+    df = spark.createDataFrame(wedges, "u long, v long, w long")
+    seeds_py = {min(min(u, v) for u, v in edges)}
+    seeds = spark.createDataFrame([(s,) for s in seeds_py], "id long")
+    got = {r["id"]: r["dist"] for r in bounded_sssp(df, seeds, rounds=rounds).collect()}
+
+    # python reference: bellman-ford limited to `rounds` relaxation rounds
+    # over the symmetrized min-weight edge list
+    wmap = {}
+    for u, v, w in wedges:
+        for a, b in ((u, v), (v, u)):
+            wmap[(a, b)] = min(w, wmap.get((a, b), w))
+    dist = {s: 0 for s in seeds_py}
+    for _ in range(rounds):
+        new = dict(dist)
+        for (a, b), w in wmap.items():
+            if a in dist and dist[a] + w < new.get(b, float("inf")):
+                new[b] = dist[a] + w
+        dist = new
+    assert got == dist
+
+
+@_settings
+@given(edges=edges_st, rounds=st.integers(1, 4))
+def test_kcore_layers_matches_python_peel(spark, edges, rounds):
+    from marketpipe_spark.operators.graph import kcore_layers
+
+    df = spark.createDataFrame(sorted(edges), "u long, v long")
+    got = {
+        r["id"]: (r["peel_round"], r["last_deg"])
+        for r in kcore_layers(df, k=2, rounds=rounds).collect()
+    }
+
+    und = {tuple(sorted(e)) for e in edges}
+    nodes = {x for e in und for x in e}
+    alive = set(nodes)
+    expect = {}
+    deg = {}
+    for rnd in range(1, rounds + 1):
+        deg = {
+            x: sum(1 for a, b in und if (a == x and b in alive) or (b == x and a in alive))
+            for x in alive
+        }
+        dropped = {x for x in alive if deg[x] < 2}
+        for x in dropped:
+            expect[x] = (rnd, deg[x])
+        alive -= dropped
+    # survivors report their DECISION-TIME degree: the degree they held
+    # among the previous round's survivors when the final keep was decided
+    # (the operator's documented semantics), not the degree among the
+    # final survivor set.
+    for x in alive:
+        expect[x] = (0, deg[x])
+    assert got == expect
