@@ -54,18 +54,19 @@ def _comparable(colnames, rows):
     return sorted((tuple(_normalize(r[i]) for i in order) for r in rows), key=repr)
 
 
-def main() -> int:
-    rnd = sys.argv[1] if len(sys.argv) > 1 else "4"
-    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
-    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
-    spark = get_spark("local-correctness")
+def run_sweep(spark, sf_dir: str, only: set[str] | None = None) -> tuple[dict, int]:
+    """Run the registry sweep on an existing session; return (records, n_fail).
+
+    Shared by the local[32] sweep (this script's CLI) and the multi-JVM
+    ``scripts/cluster_correctness.py`` sweep so the compare semantics are
+    byte-identical between execution modes.
+    """
     oracles = entry_mod.oracle_sql()
     queries = entry_mod.queries()
     if only is not None:
         unknown = only - set(queries)
         if unknown:
-            print(f"unknown entries in filter: {sorted(unknown)}", file=sys.stderr)
-            return 2
+            raise SystemExit(f"unknown entries in filter: {sorted(unknown)}")
     con = _duck(sf_dir)  # one connection for the whole sweep
     out: dict[str, dict] = {}
     n_fail = 0
@@ -101,9 +102,19 @@ def main() -> int:
         ok = rec["err"] is None and rec["rows_match"] and rec["hash_match"] in (True, None)
         if not ok:
             n_fail += 1
-        print(f"{'PASS' if ok else 'FAIL'} {name} spark={rec['spark_rows']} oracle={rec['oracle_rows']}")
+        print(f"{'PASS' if ok else 'FAIL'} {name} spark={rec['spark_rows']} oracle={rec['oracle_rows']}",
+              flush=True)
         out[name] = rec
     con.close()
+    return out, n_fail
+
+
+def main() -> int:
+    rnd = sys.argv[1] if len(sys.argv) > 1 else "4"
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
+    spark = get_spark("local-correctness")
+    out, n_fail = run_sweep(spark, sf_dir, only)
     spark.stop()
     if only is None:
         path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
