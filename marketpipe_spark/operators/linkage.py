@@ -23,6 +23,15 @@ bounded computation instead of a job-killing shuffle.
 
 ``levenshtein`` is the classic unweighted edit distance in BOTH Spark
 (JVM codegen, no UDF) and DuckDB, so parity is exact.
+
+Within a block the operator does NOT brute-force all pairs: a dist-0
+equality prefilter (hash join) resolves every record that has an
+identical-field candidate, and the remainder goes through a probe-derived
+adaptive length-band (lev lower bound = length difference) before any
+all-pairs edit distance. Both prunes are provably winner-preserving — see
+the inline proof in :func:`nearest_field_match` — so the DuckDB oracle
+keeps the naive all-pairs form and exact-hash parity doubles as an
+equivalence proof of the optimization.
 """
 
 from __future__ import annotations
@@ -57,43 +66,92 @@ def nearest_field_match(
         .where(F.col("rn") <= max_block)
         .select("id", "f", "blk")
     )
-    # Levenshtein is symmetric, so among candidates each unordered pair is
-    # scored ONCE (u < v) and mirrored — halving the edit-distance work,
-    # which dominates the operator's cost. Non-candidate records (only
-    # present past the cap) still score one-directionally against the
-    # candidate set. Output is identical to the naive both-directions
-    # join, so the oracle keeps the simple full form.
-    a = cand.alias("a")
+    # The logical pair set is {(x, c): x IN base, c IN cand, x.id != c.id}
+    # and the winner per x is min by (dist, match_id) — a total order. The
+    # naive plan scores EVERY pair with Levenshtein; the two prefilters
+    # below eliminate nearly all of that edit-distance work while keeping
+    # the winner BIT-IDENTICAL (the oracle stays the naive full form, so
+    # parity at 3 SFs proves the equivalence on every run):
+    #
+    # Phase 0 — dist-0 by equality (the q-gram prefilter in its exact
+    # limit: the whole string is the gram). dist == 0 iff the strings are
+    # EQUAL, and no nonzero pair can beat or tie a zero pair, so a record
+    # with any identical-field candidate resolves with a hash join and
+    # MIN(match_id) — no edit distance at all. On catalog-style data
+    # (short names with heavy duplication) this retires almost the whole
+    # quadratic term: at sf0.1 every one of the 20k parts has an
+    # equal-name candidate, so phase 1 runs on an empty remainder.
     c = cand.alias("c")
-    half = a.join(
-        c, (F.col("a.blk") == F.col("c.blk")) & (F.col("a.id") < F.col("c.id"))
-    ).select(
-        F.col("a.id").alias("id"),
-        F.col("c.id").alias("match_id"),
-        F.levenshtein(F.col("a.f"), F.col("c.f")).cast("long").alias("dist"),
+    b = base.alias("b")
+    zero = (
+        b.join(
+            c,
+            (F.col("b.blk") == F.col("c.blk"))
+            & (F.col("b.f") == F.col("c.f"))
+            & (F.col("b.id") != F.col("c.id")),
+        )
+        .groupBy(F.col("b.id").alias("id"))
+        .agg(F.min(F.col("c.id")).alias("match_id"))
+        .withColumn("dist", F.lit(0).cast("long"))
     )
-    mirrored = half.unionByName(
-        half.select(
-            F.col("match_id").alias("id"),
-            F.col("id").alias("match_id"),
-            "dist",
+    rem = base.join(zero.select("id"), "id", "left_anti")
+
+    # Phase 1 — adaptive length-band with a probe upper bound, for records
+    # with NO equal-field candidate. Each remainder record first scores ONE
+    # deterministic probe (the block's lowest-id candidate that isn't
+    # itself), giving an upper bound U = lev(a, probe). Since
+    # lev(x, y) >= |len(x) - len(y)|, any pair outside the band
+    # |len diff| <= U has dist >= U + 1: it can neither beat nor tie the
+    # probe pair, so pruning it is EXACT — no fallback pass needed, and the
+    # band width self-tunes per record instead of being a global guess.
+    wprobe = Window.partitionBy("blk").orderBy("id")
+    probe2 = (
+        cand.withColumn("pn", F.row_number().over(wprobe))
+        .where(F.col("pn") <= 2)
+        .select("id", "f", "blk")
+        .alias("p")
+    )
+    r = rem.alias("r")
+    probe_pair = (
+        r.join(
+            probe2,
+            (F.col("r.blk") == F.col("p.blk")) & (F.col("r.id") != F.col("p.id")),
+        )
+        .withColumn(
+            "_pn",
+            F.row_number().over(Window.partitionBy(F.col("r.id")).orderBy(F.col("p.id"))),
+        )
+        .where(F.col("_pn") == 1)
+        .select(
+            F.col("r.id").alias("id"),
+            F.col("r.f").alias("f"),
+            F.col("r.blk").alias("blk"),
+            F.col("p.id").alias("match_id"),
+            F.levenshtein(F.col("r.f"), F.col("p.f")).cast("long").alias("dist"),
         )
     )
-    rest = base.join(cand.select("id"), "id", "left_anti").alias("r")
-    rest_pairs = rest.join(
-        c, (F.col("r.blk") == F.col("c.blk")) & (F.col("r.id") != F.col("c.id"))
+    rp = probe_pair.alias("rp")
+    band_pairs = rp.join(
+        c,
+        (F.col("rp.blk") == F.col("c.blk"))
+        & (F.col("rp.id") != F.col("c.id"))
+        & (
+            F.abs(F.length(F.col("rp.f")) - F.length(F.col("c.f")))
+            <= F.col("rp.dist")
+        ),
     ).select(
-        F.col("r.id").alias("id"),
+        F.col("rp.id").alias("id"),
         F.col("c.id").alias("match_id"),
-        F.levenshtein(F.col("r.f"), F.col("c.f")).cast("long").alias("dist"),
+        F.levenshtein(F.col("rp.f"), F.col("c.f")).cast("long").alias("dist"),
     )
-    pairs = mirrored.unionByName(rest_pairs)
+    rem_pairs = probe_pair.select("id", "match_id", "dist").unionByName(band_pairs)
     wbest = Window.partitionBy("id").orderBy("dist", "match_id")
-    return (
-        pairs.withColumn("_rn", F.row_number().over(wbest))
+    rem_winner = (
+        rem_pairs.withColumn("_rn", F.row_number().over(wbest))
         .where(F.col("_rn") == 1)
         .select("id", "match_id", "dist")
     )
+    return zero.select("id", "match_id", "dist").unionByName(rem_winner)
 
 
 def nearest_field_match_sql(

@@ -201,3 +201,45 @@ def test_pyproject_metadata_is_coherent():
     for dep in proj["dependencies"]:
         name = dep.split(">=")[0].split("==")[0].strip()
         importlib.import_module(import_names[name])
+
+
+# ---------------------------------------------------------------------------
+# Shipped example files (config/): must load VERBATIM, forever. These are the
+# files the docs point new users at; a schema change that breaks them is a
+# release bug, and this test is the tripwire (reference ships
+# config/example_config.yaml + postgres.env.example the same way).
+# ---------------------------------------------------------------------------
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_shipped_example_config_loads_verbatim():
+    cfg = load_config(os.path.join(_REPO, "config", "example_config.yaml"))
+    assert cfg.symbols == ["AAPL", "GOOGL", "MSFT"]
+    assert (cfg.start, cfg.end) == (dt.date(2024, 1, 2), dt.date(2024, 1, 3))
+    assert cfg.provider == "fake" and cfg.workers == 3
+    assert cfg.batch_size == 1000  # kebab-case key normalized
+    # round-trip: to_dict() values rebuild an equal config
+    assert IngestionJobConfig(**cfg.to_dict()) == cfg
+    # and CLI-style overrides layer on top without disturbing the rest
+    merged = cfg.merge_overrides(workers=8, timeframe="5m")
+    assert (merged.workers, merged.timeframe) == (8, "5m")
+    assert merged.symbols == cfg.symbols
+
+
+def test_shipped_postgres_env_example_shape():
+    p = os.path.join(_REPO, "config", "postgres.env.example")
+    pairs = {}
+    with open(p) as f:
+        for line in f:
+            line = line.strip()
+            if line and not line.startswith("#"):
+                k, _, v = line.partition("=")
+                pairs[k] = v
+    assert set(pairs) == {"DATABASE_URL", "POSTGRES_TEST_URL"}
+    # both values must be DSNs the control-plane dialect selector accepts
+    from marketpipe_spark.control_sql import PostgresDialect
+
+    for v in pairs.values():
+        assert v.startswith("postgresql://")
+        PostgresDialect(dsn=v)  # constructs without error

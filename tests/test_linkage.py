@@ -41,6 +41,50 @@ def test_nearest_match_cap_restricts_candidates_deterministically(spark):
     assert got[3] == (1, 0)
 
 
+def test_nearest_match_equals_naive_reference(spark):
+    # Randomized equivalence proof of the two-phase plan (dist-0 equality
+    # prefilter + probe-derived length band) against a brute-force Python
+    # reference, with variable-length strings so the band prune is live and
+    # injected duplicates so phase 0 is live.
+    import random
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    rng = random.Random(17)
+    rows = []
+    for i in range(90):
+        f = "".join(rng.choice("abc") for _ in range(rng.randint(2, 12)))
+        rows.append((i, f, rng.choice(["x", "y", "z"])))
+    for i in range(90, 110):  # duplicates of earlier rows, same block
+        src = rows[rng.randrange(90)]
+        rows.append((i, src[1], src[2]))
+    cap = 60  # below the largest block so the candidate cap is live too
+    expect = {}
+    by_blk: dict = {}
+    for rid, f, blk in rows:
+        by_blk.setdefault(blk, []).append((rid, f))
+    for blk, members in by_blk.items():
+        cands = sorted(members)[:cap]
+        for rid, f in members:
+            best = None
+            for cid, cf in cands:
+                if cid == rid:
+                    continue
+                key = (lev(f, cf), cid)
+                if best is None or key < best:
+                    best = key
+            if best is not None:
+                expect[rid] = (best[1], best[0])
+    assert _run(spark, rows, max_block=cap) == expect
+
+
 def test_nearest_match_partition_invariance(spark):
     import random
 
