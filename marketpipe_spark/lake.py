@@ -98,6 +98,12 @@ def upsert_bars(new_bars: DataFrame, root: str, frame: str, ingest_id: str | Non
     """
     spark = new_bars.sparkSession
     tune(spark)
+    # Empty batch: a semantic no-op — and writing it would NOT be one. An
+    # empty partitionBy write materializes a root containing only _SUCCESS,
+    # and a schema-less root poisons every later scan/upsert with
+    # UNABLE_TO_INFER_SCHEMA (the boundary-e2e empty-increment scenario).
+    if not new_bars.head(1):
+        return
     # _gen separates existing (0) from incoming (1); _ord is the within-batch
     # tie-breaker so duplicate (symbol, ts_ns) keys in ONE batch resolve like
     # the reference's drop_duplicates keep='last' (parquet_engine.py:162-164):

@@ -46,6 +46,30 @@ def _pin(df: DataFrame) -> DataFrame:
     return df.localCheckpoint(eager=False)
 
 
+def _pin_keyed(df: DataFrame, *keys: str) -> DataFrame:
+    """Pin a loop-invariant frame, co-partitioned on its per-round join key.
+
+    localCheckpoint surfaces as ``Scan ExistingRDD`` with UNKNOWN output
+    partitioning, so EnsureRequirements re-exchanges BOTH sides of every
+    round's join no matter how the frame was partitioned before the pin
+    (measured — see the pagerank source note). ``persist`` keeps the plan's
+    outputPartitioning, so under ``MP_PIN_MODE=persist`` this repartitions
+    on ``keys`` ONCE and every subsequent round's shuffle join finds this
+    side's distribution requirement already satisfied: the per-round
+    exchange on the big pinned side disappears (the node-sized state side
+    still exchanges — that's the cheap side). In the default local mode the
+    extra repartition would buy nothing (localCheckpoint forgets it), so
+    it is skipped and this is exactly :func:`_pin`.
+    """
+    if os.environ.get("MP_PIN_MODE", "local") == "persist":
+        from pyspark import StorageLevel
+
+        return df.repartition(*[F.col(k) for k in keys]).persist(
+            StorageLevel.DISK_ONLY
+        )
+    return df.localCheckpoint(eager=False)
+
+
 #: Iterative loops join a big pinned frame against NODE-sized per-round
 #: state that comes out of a localCheckpoint with unknown statistics — the
 #: planner would SortMergeJoin the big side every round. Below this cap the
@@ -56,8 +80,15 @@ BROADCAST_STATE_MAX_NODES = 5_000_000
 
 
 def _state(df: DataFrame, n_nodes: int) -> DataFrame:
-    """Broadcast-hint a node-sized per-round state frame when small."""
-    return F.broadcast(df) if n_nodes <= BROADCAST_STATE_MAX_NODES else df
+    """Broadcast-hint a node-sized per-round state frame when small.
+
+    ``MP_BROADCAST_STATE_MAX_NODES`` overrides the gate at runtime (set it
+    to 0 to force the shuffle fallback — how the plan probe and the scale
+    bench exercise the above-gate path without a 5M-node graph)."""
+    gate = int(
+        os.environ.get("MP_BROADCAST_STATE_MAX_NODES", BROADCAST_STATE_MAX_NODES)
+    )
+    return F.broadcast(df) if n_nodes <= gate else df
 
 
 def _hash64(col: Column, seed: int | None, family: str) -> Column:
@@ -622,11 +653,11 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     join + one groupBy on the edge list; lineage truncated with an eager
     localCheckpoint so plans don't nest across iterations.
     """
-    edges = (
+    edges = _pin_keyed(
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
-        .distinct()
-        .localCheckpoint(eager=True)
+        .distinct(),
+        "dst",
     )
     labels = edges.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
     n = labels.count()

@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import BROADCAST_STATE_MAX_NODES, _pin, _state  # noqa: F401
+from .dedup import BROADCAST_STATE_MAX_NODES, _pin, _pin_keyed, _state  # noqa: F401
 
 PPM = 1_000_000
 
@@ -68,19 +68,21 @@ def pagerank(
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    # NOTE (measured, not assumed): pre-partitioning ed/nodes on their
-    # join keys before the pin does NOT help here — in this Spark build a
-    # localCheckpoint surfaces as `Scan ExistingRDD` with UNKNOWN output
-    # partitioning, so EnsureRequirements re-exchanges regardless (verified
-    # with an explicit plan check: repartition+checkpoint join still plans
-    # 2 exchanges). The per-round exchanges below are therefore inherent to
-    # checkpoint-truncated loops; on a real cluster, persist() (which keeps
-    # partitioning) + a co-partitioned edge list is the upgrade path.
-    ed = _pin(e.join(deg, "src"))
-    nodes = _pin(
+    # NOTE (measured, not assumed): pre-partitioning before a
+    # localCheckpoint does NOT help — the checkpoint surfaces as `Scan
+    # ExistingRDD` with UNKNOWN output partitioning, so EnsureRequirements
+    # re-exchanges regardless (verified with an explicit plan check:
+    # repartition+checkpoint join still plans 2 exchanges). `_pin_keyed`
+    # therefore only co-partitions under MP_PIN_MODE=persist, where the
+    # persisted plan KEEPS its outputPartitioning and the per-round
+    # exchange on this (big) side disappears — the cluster upgrade path;
+    # scripts/graph_plan_probe.py records the exchange counts per mode.
+    ed = _pin_keyed(e.join(deg, "src"), "src")
+    nodes = _pin_keyed(
         e.select(F.col("src").alias("id"))
         .unionByName(e.select(F.col("dst").alias("id")))
-        .distinct()
+        .distinct(),
+        "id",
     )
     n = nodes.count()
     s0 = scale // n
@@ -312,8 +314,8 @@ def kcore_peel(
             F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
         ).distinct()
     )  # canonicalize: tolerate either-orientation duplicates in the input
-    sym = _pin(
-        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    sym = _pin_keyed(
+        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v"))), "u"
     )
     alive = _pin(sym.select(F.col("u").alias("id")).distinct())
     n = alive.count()
@@ -384,8 +386,8 @@ def kcore_layers(
             F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
         ).distinct()
     )  # canonicalize: tolerate either-orientation duplicates in the input
-    sym = _pin(
-        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    sym = _pin_keyed(
+        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v"))), "u"
     )
     alive = _pin(sym.select(F.col("u").alias("id")).distinct())
     n = alive.count()
@@ -497,12 +499,16 @@ def khop_reach(edges: DataFrame, seeds: DataFrame, hops: int = 3) -> DataFrame:
             F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
         ).distinct()
     )  # canonicalize: tolerate either-orientation duplicates in the input
-    sym = _pin(
-        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    sym = _pin_keyed(
+        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v"))), "u"
     )
-    visited = _pin(
-        seeds.select("id").distinct().withColumn("hop", F.lit(0).cast("long"))
-    )
+    # Loop STATE must truncate lineage every round in BOTH pin modes: under
+    # MP_PIN_MODE=persist a lineage-keeping pin would nest each round's plan
+    # into the next (measured: per-round stage count ballooned 9 -> 21).
+    # persist-mode reliability applies to the loop-INVARIANT frames only.
+    visited = seeds.select("id").distinct().withColumn(
+        "hop", F.lit(0).cast("long")
+    ).localCheckpoint(eager=False)
     n = sym.select(F.col("u").alias("id")).distinct().count()
     frontier = visited.select("id")
     for i in range(1, hops + 1):
@@ -512,11 +518,9 @@ def khop_reach(edges: DataFrame, seeds: DataFrame, hops: int = 3) -> DataFrame:
             .distinct()
         )
         new = nbrs.join(_state(visited.select("id"), n), "id", "left_anti")
-        visited = _pin(
-            visited.unionByName(
-                new.withColumn("hop", F.lit(i).cast("long"))
-            )
-        )
+        visited = visited.unionByName(
+            new.withColumn("hop", F.lit(i).cast("long"))
+        ).localCheckpoint(eager=False)
         frontier = new
     return visited
 
@@ -575,24 +579,28 @@ def bounded_sssp(
         .groupBy("u", "v")
         .agg(F.min("w").alias("w"))  # canonicalized: min weight across duplicates/orientations
     )
-    sym = _pin(
+    sym = _pin_keyed(
         e.unionByName(
             e.select(F.col("v").alias("u"), F.col("u").alias("v"), "w")
-        )
+        ),
+        "u",
     )
-    dist = _pin(
-        seeds.select("id").distinct().withColumn("dist", F.lit(0).cast("long"))
-    )
+    # dist is loop STATE: lineage-truncate every round in both pin modes
+    # (see khop_reach note).
+    dist = seeds.select("id").distinct().withColumn(
+        "dist", F.lit(0).cast("long")
+    ).localCheckpoint(eager=False)
     n = sym.select(F.col("u").alias("id")).distinct().count()
     for _ in range(rounds):
         cand = (
             sym.join(_state(dist.withColumnRenamed("id", "u"), n), "u")
             .select(F.col("v").alias("id"), (F.col("dist") + F.col("w")).alias("dist"))
         )
-        dist = _pin(
+        dist = (
             dist.unionByName(cand)
             .groupBy("id")
             .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=False)
         )
     return dist
 
@@ -649,8 +657,8 @@ def label_propagation(edges: DataFrame, iterations: int = 4) -> DataFrame:
             F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
         ).distinct()
     )  # canonicalize: tolerate either-orientation duplicates in the input
-    sym = _pin(
-        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    sym = _pin_keyed(
+        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v"))), "v"
     )
     labels = _pin(
         sym.select(F.col("u").alias("id")).distinct().withColumn(

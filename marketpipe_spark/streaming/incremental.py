@@ -172,13 +172,22 @@ def incremental_job(
 
         # event-chained legs (function composition, not a bus)
         touched = valid.select("symbol", day).distinct()
-        slice_df = (
-            read_bars(spark, raw_root, frame="1m")
-            .join(F.broadcast(touched), ["symbol", "date"], "left_semi")
-            .select("symbol", "ts_ns", "open", "high", "low", "close", "volume")
-            # One lake scan, re-used by every frame's resample below.
-            .localCheckpoint(eager=True)
-        )
+        if not valid.head(1):
+            # Empty increment (boundary e2e): nothing landed, and on a brand-
+            # new lake the raw root may not even exist — the slice read would
+            # throw UNABLE_TO_INFER_SCHEMA. The aggregate legs see an empty
+            # slice with the canonical bars shape instead.
+            slice_df = valid.select(
+                "symbol", "ts_ns", "open", "high", "low", "close", "volume"
+            )
+        else:
+            slice_df = (
+                read_bars(spark, raw_root, frame="1m")
+                .join(F.broadcast(touched), ["symbol", "date"], "left_semi")
+                .select("symbol", "ts_ns", "open", "high", "low", "close", "volume")
+                # One lake scan, re-used by every frame's resample below.
+                .localCheckpoint(eager=True)
+            )
         # Returned outputs are pinned with an eager localCheckpoint: their lazy
         # plans read the checkpoint table and lake partitions that THIS job (and
         # the next increment) overwrite — evaluating them later must not re-read

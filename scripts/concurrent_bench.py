@@ -36,6 +36,12 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--threads", type=int, default=4)
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument(
+        "--round", default=None,
+        help="also write CONCURRENT_BENCH_r{N}.json at the repo root — the "
+        "per-round artifact tracking the deployment-reality number next to "
+        "the sequential BENCH_r{N}.json floor",
+    )
     args = ap.parse_args()
 
     from marketpipe_spark.plans import registry
@@ -65,19 +71,22 @@ def main() -> None:
         conc = dict(zip(names, ex.map(run_one, names)))
     conc_wall = round(time.time() - t0, 3)
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_concurrent_wall",
-                "threads": args.threads,
-                "sequential_wall_sec": seq_wall,
-                "concurrent_wall_sec": conc_wall,
-                "speedup": round(seq_wall / conc_wall, 2),
-                "concurrent_latencies": conc,
-                "sf_dir": args.sf_dir,
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_concurrent_wall",
+        "threads": args.threads,
+        "sequential_wall_sec": seq_wall,
+        "concurrent_wall_sec": conc_wall,
+        "speedup": round(seq_wall / conc_wall, 2),
+        "sequential_latencies": seq,
+        "concurrent_latencies": conc,
+        "sf_dir": args.sf_dir,
+    }
+    print(json.dumps(payload))
+    if args.round is not None:
+        path = os.path.join(REPO, f"CONCURRENT_BENCH_r{args.round}.json")
+        with open(path, "w") as f:
+            json.dump(payload, f, indent=2)
+        print(f"-> {path}", file=sys.stderr)
 
 
 if __name__ == "__main__":

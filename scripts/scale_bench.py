@@ -154,6 +154,19 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--factors", default="1,4,16")
     ap.add_argument("--ops", default=",".join(DEFAULT_OPS))
+    ap.add_argument(
+        "--reuse", action="store_true",
+        help="keep .scale_tmp across runs and skip rebuilding a factor whose "
+        "directory already exists — lets each heavy op be measured in its own "
+        "fresh process (early position, no accumulated throttle) without "
+        "paying the data build every time",
+    )
+    ap.add_argument(
+        "--record-rows", action="store_true",
+        help="after each timed noop run, count the operator's output rows "
+        "(untimed) so 'output-bound' growth is a recorded number, not an "
+        "assertion",
+    )
     args = ap.parse_args()
     factors = [int(x) for x in args.factors.split(",")]
     ops = args.ops.split(",")
@@ -166,10 +179,13 @@ def main() -> None:
     qs = registry.spark_queries()
 
     results: dict[str, dict[str, float]] = {}
+    rows: dict[str, dict[str, int]] = {}
     try:
         for factor in factors:
             d = os.path.join(TMP, f"x{factor}")
-            build_scaled(spark, factor, d)
+            if not (args.reuse and os.path.exists(os.path.join(d, "_built"))):
+                build_scaled(spark, factor, d)
+                open(os.path.join(d, "_built"), "w").close()
             # warm the JVM on the smallest query before the first timed run
             qs["resample_5m"](spark, d).write.format("noop").mode("overwrite").save()
             for op in ops:
@@ -177,10 +193,18 @@ def main() -> None:
                 qs[op](spark, d).write.format("noop").mode("overwrite").save()
                 results.setdefault(op, {})[f"x{factor}"] = round(time.time() - t0, 2)
                 print(f"  x{factor} {op}: {results[op][f'x{factor}']}s", file=sys.stderr)
+                if args.record_rows:
+                    n = qs[op](spark, d).count()
+                    rows.setdefault(op, {})[f"x{factor}"] = n
+                    print(f"  x{factor} {op}: {n} output rows", file=sys.stderr)
     finally:
-        shutil.rmtree(TMP, ignore_errors=True)
+        if not args.reuse:
+            shutil.rmtree(TMP, ignore_errors=True)
 
-    print(json.dumps({"base": BASE, "factors": factors, "ops": results}))
+    out = {"base": BASE, "factors": factors, "ops": results}
+    if args.record_rows:
+        out["rows"] = rows
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
