@@ -85,6 +85,19 @@ FROM bars
 """
 
 
+def dedup_minute_pipeline(b: DataFrame) -> DataFrame:
+    """The stream_dedup_minute transformation over any bars-shaped stream
+    (exposed so the property tests can drive the SAME pipeline through
+    arbitrary micro-batch splits)."""
+    keyed = b.withColumn("minute_ns", F.col("ts_ns") - F.col("ts_ns") % F.lit(NS_PER_MIN))
+    return (
+        keyed.withColumn("event_time", F.timestamp_micros(F.expr("ts_ns div 1000")))
+        .withWatermark("event_time", f"{WM_MIN} minutes")
+        .dropDuplicatesWithinWatermark(["symbol", "minute_ns"])
+        .select("symbol", "minute_ns")
+    )
+
+
 @register(
     "stream_dedup_minute",
     SQL_STREAM_DEDUP_MINUTE,
@@ -92,14 +105,7 @@ FROM bars
     tags=("streaming", "dedup"),
 )
 def q_stream_dedup_minute(spark, sf_dir):
-    b = _bar_stream(spark, sf_dir)
-    keyed = b.withColumn("minute_ns", F.col("ts_ns") - F.col("ts_ns") % F.lit(NS_PER_MIN))
-    deduped = (
-        keyed.withColumn("event_time", F.timestamp_micros(F.expr("ts_ns div 1000")))
-        .withWatermark("event_time", f"{WM_MIN} minutes")
-        .dropDuplicatesWithinWatermark(["symbol", "minute_ns"])
-        .select("symbol", "minute_ns")
-    )
+    deduped = dedup_minute_pipeline(_bar_stream(spark, sf_dir))
     return run_to_memory(deduped, "stream_dedup_minute", "append")
 
 
@@ -122,7 +128,12 @@ ordered AS (
 ),
 tagged AS (
   SELECT user_id, ts_ns, volume,
-         CASE WHEN prev IS NULL OR ts_ns - prev >= {_GAP_NS} THEN 1 ELSE 0 END AS nb
+         -- STRICT >: session_window MERGES touching sessions (an event
+         -- exactly GAP after the previous one extends the session — probed
+         -- on both batch and streaming session_window; the hypothesis
+         -- micro-batch sweep found this boundary, which real event data
+         -- never hits)
+         CASE WHEN prev IS NULL OR ts_ns - prev > {_GAP_NS} THEN 1 ELSE 0 END AS nb
   FROM ordered
 ),
 sids AS (
@@ -144,15 +155,10 @@ WHERE session_end_ns <= wm_ns
 """
 
 
-@register(
-    "stream_sessions",
-    SQL_STREAM_SESSIONS,
-    doc="streaming session_window (append mode): watermark-closed sessions == gaps-and-islands + watermark-cutoff oracle",
-    tags=("streaming", "sessions", "window"),
-)
-def q_stream_sessions(spark, sf_dir):
-    b = _bar_stream(spark, sf_dir)
-    sess = (
+def sessions_pipeline(b: DataFrame) -> DataFrame:
+    """The stream_sessions transformation over any bars-shaped stream
+    (exposed for the micro-batch property tests)."""
+    return (
         b.withColumn("event_time", F.timestamp_micros(F.expr("ts_ns div 1000")))
         .withWatermark("event_time", f"{WM_MIN} minutes")
         .groupBy(F.col("user_id"), F.session_window("event_time", f"{GAP_MIN} minutes").alias("w"))
@@ -168,6 +174,16 @@ def q_stream_sessions(spark, sf_dir):
             "volume",
         )
     )
+
+
+@register(
+    "stream_sessions",
+    SQL_STREAM_SESSIONS,
+    doc="streaming session_window (append mode): watermark-closed sessions == gaps-and-islands + watermark-cutoff oracle",
+    tags=("streaming", "sessions", "window"),
+)
+def q_stream_sessions(spark, sf_dir):
+    sess = sessions_pipeline(_bar_stream(spark, sf_dir))
     return run_to_memory(sess, "stream_sessions", "append")
 
 
@@ -195,18 +211,12 @@ WHERE a.event_type = 'click' AND b.event_type = 'purchase'
 """
 
 
-@register(
-    "stream_attribution_join",
-    SQL_STREAM_ATTRIBUTION,
-    doc=f"stream-stream inner join (click->purchase within {_ATTR_WINDOW_MIN}m, per-side watermarks + range condition) == batch self-join",
-    tags=("streaming", "joins"),
-)
-def q_stream_attribution_join(spark, sf_dir):
+def attribution_pipeline(mk_leg) -> DataFrame:
+    """The stream_attribution_join transformation; ``mk_leg()`` returns a
+    fresh source stream with (event_id, user_id, event_type, ts_ns) per call
+    (two independent legs — exposed for the micro-batch property tests)."""
     def leg(evtype: str, prefix: str):
-        ev = _event_stream(spark, sf_dir)
-        base = ev.select(
-            "event_id", "user_id", "event_type", ts_ns_expr(ev).alias("ts_ns")
-        )
+        base = mk_leg()
         return (
             base.where(F.col("event_type") == evtype)
             .withColumn("event_time", F.timestamp_micros(F.expr("ts_ns div 1000")))
@@ -235,7 +245,23 @@ def q_stream_attribution_join(spark, sf_dir):
         F.col("purchase_id"),
         (F.col("purchase_ts_ns") - F.col("click_ts_ns")).alias("gap_ns"),
     )
-    return run_to_memory(joined, "stream_attribution_join", "append")
+    return joined
+
+
+@register(
+    "stream_attribution_join",
+    SQL_STREAM_ATTRIBUTION,
+    doc=f"stream-stream inner join (click->purchase within {_ATTR_WINDOW_MIN}m, per-side watermarks + range condition) == batch self-join",
+    tags=("streaming", "joins"),
+)
+def q_stream_attribution_join(spark, sf_dir):
+    def mk_leg():
+        ev = _event_stream(spark, sf_dir)
+        return ev.select(
+            "event_id", "user_id", "event_type", ts_ns_expr(ev).alias("ts_ns")
+        )
+
+    return run_to_memory(attribution_pipeline(mk_leg), "stream_attribution_join", "append")
 
 
 # ---------------------------------------------------------------------------
