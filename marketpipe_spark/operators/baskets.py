@@ -26,10 +26,50 @@ count, needed as a literal in the lift expression).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 MICRO = 1_000_000
+
+
+def capped_basket_arrays(
+    df: DataFrame, basket_col: str, item_col: str, max_basket: int
+) -> DataFrame:
+    """``(bk, items)`` — each basket's ``max_basket`` lowest distinct item
+    keys as a SORTED ARRAY.
+
+    One hash aggregation (collect_set gets map-side partial aggregation)
+    where the pair-row form needed a distinct plus a ranking window — and
+    with the basket in-row, within-basket PAIR enumeration becomes a pure
+    map expression (see :func:`basket_pairs`) instead of a self-join: the
+    r6 rewrite that removed two shuffles and the join from every basket
+    consumer. The agg buffer holds one basket's distinct items (exactly
+    what a window partition buffers too); a domain with pathologically
+    wide baskets should pre-cap upstream, same contract as before."""
+    return (
+        df.select(F.col(basket_col).alias("bk"), F.col(item_col).alias("item"))
+        .groupBy("bk")
+        .agg(
+            F.slice(F.sort_array(F.collect_set("item")), 1, max_basket).alias("items")
+        )
+    )
+
+
+#: Within-basket ordered pairs (u < v in item-key order) as a pure map
+#: expression over the sorted ``items`` array — C(cap, 2)-bounded fan-out,
+#: no join, no shuffle.
+PAIRS_EXPR = (
+    "flatten(transform(items, (x, i) -> "
+    "transform(slice(items, i + 2, size(items)), y -> struct(x AS u, y AS v))))"
+)
+
+
+def basket_pairs(arrays: DataFrame) -> DataFrame:
+    """Explode :data:`PAIRS_EXPR` over ``(bk, items)``: one (u, v) row per
+    within-basket pair, enumerated map-side."""
+    return arrays.select(F.explode(F.expr(PAIRS_EXPR)).alias("p")).select(
+        "p.u", "p.v"
+    )
 
 
 def capped_baskets(
@@ -37,18 +77,10 @@ def capped_baskets(
 ) -> DataFrame:
     """Distinct (bk, item) pairs keeping at most ``max_basket`` items per
     basket — deterministically the lowest item keys, so both engines and
-    any partitioning agree on which items survive."""
-    b = (
-        df.select(F.col(basket_col).alias("bk"), F.col(item_col).alias("item"))
-        .groupBy("bk", "item")
-        .agg(F.lit(1))
-        .select("bk", "item")
-    )
-    w = Window.partitionBy("bk").orderBy("item")
-    return (
-        b.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= max_basket)
-        .select("bk", "item")
+    any partitioning agree on which items survive. (Row form of
+    :func:`capped_basket_arrays`.)"""
+    return capped_basket_arrays(df, basket_col, item_col, max_basket).select(
+        "bk", F.explode("items").alias("item")
     )
 
 
@@ -63,25 +95,33 @@ def capped_baskets_sql(basket_sql: str, max_basket: int) -> str:
 
 
 def association_rules(
-    baskets: DataFrame,
+    arrays: DataFrame,
     min_support: int = 2,
     top_n: int = 100,
 ) -> DataFrame:
-    """Pairwise association rules over capped ``(bk, item)`` baskets.
+    """Pairwise association rules over capped ``(bk, items)`` basket arrays
+    (:func:`capped_basket_arrays`).
 
     Returns ``(antecedent, consequent, support_cnt, conf_micro, lift_micro)``
     for every ordered pair co-occurring in >= ``min_support`` baskets, both
     directions, ranked by (lift desc, confidence desc, antecedent,
     consequent) and truncated to ``top_n``.
-    """
-    item_cnt = baskets.groupBy("item").agg(F.count(F.lit(1)).alias("icnt"))
-    n = baskets.select("bk").distinct().count()
 
-    a = baskets.alias("a")
-    c = baskets.alias("c")
+    Plan: pair enumeration is the map-side :data:`PAIRS_EXPR` (the r5 plan
+    self-joined the pair-row form on bk — two extra shuffles the oracle
+    still spells out, so parity doubles as an equivalence proof of the
+    rewrite); then one hash agg per statistic and a top-N TakeOrdered.
+    """
+    item_cnt = (
+        arrays.select(F.explode("items").alias("item"))
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("icnt"))
+    )
+    n = arrays.count()  # one row per basket by construction
+
     pair_cnt = (
-        a.join(c, (F.col("a.bk") == F.col("c.bk")) & (F.col("a.item") < F.col("c.item")))
-        .groupBy(F.col("a.item").alias("u"), F.col("c.item").alias("v"))
+        basket_pairs(arrays)
+        .groupBy("u", "v")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .where(F.col("cnt") >= min_support)
     )

@@ -148,17 +148,15 @@ def pagerank_oracle_sql(
     return ",\n".join(parts) + f"\nSELECT id, s AS score FROM s{iterations}"
 
 
-def cooccurrence_edges(baskets: DataFrame) -> DataFrame:
+def cooccurrence_edges(arrays: DataFrame) -> DataFrame:
     """Distinct undirected item–item edges (``u < v``) from capped
-    ``(bk, item)`` baskets (see :func:`baskets.capped_baskets` — the cap is
-    what bounds the per-basket quadratic pair fan-out at scale)."""
-    a = baskets.alias("a")
-    c = baskets.alias("c")
-    return (
-        a.join(c, (F.col("a.bk") == F.col("c.bk")) & (F.col("a.item") < F.col("c.item")))
-        .select(F.col("a.item").alias("u"), F.col("c.item").alias("v"))
-        .distinct()
-    )
+    ``(bk, items)`` basket ARRAYS (:func:`baskets.capped_basket_arrays`).
+    Pair enumeration is the map-side array expression — no self-join; the
+    cap bounds the per-basket fan-out at C(cap, 2), same contract as the
+    r5 join form (the unchanged oracles prove the equivalence)."""
+    from .baskets import basket_pairs
+
+    return basket_pairs(arrays).distinct()
 
 
 def triangle_stats(edges: DataFrame) -> DataFrame:

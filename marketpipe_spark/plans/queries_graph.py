@@ -64,10 +64,13 @@ _COOC_SQL = (
 
 
 def _capped(spark, sf_dir):
-    from ..operators.baskets import capped_baskets
+    """Capped order baskets as (bk, items) ARRAYS — every consumer below
+    (co-occurrence edges, association rules) enumerates pairs map-side
+    from the array, so the pair-row form never materializes."""
+    from ..operators.baskets import capped_basket_arrays
 
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    return capped_baskets(li, "l_orderkey", "l_partkey", _MAX_BASKET)
+    return capped_basket_arrays(li, "l_orderkey", "l_partkey", _MAX_BASKET)
 
 
 def _triangles_sql() -> str:
@@ -245,12 +248,11 @@ SELECT id AS part_key, dist AS dist_micro FROM sdist
 def q_copurchase_cheap_paths(spark, sf_dir):
     from ..operators.graph import bounded_sssp
 
-    cap = _capped(spark, sf_dir)
-    a = cap.alias("a")
-    c = cap.alias("c")
+    from ..operators.baskets import basket_pairs
+
     wedges = (
-        a.join(c, (F.col("a.bk") == F.col("c.bk")) & (F.col("a.item") < F.col("c.item")))
-        .groupBy(F.col("a.item").alias("u"), F.col("c.item").alias("v"))
+        basket_pairs(_capped(spark, sf_dir))
+        .groupBy("u", "v")
         .agg(F.expr("1000000 DIV CAST(COUNT(*) AS BIGINT)").alias("w"))
     )
     nodes = (

@@ -228,14 +228,14 @@ def test_bounded_sssp_weighted_path(spark):
 
 
 def test_association_rules_exact_micro_math(spark):
-    from marketpipe_spark.operators.baskets import association_rules, capped_baskets
+    from marketpipe_spark.operators.baskets import capped_basket_arrays, association_rules, capped_baskets
 
     # baskets: {1,2} x3, {1,3} x1, {2,3} x1  (bk, item) rows
     raw = []
     for bk, items in [(10, [1, 2]), (11, [1, 2]), (12, [1, 2]), (13, [1, 3]), (14, [2, 3])]:
         raw += [(bk, i) for i in items]
     df = spark.createDataFrame(raw, "bk long, item long")
-    rules = association_rules(capped_baskets(df, "bk", "item", 8), min_support=2, top_n=10)
+    rules = association_rules(capped_basket_arrays(df, "bk", "item", 8), min_support=2, top_n=10)
     got = {(r["antecedent"], r["consequent"]): r for r in rules.collect()}
     # only the (1,2) pair has support >= 2; n=5 baskets, cnt(1)=4, cnt(2)=4
     assert set(got) == {(1, 2), (2, 1)}
@@ -246,7 +246,7 @@ def test_association_rules_exact_micro_math(spark):
 
 
 def test_capped_baskets_keeps_lowest_items(spark):
-    from marketpipe_spark.operators.baskets import capped_baskets
+    from marketpipe_spark.operators.baskets import capped_basket_arrays, capped_baskets
 
     df = spark.createDataFrame(
         [(1, i) for i in [9, 3, 7, 5, 1]] + [(2, 4)], "bk long, item long"
