@@ -5,6 +5,10 @@ tests/integration/test_cli_command_matrix.py style). Runs in-process via
 
 from __future__ import annotations
 
+import os
+
+from pyspark.sql import functions as F
+
 from marketpipe_spark.cli import main
 
 
@@ -227,3 +231,30 @@ def test_cli_plan_command(spark, capsys):
     rc = main(["plan", "pricing_summmmary"])
     assert rc == 1
     assert "close:" in capsys.readouterr().out
+
+
+def test_cli_ingest_with_shipped_example_config(spark, tmp_path, capsys):
+    """The shipped config/example_config.yaml drives a real ingest through
+    the CLI verbatim (flags override only the output roots so the test
+    writes into tmp): the documented quickstart path must actually run."""
+    raw = str(tmp_path / "raw")
+    agg = str(tmp_path / "agg")
+    cfg = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "config", "example_config.yaml",
+    )
+    rc = main([
+        "ohlcv", "ingest", "--config", cfg,
+        "--output", raw, "--agg-root", agg,
+        "--bars", "30", "--job-id", "cfg-e2e",
+    ])
+    out = capsys.readouterr().out
+    assert rc == 0 and "job cfg-e2e" in out
+
+    # all three configured symbols landed, 30 bars each, and aggregates ran
+    from marketpipe_spark.lake import read_bars
+
+    lake = read_bars(spark, raw, frame="1m")
+    counts = {r.symbol: r.n for r in lake.groupBy("symbol").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"AAPL": 30, "GOOGL": 30, "MSFT": 30}
+    assert read_bars(spark, agg, frame="5m").count() > 0
