@@ -358,3 +358,54 @@ def test_stream_attribution_microbatch_matches_model(
         [(d["event_id"], d["user_id"], d["event_type"], d["ts_ns"] // 1000) for d in data]
     ]
     assert got == _attr_model(batches)
+
+
+# ---------------------------------------------------------------------------
+# Complete-mode entries: over a bounded stream the final emission must be
+# EXACTLY the batch aggregate, for EVERY chunk split — complete mode retains
+# all state, so the watermark protocol must not be able to change the
+# result. (stream_resample_5m and stream_top_users are the registry's two
+# complete-mode entries; their pipelines are rebuilt here over the chunked
+# source the same way the append-mode properties do.)
+
+
+@_settings
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from(["A", "B"]), offset_st, st.integers(1, 9)),
+        min_size=1,
+        max_size=24,
+    ),
+    cuts=st.lists(st.integers(0, 24), max_size=4),
+)
+def test_stream_resample_complete_mode_split_invariant(
+    spark, tmp_path_factory, rows, cuts
+):
+    from marketpipe_spark.streaming.stream import windowed_ohlcv
+
+    tmpdir = str(tmp_path_factory.mktemp("res"))
+    data = [
+        {
+            "symbol": s,
+            "ts_ns": T0_NS + off * US * 1000,
+            "open": float(v),
+            "high": float(v + 1),
+            "low": float(v - 1),
+            "close": float(v),
+            "volume": v,
+        }
+        for (s, off, v) in rows
+    ]
+    glob = _write_chunks(tmpdir, data, cuts)
+    ddl = (
+        "symbol string, ts_ns long, open double, high double, low double, "
+        "close double, volume long"
+    )
+    agg = windowed_ohlcv(_stream(spark, glob, ddl), minutes=5, watermark=f"{WM_MIN} minutes")
+    got = sorted(tuple(r) for r in run_to_memory(agg, _sink_name("prop_res"), "complete").collect())
+
+    from marketpipe_spark.operators.resample import resample_intraday
+
+    batch = spark.createDataFrame([tuple(d.values()) for d in data], ddl)
+    want = sorted(tuple(r) for r in resample_intraday(batch, 300).collect())
+    assert got == want
