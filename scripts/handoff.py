@@ -1,0 +1,55 @@
+"""End-of-round handoff discipline, automated (one JVM at a time).
+
+Runs, in order, writing artifacts at the repo root:
+
+1. full pytest (fails fast — nothing else is meaningful on a red suite)
+2. full local[32] correctness sweep  -> CORRECTNESS_LOCAL_r{N}.json
+3. full multi-JVM local-cluster sweep -> CORRECTNESS_CLUSTER_r{N}.json
+4. headline bench                     (printed; driver writes BENCH_r{N})
+5. concurrent bench                   -> CONCURRENT_BENCH_r{N}.json
+
+Heavy scale cells are NOT here: measure them standalone, one per process
+(`scale_bench.py --reuse --record-rows`), on a rested machine — see
+SCALING.md's measurement-position note. Benches run LAST and are still
+post-suite numbers; for a clean headline, re-run `python bench.py` on an
+idle machine.
+
+Usage: python scripts/handoff.py <round> [--skip-pytest]
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run(desc: str, cmd: list[str], timeout: int) -> int:
+    print(f"\n=== {desc}: {' '.join(cmd)}", flush=True)
+    t0 = time.time()
+    rc = subprocess.call(cmd, cwd=REPO, timeout=timeout)
+    print(f"=== {desc}: rc={rc} in {time.time() - t0:.0f}s", flush=True)
+    return rc
+
+
+def main() -> int:
+    rnd = sys.argv[1] if len(sys.argv) > 1 else "0"
+    py = sys.executable
+    if "--skip-pytest" not in sys.argv:
+        if run("pytest", [py, "-m", "pytest", "tests/", "-q"], 3600):
+            return 1
+    if run("local sweep", [py, "scripts/local_correctness.py", rnd], 3600):
+        return 2
+    if run("cluster sweep", [py, "scripts/cluster_correctness.py", rnd], 5400):
+        return 3
+    run("bench", [py, "bench.py"], 1200)
+    run("concurrent bench", [py, "scripts/concurrent_bench.py", "--round", rnd], 1800)
+    print("\nhandoff complete", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
