@@ -39,9 +39,9 @@ def run(workdir: str = ".", spark=None) -> None:
             rows.append((bk, 5))  # bridge product
     raw = spark.createDataFrame(rows, "bk long, item long")
 
-    from marketpipe_spark.operators.baskets import association_rules, capped_baskets
+    from marketpipe_spark.operators.baskets import association_rules, capped_basket_arrays
 
-    baskets = capped_baskets(raw, "bk", "item", max_basket=4)
+    baskets = capped_basket_arrays(raw, "bk", "item", max_basket=4)
     rules = association_rules(baskets, min_support=3, top_n=5)
     print("top association rules (support/conf/lift in micro-units):")
     rules.show(5, truncate=False)
@@ -81,7 +81,8 @@ def run(workdir: str = ".", spark=None) -> None:
     print("\n=== 3. Pareto frontier: cheapest-yet-popular products")
     from marketpipe_spark.operators.skyline import skyline2d
 
-    pop = baskets.groupBy("item").agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    pop = (baskets.select(F.explode("items").alias("item"))
+           .groupBy("item").agg(F.count(F.lit(1)).cast("long").alias("n_orders")))
     priced = pop.withColumn("neg_price_cents", -(F.col("item") * 37 % 500) - 100)
     frontier = skyline2d(priced, "neg_price_cents", "n_orders")
     print("frontier (maximize popularity, minimize price):")

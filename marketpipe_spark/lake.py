@@ -23,6 +23,7 @@ from __future__ import annotations
 import datetime as dt
 import re
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
@@ -121,7 +122,8 @@ def upsert_bars(new_bars: DataFrame, root: str, frame: str, ingest_id: str | Non
     # scheme root is invisible to the local filesystem, and taking the
     # append branch there would skip keep-last dedup on every call.
     fs, hroot, _ = _hadoop_fs(spark, root)
-    if not fs.exists(hroot):  # first write into an empty lake
+
+    def _first_write() -> None:
         # Same keep-last discipline as the merge path: intra-batch duplicate
         # (symbol, ts_ns) keys must resolve identically whether or not the
         # lake already existed.
@@ -137,8 +139,20 @@ def upsert_bars(new_bars: DataFrame, root: str, frame: str, ingest_id: str | Non
             .partitionBy("frame", "symbol", "date")
             .parquet(root)
         )
+
+    if not fs.exists(hroot):  # first write into an empty lake
+        _first_write()
         return
-    existing = spark.read.parquet(root).filter(F.col("frame") == frame)
+    try:
+        existing = spark.read.parquet(root).filter(F.col("frame") == frame)
+    except AnalysisException as e:
+        # The root EXISTS but holds no readable data (a pre-created empty
+        # directory, or _SUCCESS debris from an interrupted job): that is a
+        # first write, not a merge — found by the upsert property sweep.
+        if "UNABLE_TO_INFER_SCHEMA" in str(e):
+            _first_write()
+            return
+        raise
 
     # Prune to the partitions the batch touches (broadcast semi-join on the
     # partition keys — tiny), so a one-day upsert reads one day.

@@ -363,3 +363,54 @@ def test_kcore_layers_matches_python_peel(spark, edges, rounds):
     for x in alive:
         expect[x] = (0, deg[x])
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# Lake upsert: randomized batch sequences vs a dict model. upsert_bars is
+# the mutation every ingestion path funnels through; its contract is
+# keep-last per (symbol, ts_ns) with within-batch later-row-wins, empty
+# batches as no-ops, and untouched partitions left intact. The model is a
+# plain dict applied batch by batch in order.
+
+_upsert_batch_st = st.lists(
+    st.tuples(
+        st.sampled_from(["A", "B"]),          # symbol
+        st.integers(min_value=0, max_value=5),  # minute slot (collisions likely)
+        st.integers(min_value=1, max_value=99),  # close marker
+    ),
+    max_size=6,
+)
+
+
+@_settings
+@given(batches=st.lists(_upsert_batch_st, min_size=1, max_size=4))
+def test_upsert_bars_matches_dict_model(spark, tmp_path_factory, batches):
+    from marketpipe_spark.lake import read_bars, upsert_bars
+
+    root = str(tmp_path_factory.mktemp("upsert_lake"))
+    DAY = 1_704_153_600_000_000_000
+    NS_MIN = 60_000_000_000
+    model: dict[tuple, float] = {}
+    for i, batch in enumerate(batches):
+        rows = [
+            (sym, DAY + slot * NS_MIN, 1.0, 2.0, 0.5, float(v), 1)
+            for (sym, slot, v) in batch
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "symbol string, ts_ns long, open double, high double, low double, "
+            "close double, volume long",
+        )
+        upsert_bars(df, root, "1m", ingest_id=f"job-{i}")
+        for sym, slot, v in batch:  # later row in batch order wins
+            model[(sym, DAY + slot * NS_MIN)] = float(v)
+    if not model:
+        import os as _os
+
+        assert not _os.path.exists(_os.path.join(root, "frame=1m"))
+        return
+    got = {
+        (r.symbol, r.ts_ns): r.close
+        for r in read_bars(spark, root, frame="1m").collect()
+    }
+    assert got == model
