@@ -54,6 +54,11 @@ def nearest_field_match(
     block has at least one other member. Candidates are the block's
     ``max_block`` lowest-id members (the deterministic quadratic-term
     cap); the winner is min by ``(dist, match_id)``, a total order.
+
+    ``field_col`` must be NON-NULL: ``levenshtein(NULL, x)`` is NULL, and
+    NULL ordering differs between engines (Spark windows sort NULLS FIRST
+    ascending, DuckDB NULLS LAST), so a NULL field would make the winner
+    engine-dependent. Filter or coalesce upstream.
     """
     base = df.select(
         F.col(id_col).alias("id"),
