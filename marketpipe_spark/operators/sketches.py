@@ -346,3 +346,99 @@ def hll_distinct(
 ) -> DataFrame:
     """End-to-end per-key distinct estimate (registers + estimator)."""
     return hll_estimate(hll_partial_registers(df, key_cols, col, p, family), key_cols, p)
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries / Frequent: mergeable heavy-hitters summary. Completes the
+# sketch family (KLL = quantiles, CMS = point frequency, HLL = distinct):
+# "which items exceed an epsilon share of a 100 TB stream" with k counters
+# per partition instead of a full groupBy of the tail. Each partition's
+# summary merges by plain union + SUM (the Agarwal et al. "Mergeable
+# Summaries" MG merge, SODA'12): counts only ever UNDER-estimate, the
+# total undercount is bounded by (n - retained mass) / (k + 1), and every
+# item with true count > n/(k+1) is guaranteed present in the union.
+
+def mg_partial_counters(df: DataFrame, col: str, k: int = 64) -> DataFrame:
+    """Per-partition Misra-Gries summary -> ``(item string, cnt long)``.
+
+    Batched variant: each Arrow batch's exact ``value_counts`` (an error-0
+    summary) merges into the running counter dict; when more than ``k``
+    counters survive, the (k+1)-th largest value is subtracted from all
+    and non-positives dropped — the mergeable-summaries COMPRESS step, so
+    the MG invariant (cnt(item) <= true_partition_count(item), per-item
+    undercount <= removed_mass/(k+1)) holds regardless of batch shape.
+    Output is at most ``k`` rows per partition; union + SUM across
+    partitions is the global summary.
+    """
+    import pandas as pd
+
+    def summarize(batches):
+        counts: dict = {}
+        for pdf in batches:
+            for item, c in pdf[col].dropna().value_counts().items():
+                counts[item] = counts.get(item, 0) + int(c)
+            if len(counts) > k:
+                m = sorted(counts.values(), reverse=True)[k]  # (k+1)-th largest
+                counts = {i: c - m for i, c in counts.items() if c > m}
+        yield pd.DataFrame(
+            {"item": pd.Series(list(counts), dtype="object"),
+             "cnt": pd.Series(list(counts.values()), dtype="int64")}
+        )
+
+    return df.select(F.col(col).cast("string").alias(col)).mapInPandas(
+        summarize, schema="item string, cnt long"
+    )
+
+
+def mg_heavy_hitters_check(df: DataFrame, col: str, k: int = 64) -> DataFrame:
+    """Self-validation of the merged MG summary against the exact counts
+    (the kll_rank_check precedent — sketch STATE is partition-layout-
+    dependent, its GUARANTEES are not). One row, all layout-independent:
+
+    - ``n``: exact item count; ``n_true_heavy``: items with
+      true count > n DIV (k+1) — the guaranteed-present set, pinnable in
+      SQL;
+    - ``all_heavy_present``: every guaranteed item is in the summary;
+    - ``no_overcount``: every summary estimate <= its true count;
+    - ``undercount_ok``: every estimate's deficit <= the mass bound
+      (n - retained) DIV (k+1).
+
+    One distributed dataflow: exact groupBy, summary groupBy-SUM, one
+    left join, scalars attached via scalar_join (BroadcastHashJoin).
+    """
+    from ..plans.registry import scalar_join
+
+    items = df.select(F.col(col).cast("string").alias("item")).where(
+        F.col("item").isNotNull()
+    )
+    exact = items.groupBy("item").agg(F.count(F.lit(1)).alias("true_cnt"))
+    est = (
+        mg_partial_counters(items, "item", k)
+        .groupBy("item")
+        .agg(F.sum("cnt").alias("est"))
+    )
+    joined = exact.join(est, "item", "left_outer")
+    scalars = joined.agg(
+        F.sum("true_cnt").alias("_n"), F.sum(F.coalesce("est", F.lit(0))).alias("_mass")
+    )
+    j = scalar_join(joined, "item", scalars).withColumn(
+        "_d", F.expr("(_n - _mass) DIV (" + str(k) + " + 1)")
+    )
+    heavy = F.col("true_cnt") > F.expr(f"_n DIV ({k} + 1)")
+    return j.agg(
+        F.lit(k).alias("k"),
+        F.max("_n").alias("n"),
+        F.sum(heavy.cast("long")).alias("n_true_heavy"),
+        F.min(F.when(heavy, F.col("est").isNotNull()).otherwise(F.lit(True))).alias(
+            "all_heavy_present"
+        ),
+        F.min(F.coalesce(F.col("est") <= F.col("true_cnt"), F.lit(True))).alias(
+            "no_overcount"
+        ),
+        F.min(
+            F.when(
+                F.col("est").isNotNull(),
+                (F.col("true_cnt") - F.col("est")) <= F.col("_d"),
+            ).otherwise(F.lit(True))
+        ).alias("undercount_ok"),
+    )

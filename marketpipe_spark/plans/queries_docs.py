@@ -1820,3 +1820,52 @@ def q_token_drift_psi(spark, sf_dir):
         side_a="n_train",
         side_b="n_test",
     )
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters over corpus tokens — the sketch-family entry
+# for "which tokens exceed an eps share of the stream" (k counters per
+# partition, union+SUM merge; see operators/sketches.py). Sketch STATE is
+# partition-layout-dependent, so the entry is SELF-VALIDATING (the
+# kll_value_quantiles precedent): the oracle pins n, the exact count of
+# guaranteed-present items (true > n DIV (k+1)), and TRUE for the three
+# guarantee flags; any regression in the summary flips a boolean and the
+# driver row goes red.
+
+_MG_K = 64
+
+SQL_HEAVY_HITTER_TOKENS = rf"""
+WITH tok AS (
+  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS item
+  FROM documents
+),
+tc AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY item),
+nn AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM tc)
+SELECT CAST({_MG_K} AS BIGINT) AS k, (SELECT n FROM nn) AS n,
+       CAST((SELECT COUNT(*) FROM tc WHERE c > (SELECT n FROM nn) // ({_MG_K} + 1)) AS BIGINT) AS n_true_heavy,
+       TRUE AS all_heavy_present, TRUE AS no_overcount, TRUE AS undercount_ok
+"""
+
+
+@register(
+    "heavy_hitter_tokens",
+    SQL_HEAVY_HITTER_TOKENS,
+    doc=f"mergeable Misra-Gries heavy-hitters summary (k={_MG_K}) over corpus tokens: guaranteed-present set + no-overcount + undercount-bound flags, oracle-pinned",
+    tags=("sketch", "text"),
+)
+def q_heavy_hitter_tokens(spark, sf_dir):
+    from ..operators.sketches import mg_heavy_hitters_check
+
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), TOKEN_SPLIT_RE)).alias("item")
+    )
+    out = mg_heavy_hitters_check(toks, "item", k=_MG_K)
+    return out.select(
+        F.col("k").cast("long").alias("k"),
+        "n",
+        "n_true_heavy",
+        "all_heavy_present",
+        "no_overcount",
+        "undercount_ok",
+    )

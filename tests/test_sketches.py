@@ -159,3 +159,47 @@ def test_hll_registers_merge_and_partition_invariance(spark):
         hll_partial_registers(df.repartition(7, "uid"), ["grp"], "uid"), ["grp"]
     ).collect()
     assert [tuple(r) for r in direct] == [tuple(r) for r in repart]
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters
+
+def test_mg_guarantees_on_skewed_data(spark):
+    from marketpipe_spark.operators.sketches import (
+        mg_heavy_hitters_check,
+        mg_partial_counters,
+    )
+
+    # 1000 "the", 500 "a", tail of 300 singletons: n=1800, k=8 ->
+    # threshold n/9 = 200 -> exactly {the, a} guaranteed present
+    rows = [("the",)] * 1000 + [("a",)] * 500 + [(f"w{i}",) for i in range(300)]
+    df = spark.createDataFrame(rows, "item string").repartition(7)
+    r = mg_heavy_hitters_check(df, "item", k=8).collect()[0]
+    assert (r.k, r.n, r.n_true_heavy) == (8, 1800, 2)
+    assert r.all_heavy_present and r.no_overcount and r.undercount_ok
+
+    # and the merged summary itself contains the two heavy items with
+    # near-true counts (undercount bounded by (n - mass)/(k+1))
+    from pyspark.sql import functions as F
+
+    est = {
+        x["item"]: x["s"]
+        for x in mg_partial_counters(df, "item", 8)
+        .groupBy("item").agg(F.sum("cnt").alias("s")).collect()
+    }
+    assert est.get("the", 0) <= 1000 and est.get("a", 0) <= 500
+    assert est.get("the", 0) > 0 and est.get("a", 0) > 0
+
+
+def test_mg_partition_layout_does_not_break_guarantees(spark):
+    import random
+
+    from marketpipe_spark.operators.sketches import mg_heavy_hitters_check
+
+    rng = random.Random(11)
+    rows = [(rng.choice(["x"] * 6 + ["y"] * 3 + [f"t{rng.randrange(50)}"]),) for _ in range(2000)]
+    for parts in (1, 5, 32):
+        df = spark.createDataFrame(rows, "item string").repartition(parts)
+        r = mg_heavy_hitters_check(df, "item", k=4).collect()[0]
+        assert r.n == 2000
+        assert r.all_heavy_present and r.no_overcount and r.undercount_ok
