@@ -149,7 +149,13 @@ def upsert_bars(new_bars: DataFrame, root: str, frame: str, ingest_id: str | Non
         # The root EXISTS but holds no readable data (a pre-created empty
         # directory, or _SUCCESS debris from an interrupted job): that is a
         # first write, not a merge — found by the upsert property sweep.
-        if "UNABLE_TO_INFER_SCHEMA" in str(e):
+        # Match by error CLASS (stable API since Spark 3.4), with the
+        # message substring as fallback for builds predating error classes.
+        try:
+            klass = e.getErrorClass()
+        except Exception:
+            klass = None
+        if klass == "UNABLE_TO_INFER_SCHEMA" or "UNABLE_TO_INFER_SCHEMA" in str(e):
             _first_write()
             return
         raise

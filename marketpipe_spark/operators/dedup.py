@@ -29,24 +29,67 @@ from pyspark.sql.window import Window as W
 TOKEN_SPLIT_RE = r"\s+"
 
 
-def _pin(df: DataFrame) -> DataFrame:
+def _pin_mode() -> str:
+    """Current pin mode: ``local`` (default) | ``persist`` | ``reliable``."""
+    return os.environ.get("MP_PIN_MODE", "local")
+
+
+def _ensure_checkpoint_dir(spark) -> None:
+    """Make sure a RELIABLE checkpoint dir is set before ``df.checkpoint()``.
+
+    ``MP_CHECKPOINT_DIR`` names the directory (on a real cluster: an HDFS /
+    object-store path so the blocks survive ANY executor loss); absent that,
+    a process-local temp dir is created — still reliable against executor
+    JVM loss in local-cluster mode because the DRIVER-side filesystem holds
+    the files, which is exactly the failure domain the fault experiment
+    kills.
+    """
+    sc = spark.sparkContext
+    if sc.getCheckpointDir() is None:
+        d = os.environ.get("MP_CHECKPOINT_DIR")
+        if not d:
+            import tempfile
+
+            d = tempfile.mkdtemp(prefix="mp-reliable-ckpt-")
+        sc.setCheckpointDir(d)
+
+
+def _pin(df: DataFrame, scope: list | None = None) -> DataFrame:
     """Materialize a frame that feeds several plan branches.
 
     Default is ``localCheckpoint(eager=False)``: truncates lineage and keeps
     blocks on executor-local storage — the cheapest pin, but those blocks are
-    NOT recoverable if an executor is lost mid-job. For long cluster runs set
-    ``MP_PIN_MODE=persist`` to use ``persist(DISK_ONLY)`` instead: lineage is
-    kept, so a lost block recomputes instead of failing the job (reliability
-    over the small lineage-bookkeeping cost — the ADVICE r4 trade).
+    NOT recoverable if an executor is lost mid-job. ``MP_PIN_MODE`` picks the
+    reliability trade instead:
+
+    - ``persist``: ``persist(DISK_ONLY)`` — lineage is KEPT, so a lost block
+      recomputes instead of failing the job (the ADVICE r4 trade).
+    - ``reliable``: ``df.checkpoint()`` to ``MP_CHECKPOINT_DIR``
+      (``sparkContext.setCheckpointDir``) — lineage is truncated AND the
+      blocks live on driver-side / shared storage, so they survive executor
+      loss outright (the standard long-job fix on real clusters, VERDICT r6
+      #1).
+
+    ``scope``: persist-mode pins are registered here so the caller can
+    :func:`_release` them when its loop finishes — without it, repeated
+    operator invocations in one long session accumulate DISK_ONLY blocks
+    indefinitely (ADVICE r6).
     """
-    if os.environ.get("MP_PIN_MODE", "local") == "persist":
+    mode = _pin_mode()
+    if mode == "persist":
         from pyspark import StorageLevel
 
-        return df.persist(StorageLevel.DISK_ONLY)
+        out = df.persist(StorageLevel.DISK_ONLY)
+        if scope is not None:
+            scope.append(out)
+        return out
+    if mode == "reliable":
+        _ensure_checkpoint_dir(df.sparkSession)
+        return df.checkpoint(eager=False)
     return df.localCheckpoint(eager=False)
 
 
-def _pin_keyed(df: DataFrame, *keys: str) -> DataFrame:
+def _pin_keyed(df: DataFrame, *keys: str, scope: list | None = None) -> DataFrame:
     """Pin a loop-invariant frame, co-partitioned on its per-round join key.
 
     localCheckpoint surfaces as ``Scan ExistingRDD`` with UNKNOWN output
@@ -59,15 +102,60 @@ def _pin_keyed(df: DataFrame, *keys: str) -> DataFrame:
     exchange on the big pinned side disappears (the node-sized state side
     still exchanges — that's the cheap side). In the default local mode the
     extra repartition would buy nothing (localCheckpoint forgets it), so
-    it is skipped and this is exactly :func:`_pin`.
+    it is skipped and this is exactly :func:`_pin` — as it is under
+    ``reliable``, where ``df.checkpoint()`` likewise surfaces with unknown
+    partitioning (reliability mode trades the co-partitioning win for
+    executor-loss survival).
     """
-    if os.environ.get("MP_PIN_MODE", "local") == "persist":
+    if _pin_mode() == "persist":
         from pyspark import StorageLevel
 
-        return df.repartition(*[F.col(k) for k in keys]).persist(
+        out = df.repartition(*[F.col(k) for k in keys]).persist(
             StorageLevel.DISK_ONLY
         )
-    return df.localCheckpoint(eager=False)
+        if scope is not None:
+            scope.append(out)
+        return out
+    return _pin(df)
+
+
+def _pin_state(df: DataFrame, eager: bool = True) -> DataFrame:
+    """Pin per-round loop STATE (scores / labels / frontiers / distances).
+
+    State must truncate lineage EVERY round in every mode — a
+    lineage-keeping pin would nest each round's plan into the next
+    (measured in khop: per-round stage count ballooned 9 -> 21). Modes:
+
+    - ``local`` / ``persist``: ``localCheckpoint`` — cheapest truncation,
+      executor-local blocks. This is the r6-documented reliability window:
+      even under ``persist`` (which protects the loop-INVARIANT frames) a
+      kill landing while a round's state blocks live only on the victim is
+      unrecoverable.
+    - ``reliable``: ``df.checkpoint()`` — truncation to RELIABLE storage;
+      no timing window (the fault-experiment sweep is the proof).
+    """
+    if _pin_mode() == "reliable":
+        _ensure_checkpoint_dir(df.sparkSession)
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)
+
+
+def _release(scope: list) -> None:
+    """Unpersist every persist-mode pin registered in ``scope``.
+
+    Call when a loop's RESULT is already materialized (eager final state
+    pin): the invariant frames' cached blocks are no longer needed, and
+    leaving them would accumulate across operator invocations in a
+    long-lived session (ADVICE r6). Safe in persist mode because lineage
+    is kept — an unpersisted frame referenced again merely recomputes.
+    No-op entries from other modes never land in ``scope``.
+    """
+    for df in scope:
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # session already stopped — nothing to release
+    scope.clear()
 
 
 #: Iterative loops join a big pinned frame against NODE-sized per-round
@@ -650,14 +738,20 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     and its neighbors' labels; converges in O(cluster diameter) rounds —
     near-dup clusters are shallow (cliques/stars from a shared source), so
     2-4 rounds in practice, hard-capped at ``max_iters``. Per round: one
-    join + one groupBy on the edge list; lineage truncated with an eager
-    localCheckpoint so plans don't nest across iterations.
+    join + one groupBy on the edge list. The edge list is pinned via
+    :func:`_pin_keyed` (mode-dependent: lazy localCheckpoint by default,
+    ``dst``-co-partitioned DISK_ONLY persist under ``MP_PIN_MODE=persist``,
+    reliable ``df.checkpoint()`` under ``reliable``); per-round labels are
+    lineage-truncated with an eager :func:`_pin_state` so plans don't nest
+    across iterations.
     """
+    pins: list = []
     edges = _pin_keyed(
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .distinct(),
         "dst",
+        scope=pins,
     )
     labels = edges.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
     n = labels.count()
@@ -667,13 +761,12 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
             .groupBy("src")
             .agg(F.min("label").alias("nlabel"))
         )
-        nxt = (
+        nxt = _pin_state(
             labels.join(_state(neighbor_min, n), labels.id == neighbor_min.src, "left_outer")
             .select(
                 "id",
                 F.least(F.col("label"), F.coalesce("nlabel", F.col("label"))).alias("label"),
             )
-            .localCheckpoint(eager=True)
         )
         changed = (
             nxt.alias("n")
@@ -684,6 +777,7 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         labels = nxt
         if changed == 0:
             break
+    _release(pins)  # labels are materialized (eager state pin) — pins done
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 

@@ -19,9 +19,12 @@ vector against the (pinned) degree-annotated edge list on ``src`` plus one
 hash aggregation on ``dst`` — the textbook distributed PageRank step, linear
 in |E| per round with map-side partial sums. The edge list is pinned once
 (``_pin``: localCheckpoint, or DISK_ONLY persist under ``MP_PIN_MODE=persist``)
-and each iteration's score frame is checkpointed so plans do not nest across
-rounds. No driver-side collection of nodes or edges; the only driver scalar
-is |N| (one count, needed as a literal in the init/teleport expressions).
+and each iteration's score frame is checkpointed (``_pin_state``:
+localCheckpoint, or reliable ``df.checkpoint()`` under
+``MP_PIN_MODE=reliable`` — the executor-loss-proof mode) so plans do not
+nest across rounds. No driver-side collection of nodes or edges; the only
+driver scalar is |N| (one count, needed as a literal in the init/teleport
+expressions).
 """
 
 from __future__ import annotations
@@ -29,7 +32,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import BROADCAST_STATE_MAX_NODES, _pin, _pin_keyed, _state  # noqa: F401
+from .dedup import (  # noqa: F401
+    BROADCAST_STATE_MAX_NODES,
+    _pin,
+    _pin_keyed,
+    _pin_state,
+    _release,
+    _state,
+)
 
 PPM = 1_000_000
 
@@ -77,12 +87,14 @@ def pagerank(
     # persisted plan KEEPS its outputPartitioning and the per-round
     # exchange on this (big) side disappears — the cluster upgrade path;
     # scripts/graph_plan_probe.py records the exchange counts per mode.
-    ed = _pin_keyed(e.join(deg, "src"), "src")
+    pins: list = []
+    ed = _pin_keyed(e.join(deg, "src"), "src", scope=pins)
     nodes = _pin_keyed(
         e.select(F.col("src").alias("id"))
         .unionByName(e.select(F.col("dst").alias("id")))
         .distinct(),
         "id",
+        scope=pins,
     )
     n = nodes.count()
     s0 = scale // n
@@ -105,8 +117,9 @@ def pagerank(
                     + F.expr(f"coalesce(acc, 0L) * {damping_ppm} DIV {PPM}")
                 ).cast("long").alias("score"),
             )
-            .localCheckpoint(eager=True)
         )
+        scores = _pin_state(scores)
+    _release(pins)  # result is materialized (eager state pin) — pins done
     return scores
 
 
@@ -312,10 +325,13 @@ def kcore_peel(
             F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
         ).distinct()
     )  # canonicalize: tolerate either-orientation duplicates in the input
+    pins: list = []
     sym = _pin_keyed(
-        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v"))), "u"
+        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v"))),
+        "u",
+        scope=pins,
     )
-    alive = _pin(sym.select(F.col("u").alias("id")).distinct())
+    alive = _pin(sym.select(F.col("u").alias("id")).distinct(), scope=pins)
     n = alive.count()
     if k is None:
         m = sym.count()  # == 2|E|
@@ -324,14 +340,14 @@ def kcore_peel(
     for _ in range(rounds):
         au = _state(out.select(F.col("id").alias("u")), n)
         av = _state(out.select(F.col("id").alias("v")), n)
-        out = (
+        out = _pin_state(
             sym.join(au, "u", "left_semi")
             .join(av, "v", "left_semi")
             .groupBy(F.col("u").alias("id"))
             .agg(F.count(F.lit(1)).alias("deg"))
             .where(F.col("deg") >= k)
-            .localCheckpoint(eager=True)
         )
+    _release(pins)  # result is materialized (eager state pin) — pins done
     return out
 
 
@@ -384,10 +400,16 @@ def kcore_layers(
             F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
         ).distinct()
     )  # canonicalize: tolerate either-orientation duplicates in the input
+    pins: list = []
     sym = _pin_keyed(
-        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v"))), "u"
+        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v"))),
+        "u",
+        scope=pins,
     )
-    alive = _pin(sym.select(F.col("u").alias("id")).distinct())
+    # The node set is consumed after the loop too (the final layer joins):
+    # pin it as STATE (eager) so it is already materialized when the
+    # loop-invariant pins are released below.
+    alive = _pin_state(sym.select(F.col("u").alias("id")).distinct())
     n = alive.count()
     if k is None:
         m = sym.count()  # == 2|E|
@@ -397,15 +419,15 @@ def kcore_layers(
     for _ in range(rounds):
         au = _state(surv.select(F.col("id").alias("u")), n)
         av = _state(surv.select(F.col("id").alias("v")), n)
-        d = (
+        d = _pin_state(
             sym.join(au, "u", "left_semi")
             .join(av, "v", "left_semi")
             .groupBy(F.col("u").alias("id"))
             .agg(F.count(F.lit(1)).alias("deg"))
-            .localCheckpoint(eager=True)
         )
         degs.append(d)
         surv = d.where(F.col("deg") >= k)
+    _release(pins)  # every d{i} + alive is materialized — sym is done
     out = alive
     for i, d in enumerate(degs, start=1):
         out = out.join(
@@ -497,16 +519,21 @@ def khop_reach(edges: DataFrame, seeds: DataFrame, hops: int = 3) -> DataFrame:
             F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
         ).distinct()
     )  # canonicalize: tolerate either-orientation duplicates in the input
+    pins: list = []
     sym = _pin_keyed(
-        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v"))), "u"
+        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v"))),
+        "u",
+        scope=pins,
     )
-    # Loop STATE must truncate lineage every round in BOTH pin modes: under
+    # Loop STATE must truncate lineage every round in EVERY pin mode: under
     # MP_PIN_MODE=persist a lineage-keeping pin would nest each round's plan
     # into the next (measured: per-round stage count ballooned 9 -> 21).
-    # persist-mode reliability applies to the loop-INVARIANT frames only.
-    visited = seeds.select("id").distinct().withColumn(
-        "hop", F.lit(0).cast("long")
-    ).localCheckpoint(eager=False)
+    # Lazy (eager=False) pins here: the whole hop chain materializes in one
+    # job at the caller's first action instead of one job per hop.
+    visited = _pin_state(
+        seeds.select("id").distinct().withColumn("hop", F.lit(0).cast("long")),
+        eager=False,
+    )
     n = sym.select(F.col("u").alias("id")).distinct().count()
     frontier = visited.select("id")
     for i in range(1, hops + 1):
@@ -516,10 +543,17 @@ def khop_reach(edges: DataFrame, seeds: DataFrame, hops: int = 3) -> DataFrame:
             .distinct()
         )
         new = nbrs.join(_state(visited.select("id"), n), "id", "left_anti")
-        visited = visited.unionByName(
-            new.withColumn("hop", F.lit(i).cast("long"))
-        ).localCheckpoint(eager=False)
+        visited = _pin_state(
+            visited.unionByName(new.withColumn("hop", F.lit(i).cast("long"))),
+            eager=False,
+        )
         frontier = new
+    if pins:
+        # persist mode: the lazy hop chain references the pinned edge list —
+        # materialize the result while the pins are still cached, THEN free
+        # them (otherwise each hop's join would recompute sym on first use).
+        visited = _pin_state(visited)
+        _release(pins)
     return visited
 
 
@@ -577,29 +611,35 @@ def bounded_sssp(
         .groupBy("u", "v")
         .agg(F.min("w").alias("w"))  # canonicalized: min weight across duplicates/orientations
     )
+    pins: list = []
     sym = _pin_keyed(
         e.unionByName(
             e.select(F.col("v").alias("u"), F.col("u").alias("v"), "w")
         ),
         "u",
+        scope=pins,
     )
-    # dist is loop STATE: lineage-truncate every round in both pin modes
-    # (see khop_reach note).
-    dist = seeds.select("id").distinct().withColumn(
-        "dist", F.lit(0).cast("long")
-    ).localCheckpoint(eager=False)
+    # dist is loop STATE: lineage-truncate every round in every pin mode
+    # (see khop_reach note; lazy pins — one materializing job at the end).
+    dist = _pin_state(
+        seeds.select("id").distinct().withColumn("dist", F.lit(0).cast("long")),
+        eager=False,
+    )
     n = sym.select(F.col("u").alias("id")).distinct().count()
     for _ in range(rounds):
         cand = (
             sym.join(_state(dist.withColumnRenamed("id", "u"), n), "u")
             .select(F.col("v").alias("id"), (F.col("dist") + F.col("w")).alias("dist"))
         )
-        dist = (
-            dist.unionByName(cand)
-            .groupBy("id")
-            .agg(F.min("dist").alias("dist"))
-            .localCheckpoint(eager=False)
+        dist = _pin_state(
+            dist.unionByName(cand).groupBy("id").agg(F.min("dist").alias("dist")),
+            eager=False,
         )
+    if pins:
+        # persist mode: materialize the lazy relax chain before freeing the
+        # pinned edge list it references (see khop_reach note).
+        dist = _pin_state(dist)
+        _release(pins)
     return dist
 
 
@@ -655,10 +695,14 @@ def label_propagation(edges: DataFrame, iterations: int = 4) -> DataFrame:
             F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
         ).distinct()
     )  # canonicalize: tolerate either-orientation duplicates in the input
+    pins: list = []
     sym = _pin_keyed(
-        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v"))), "v"
+        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v"))),
+        "v",
+        scope=pins,
     )
-    labels = _pin(
+    # initial labels are round-0 STATE (consumed only by the loop)
+    labels = _pin_state(
         sym.select(F.col("u").alias("id")).distinct().withColumn(
             "label", F.col("id")
         )
@@ -674,11 +718,11 @@ def label_propagation(edges: DataFrame, iterations: int = 4) -> DataFrame:
             .groupBy("id", "label")
             .agg(F.count(F.lit(1)).alias("cnt"))
         )
-        labels = (
+        labels = _pin_state(
             votes.groupBy("id")
             .agg(F.expr("max_by(label, struct(cnt, -label))").alias("label"))
-            .localCheckpoint(eager=True)
         )
+    _release(pins)  # result is materialized (eager state pin) — pins done
     return labels
 
 

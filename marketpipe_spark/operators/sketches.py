@@ -369,7 +369,14 @@ def mg_partial_counters(df: DataFrame, col: str, k: int = 64) -> DataFrame:
     undercount <= removed_mass/(k+1)) holds regardless of batch shape.
     Output is at most ``k`` rows per partition; union + SUM across
     partitions is the global summary.
+
+    The compress threshold is a SELECTION, not a sort: ``heapq.nlargest``
+    finds the (k+1)-th largest in O(U log k) per batch where the r6 full
+    sort was O(U log U) — visible on ultra-wide-vocabulary partitions
+    where U >> k (ADVICE r6).
     """
+    import heapq
+
     import pandas as pd
 
     def summarize(batches):
@@ -378,7 +385,7 @@ def mg_partial_counters(df: DataFrame, col: str, k: int = 64) -> DataFrame:
             for item, c in pdf[col].dropna().value_counts().items():
                 counts[item] = counts.get(item, 0) + int(c)
             if len(counts) > k:
-                m = sorted(counts.values(), reverse=True)[k]  # (k+1)-th largest
+                m = heapq.nlargest(k + 1, counts.values())[-1]  # (k+1)-th largest
                 counts = {i: c - m for i, c in counts.items() if c > m}
         yield pd.DataFrame(
             {"item": pd.Series(list(counts), dtype="object"),

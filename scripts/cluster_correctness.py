@@ -74,8 +74,13 @@ def main() -> int:
           flush=True)
     out, n_fail = run_sweep(spark, sf_dir, only)
     spark.stop()
+    # A non-default pin mode (persist / reliable) is a distinct execution
+    # mode worth its own artifact: name it into the file so per-mode sweeps
+    # don't clobber each other.
+    mode = os.environ.get("MP_PIN_MODE", "local")
+    tag = "" if mode == "local" else f"_{mode.upper()}"
     if only is None:
-        path = os.path.join(REPO, f"CORRECTNESS_CLUSTER_r{rnd}.json")
+        path = os.path.join(REPO, f"CORRECTNESS_CLUSTER{tag}_r{rnd}.json")
         with open(path, "w") as f:
             json.dump(out, f, indent=2)
         print(f"\n{len(out) - n_fail}/{len(out)} green (multi-JVM) -> {path}")

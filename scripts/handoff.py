@@ -5,8 +5,9 @@ Runs, in order, writing artifacts at the repo root:
 1. full pytest (fails fast — nothing else is meaningful on a red suite)
 2. full local[32] correctness sweep  -> CORRECTNESS_LOCAL_r{N}.json
 3. full multi-JVM local-cluster sweep -> CORRECTNESS_CLUSTER_r{N}.json
-4. headline bench                     (printed; driver writes BENCH_r{N})
-5. concurrent bench                   -> CONCURRENT_BENCH_r{N}.json
+4. same sweep under MP_PIN_MODE=persist -> CORRECTNESS_CLUSTER_PERSIST_r{N}.json
+5. headline bench                     (printed; driver writes BENCH_r{N})
+6. concurrent bench                   -> CONCURRENT_BENCH_r{N}.json
 
 Heavy scale cells are NOT here: measure them standalone, one per process
 (`scale_bench.py --reuse --record-rows`), on a rested machine — see
@@ -27,10 +28,19 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run(desc: str, cmd: list[str], timeout: int) -> int:
+def run(desc: str, cmd: list[str], timeout: int, env: dict | None = None) -> int:
     print(f"\n=== {desc}: {' '.join(cmd)}", flush=True)
     t0 = time.time()
-    rc = subprocess.call(cmd, cwd=REPO, timeout=timeout)
+    try:
+        rc = subprocess.call(
+            cmd, cwd=REPO, timeout=timeout,
+            env={**os.environ, **env} if env else None,
+        )
+    except subprocess.TimeoutExpired:
+        # A hung step is a recorded failure, not an aborting traceback
+        # (ADVICE r6): report it and let the caller decide what's next.
+        print(f"=== {desc}: TIMED OUT after {timeout}s", flush=True)
+        return 124
     print(f"=== {desc}: rc={rc} in {time.time() - t0:.0f}s", flush=True)
     return rc
 
@@ -45,6 +55,15 @@ def main() -> int:
         return 2
     if run("cluster sweep", [py, "scripts/cluster_correctness.py", rnd], 5400):
         return 3
+    # VERDICT r6 #5: the standing gates run the default pin mode only — sweep
+    # the full registry under multi-JVM × persist once per round.
+    if run(
+        "cluster sweep (persist)",
+        [py, "scripts/cluster_correctness.py", rnd],
+        5400,
+        env={"MP_PIN_MODE": "persist"},
+    ):
+        return 4
     run("bench", [py, "bench.py"], 1200)
     run("concurrent bench", [py, "scripts/concurrent_bench.py", "--round", rnd], 1800)
     print("\nhandoff complete", flush=True)

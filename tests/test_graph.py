@@ -263,3 +263,50 @@ def test_bipartite_edges_disjoint_namespaces_and_symmetry(spark):
     srcs = {s for s, _ in rows} | {d for _, d in rows}
     assert {x % 2 for x in srcs} == {0, 1}
     assert len(rows) == 6
+
+
+def test_pin_modes_all_match_and_release(spark, monkeypatch, tmp_path):
+    """The three MP_PIN_MODE execution modes (local / persist / reliable)
+    must be result-identical across the loop family, persist-mode pins must
+    be RELEASED when a loop returns (ADVICE r6: no cached-block accumulation
+    across invocations), and reliable mode must actually write checkpoint
+    state under MP_CHECKPOINT_DIR (the executor-loss-proof storage)."""
+    import os
+
+    from marketpipe_spark.operators.dedup import dedup_clusters
+    from marketpipe_spark.operators.graph import khop_reach, label_propagation
+
+    edges = [(i % 29, (i * 11 + 3) % 29) for i in range(150) if i % 29 != (i * 11 + 3) % 29]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    sym = df.selectExpr("src as u", "dst as v")
+    pairs = df.selectExpr("src as id_a", "dst as id_b")
+    seeds = spark.createDataFrame([(0,)], "id long")
+
+    def snapshot():
+        return (
+            _scores(pagerank(df, iterations=3)),
+            {(r.id, r.label) for r in label_propagation(sym, iterations=3).collect()},
+            {(r.id, r.hop) for r in khop_reach(sym, seeds, hops=2).collect()},
+            {(r.doc_id, r.cluster_id) for r in dedup_clusters(pairs).collect()},
+        )
+
+    base = snapshot()
+
+    monkeypatch.setenv("MP_PIN_MODE", "persist")
+    assert snapshot() == base
+    # Release discipline: no DISK_ONLY pin may survive the operator calls.
+    # (localCheckpoint's internal MEMORY_AND_DISK persists are still
+    # registered until the ContextCleaner GCs them — those are Spark's to
+    # clean; the scoped _pin/_pin_keyed DISK_ONLY frames are ours.)
+    leaked = [
+        rid
+        for rid, rdd in spark.sparkContext._jsc.getPersistentRDDs().items()
+        if rdd.getStorageLevel().useDisk() and not rdd.getStorageLevel().useMemory()
+    ]
+    assert not leaked, f"DISK_ONLY pins leaked after loop operators: {leaked}"
+
+    ckpt = tmp_path / "ckpt"
+    monkeypatch.setenv("MP_PIN_MODE", "reliable")
+    monkeypatch.setenv("MP_CHECKPOINT_DIR", str(ckpt))
+    assert snapshot() == base
+    assert any(os.scandir(ckpt)), "reliable mode wrote no checkpoint state"
