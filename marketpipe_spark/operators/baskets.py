@@ -33,7 +33,11 @@ MICRO = 1_000_000
 
 
 def capped_basket_arrays(
-    df: DataFrame, basket_col: str, item_col: str, max_basket: int
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    max_basket: int,
+    salt_buckets: int | None = None,
 ) -> DataFrame:
     """``(bk, items)`` — each basket's ``max_basket`` lowest distinct item
     keys as a SORTED ARRAY.
@@ -43,15 +47,41 @@ def capped_basket_arrays(
     with the basket in-row, within-basket PAIR enumeration becomes a pure
     map expression (see :func:`basket_pairs`) instead of a self-join: the
     r6 rewrite that removed two shuffles and the join from every basket
-    consumer. The agg buffer holds one basket's distinct items (exactly
-    what a window partition buffers too); a domain with pathologically
-    wide baskets should pre-cap upstream, same contract as before."""
-    return (
-        df.select(F.col(basket_col).alias("bk"), F.col(item_col).alias("item"))
-        .groupBy("bk")
-        .agg(
-            F.slice(F.sort_array(F.collect_set("item")), 1, max_basket).alias("items")
+    consumer.
+
+    Item keys must be NON-NULL: ``collect_set`` silently drops NULLs, so a
+    nullable item column loses its ``(bk, NULL)`` group — filter upstream
+    if NULL is meaningful (ADVICE r6; every registry caller keys on
+    ``l_partkey``-style non-null ids).
+
+    Buffer contract: the default single-agg buffer holds one basket's full
+    distinct item set before the ``slice`` — fine when basket width is
+    domain-bounded, a blow-up risk on a corpus with one pathological
+    mega-basket (VERDICT r6). ``salt_buckets=S`` switches to the two-stage
+    cap for such domains: stage 1 groups by ``(bk, xxhash64(item) % S)``
+    and caps each salt group at ``max_basket`` (buffer ÷S, output ≤
+    ``max_basket`` per group); stage 2 merges ≤S pre-capped sorted arrays
+    (buffer ≤ ``S * max_basket``, mega-basket-independent) and re-slices.
+    Winner-preserving, hence result-IDENTICAL to the single-stage form:
+    every globally-lowest-``max_basket`` item is also among its own salt
+    group's lowest ``max_basket`` (removing other items never demotes a
+    survivor), and an item's salt group is a pure function of the item, so
+    no duplicates cross groups. Cost: one extra shuffle — the default
+    stays single-stage for the registry's bounded baskets."""
+    base = df.select(F.col(basket_col).alias("bk"), F.col(item_col).alias("item"))
+    if salt_buckets:
+        part = base.groupBy(
+            "bk", F.pmod(F.xxhash64("item"), F.lit(salt_buckets)).alias("_salt")
+        ).agg(
+            F.slice(F.sort_array(F.collect_set("item")), 1, max_basket).alias("part")
         )
+        return part.groupBy("bk").agg(
+            F.slice(
+                F.array_sort(F.flatten(F.collect_list("part"))), 1, max_basket
+            ).alias("items")
+        )
+    return base.groupBy("bk").agg(
+        F.slice(F.sort_array(F.collect_set("item")), 1, max_basket).alias("items")
     )
 
 

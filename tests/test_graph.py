@@ -310,3 +310,38 @@ def test_pin_modes_all_match_and_release(spark, monkeypatch, tmp_path):
     monkeypatch.setenv("MP_CHECKPOINT_DIR", str(ckpt))
     assert snapshot() == base
     assert any(os.scandir(ckpt)), "reliable mode wrote no checkpoint state"
+
+
+def test_capped_basket_arrays_salted_two_stage_identical(spark):
+    """The salt_buckets two-stage cap (mega-basket buffer guard) must be
+    result-identical to the single-stage form: winner-preservation means a
+    globally-lowest item is also its salt group's lowest, so the merged
+    slice reproduces the exact cap. Synthetic mega-basket: one basket holds
+    the whole item universe; a second is narrow."""
+    from marketpipe_spark.operators.baskets import (
+        association_rules,
+        capped_basket_arrays,
+    )
+
+    rows = [(1, i * 13 % 5000) for i in range(5000)] + [(2, j) for j in (4, 9, 2)]
+    df = spark.createDataFrame(rows, "bk long, item long")
+    plain = {r.bk: r.items for r in capped_basket_arrays(df, "bk", "item", 8).collect()}
+    for s in (1, 4, 64):
+        salted = {
+            r.bk: r.items
+            for r in capped_basket_arrays(df, "bk", "item", 8, salt_buckets=s).collect()
+        }
+        assert salted == plain, f"salt_buckets={s} diverged"
+    assert plain[1] == sorted({i * 13 % 5000 for i in range(5000)})[:8]
+    assert plain[2] == [2, 4, 9]
+    # downstream consumer parity: association rules over salted arrays
+    # match the unsalted plan row-for-row
+    plain_rules = association_rules(
+        capped_basket_arrays(df, "bk", "item", 8), min_support=1, top_n=20
+    ).collect()
+    salted_rules = association_rules(
+        capped_basket_arrays(df, "bk", "item", 8, salt_buckets=16),
+        min_support=1,
+        top_n=20,
+    ).collect()
+    assert sorted(map(tuple, salted_rules)) == sorted(map(tuple, plain_rules))
