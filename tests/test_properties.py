@@ -414,3 +414,79 @@ def test_upsert_bars_matches_dict_model(spark, tmp_path_factory, batches):
         for r in read_bars(spark, root, frame="1m").collect()
     }
     assert got == model
+
+
+@_settings
+@given(trades=trades_st, quotes=quotes_st, tolerance=st.integers(0, 10))
+def test_asof_tolerance_boundary_matches_python_model(spark, trades, quotes, tolerance):
+    """Tolerance is INCLUSIVE of left.ts - tolerance (stale means strictly
+    older): the boundary class of bug the r6 streaming sweep caught (>= vs >)
+    — pinned here against a pure-Python nearest-backward model. Also covers
+    equal-timestamp ties (ts domain is 0..40, collisions constant) and empty
+    right sides per symbol."""
+    tdf = spark.createDataFrame(
+        [(s, t, float(v)) for (s, t), v in trades.items()],
+        "symbol string, ts_ns long, trade_value double",
+    )
+    qdf = spark.createDataFrame(
+        [(s, t, float(v)) for (s, t), v in quotes.items()] or [("Z", 0, 0.0)],
+        "symbol string, ts_ns long, quote_value double",
+    )
+    got = {
+        (r.symbol, r.ts_ns): (r.ts_ns_right, r.quote_value_right)
+        for r in asof_join(tdf, qdf, tolerance=tolerance).collect()
+    }
+    for (s, t), _v in trades.items():
+        eligible = [
+            (qt, qv)
+            for (qs, qt), qv in quotes.items()
+            if qs == s and qt <= t and t - qt <= tolerance
+        ]
+        if eligible:
+            qt, qv = max(eligible)
+            assert got[(s, t)] == (qt, float(qv)), f"tolerance mismatch at {(s, t)}"
+        else:
+            assert got[(s, t)] == (None, None), f"stale match leaked at {(s, t)}"
+
+
+intervals_st = st.lists(
+    st.tuples(
+        st.sampled_from(["A", "B"]),
+        st.integers(0, 40),  # start
+        st.integers(1, 25),  # length -> end = start + length (end exclusive)
+        st.integers(1, 9),  # payload
+    ),
+    max_size=10,
+)
+
+
+@_settings
+@given(points=trades_st, raw_intervals=intervals_st, slab=st.sampled_from([1, 7, 64]))
+def test_interval_join_matches_python_model(spark, points, raw_intervals, slab):
+    """interval_join's slab bucketing must be invisible: for any slab width
+    (1 = every point its own slab, 7 = intervals straddle slabs, 64 = all in
+    one slab) the result equals the brute-force start <= ts < end model —
+    including points exactly AT start (kept) and AT end (dropped), and empty
+    sides."""
+    from marketpipe_spark.operators.asof import interval_join
+
+    pdf = spark.createDataFrame(
+        [(s, t, float(v)) for (s, t), v in points.items()],
+        "symbol string, ts_ns long, pval double",
+    )
+    idf = spark.createDataFrame(
+        [(s, a, a + ln, float(v)) for s, a, ln, v in raw_intervals]
+        or [("Z", 0, 1, 0.0)],
+        "symbol string, start_ns long, end_ns long, ival double",
+    )
+    got = sorted(
+        (r.symbol, r.ts_ns, r.start_ns, r.end_ns, r.ival)
+        for r in interval_join(pdf, idf, slab=slab).collect()
+    )
+    want = sorted(
+        (s, t, a, a + ln, float(v))
+        for (ps, t), _pv in points.items()
+        for s, a, ln, v in raw_intervals
+        if ps == s and a <= t < a + ln
+    )
+    assert got == want
