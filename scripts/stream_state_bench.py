@@ -76,10 +76,9 @@ def drain_with_progress(spark, stream_df, mode: str) -> dict:
         "sink_rows": out_rows,
     }
     if custom:
-        rec["rocksdb_bytes"] = {
-            k: v for k, v in custom.items()
-            if k in ("totalSSTFilesBytes", "rocksdbSstFileSize")
-        } or dict(sorted(custom.items())[:3])
+        # provider-specific byte metrics (default emits
+        # stateOnCurrentVersionSizeBytes; RocksDB emits rocksdb*-prefixed)
+        rec["custom_bytes"] = dict(sorted(custom.items())[:3])
     return rec
 
 
