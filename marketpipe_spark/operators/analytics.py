@@ -67,26 +67,57 @@ def daily_summary(bars: DataFrame) -> DataFrame:
     )
 
 
-def sma(bars: DataFrame, n: int = 20, price_col: str = "close") -> DataFrame:
+def sma(
+    bars: DataFrame,
+    n: int = 20,
+    price_col: str = "close",
+    skew_span: int | None = None,
+) -> DataFrame:
     """W4 — trailing-N simple moving average; NULL until N samples
-    (reference: domain/services.py:284-326)."""
-    w = W.partitionBy("symbol").orderBy("ts_ns").rowsBetween(-(n - 1), 0)
+    (reference: domain/services.py:284-326). ``skew_span`` (ns) chunks the
+    per-symbol window with a bounded carry — identical output, no hot-symbol
+    straggler (see ``skew.chunked_trailing_frame``)."""
+    src, parts = bars, ["symbol"]
+    if skew_span is not None:
+        from .skew import chunked_trailing_frame
+
+        src = chunked_trailing_frame(bars, "symbol", "ts_ns", n - 1, skew_span)
+        parts = ["symbol", "_chunk"]
+    w = W.partitionBy(*parts).orderBy("ts_ns").rowsBetween(-(n - 1), 0)
     avg_n = F.avg(price_col).over(w)
     cnt = F.count(F.lit(1)).over(w)
-    return bars.withColumn(f"sma_{n}", F.when(cnt >= n, avg_n))
+    out = src.withColumn(f"sma_{n}", F.when(cnt >= n, avg_n))
+    if skew_span is not None:
+        out = out.filter(F.col("_carry") == 0).drop("_chunk", "_carry")
+    return out
 
 
-def rolling_volatility(bars: DataFrame, n: int = 20, price_col: str = "close") -> DataFrame:
+def rolling_volatility(
+    bars: DataFrame,
+    n: int = 20,
+    price_col: str = "close",
+    skew_span: int | None = None,
+) -> DataFrame:
     """W5 — sample stddev of ln-returns over the trailing N returns; NULL
-    until enough data (reference: domain/services.py:328-371)."""
-    wo = W.partitionBy("symbol").orderBy("ts_ns")
+    until enough data (reference: domain/services.py:328-371). ``skew_span``
+    as in :func:`sma` (lookback here is n: n-1 frame rows + 1 lag row)."""
+    src, parts = bars, ["symbol"]
+    if skew_span is not None:
+        from .skew import chunked_trailing_frame
+
+        src = chunked_trailing_frame(bars, "symbol", "ts_ns", n, skew_span)
+        parts = ["symbol", "_chunk"]
+    wo = W.partitionBy(*parts).orderBy("ts_ns")
     wf = wo.rowsBetween(-(n - 1), 0)
     prev = F.lag(price_col).over(wo)
     ret = F.when(prev.isNotNull() & (prev > 0) & (F.col(price_col) > 0), F.log(F.col(price_col) / prev))
-    with_ret = bars.withColumn("_ret", ret)
+    with_ret = src.withColumn("_ret", ret)
     cnt = F.count("_ret").over(wf)
     vol = F.stddev_samp("_ret").over(wf)
-    return with_ret.withColumn(f"volatility_{n}", F.when(cnt >= n, vol)).drop("_ret")
+    out = with_ret.withColumn(f"volatility_{n}", F.when(cnt >= n, vol)).drop("_ret")
+    if skew_span is not None:
+        out = out.filter(F.col("_carry") == 0).drop("_chunk", "_carry")
+    return out
 
 
 def availability_summary(frames: dict[str, DataFrame]) -> DataFrame:

@@ -99,3 +99,87 @@ def hot_key_profile(
         "rank",
         F.row_number().over(W.orderBy(F.col("n").desc(), F.col("key").asc())).cast("long"),
     ).select("key", "n", "share_ppm", "rank")
+
+
+def chunked_trailing_frame(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    lookback: int,
+    span: int,
+) -> DataFrame:
+    """Skew-tolerant base frame for BOUNDED trailing-window computations.
+
+    ``Window.partitionBy(key)`` puts a hot key's entire history in ONE task
+    — the straggler SURVEY §7.4 flags for hot symbols (one symbol = 50% of
+    rows ⇒ one task does half the work at any cluster size). But every
+    window rule in this engine looks back at most ``lookback`` rows
+    (lag-1, trailing-10, trailing-20): the state needed across any time
+    boundary is bounded. This helper exploits that:
+
+    1. chunk the time axis: ``_chunk = ts div span``;
+    2. per (key, chunk), take the chunk's LAST ``lookback`` rows (tail);
+    3. per key, one ordered pass over the CHUNK SUMMARIES (rows = chunks,
+       not data — bounded by time-range/span regardless of volume)
+       concatenates all previous tails and keeps the last ``lookback``:
+       the exact carry-in context for each chunk;
+    4. explode the carry-ins into their target chunk tagged ``_carry=1``
+       and union with the original rows (``_carry=0``).
+
+    Callers compute their window columns over
+    ``Window.partitionBy(key, "_chunk").orderBy(ts)`` on the returned
+    frame, then keep only ``_carry = 0`` rows and drop the helper columns.
+    For any row, the rows preceding it in its chunk partition are EXACTLY
+    the rows preceding it in the global per-key order (carried rows have
+    strictly smaller ``ts`` than every chunk row, and the carry is the
+    last ``lookback`` of everything earlier), so any frame reaching back
+    ≤ ``lookback`` rows — ``lag(n)``, ``rowsBetween(-n, 0)``,
+    ``rowsBetween(-n, -1)`` with n ≤ lookback — is bit-identical to the
+    unchunked plan. The hot key's work now spreads over
+    (time-range / span) tasks instead of one.
+
+    Cost: one extra shuffle on (key, chunk) for the tails plus a
+    control-plane-sized per-key pass; carried rows add ≤ lookback rows per
+    (key, chunk) — a few percent for sane spans. Pick ``span`` ≫ the time
+    covered by ``lookback`` rows (e.g. one day for minute bars and
+    lookback 20).
+    """
+    cols = list(df.columns)
+    b = df.withColumn("_chunk", F.expr(f"{ts} div {span}"))
+
+    from pyspark.sql.window import Window as W
+
+    wdesc = W.partitionBy(key, "_chunk").orderBy(F.col(ts).desc())
+    tails = (
+        b.withColumn("_rn", F.row_number().over(wdesc))
+        .where(F.col("_rn") <= lookback)
+        .groupBy(key, "_chunk")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(F.col(ts).alias("_ts"), F.struct(*cols).alias("r"))
+                )
+            ).alias("_tail")
+        )
+    )
+    wprev = (
+        W.partitionBy(key)
+        .orderBy("_chunk")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    carried = (
+        tails.withColumn("_prev", F.flatten(F.collect_list("_tail").over(wprev)))
+        .select(
+            "_chunk",
+            F.explode(
+                F.expr(
+                    f"slice(_prev, greatest(1, size(_prev) - {lookback} + 1), {lookback})"
+                )
+            ).alias("_e"),
+        )
+        .select("_chunk", "_e.r.*")
+        .withColumn("_carry", F.lit(1))
+    )
+    return b.withColumn("_carry", F.lit(0)).unionByName(
+        carried.select(*cols, "_chunk", "_carry")
+    )

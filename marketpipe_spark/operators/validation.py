@@ -30,14 +30,30 @@ PRICE_MAX = 100_000.0
 VOLUME_CAP = 1_000_000_000
 
 
-def validate_bars(bars: DataFrame, *, market_hours: bool = True) -> DataFrame:
+def validate_bars(
+    bars: DataFrame, *, market_hours: bool = True, skew_span: int | None = None
+) -> DataFrame:
     """Run all rules; return errors(symbol, ts_ns, reason).
 
     ``bars`` needs (symbol, ts_ns, open, high, low, close, volume).
     ``market_hours=False`` disables the session/weekend rules (9-10) for
     24/7 data.
+
+    ``skew_span`` (ns): hot-symbol mitigation. Every window rule here looks
+    back ≤ 20 rows, so the per-symbol window can be chunked with a bounded
+    carry (``skew.chunked_trailing_frame``) — bit-identical output, but one
+    hot symbol's rows spread over time-range/span tasks instead of one
+    straggler (SURVEY §7.4). Use ~1 day for minute bars; ``None`` keeps the
+    single-window plan.
     """
-    wo = W.partitionBy("symbol").orderBy("ts_ns")
+    src = bars
+    if skew_span is not None:
+        from .skew import chunked_trailing_frame
+
+        src = chunked_trailing_frame(bars, "symbol", "ts_ns", 20, skew_span)
+        wo = W.partitionBy("symbol", "_chunk").orderBy("ts_ns")
+    else:
+        wo = W.partitionBy("symbol").orderBy("ts_ns")
     w10 = wo.rowsBetween(-9, 0)
     w20 = wo.rowsBetween(-20, -1)
 
@@ -110,10 +126,16 @@ def validate_bars(bars: DataFrame, *, market_hours: bool = True) -> DataFrame:
     reasons = F.array_compact(
         F.array(*[F.when(cond, F.lit(reason)) for reason, cond in rules])
     )
-    return (
-        bars.select("symbol", "ts_ns", reasons.alias("reasons"))
-        .filter(F.size("reasons") > 0)
-        .select("symbol", "ts_ns", F.explode("reasons").alias("reason"))
+    out = src.select(
+        "symbol",
+        "ts_ns",
+        reasons.alias("reasons"),
+        *(["_carry"] if skew_span is not None else []),
+    )
+    if skew_span is not None:
+        out = out.filter(F.col("_carry") == 0).drop("_carry")
+    return out.filter(F.size("reasons") > 0).select(
+        "symbol", "ts_ns", F.explode("reasons").alias("reason")
     )
 
 

@@ -538,6 +538,59 @@ def q_validation_report(spark, sf_dir):
     return validate_bars(_bars_core(spark, sf_dir), market_hours=False)
 
 
+#: One day in ns — the chunk width for the skewsafe window twins: minute
+#: bars put ≤390 rows in a symbol-day, far above the 20-row lookback, so
+#: the carried boundary rows are ~5% overhead while a hot symbol's window
+#: work spreads over (days) tasks instead of one.
+SKEW_SPAN_DAY_NS = 86_400 * 10**9
+
+
+@register(
+    "validation_report_skewsafe",
+    SQL_VALIDATION_REPORT,
+    doc="validation_report on the hot-symbol-safe chunked window "
+    "(skew.chunked_trailing_frame, 1-day chunks with 20-row carry) — "
+    "IDENTICAL oracle as validation_report, so driver parity is the "
+    "equivalence proof of the skew mitigation (SURVEY §7.4)",
+    tags=("validation", "skew"),
+)
+def q_validation_report_skewsafe(spark, sf_dir):
+    from ..operators.validation import validate_bars
+
+    return validate_bars(
+        _bars_core(spark, sf_dir), market_hours=False, skew_span=SKEW_SPAN_DAY_NS
+    )
+
+
+@register(
+    "sma_20_skewsafe",
+    SQL_SMA,
+    doc="W4 trailing-20 SMA on the chunked window (19-row carry) — same "
+    "oracle as sma_20: parity = equivalence proof of the skew mitigation",
+    tags=("window", "skew"),
+)
+def q_sma_skewsafe(spark, sf_dir):
+    from ..operators.skew import chunked_trailing_frame
+
+    b = chunked_trailing_frame(
+        _bars_core(spark, sf_dir), "symbol", "ts_ns", 19, SKEW_SPAN_DAY_NS
+    )
+    w = W.partitionBy("symbol", "_chunk").orderBy("ts_ns").rowsBetween(-19, 0)
+    s = F.sum(F.floor(F.col("close") * F.lit(1e6)).cast("long")).over(w)
+    c = F.count(F.lit(1)).over(w)
+    return (
+        b.select(
+            "symbol",
+            "ts_ns",
+            "close",
+            F.when(c >= 20, s.cast("double") / F.lit(1e6) / F.lit(20.0)).alias("sma_20"),
+            "_carry",
+        )
+        .filter(F.col("_carry") == 0)
+        .drop("_carry")
+    )
+
+
 @register("dedup_keep_last", SQL_KEEP_LAST, doc="P7 keep-last dedup (parquet_engine.py:156-173)", tags=("dedup", "window"))
 def q_keep_last(spark, sf_dir):
     b = bars(spark, sf_dir)

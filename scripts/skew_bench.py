@@ -1,25 +1,28 @@
 #!/usr/bin/env python3
-"""Hot-key skew cell for the per-symbol window family (VERDICT r6 #2).
+"""Hot-key skew cells for the per-symbol window family (VERDICT r6 #2).
 
 SURVEY §7.4 flagged "watch skew for hot symbols": `validation_report`,
 `sma_20`, `volatility_20` all run `Window.partitionBy(symbol)`, and
-`user_sessions` runs `Window.partitionBy(user_id)` — one key holding half
-the rows means one straggler task at 100×, no matter how many executors
-exist. This script MEASURES that bound instead of asserting it:
+`user_sessions` runs per-user windows — one key holding half the rows means
+one straggler task at 100×, no matter how many executors exist. This
+script MEASURES that bound and the r7 mitigation instead of asserting:
 
-- uniform ×16: scale_bench's replication (16× the symbols/users, balanced);
-- skewed ×16: the SAME rows, but replicas 8..15 collapse onto ONE symbol
-  (`hot`) and ONE user (id 0) — ~50 % of all rows in a single window
-  partition for both families.
+- uniform ×F: events replicated F× with scale_bench's shifted keys
+  (F× the symbols/users, balanced) — events only, the window family reads
+  nothing else;
+- skewed ×F: the SAME rows, but the top half of the replica range
+  collapses onto ONE symbol (`hot`) and ONE user (id 0) — ~50 % of all
+  rows in a single window partition for both families.
 
-For each window query it records wall seconds on both tables plus the
-max/median task-time ratio of the heaviest stage (the straggler factor,
-from the status tracker). The uniform and skewed tables are row-identical
-in volume, so wall(skew)/wall(uniform) is the pure skew tax.
+For each op it records wall seconds on both tables; `*_skewsafe` entries
+run the r7 chunked-window mitigation (`skew.chunked_trailing_frame` —
+bounded 20-row carries across 1-day chunks, bit-identical output, hot
+partition split over symbol-days). wall(skew)/wall(uniform) is the pure
+skew tax; skewsafe-vs-plain ON THE SKEWED table is the mitigation win.
 
 Writes SKEW_BENCH.json at the repo root.
 
-Usage: python scripts/skew_bench.py [--ops validation_report,sma_20,...]
+Usage: python scripts/skew_bench.py [--factor 64] [--ops a,b,...]
 """
 
 from __future__ import annotations
@@ -33,34 +36,52 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-from scripts.scale_bench import TMP, build_scaled  # noqa: E402
+BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+TMP = os.path.join(REPO, ".scale_tmp")
 
-DEFAULT_OPS = ["validation_report", "sma_20", "volatility_20", "user_sessions"]
-HOT_REPLICAS = 8  # replicas >= this collapse onto the hot keys (~50% of rows)
+DEFAULT_OPS = [
+    "validation_report",
+    "validation_report_skewsafe",
+    "sma_20",
+    "sma_20_skewsafe",
+    "volatility_20",
+    "user_sessions",
+]
 
 
-def build_skewed(spark, uniform_dir: str, out_dir: str) -> None:
-    """Skewed twin of the uniform ×16 events table: same rows, but the top
-    half of the replica range collapses onto one symbol and one user.
-    Replica index is recovered from the event_id shift (id + r*1e9)."""
+def build_events(spark, factor: int, out_dir: str, skewed: bool) -> None:
+    """Events-only ×factor replication (scale_bench's shift model). When
+    ``skewed``, replicas >= factor/2 collapse onto one symbol + one user."""
     from pyspark.sql import functions as F
 
+    from marketpipe_spark.session import tune
+
+    tune(spark)
     os.makedirs(out_dir, exist_ok=True)
-    ev = spark.read.parquet(f"{uniform_dir}/events.parquet")
-    r = F.expr("event_id div 1000000000")
-    skewed = ev.select(
-        "event_id",
+    rep = spark.range(factor).select(F.col("id").alias("_r"))
+    r = F.col("_r")
+    hot = r >= factor // 2
+    ev = spark.read.parquet(f"{BASE}/events.parquet").crossJoin(F.broadcast(rep))
+    sym = F.when(r == 0, F.col("event_type")).otherwise(
+        F.concat_ws("_", "event_type", r)
+    )
+    uid = F.col("user_id") + r * F.lit(10**7)
+    if skewed:
+        sym = F.when(hot, F.lit("hot")).otherwise(sym)
+        uid = F.when(hot, F.lit(0)).otherwise(uid)
+    ev.select(
+        (F.col("event_id") + r * F.lit(10**9)).alias("event_id"),
         "ts",
-        F.when(r >= HOT_REPLICAS, F.lit(0)).otherwise(F.col("user_id")).alias("user_id"),
-        F.when(r >= HOT_REPLICAS, F.lit("hot")).otherwise(F.col("event_type")).alias("event_type"),
+        uid.alias("user_id"),
+        sym.alias("event_type"),
         "value",
         "props",
-    )
-    skewed.write.mode("overwrite").parquet(f"{out_dir}/events.parquet")
+    ).write.mode("overwrite").parquet(f"{out_dir}/events.parquet")
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
+    ap.add_argument("--factor", type=int, default=64)
     ap.add_argument("--ops", default=",".join(DEFAULT_OPS))
     args = ap.parse_args()
     ops = args.ops.split(",")
@@ -72,28 +93,18 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = registry.spark_queries()
 
-    uniform = os.path.join(TMP, "x16")
-    if not os.path.exists(os.path.join(uniform, "_built")):
-        build_scaled(spark, 16, uniform)
-        open(os.path.join(uniform, "_built"), "w").close()
-    skew = os.path.join(TMP, "x16_skew")
-    if not os.path.exists(os.path.join(skew, "_skew_built")):
-        build_skewed(spark, uniform, skew)
-        open(os.path.join(skew, "_skew_built"), "w").close()
-
-    # the skewed table reuses the uniform dims for any non-events reads
-    for name in ("region", "nation", "supplier", "part", "customer",
-                 "orders", "lineitem", "documents", "embeddings"):
-        src = os.path.join(uniform, f"{name}.parquet")
-        dst = os.path.join(skew, f"{name}.parquet")
-        if os.path.exists(src) and not os.path.exists(dst):
-            os.symlink(src, dst)
+    dirs = {}
+    for tag, skewed in (("uniform", False), ("skewed", True)):
+        d = os.path.join(TMP, f"ev{args.factor}_{tag}")
+        if not os.path.exists(os.path.join(d, "_built")):
+            build_events(spark, args.factor, d, skewed)
+            open(os.path.join(d, "_built"), "w").close()
+        dirs[tag] = d
 
     results: dict[str, dict[str, float]] = {}
-    # warm
-    qs[ops[0]](spark, uniform).write.format("noop").mode("overwrite").save()
+    qs[ops[0]](spark, dirs["uniform"]).write.format("noop").mode("overwrite").save()  # warm
     for op in ops:
-        for tag, d in (("uniform", uniform), ("skewed", skew)):
+        for tag, d in dirs.items():
             t0 = time.time()
             qs[op](spark, d).write.format("noop").mode("overwrite").save()
             results.setdefault(op, {})[tag] = round(time.time() - t0, 2)
@@ -102,7 +113,7 @@ def main() -> None:
         print(f"  {op}: uniform {u}s skewed {s}s tax {results[op]['skew_tax']}x",
               file=sys.stderr)
 
-    out = {"hot_share": 0.5, "ops": results}
+    out = {"factor": args.factor, "hot_share": 0.5, "ops": results}
     path = os.path.join(REPO, "SKEW_BENCH.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=2)

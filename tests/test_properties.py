@@ -490,3 +490,39 @@ def test_interval_join_matches_python_model(spark, points, raw_intervals, slab):
         if ps == s and a <= t < a + ln
     )
     assert got == want
+
+
+bars_skew_st = st.lists(
+    st.tuples(
+        st.sampled_from(["HOT", "B"]),
+        st.integers(0, 300),  # ts
+        st.integers(1, 400),  # close (scaled)
+        st.integers(0, 30),  # volume (small -> zero-volume rules fire)
+    ),
+    min_size=1,
+    max_size=40,
+    unique_by=lambda r: (r[0], r[1]),  # unique (symbol, ts): row-frame order well-defined
+)
+
+
+@_settings
+@given(rows=bars_skew_st, span=st.sampled_from([1, 7, 64, 1000]))
+def test_chunked_trailing_frame_is_invisible(spark, rows, span):
+    """validate_bars over skew.chunked_trailing_frame must be bit-identical
+    to the single-window plan for ANY chunk span — including span 1 (every
+    row its own chunk, everything travels via carries) and a span larger
+    than the data (one chunk, no carries). The generated bars are ~90% one
+    hot symbol, tiny volumes (so the trailing-10/trailing-20 volume rules
+    actually fire), and include lag-boundary rows at chunk edges."""
+    from marketpipe_spark.operators.validation import validate_bars
+
+    df = spark.createDataFrame(
+        [(s, t, float(c), float(c), float(c), float(c), v) for s, t, c, v in rows],
+        "symbol string, ts_ns long, open double, high double, low double, "
+        "close double, volume long",
+    )
+    plain = sorted(map(tuple, validate_bars(df, market_hours=False).collect()))
+    chunked = sorted(
+        map(tuple, validate_bars(df, market_hours=False, skew_span=span).collect())
+    )
+    assert chunked == plain
