@@ -290,19 +290,27 @@ def test_pin_modes_all_match_and_release(spark, monkeypatch, tmp_path):
             {(r.doc_id, r.cluster_id) for r in dedup_clusters(pairs).collect()},
         )
 
+    def disk_only_rdds():
+        return {
+            rid
+            for rid, rdd in spark.sparkContext._jsc.getPersistentRDDs().items()
+            if rdd.getStorageLevel().useDisk() and not rdd.getStorageLevel().useMemory()
+        }
+
     base = snapshot()
 
+    # Other tests in the shared session may hold legitimate non-loop pins
+    # (caller-managed lifetime, e.g. minhash's shingle pin under persist) —
+    # the release contract here covers the LOOP operators only, so diff
+    # against the pre-existing set.
+    pre_existing = disk_only_rdds()
     monkeypatch.setenv("MP_PIN_MODE", "persist")
     assert snapshot() == base
-    # Release discipline: no DISK_ONLY pin may survive the operator calls.
+    # Release discipline: no NEW DISK_ONLY pin may survive the loop calls.
     # (localCheckpoint's internal MEMORY_AND_DISK persists are still
     # registered until the ContextCleaner GCs them — those are Spark's to
     # clean; the scoped _pin/_pin_keyed DISK_ONLY frames are ours.)
-    leaked = [
-        rid
-        for rid, rdd in spark.sparkContext._jsc.getPersistentRDDs().items()
-        if rdd.getStorageLevel().useDisk() and not rdd.getStorageLevel().useMemory()
-    ]
+    leaked = disk_only_rdds() - pre_existing
     assert not leaked, f"DISK_ONLY pins leaked after loop operators: {leaked}"
 
     ckpt = tmp_path / "ckpt"
