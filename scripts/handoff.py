@@ -65,7 +65,11 @@ def main() -> int:
     ):
         return 4
     run("bench", [py, "bench.py"], 1200)
-    run("concurrent bench", [py, "scripts/concurrent_bench.py", "--round", rnd], 1800)
+    run(
+        "concurrent bench",
+        [py, "scripts/concurrent_bench.py", "--round", rnd, "--threads", "8"],
+        1800,
+    )
     print("\nhandoff complete", flush=True)
     return 0
 
