@@ -116,9 +116,13 @@ def main() -> int:
     spark = get_spark("local-correctness")
     out, n_fail = run_sweep(spark, sf_dir, only)
     spark.stop()
+    # A non-default pin mode (persist / reliable) gets its own artifact name
+    # so per-mode sweeps don't clobber the default one.
+    mode = os.environ.get("MP_PIN_MODE", "local")
+    tag = "" if mode == "local" else f"_{mode.upper()}"
     if only is None:
         path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                            f"CORRECTNESS_LOCAL_r{rnd}.json")
+                            f"CORRECTNESS_LOCAL{tag}_r{rnd}.json")
         with open(path, "w") as f:
             json.dump(out, f, indent=2)
         print(f"\n{len(out) - n_fail}/{len(out)} green -> {path}")
