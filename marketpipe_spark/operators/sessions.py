@@ -21,9 +21,17 @@ def sessionize(
     ts: str = "ts_ns",
     gap: int = 1_800_000_000_000,
     order_cols: list[str] | None = None,
+    skew_span: int | None = None,
 ) -> DataFrame:
     """Tag each row with ``session_seq`` (1-based per key). ``order_cols``
-    breaks ts ties to keep the window total-ordered."""
+    breaks ts ties to keep the window total-ordered.
+
+    ``skew_span`` (optional, in ``ts`` units) switches to the skew-tolerant
+    two-phase plan for hot keys — see :func:`_sessionize_chunked`. Results
+    are bit-identical for any span ≥ 1.
+    """
+    if skew_span:
+        return _sessionize_chunked(events, key, ts, gap, order_cols, skew_span)
     order = [F.col(ts).asc()] + [F.col(c).asc() for c in (order_cols or [])]
     w = W.partitionBy(key).orderBy(*order)
     prev = F.lag(ts).over(w)
@@ -34,15 +42,97 @@ def sessionize(
     ).drop("_b")
 
 
+def _sessionize_chunked(
+    events: DataFrame,
+    key: str,
+    ts: str,
+    gap: int,
+    order_cols: list[str] | None,
+    span: int,
+) -> DataFrame:
+    """Exact sessionization that spreads a hot key over time chunks.
+
+    ``Window.partitionBy(key)`` puts a hot key's entire history in ONE task
+    (the SURVEY §7.4 straggler). The running session ordinal looks unbounded
+    — it cumulates boundary flags over the key's whole history — but it
+    decomposes exactly:
+
+    1. chunk the time axis (``_chunk = ts div span``; equal timestamps land
+       in the same chunk, so chunk order is strict time order);
+    2. per (key, chunk): boundary flags for non-first rows need only lag-1
+       INSIDE the chunk; ``_lcum`` is their running sum — both on the
+       (key, chunk) window, hot key spread over its chunks;
+    3. per key, one pass over the CHUNK SUMMARIES (first/last ts + boundary
+       count per chunk — rows = chunks, volume-independent): the chunk's
+       first row starts a session iff ``first_ts − prev_chunk_last_ts >
+       gap`` (or no previous chunk), and the chunk's session offset is the
+       exclusive running sum of (first-row flag + in-chunk boundary count)
+       plus its own first-row flag;
+    4. join offsets back on (key, chunk): ``session_seq = offset + _lcum``.
+
+    For every row this equals the plain plan's running boundary sum — the
+    decomposition only regroups the same flag sequence — so the result is
+    bit-identical for ANY span ≥ 1 (a property test sweeps spans including
+    1, where every chunk holds one timestamp). Cost: the summary pass and
+    one co-keyed join on (key, chunk); pick span ≫ typical gap so carries
+    stay rare (e.g. one day for ns timestamps and a 30-minute gap).
+    """
+    order = [F.col(ts).asc()] + [F.col(c).asc() for c in (order_cols or [])]
+    b = events.withColumn("_chunk", F.expr(f"{ts} div {span}"))
+
+    wc = W.partitionBy(key, "_chunk").orderBy(*order)
+    prev = F.lag(ts).over(wc)
+    # First row in a chunk (prev NULL) gets 0 here; its flag is decided in
+    # the summary pass from the previous chunk's last ts and folded into
+    # the offset (it is constant across the chunk's rows).
+    local_b = F.when(prev.isNotNull() & (F.col(ts) - prev > gap), F.lit(1)).otherwise(F.lit(0))
+    tagged = b.withColumn("_lb", local_b).withColumn(
+        "_lcum", F.sum("_lb").over(wc.rowsBetween(W.unboundedPreceding, W.currentRow))
+    )
+
+    summ = tagged.groupBy(key, "_chunk").agg(
+        F.min(ts).alias("_first"),
+        F.max(ts).alias("_last"),
+        F.sum("_lb").alias("_nb"),
+    )
+    wu = W.partitionBy(key).orderBy("_chunk")
+    prev_last = F.lag("_last").over(wu)
+    first_b = F.when(
+        prev_last.isNull() | (F.col("_first") - prev_last > gap), F.lit(1)
+    ).otherwise(F.lit(0))
+    wexc = wu.rowsBetween(W.unboundedPreceding, -1)
+    offs = (
+        summ.withColumn("_fb", first_b)
+        .withColumn(
+            "_off",
+            F.coalesce(F.sum(F.col("_fb") + F.col("_nb")).over(wexc), F.lit(0))
+            + F.col("_fb"),
+        )
+        .select(key, "_chunk", "_off")
+    )
+
+    return (
+        tagged.join(offs, [key, "_chunk"])
+        .withColumn("session_seq", (F.col("_off") + F.col("_lcum")).cast("long"))
+        .drop("_chunk", "_lb", "_lcum", "_off")
+    )
+
+
 def session_stats(
     events: DataFrame,
     key: str = "user_id",
     ts: str = "ts_ns",
     gap: int = 1_800_000_000_000,
     order_cols: list[str] | None = None,
+    skew_span: int | None = None,
 ) -> DataFrame:
-    """Per-session summary: start/end/duration/event count."""
-    s = sessionize(events, key, ts, gap, order_cols)
+    """Per-session summary: start/end/duration/event count.
+
+    The final (key, session_seq) aggregation partial-aggregates map-side, so
+    even a single mega-session does not re-concentrate a hot key that
+    ``skew_span`` spread out.
+    """
+    s = sessionize(events, key, ts, gap, order_cols, skew_span=skew_span)
     return s.groupBy(key, "session_seq").agg(
         F.min(ts).alias("start_ns"),
         F.max(ts).alias("end_ns"),
@@ -91,6 +181,7 @@ def session_paths(
     gap: int = 1_800_000_000_000,
     order_cols: list[str] | None = None,
     max_steps: int = 5,
+    skew_span: int | None = None,
 ) -> DataFrame:
     """Top journey paths: each session's ordered sequence of its first
     ``max_steps`` event types joined with ``>`` (``signup>view>click``),
@@ -98,19 +189,24 @@ def session_paths(
     :func:`event_transitions` (full prefixes instead of first-order hops).
 
     Truncation bounds the output at |event types|^max_steps rows however
-    long sessions get. The per-session sequence is assembled with
-    ``collect_list`` + ``array_sort`` on (ts, tiebreak) structs — bounded
-    per session by construction, deterministic under any partitioning —
-    then one hash-agg counts paths. Shuffles: the sessionize window (key),
-    the per-session agg (key, seq), the path count (path).
+    long sessions get — and the agg BUFFER is bounded too: a row_number
+    over (key, session_seq) keeps only each session's first ``max_steps``
+    events BEFORE the collect (a window sort spills to disk; a
+    ``collect_list`` buffer holding a mega-session does not — the same
+    buffer-bound rationale as ``capped_basket_arrays``), so the collected
+    array is ≤ ``max_steps`` structs per session by construction,
+    deterministic under any partitioning. Shuffles: the sessionize window
+    (key), the per-session window + agg (key, seq — co-partitioned), the
+    path count (path).
     """
-    s = sessionize(events, key, ts, gap, order_cols)
+    s = sessionize(events, key, ts, gap, order_cols, skew_span=skew_span)
+    order = [F.col(ts).asc()] + [F.col(c).asc() for c in (order_cols or [])]
+    wses = W.partitionBy(key, "session_seq").orderBy(*order)
+    s = s.withColumn("_rn", F.row_number().over(wses)).where(F.col("_rn") <= max_steps)
     tie = [F.col(c).alias(f"_o{i}") for i, c in enumerate(order_cols or [])]
     item = F.struct(F.col(ts).alias("_ts"), *tie, F.col(typ).alias("_t"))
     ordered = F.array_sort(F.collect_list(item))
-    path = F.concat_ws(
-        ">", F.transform(F.slice(ordered, 1, max_steps), lambda x: x.getField("_t"))
-    )
+    path = F.concat_ws(">", F.transform(ordered, lambda x: x.getField("_t")))
     per_session = s.groupBy(key, "session_seq").agg(path.alias("path"))
     return per_session.groupBy("path").agg(
         F.count(F.lit(1)).cast("long").alias("n_sessions")

@@ -106,6 +106,27 @@ def q_user_sessions(spark, sf_dir):
     return session_stats(b, key="user_id", ts="ts_ns", gap=NS_30MIN, order_cols=["event_id"])
 
 
+NS_DAY = 86_400 * 10**9
+
+
+@register(
+    "user_sessions_skewsafe",
+    SQL_SESSIONS,
+    doc="user_sessions on the hot-user-safe two-phase sessionizer "
+    "(chunk-local boundaries + control-plane chunk-summary offsets, 1-day "
+    "chunks) — IDENTICAL oracle as user_sessions, so driver parity is the "
+    "equivalence proof (closes the SURVEY §7.4 unbounded-lookback gap "
+    "SCALING.md documented in r7)",
+    tags=("window", "sessions", "skew"),
+)
+def q_user_sessions_skewsafe(spark, sf_dir):
+    b = bars(spark, sf_dir).select("user_id", "ts_ns", "event_id")
+    return session_stats(
+        b, key="user_id", ts="ts_ns", gap=NS_30MIN, order_cols=["event_id"],
+        skew_span=NS_DAY,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Journey paths: each 30-minute session's first-5 event-type sequence,
 # counted corpus-wide — funnel discovery over the same sessionization the

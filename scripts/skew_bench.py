@@ -46,6 +46,7 @@ DEFAULT_OPS = [
     "sma_20_skewsafe",
     "volatility_20",
     "user_sessions",
+    "user_sessions_skewsafe",
 ]
 
 
@@ -113,11 +114,23 @@ def main() -> None:
         print(f"  {op}: uniform {u}s skewed {s}s tax {results[op]['skew_tax']}x",
               file=sys.stderr)
 
-    out = {"factor": args.factor, "hot_share": 0.5, "ops": results}
+    # Cumulative artifact: cells keyed by ×factor, ops merged per cell, so
+    # partial re-runs (--ops a,b --factor F) never clobber other cells.
     path = os.path.join(REPO, "SKEW_BENCH.json")
+    doc: dict = {"hot_share": 0.5, "cells": {}}
+    if os.path.exists(path):
+        try:
+            prior = json.load(open(path))
+            if "cells" in prior:
+                doc = prior
+            elif "ops" in prior:  # migrate the pre-cumulative layout
+                doc["cells"][f"x{prior['factor']}"] = prior["ops"]
+        except Exception:
+            pass
+    doc["cells"].setdefault(f"x{args.factor}", {}).update(results)
     with open(path, "w") as f:
-        json.dump(out, f, indent=2)
-    print(json.dumps(out))
+        json.dump(doc, f, indent=2)
+    print(json.dumps({"factor": args.factor, "ops": results}))
 
 
 if __name__ == "__main__":

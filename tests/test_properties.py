@@ -526,3 +526,59 @@ def test_chunked_trailing_frame_is_invisible(spark, rows, span):
         map(tuple, validate_bars(df, market_hours=False, skew_span=span).collect())
     )
     assert chunked == plain
+
+
+events_skew_st = st.lists(
+    st.tuples(
+        st.sampled_from(["HOT", "u2"]),
+        st.integers(0, 400),  # ts
+    ),
+    min_size=1,
+    max_size=40,
+    unique_by=lambda r: (r[0], r[1]),  # unique (user, ts): order well-defined
+)
+
+
+@_settings
+@given(rows=events_skew_st, span=st.sampled_from([1, 7, 64, 1000]), gap=st.sampled_from([3, 10]))
+def test_chunked_sessionize_matches_plain_and_python_model(spark, rows, span, gap):
+    """The two-phase skew-safe sessionizer must be bit-identical to the
+    single-window plan for ANY chunk span — span 1 (every timestamp its own
+    chunk, every boundary decided via the chunk-summary carry), spans that
+    land mid-gap, and a span larger than the data (one chunk, offsets
+    degenerate) — and BOTH must match a pure-Python sessionizer. Gaps that
+    EQUAL the threshold must not split (strict > semantics, the boundary
+    class the r6 streaming sweep caught)."""
+    from marketpipe_spark.operators.sessions import session_stats
+
+    df = spark.createDataFrame(list(rows), "user_id string, ts_ns long")
+
+    def run(skew_span):
+        out = session_stats(df, key="user_id", ts="ts_ns", gap=gap, skew_span=skew_span)
+        return sorted(
+            (r.user_id, r.session_seq, r.start_ns, r.end_ns, r.duration_ns, r.n_events)
+            for r in out.collect()
+        )
+
+    # Pure-Python model: walk each user's sorted timestamps.
+    want = []
+    by_user: dict[str, list[int]] = {}
+    for u, t in rows:
+        by_user.setdefault(u, []).append(t)
+    for u, tss in by_user.items():
+        tss.sort()
+        seq, cur = 0, []
+        for i, t in enumerate(tss):
+            if i == 0 or t - tss[i - 1] > gap:
+                if cur:
+                    want.append((u, seq, cur[0], cur[-1], cur[-1] - cur[0], len(cur)))
+                seq += 1
+                cur = []
+            cur.append(t)
+        want.append((u, seq, cur[0], cur[-1], cur[-1] - cur[0], len(cur)))
+    want.sort()
+
+    plain = run(None)
+    chunked = run(span)
+    assert plain == want
+    assert chunked == want

@@ -130,3 +130,26 @@ def test_session_paths_partition_invariant(spark):
         df.repartition(13, "event_id"), ts="ts", gap=50, order_cols=["event_id"]
     ).collect()))
     assert base == rep
+
+
+def test_session_paths_mega_session_buffer_bounded(spark):
+    """A single 20k-event session must produce the same truncated path as a
+    small one — and the plan must filter to row_number <= max_steps BEFORE
+    the collect_list, so the agg buffer holds <= max_steps structs per
+    session no matter how long sessions get (the capped_basket_arrays
+    buffer-bound class). Also exercises skew_span pass-through."""
+    from marketpipe_spark.operators.sessions import session_paths
+
+    rows = [(i, 1, 10 + i, "abcde"[min(i, 4)] if i < 5 else "z") for i in range(20_000)]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts long, event_type string")
+    for span in (None, 1000):
+        out = session_paths(
+            df, key="user_id", ts="ts", gap=100, order_cols=["event_id"],
+            max_steps=5, skew_span=span,
+        ).collect()
+        assert [(r["path"], r["n_sessions"]) for r in out] == [("a>b>c>d>e", 1)]
+    # Plan proof: the row_number filter sits below the partial aggregate.
+    plan = session_paths(
+        df, key="user_id", ts="ts", gap=100, order_cols=["event_id"], max_steps=5
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "_rn" in plan and "row_number" in plan
