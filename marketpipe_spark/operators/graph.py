@@ -768,3 +768,233 @@ def bipartite_edges(
         (F.col(left).cast("long") * 2).alias("dst"),
     )
     return fwd.unionByName(rev)
+
+
+def link_prediction(
+    edges: DataFrame,
+    max_center_deg: int = 32,
+    top_n: int = 100,
+) -> DataFrame:
+    """Neighborhood-overlap link prediction over an undirected edge list:
+    score every NON-adjacent pair that shares at least one common neighbor
+    with common-neighbor count, resource-allocation index (Zhou/Lu/Zhang
+    2009 — RA outperforms Adamic-Adar because the 1/deg weight decays
+    faster than 1/log deg), and Jaccard neighborhood overlap; return the
+    deterministic top ``top_n``.
+
+    Integer semantics (bit-stable across engines/partitionings):
+    ``ra_micro = sum over common neighbors z of 1e6 DIV deg(z)``;
+    ``jaccard_micro = cn * 1e6 DIV (deg(b) + deg(c) - cn)``. The top-N
+    order (ra_micro DESC, cn DESC, b, c) is total — (b, c) is unique.
+
+    Skew bound (the triangle_stats concern inverted): wedges are
+    enumerated at their CENTER, whose fan-out is C(deg, 2) — a hub center
+    would be quadratic, so centers with ``deg > max_center_deg`` are
+    EXCLUDED (not truncated: a partial neighbor list would make ``cn``
+    partition-dependent). That is also the semantically standard cut —
+    a hub's RA contribution is at most 1e6/deg, vanishing exactly when
+    the enumeration cost explodes. ``cn`` therefore counts common
+    neighbors of degree <= the cap while ``deg(b)``/``deg(c)`` in the
+    Jaccard denominator stay TRUE degrees; the oracle replicates both
+    choices literally. Plan: one hash agg to per-center sorted neighbor
+    arrays (buffer <= cap), map-side pair enumeration (the PAIRS_EXPR
+    pattern — no self-join materializes), one hash agg on (b, c), an
+    anti-join against the edge list, and a TakeOrderedAndProject.
+    """
+    e = _pin(
+        edges.select(
+            F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+        ).distinct()
+    )
+    adj = e.select(F.col("u").alias("z"), F.col("v").alias("nb")).unionByName(
+        e.select(F.col("v").alias("z"), F.col("u").alias("nb"))
+    )
+    deg = adj.groupBy("z").agg(F.count(F.lit(1)).alias("deg"))
+    centers = (
+        adj.join(deg.where(F.col("deg") <= max_center_deg), "z")
+        .groupBy("z", "deg")
+        .agg(F.sort_array(F.collect_set("nb")).alias("nbs"))
+    )
+    pairs = centers.select(
+        "deg",
+        F.explode(
+            F.expr(
+                "flatten(transform(nbs, (x, i) -> "
+                "transform(slice(nbs, i + 2, size(nbs)), "
+                "y -> struct(x AS b, y AS c))))"
+            )
+        ).alias("p"),
+    ).select("p.b", "p.c", F.expr("1000000 DIV deg").alias("ra"))
+    cand = (
+        pairs.groupBy("b", "c")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cn"),
+            F.sum("ra").cast("long").alias("ra_micro"),
+        )
+        .join(e, (F.col("b") == e.u) & (F.col("c") == e.v), "left_anti")
+    )
+    db = deg.select(F.col("z").alias("b"), F.col("deg").alias("db"))
+    dc = deg.select(F.col("z").alias("c"), F.col("deg").alias("dc"))
+    scored = (
+        cand.join(db, "b")
+        .join(dc, "c")
+        .select(
+            "b",
+            "c",
+            "cn",
+            "ra_micro",
+            F.expr("cn * 1000000 DIV (db + dc - cn)")
+            .cast("long")
+            .alias("jaccard_micro"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("ra_micro"), F.desc("cn"), "b", "c"
+    ).limit(top_n)
+
+
+def link_prediction_oracle_sql(
+    edges_sql: str, max_center_deg: int = 32
+) -> str:
+    """CTE list reproducing :func:`link_prediction` scoring; ``edges_sql``
+    selects ``u, v`` (either orientation). Exposes
+    ``lp_scored(b, c, cn, ra_micro, jaccard_micro)``; the caller appends
+    its own ORDER BY / LIMIT (total order: ra_micro DESC, cn DESC, b, c).
+    """
+    return f"""lp_e AS (SELECT DISTINCT LEAST(u, v) AS u, GREATEST(u, v) AS v FROM ({edges_sql})),
+lp_adj AS (SELECT u AS z, v AS nb FROM lp_e UNION ALL SELECT v, u FROM lp_e),
+lp_deg AS (SELECT z, CAST(COUNT(*) AS BIGINT) AS deg FROM lp_adj GROUP BY z),
+lp_w AS (
+  SELECT a.nb AS b, c.nb AS c, d.deg
+  FROM lp_adj a JOIN lp_adj c ON a.z = c.z AND a.nb < c.nb
+  JOIN lp_deg d ON d.z = a.z
+  WHERE d.deg <= {max_center_deg}
+),
+lp_cand AS (
+  SELECT b, c, CAST(COUNT(*) AS BIGINT) AS cn,
+         CAST(SUM(1000000 // deg) AS BIGINT) AS ra_micro
+  FROM lp_w GROUP BY b, c
+),
+lp_non AS (
+  SELECT lp_cand.* FROM lp_cand
+  ANTI JOIN lp_e ON lp_cand.b = lp_e.u AND lp_cand.c = lp_e.v
+),
+lp_scored AS (
+  SELECT b, c, cn, ra_micro,
+         CAST(cn * 1000000 // (db.deg + dc.deg - cn) AS BIGINT) AS jaccard_micro
+  FROM lp_non JOIN lp_deg db ON db.z = lp_non.b
+              JOIN lp_deg dc ON dc.z = lp_non.c
+)"""
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 4,
+    damping_ppm: int = 850_000,
+    scale: int = 1_000_000_000_000,
+) -> DataFrame:
+    """Seeded (personalized) PageRank: identical integer recurrence to
+    :func:`pagerank` except ALL teleport mass returns to the seed set —
+    the relevance-propagation pass behind "related items" recommendation
+    and seed-expansion curation (pick documents/domains near a trusted
+    seed list).
+
+    Semantics (replicated literally by the SQL oracle):
+
+    - ``s0(v) = scale DIV |S|`` for seeds, 0 elsewhere;
+    - each round ``s'(u) = [u in S] * base + (arrivals) * damping DIV 1e6``
+      with ``base = (1e6 - damping_ppm) * (scale DIV |S|) DIV 1e6``.
+
+    Same per-round shape as :func:`pagerank` (one shuffle join against the
+    pinned degree-annotated edge list + one hash agg); sinks drop mass, so
+    symmetric inputs (e.g. a co-occurrence graph emitted in both
+    directions) conserve it up to truncation. Seeds not present in the
+    edge list are ignored (they could neither send nor receive).
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    pins: list = []
+    ed = _pin_keyed(e.join(deg, "src"), "src", scope=pins)
+    sd = seeds.select(F.col(seeds.columns[0]).alias("id")).distinct()
+    nodes = _pin_keyed(
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .join(sd.withColumn("_seed", F.lit(1)), "id", "left_outer")
+        .select("id", F.coalesce("_seed", F.lit(0)).alias("is_seed")),
+        "id",
+        scope=pins,
+    )
+    n = nodes.count()
+    ns = nodes.where(F.col("is_seed") == 1).count()
+    if ns == 0:
+        raise ValueError("personalized_pagerank: no seed appears in the edge list")
+    s0 = scale // ns
+    base = (PPM - damping_ppm) * s0 // PPM
+
+    scores = nodes.select(
+        "id",
+        F.when(F.col("is_seed") == 1, F.lit(s0))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("score"),
+    )
+    for _ in range(iterations):
+        arrived = (
+            ed.join(_state(scores, n), ed.src == scores.id)
+            .select("dst", F.expr("score DIV deg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("acc"))
+        )
+        scores = (
+            nodes.join(_state(arrived, n), nodes.id == arrived.dst, "left_outer")
+            .select(
+                "id",
+                (
+                    F.when(F.col("is_seed") == 1, F.lit(base)).otherwise(F.lit(0))
+                    + F.expr(f"coalesce(acc, 0L) * {damping_ppm} DIV {PPM}")
+                ).cast("long").alias("score"),
+            )
+        )
+        scores = _pin_state(scores)
+    _release(pins)
+    return scores
+
+
+def personalized_pagerank_oracle_sql(
+    edges_sql: str,
+    seeds_sql: str,
+    iterations: int = 4,
+    damping_ppm: int = 850_000,
+    scale: int = 1_000_000_000_000,
+) -> str:
+    """CTE list reproducing :func:`personalized_pagerank` literally, one
+    unrolled CTE per iteration; ``edges_sql`` selects ``src, dst``,
+    ``seeds_sql`` selects ``id``. Exposes ``pp{iterations}(id, s)``."""
+    parts = [
+        f"pp_e AS (SELECT DISTINCT src, dst FROM ({edges_sql}))",
+        "pp_dg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM pp_e GROUP BY src)",
+        "pp_ed AS (SELECT pp_e.src, pp_e.dst, pp_dg.deg FROM pp_e JOIN pp_dg USING (src))",
+        f"pp_sd AS (SELECT DISTINCT id FROM ({seeds_sql}))",
+        "pp_nd AS (SELECT id, CASE WHEN id IN (SELECT id FROM pp_sd) THEN 1 ELSE 0 END AS is_seed "
+        "FROM (SELECT src AS id FROM pp_e UNION SELECT dst FROM pp_e))",
+        "pp_cnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS ns FROM pp_nd WHERE is_seed = 1)",
+        f"pp_k AS (SELECT {scale} // ns AS s0, ({PPM} - {damping_ppm}) * ({scale} // ns) // {PPM} AS base FROM pp_cnt)",
+        "pp0 AS (SELECT id, is_seed, CASE WHEN is_seed = 1 THEN (SELECT s0 FROM pp_k) ELSE 0 END AS s FROM pp_nd)",
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"""pp{i} AS (
+  SELECT pp_nd.id, pp_nd.is_seed,
+         CAST(CASE WHEN pp_nd.is_seed = 1 THEN (SELECT base FROM pp_k) ELSE 0 END
+              + COALESCE(x.acc, 0) * {damping_ppm} // {PPM} AS BIGINT) AS s
+  FROM pp_nd LEFT JOIN (
+    SELECT pp_ed.dst AS id, CAST(SUM(p.s // pp_ed.deg) AS BIGINT) AS acc
+    FROM pp_ed JOIN pp{i - 1} p ON pp_ed.src = p.id GROUP BY pp_ed.dst
+  ) x USING (id)
+)"""
+        )
+    return ",\n".join(parts)

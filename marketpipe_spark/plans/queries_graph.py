@@ -283,3 +283,84 @@ def q_copurchase_pagerank(spark, sf_dir):
         F.expr("id DIV 2").cast("long").alias("node_key"),
         F.col("score").cast("long").alias("score"),
     )
+
+
+_LP_MAX_CENTER_DEG = 32
+_LP_TOP_N = 100
+
+
+def _link_prediction_sql() -> str:
+    from ..operators.baskets import capped_baskets_sql
+    from ..operators.graph import link_prediction_oracle_sql
+
+    return f"""
+WITH {capped_baskets_sql(_BASKET_SQL, _MAX_BASKET)},
+{link_prediction_oracle_sql(_COOC_SQL, max_center_deg=_LP_MAX_CENTER_DEG)}
+SELECT b AS part_u, c AS part_v, cn AS common_neighbors, ra_micro, jaccard_micro
+FROM lp_scored
+ORDER BY ra_micro DESC, cn DESC, b, c LIMIT {_LP_TOP_N}
+"""
+
+
+@register(
+    "copurchase_link_prediction",
+    _link_prediction_sql(),
+    doc=f"top-{_LP_TOP_N} predicted co-purchase links: resource-allocation / common-neighbor / Jaccard scores over non-adjacent part pairs (hub centers > deg {_LP_MAX_CENTER_DEG} excluded — the skew bound)",
+    tags=("graph", "joins", "aggregation"),
+)
+def q_copurchase_link_prediction(spark, sf_dir):
+    from ..operators.graph import cooccurrence_edges, link_prediction
+
+    scored = link_prediction(
+        cooccurrence_edges(_capped(spark, sf_dir)),
+        max_center_deg=_LP_MAX_CENTER_DEG,
+        top_n=_LP_TOP_N,
+    )
+    return scored.select(
+        F.col("b").alias("part_u"),
+        F.col("c").alias("part_v"),
+        F.col("cn").alias("common_neighbors"),
+        "ra_micro",
+        "jaccard_micro",
+    )
+
+
+_PPR_ITERS = 4
+
+
+def _ppr_sql() -> str:
+    from ..operators.baskets import capped_baskets_sql
+    from ..operators.graph import personalized_pagerank_oracle_sql
+
+    body = personalized_pagerank_oracle_sql(
+        "SELECT * FROM gsym", "SELECT id FROM ppr_seeds", iterations=_PPR_ITERS
+    )
+    return f"""
+WITH {capped_baskets_sql(_BASKET_SQL, _MAX_BASKET)},
+cooc AS ({_COOC_SQL}),
+gsym AS (SELECT u AS src, v AS dst FROM cooc UNION ALL SELECT v AS src, u AS dst FROM cooc),
+ppr_seeds AS (SELECT DISTINCT src AS id FROM gsym ORDER BY id LIMIT 10),
+{body}
+SELECT id AS part_key, CAST(s AS BIGINT) AS score FROM pp{_PPR_ITERS}
+"""
+
+
+@register(
+    "copurchase_ppr",
+    _ppr_sql(),
+    doc=f"personalized PageRank ({_PPR_ITERS} iterations, teleport to the 10 lowest part keys) over the symmetric co-occurrence graph — seed-expansion relevance scoring",
+    tags=("graph", "joins", "aggregation"),
+)
+def q_copurchase_ppr(spark, sf_dir):
+    from ..operators.baskets import basket_pairs
+    from ..operators.graph import personalized_pagerank
+
+    cooc = basket_pairs(_capped(spark, sf_dir)).distinct()
+    gsym = cooc.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionByName(
+        cooc.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+    seeds = gsym.select(F.col("src").alias("id")).distinct().orderBy("id").limit(10)
+    scores = personalized_pagerank(gsym, seeds, iterations=_PPR_ITERS)
+    return scores.select(
+        F.col("id").alias("part_key"), F.col("score").cast("long").alias("score")
+    )

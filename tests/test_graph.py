@@ -353,3 +353,112 @@ def test_capped_basket_arrays_salted_two_stage_identical(spark):
         top_n=20,
     ).collect()
     assert sorted(map(tuple, salted_rules)) == sorted(map(tuple, plain_rules))
+
+
+# ---------------------------------------------------------------------------
+# Link prediction (resource-allocation / common-neighbors / Jaccard)
+
+
+def test_link_prediction_path_scores_endpoints(spark):
+    from marketpipe_spark.operators.graph import link_prediction
+
+    # Path 1-2-3: the only non-adjacent pair with a common neighbor is
+    # (1, 3) through center 2 (deg 2): ra = 1e6 DIV 2, jaccard = 1e6 DIV
+    # (1 + 1 - 1) = 1e6 (their whole neighborhoods coincide).
+    e = spark.createDataFrame([(1, 2), (2, 3)], "u long, v long")
+    rows = link_prediction(e).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["b"], r["c"], r["cn"]) == (1, 3, 1)
+    assert r["ra_micro"] == 1_000_000 // 2
+    assert r["jaccard_micro"] == 1_000_000
+
+
+def test_link_prediction_excludes_existing_edges_and_hub_centers(spark):
+    from marketpipe_spark.operators.graph import link_prediction
+
+    # Square with one diagonal: 1-2, 2-3, 3-4, 4-1, 1-3.
+    # (2, 4) share centers 1 (deg 3) and 3 (deg 3): cn=2.
+    # (1, 3) share 2 and 4 but ARE adjacent -> excluded.
+    sq = [(1, 2), (2, 3), (3, 4), (4, 1), (1, 3)]
+    e = spark.createDataFrame(sq, "u long, v long")
+    rows = {(r["b"], r["c"]): r for r in link_prediction(e).collect()}
+    assert (1, 3) not in rows
+    assert rows[(2, 4)]["cn"] == 2
+    assert rows[(2, 4)]["ra_micro"] == 2 * (1_000_000 // 3)
+    # jaccard: |N(2) ∪ N(4)| = 2 + 2 - 2 = 2 -> 1e6
+    assert rows[(2, 4)]["jaccard_micro"] == 1_000_000
+
+    # Cap at deg 2: both centers of (2,4) have deg 3 -> pair disappears.
+    rows2 = {(r["b"], r["c"]) for r in link_prediction(e, max_center_deg=2).collect()}
+    assert (2, 4) not in rows2
+
+
+def test_link_prediction_partition_invariant(spark):
+    from marketpipe_spark.operators.graph import link_prediction
+
+    import random
+
+    rng = random.Random(7)
+    edges = list({(min(a, b), max(a, b))
+                  for a, b in ((rng.randrange(30), rng.randrange(30)) for _ in range(120))
+                  if a != b})
+    e1 = spark.createDataFrame(edges, "u long, v long").repartition(1)
+    e2 = spark.createDataFrame(edges, "u long, v long").repartition(13)
+    r1 = sorted(map(tuple, link_prediction(e1, top_n=50).collect()))
+    r2 = sorted(map(tuple, link_prediction(e2, top_n=50).collect()))
+    assert r1 == r2 and len(r1) > 0
+
+
+# ---------------------------------------------------------------------------
+# Personalized PageRank
+
+
+def test_ppr_seed_mass_localizes(spark):
+    from marketpipe_spark.operators.graph import personalized_pagerank
+
+    # Two disjoint symmetric triangles {1,2,3} and {4,5,6}; seed = {1}.
+    # All mass must stay in the seed's component; the other triangle is 0.
+    tri = [(1, 2), (2, 3), (3, 1), (4, 5), (5, 6), (6, 4)]
+    edges = tri + [(b, a) for a, b in tri]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    seeds = spark.createDataFrame([(1,)], "id long")
+    s = {r["id"]: r["score"] for r in personalized_pagerank(df, seeds).collect()}
+    assert s[4] == s[5] == s[6] == 0
+    assert s[1] > s[2] > 0 and s[2] == s[3]  # symmetry around the seed
+
+
+def test_ppr_matches_python_reference(spark):
+    from marketpipe_spark.operators.graph import personalized_pagerank
+
+    edges = [(1, 2), (2, 1), (2, 3), (3, 2), (3, 4), (4, 3), (1, 4), (4, 1), (2, 4), (4, 2)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    seeds = spark.createDataFrame([(1,), (3,)], "id long")
+    got = {r["id"]: r["score"] for r in
+           personalized_pagerank(df, seeds, iterations=6).collect()}
+
+    # Pure-Python integer replica of the documented recurrence.
+    SCALE, PPM, D = 1_000_000_000_000, 1_000_000, 850_000
+    nodes = sorted({x for e in edges for x in e})
+    deg = {n: sum(1 for a, _ in edges if a == n) for n in nodes}
+    seed_set = {1, 3}
+    s0 = SCALE // len(seed_set)
+    base = (PPM - D) * s0 // PPM
+    s = {n: (s0 if n in seed_set else 0) for n in nodes}
+    for _ in range(6):
+        acc = {n: 0 for n in nodes}
+        for a, b in edges:
+            acc[b] += s[a] // deg[a]
+        s = {n: (base if n in seed_set else 0) + acc[n] * D // PPM for n in nodes}
+    assert got == s
+
+
+def test_ppr_rejects_disconnected_seed_set(spark):
+    import pytest as _pytest
+
+    from marketpipe_spark.operators.graph import personalized_pagerank
+
+    df = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+    seeds = spark.createDataFrame([(99,)], "id long")
+    with _pytest.raises(ValueError):
+        personalized_pagerank(df, seeds)
