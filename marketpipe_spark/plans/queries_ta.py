@@ -1331,3 +1331,164 @@ def q_acf_returns(spark, sf_dir):
         "n",
         F.when((va > 0.0) & (vb > 0.0), cov / (F.sqrt(va) * F.sqrt(vb))).alias("acf"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Theil-Sen robust trend — the median of all pairwise slopes of the daily
+# close series (plus the median-residual intercept), the estimator of choice
+# when OLS would be wrecked by outlier days (up to ~29% contamination).
+# All arithmetic is exact integer: slopes are micro-units per day with
+# truncating DIV (toward zero on BOTH engines — the holt_trend check), and
+# "median" is pinned to the LOWER order statistic (element (n+1) DIV 2,
+# 1-based) so even-count medians need no averaging and stay integer.
+#
+# Scale: the per-symbol day series is calendar-bounded (the ewma_close
+# argument), so the C(days, 2) slope array is bounded by calendar length
+# squared per symbol — map-side array math after one hash agg, never a
+# row-level self-join on Spark's side. (The oracle spells the pairs out as
+# a self-join — plain SQL has no index-lambda — which doubles as an
+# equivalence proof of the array form.)
+
+SQL_THEIL_SEN = f"""
+WITH {SQL_BARS},
+tsd AS (
+  SELECT symbol, ts_ns // {NS_PER_DAY} AS d,
+         CAST(FLOOR(max_by(close, ts_ns) * 1e6) AS BIGINT) AS cm
+  FROM bars GROUP BY symbol, ts_ns // {NS_PER_DAY}
+),
+tsp AS (
+  SELECT a.symbol, (b.cm - a.cm) // (b.d - a.d) AS sl
+  FROM tsd a JOIN tsd b ON a.symbol = b.symbol AND a.d < b.d
+),
+tsm AS (
+  SELECT symbol, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         list_sort(list(sl))[(COUNT(*) + 1) // 2] AS slope_micro
+  FROM tsp GROUP BY symbol
+),
+tsr AS (
+  SELECT tsd.symbol, tsm.n_pairs, tsm.slope_micro,
+         tsd.cm - tsm.slope_micro * tsd.d AS r
+  FROM tsd JOIN tsm USING (symbol)
+)
+SELECT symbol, CAST(COUNT(*) AS BIGINT) AS n_days, n_pairs, slope_micro,
+       list_sort(list(r))[(COUNT(*) + 1) // 2] AS intercept_micro
+FROM tsr GROUP BY symbol, n_pairs, slope_micro
+"""
+
+
+@register(
+    "theil_sen_trend",
+    SQL_THEIL_SEN,
+    doc="Theil-Sen robust trend per symbol: exact lower-median of all pairwise daily-close slopes (integer micro-units/day) + median-residual intercept",
+    tags=("ta", "aggregation"),
+)
+def q_theil_sen_trend(spark, sf_dir):
+    b = bars(spark, sf_dir)
+    dd = b.groupBy(
+        "symbol", F.expr(f"ts_ns DIV {NS_PER_DAY}").alias("d")
+    ).agg(F.expr("CAST(FLOOR(max_by(close, ts_ns) * 1e6) AS BIGINT)").alias("cm"))
+    arr = (
+        dd.groupBy("symbol")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.array_sort(F.collect_list(F.struct("d", "cm"))).alias("a"),
+        )
+        .where(F.col("n_days") >= 2)
+    )
+    sl = arr.select(
+        "symbol",
+        "n_days",
+        "a",
+        F.expr(
+            "array_sort(flatten(transform(a, (x, i) -> "
+            "transform(slice(a, i + 2, size(a) - i - 1), "
+            "y -> (y.cm - x.cm) DIV (y.d - x.d)))))"
+        ).alias("sls"),
+    )
+    m = sl.select(
+        "symbol",
+        "n_days",
+        "a",
+        F.expr("CAST(size(sls) AS BIGINT)").alias("n_pairs"),
+        F.expr("element_at(sls, CAST((size(sls) + 1) DIV 2 AS INT))").alias("slope_micro"),
+    )
+    return m.select(
+        "symbol",
+        "n_days",
+        "n_pairs",
+        "slope_micro",
+        F.expr(
+            "element_at(array_sort(transform(a, p -> p.cm - slope_micro * p.d)), "
+            "CAST((size(a) + 1) DIV 2 AS INT))"
+        ).alias("intercept_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# MAD outlier days — robust z-score flagging on daily closes: median and
+# median-absolute-deviation per symbol (both LOWER order statistics, exact
+# integers), flag days deviating more than 3 MADs. The robust counterpart
+# of extreme_movement's lag rule and winsorized_value_stats' trimming; a
+# constant series (mad = 0) flags any deviating day, which is the correct
+# degenerate reading. Per-symbol stats come from ONE bounded array agg
+# (median and MAD from the same sorted array — no second shuffle), then a
+# broadcastable stats join back to the day rows.
+
+_MAD_K = 3
+
+SQL_MAD = f"""
+WITH {SQL_BARS},
+mdd AS (
+  SELECT symbol, ts_ns // {NS_PER_DAY} AS d,
+         CAST(FLOOR(max_by(close, ts_ns) * 1e6) AS BIGINT) AS cm
+  FROM bars GROUP BY symbol, ts_ns // {NS_PER_DAY}
+),
+mst AS (SELECT symbol, list_sort(list(cm)) AS sc FROM mdd GROUP BY symbol),
+mmm AS (
+  SELECT symbol,
+         sc[(len(sc) + 1) // 2] AS med,
+         list_sort(list_transform(sc, x -> abs(x - sc[(len(sc) + 1) // 2])))[(len(sc) + 1) // 2] AS mad
+  FROM mst
+)
+SELECT mdd.symbol, d AS day, cm AS close_micro, med AS med_micro,
+       mad AS mad_micro, abs(cm - med) AS dev_micro
+FROM mdd JOIN mmm USING (symbol)
+WHERE abs(cm - med) > {_MAD_K} * mad
+"""
+
+
+@register(
+    "mad_outliers",
+    SQL_MAD,
+    doc=f"robust outlier days per symbol: |close - median| > {_MAD_K} * MAD, exact integer lower-median order statistics",
+    tags=("ta", "aggregation"),
+)
+def q_mad_outliers(spark, sf_dir):
+    b = bars(spark, sf_dir)
+    dd = b.groupBy(
+        "symbol", F.expr(f"ts_ns DIV {NS_PER_DAY}").alias("d")
+    ).agg(F.expr("CAST(FLOOR(max_by(close, ts_ns) * 1e6) AS BIGINT)").alias("cm"))
+    st = dd.groupBy("symbol").agg(
+        F.array_sort(F.collect_list("cm")).alias("sc")
+    )
+    mm = st.select(
+        "symbol",
+        F.expr("element_at(sc, CAST((size(sc) + 1) DIV 2 AS INT))").alias("med"),
+        F.expr(
+            "element_at(array_sort(transform(sc, "
+            "x -> abs(x - element_at(sc, CAST((size(sc) + 1) DIV 2 AS INT))))), "
+            "CAST((size(sc) + 1) DIV 2 AS INT))"
+        ).alias("mad"),
+    )
+    return (
+        dd.join(F.broadcast(mm), "symbol")
+        .where(F.expr(f"abs(cm - med) > {_MAD_K} * mad"))
+        .select(
+            "symbol",
+            F.col("d").alias("day"),
+            F.col("cm").alias("close_micro"),
+            F.col("med").alias("med_micro"),
+            F.col("mad").alias("mad_micro"),
+            F.expr("abs(cm - med)").alias("dev_micro"),
+        )
+    )
