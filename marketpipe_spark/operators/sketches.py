@@ -449,3 +449,64 @@ def mg_heavy_hitters_check(df: DataFrame, col: str, k: int = 64) -> DataFrame:
             ).otherwise(F.lit(True))
         ).alias("undercount_ok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter — bounded-memory set membership (Bloom 1970), completing the
+# sketch family: KLL (quantiles), CMS (point frequency), HLL (distinct), MG
+# (heavy hitters), Bloom (membership). The classic curation use is
+# decontamination at scale: the eval/benchmark gram set is folded into an
+# m-bit filter once, and the (much larger) train corpus probes it — no
+# false NEGATIVES ever (a true member always finds all k bits set), false
+# positives at a rate fixed by the m/k/n design point.
+
+
+def bloom_positions(col: Column, m_bits: int, k: int, family: str = "md5_60") -> Column:
+    """``array<long>`` of the ``k`` bit positions for one key. Positions are
+    seeded hashes of the key's STRING form (``_hash64`` seed suffixing), so
+    an external SQL engine reproduces them exactly under ``md5_60``:
+    ``CAST(('0x' || substr(md5(CAST(x AS VARCHAR) || ':' || i), 1, 15)) AS
+    BIGINT) % m``."""
+    m = 1 << m_bits
+    return F.array(
+        *[F.pmod(_hash64(col.cast("string"), i, family), F.lit(m)) for i in range(k)]
+    )
+
+
+def bloom_bits(
+    df: DataFrame, col: str = "gram_h", m_bits: int = 21, k: int = 3,
+    family: str = "md5_60",
+) -> DataFrame:
+    """The filter itself, relationally: the DISTINCT set-bit positions of an
+    m-bit / k-hash Bloom filter over ``df[col]`` — at most ``min(m, k*n)``
+    rows of one long each, bounded by ``m`` BY CONSTRUCTION regardless of
+    input size (the property that makes it broadcastable: 2^21 positions
+    is ~16 MB worst case, vs broadcasting the member set itself, which is
+    unbounded)."""
+    return df.select(
+        F.explode(bloom_positions(F.col(col), m_bits, k, family)).alias("pos")
+    ).distinct()
+
+
+def bloom_member(
+    probe: DataFrame, bits: DataFrame, col: str = "gram_h",
+    m_bits: int = 21, k: int = 3, family: str = "md5_60",
+) -> DataFrame:
+    """``probe`` + boolean ``bloom_hit``: true iff ALL ``k`` of the key's
+    positions are set in ``bits``. Plan: map-side position explode (k rows
+    per probe row), one broadcast join against the bounded bit table, one
+    hash agg back to the probe key — the probe side never shuffles its
+    payload. Guarantee: a key that was inserted can never miss (its k
+    positions are set by construction); a miss is therefore PROOF of
+    non-membership, which is what lets a decontamination pass skip the
+    exact verify join for the overwhelming non-member majority."""
+    keys = list(probe.columns)
+    ex = probe.select(
+        *keys, F.explode(bloom_positions(F.col(col), m_bits, k, family)).alias("pos")
+    )
+    hit = bits.withColumn("_set", F.lit(1))
+    return (
+        ex.join(F.broadcast(hit), "pos", "left_outer")
+        .groupBy(*keys)
+        .agg((F.min(F.coalesce(F.col("_set"), F.lit(0))) == 1).alias("bloom_hit"))
+    )

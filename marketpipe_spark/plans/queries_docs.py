@@ -1869,3 +1869,123 @@ def q_heavy_hitter_tokens(spark, sf_dir):
         "no_overcount",
         "undercount_ok",
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter decontamination — the sketch-backed variant of
+# ngram_contamination: the train corpus's word-5-gram set is folded into an
+# m-bit / k-hash Bloom filter (operators/sketches.py), and every test
+# document reports its gram count, Bloom-flagged count, exact-leaked count,
+# and the false-positive residue (n_bloom - n_true >= 0 ALWAYS — the
+# no-false-negative guarantee, live in both engines because positions are
+# md5_60 seeded hashes both can compute). The design point (m=2^21, k=3)
+# keeps the filter ~3% full at sf0.01 (measured: 0 false positives) and
+# ~26% at sf0.1 (measured: 171 false positives across 237 test docs), so
+# the FP accounting is exercised, not vacuous, at the bench SF. At 100 TB
+# the bit table stays <= 2^21 rows BY CONSTRUCTION
+# (broadcastable ~16 MB) while the member set it replaces is unbounded.
+
+_BLOOM_M_BITS = 21
+_BLOOM_K = 3
+
+
+def _bloom_pos_sql(expr: str) -> str:
+    m = 1 << _BLOOM_M_BITS
+    return (
+        f"CAST(('0x' || substr(md5(CAST({expr} AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT) % {m}"
+    )
+
+
+SQL_BLOOM_DECONTAMINATE = f"""
+WITH s AS (
+  SELECT doc_id, text,
+         CASE WHEN {_h60_sql('split')} < {_thr(0.9)} THEN 'train'
+              WHEN {_h60_sql('split')} < {_thr(0.95)} THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+),
+tokd AS (
+  SELECT doc_id, split, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+  FROM s WHERE split IN ('train', 'test')
+),
+grams AS (
+  SELECT doc_id, split,
+         unnest(CASE WHEN len(toks) >= 5
+                THEN list_transform(range(1, len(toks) - 3),
+                                    i -> array_to_string(toks[i:i+4], ' '))
+                ELSE CAST([] AS VARCHAR[]) END) AS gram
+  FROM tokd
+),
+gh AS (
+  SELECT DISTINCT doc_id, split,
+         CAST(('0x' || substr(md5(gram), 1, 15)) AS BIGINT) AS gram_h
+  FROM grams
+),
+tr AS (SELECT DISTINCT gram_h FROM gh WHERE split = 'train'),
+te AS (SELECT doc_id, gram_h FROM gh WHERE split = 'test'),
+sd AS (SELECT unnest([{", ".join(str(i) for i in range(_BLOOM_K))}]) AS i),
+bits AS (
+  SELECT DISTINCT {_bloom_pos_sql('gram_h')} AS pos FROM tr CROSS JOIN sd
+),
+tep AS (
+  SELECT doc_id, gram_h, {_bloom_pos_sql('gram_h')} AS pos FROM te CROSS JOIN sd
+),
+bh AS (
+  SELECT tep.doc_id, tep.gram_h,
+         MIN(CASE WHEN bits.pos IS NOT NULL THEN 1 ELSE 0 END) AS hit
+  FROM tep LEFT JOIN bits USING (pos)
+  GROUP BY tep.doc_id, tep.gram_h
+),
+th AS (
+  SELECT te.doc_id, te.gram_h,
+         CASE WHEN tr.gram_h IS NOT NULL THEN 1 ELSE 0 END AS thit
+  FROM te LEFT JOIN tr USING (gram_h)
+)
+SELECT bh.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(bh.hit) AS BIGINT) AS n_bloom,
+       CAST(SUM(th.thit) AS BIGINT) AS n_true,
+       CAST(SUM(bh.hit) - SUM(th.thit) AS BIGINT) AS fp_grams
+FROM bh JOIN th ON bh.doc_id = th.doc_id AND bh.gram_h = th.gram_h
+GROUP BY bh.doc_id
+"""
+
+
+@register(
+    "bloom_decontaminate",
+    SQL_BLOOM_DECONTAMINATE,
+    doc=f"Bloom-filter (m=2^{_BLOOM_M_BITS}, k={_BLOOM_K}) decontamination of test docs vs the train 5-gram set: Bloom-flagged vs exact-leaked gram counts + false-positive residue per doc",
+    tags=("sketch", "sampling", "dedup", "text"),
+)
+def q_bloom_decontaminate(spark, sf_dir):
+    from ..operators.sampling import with_split
+    from ..operators.sketches import bloom_bits, bloom_member
+    from ..operators.textclean import ngram_hashes
+
+    d = t(spark, sf_dir, "documents")
+    s = with_split(d, {"train": 0.9, "val": 0.05, "test": 0.05}, salt="split")
+    train_g = (
+        ngram_hashes(s.filter(F.col("split") == "train"), "doc_id", "text", 5, "md5_60")
+        .select("gram_h")
+        .distinct()
+    )
+    test_g = ngram_hashes(
+        s.filter(F.col("split") == "test"), "doc_id", "text", 5, "md5_60"
+    )
+    bits = bloom_bits(train_g, "gram_h", m_bits=_BLOOM_M_BITS, k=_BLOOM_K)
+    flags = bloom_member(test_g, bits, "gram_h", m_bits=_BLOOM_M_BITS, k=_BLOOM_K)
+    truth = test_g.join(
+        train_g.withColumn("_t", F.lit(1)), "gram_h", "left_outer"
+    ).select("doc_id", "gram_h", F.coalesce("_t", F.lit(0)).alias("thit"))
+    return (
+        flags.join(truth, ["doc_id", "gram_h"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.col("bloom_hit").cast("long")).alias("n_bloom"),
+            F.sum("thit").cast("long").alias("n_true"),
+            (
+                F.sum(F.col("bloom_hit").cast("long")) - F.sum("thit")
+            ).cast("long").alias("fp_grams"),
+        )
+    )

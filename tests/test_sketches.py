@@ -203,3 +203,42 @@ def test_mg_partition_layout_does_not_break_guarantees(spark):
         r = mg_heavy_hitters_check(df, "item", k=4).collect()[0]
         assert r.n == 2000
         assert r.all_heavy_present and r.no_overcount and r.undercount_ok
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter
+
+
+def test_bloom_no_false_negatives(spark):
+    from marketpipe_spark.operators.sketches import bloom_bits, bloom_member
+
+    members = spark.createDataFrame([(i,) for i in range(200)], "gram_h long")
+    bits = bloom_bits(members, m_bits=12, k=3)
+    probe = spark.createDataFrame(
+        [(0, i) for i in range(200)] + [(1, i) for i in range(1000, 1400)],
+        "doc_id long, gram_h long",
+    )
+    got = {(r["doc_id"], r["gram_h"]): r["bloom_hit"]
+           for r in bloom_member(probe, bits, m_bits=12, k=3).collect()}
+    # Every inserted key MUST hit — the structural guarantee.
+    assert all(got[(0, i)] for i in range(200))
+    # A 4096-bit filter holding 200*3 positions is ~14% full: the 400
+    # non-members cannot ALL collide on every one of 3 positions.
+    misses = sum(0 if got[(1, i)] else 1 for i in range(1000, 1400))
+    assert misses > 300
+
+
+def test_bloom_positions_bounded_and_partition_invariant(spark):
+    from marketpipe_spark.operators.sketches import bloom_bits, bloom_member
+
+    m_bits, m = 10, 1 << 10
+    members = spark.createDataFrame([(i * 7,) for i in range(500)], "gram_h long")
+    bits = bloom_bits(members, m_bits=m_bits, k=3)
+    rows = bits.collect()
+    assert all(0 <= r["pos"] < m for r in rows)
+    assert len(rows) <= m  # bounded BY CONSTRUCTION
+
+    probe = spark.createDataFrame([(i,) for i in range(300)], "gram_h long")
+    a = sorted(map(tuple, bloom_member(probe.repartition(1), bits, m_bits=m_bits, k=3).collect()))
+    b = sorted(map(tuple, bloom_member(probe.repartition(11), bits, m_bits=m_bits, k=3).collect()))
+    assert a == b
