@@ -62,3 +62,65 @@ def test_as_polars_flag(spark, tmp_path):
     except ImportError:
         with pytest.raises(ImportError, match="polars"):
             load_ohlcv(spark, root, ["AAPL", "MSFT"], "1d", as_polars=True)
+
+
+# ---------------------------------------------------------------------------
+# JSONL corpus source/sink (sources/corpus.py)
+
+
+def test_jsonl_corpus_roundtrip_matches_parquet(spark, tmp_path):
+    from marketpipe_spark.sources.corpus import (
+        read_documents_jsonl,
+        write_documents_jsonl,
+    )
+
+    src = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = str(tmp_path / "corpus_jsonl")
+    write_documents_jsonl(src, out)
+    back = read_documents_jsonl(spark, out)
+    a = sorted(map(tuple, src.select("doc_id", "text", "lang", "source", "n_chars").collect()))
+    b = sorted(map(tuple, back.collect()))
+    assert a == b
+
+
+def test_jsonl_corpus_drops_and_counts_malformed(spark, tmp_path):
+    from marketpipe_spark.sources.corpus import (
+        corrupt_line_count,
+        read_documents_jsonl,
+    )
+
+    p = tmp_path / "mixed.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "good one", "lang": "en", "source": "a"}\n'
+        'this is not json at all\n'
+        '{"doc_id": 2, "lang": "en", "source": "a"}\n'  # missing text
+        '{"doc_id": 3, "text": "another good", "lang": null, "source": null}\n'
+    )
+    df = read_documents_jsonl(spark, str(p))
+    rows = {r["doc_id"]: r for r in df.collect()}
+    assert set(rows) == {1, 3}
+    assert rows[1]["n_chars"] == len("good one")  # recomputed, not trusted
+    assert rows[3]["lang"] is None
+    assert corrupt_line_count(spark, str(p)) == 2
+
+
+def test_jsonl_corpus_synthesized_ids_are_content_hashes(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from marketpipe_spark.sources.corpus import read_documents_jsonl
+
+    p = tmp_path / "noid.jsonl"
+    p.write_text(
+        '{"text": "alpha"}\n{"text": "beta"}\n{"text": "alpha"}\n'
+    )
+    df = read_documents_jsonl(spark, str(p), synthesize_ids=True)
+    rows = df.collect()
+    assert len(rows) == 3
+    by_text = {}
+    for r in rows:
+        by_text.setdefault(r["text"], set()).add(r["doc_id"])
+    # pure content hash: same text -> same id, regardless of layout
+    assert len(by_text["alpha"]) == 1 and len(by_text["beta"]) == 1
+    ref = {r["text"]: r["doc_id"] for r in rows}
+    exp = {t: spark.range(1).select(F.xxhash64(F.lit(t))).first()[0] for t in ref}
+    assert ref == exp
