@@ -998,3 +998,186 @@ def personalized_pagerank_oracle_sql(
 )"""
         )
     return ",\n".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# HyperBall — neighborhood function + harmonic centrality via per-node HLL
+# registers (Boldi & Vigna 2013, "In-Core Computation of Geometric
+# Centralities with HyperBall"). THE way centrality is computed on graphs
+# too big for all-pairs BFS: each node keeps an HLL sketch of its ball,
+# each round the ball absorbs the neighbors' sketches (per-bucket MAX — the
+# HLL merge), and |ball(t)| - |ball(t-1)| estimates the nodes at exactly
+# distance t, giving harmonic centrality sum_t |at distance t| / t.
+# Composes the repo's two scalable primitives: the sketches.py HLL
+# estimator and the pagerank-style pinned per-round join+agg loop.
+
+HB_RHO_CAP = 51  # keeps 52 - reg >= 1 so the exact-integer 2^(52-reg)
+#                  harmonic sum stays in int64 at ANY p; the cap only fires
+#                  with probability 2^-(cap - log2(m)) per key (never at
+#                  these corpus sizes) and both engines apply it identically.
+
+
+def hyperball_harmonic(
+    edges: DataFrame,
+    rounds: int = 3,
+    p: int = 5,
+    alpha_ppm: int = 697_000,
+    family: str = "md5_60",
+) -> DataFrame:
+    """Per-node ball-size estimate at ``rounds`` hops and harmonic
+    centrality over an undirected edge list (either orientation accepted).
+
+    Returns ``(id, ball_x1000, harmonic_x1000)``: ``ball_x1000`` is the
+    HLL estimate (milli-units) of nodes within ``rounds`` hops (self
+    included), ``harmonic_x1000 = sum_t greatest(0, est_t - est_{t-1})
+    DIV t`` — the clamp absorbs the raw/linear-counting regime switch,
+    which is not strictly monotone even though the registers are.
+
+    Exactness: registers are md5_60 bucket/rho pairs (``HB_RHO_CAP``), the
+    estimate is sketches.hll_estimate's micro-floored integer pipeline
+    (``alpha_ppm`` must match ``m = 2**p``: 697000 for m=32), so every
+    value is engine- and partition-exact and the SQL oracle replicates the
+    whole loop literally.
+
+    Scale: state is <= |V| * m register rows; each round is ONE shuffle
+    join of the (pinned, co-partitionable) adjacency against the state +
+    ONE hash agg with map-side combine (partial MAX bounds the shuffle at
+    |V| * m per task). m trades accuracy (sigma ~ 1.04/sqrt(m)) against
+    the edge-join fan-out (deg * occupied-buckets rows) — p=5 keeps the
+    ×16 fan-out ~40M three-long rows, the measured-fine band.
+    """
+    from .dedup import _hash64
+
+    m = 1 << p
+    max_rho = 60 - p + 1
+    e = edges.select(
+        F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+    ).distinct()
+    adj = e.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionByName(
+        e.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+    pins: list = []
+    ad = _pin_keyed(adj, "src", scope=pins)
+    nodes = _pin_keyed(adj.select(F.col("src").alias("id")).distinct(), "id", scope=pins)
+
+    from .sketches import hll_estimate
+
+    h = _hash64(F.col("id").cast("string"), None, family)
+    w = F.shiftright(h, p)
+    rho = F.least(
+        F.lit(HB_RHO_CAP),
+        F.when(w == F.lit(0).cast("long"), F.lit(max_rho)).otherwise(
+            F.lit(max_rho) - F.length(F.bin(w))
+        ),
+    )
+    regs = _pin_state(
+        nodes.select(
+            "id",
+            h.bitwiseAND(F.lit(m - 1)).alias("bucket"),
+            rho.cast("long").alias("reg"),
+        )
+    )
+    ests = [
+        hll_estimate(regs, ["id"], p, alpha_ppm).select(
+            "id", F.col("hll_est_x1000").alias("e0")
+        )
+    ]
+    for t in range(1, rounds + 1):
+        moved = ad.join(regs, ad.src == regs.id).select(
+            F.col("dst").alias("id"), "bucket", "reg"
+        )
+        regs = _pin_state(
+            regs.unionByName(moved)
+            .groupBy("id", "bucket")
+            .agg(F.max("reg").alias("reg"))
+        )
+        ests.append(
+            hll_estimate(regs, ["id"], p, alpha_ppm).select(
+                "id", F.col("hll_est_x1000").alias(f"e{t}")
+            )
+        )
+    out = nodes
+    for fr in ests:
+        out = out.join(fr, "id")
+    harm = " + ".join(
+        f"(greatest(CAST(0 AS BIGINT), e{t} - e{t - 1}) DIV {t})"
+        for t in range(1, rounds + 1)
+    )
+    res = out.select(
+        "id",
+        F.col(f"e{rounds}").alias("ball_x1000"),
+        F.expr(harm).cast("long").alias("harmonic_x1000"),
+    )
+    res = _pin_state(res)  # materialize before releasing the pinned inputs
+    _release(pins)
+    return res
+
+
+def hyperball_oracle_sql(
+    edges_sql: str,
+    rounds: int = 3,
+    p: int = 5,
+    alpha_ppm: int = 697_000,
+) -> str:
+    """CTE list reproducing :func:`hyperball_harmonic` literally (register
+    init, per-round merge, per-round estimate, harmonic sum); ``edges_sql``
+    selects ``u, v``. Exposes ``hb_out(id, ball_x1000, harmonic_x1000)``."""
+    m = 1 << p
+    max_rho = 60 - p + 1
+
+    def est(r: int) -> str:
+        return f"""hb_a{r} AS (
+  SELECT id, CAST(COUNT(*) AS BIGINT) AS nr,
+         CAST(SUM(1::BIGINT << CAST(52 - reg AS INTEGER)) AS BIGINT) AS s_nonzero
+  FROM hb_r{r} GROUP BY id
+),
+hb_e{r} AS (
+  SELECT id,
+         CASE WHEN ({m} - nr) > 0 AND raw_x1000 <= {2500 * m} THEN lin_x1000
+              ELSE raw_x1000 END AS e{r}
+  FROM (
+    SELECT id, nr,
+           CAST(FLOOR(CAST({alpha_ppm}::BIGINT * {m * m} AS DOUBLE) * 4503599627370496.0
+                      / CAST(s_nonzero + ({m} - nr) * (1::BIGINT << 52) AS DOUBLE)
+                      / 1000.0) AS BIGINT) AS raw_x1000,
+           CAST(FLOOR({float(m)} * ln({float(m)} / CAST(greatest({m} - nr, 1) AS DOUBLE))
+                      * 1000.0) AS BIGINT) AS lin_x1000
+    FROM hb_a{r})
+)"""
+
+    parts = [
+        f"hb_eg AS (SELECT DISTINCT LEAST(u, v) AS u, GREATEST(u, v) AS v FROM ({edges_sql}))",
+        "hb_adj AS (SELECT u AS src, v AS dst FROM hb_eg UNION ALL SELECT v, u FROM hb_eg)",
+        "hb_nd AS (SELECT DISTINCT src AS id FROM hb_adj)",
+        "hb_h AS (SELECT id, CAST(('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 15)) AS BIGINT) AS h FROM hb_nd)",
+        f"""hb_r0 AS (
+  SELECT id, h & {m - 1} AS bucket,
+         CAST(LEAST({HB_RHO_CAP},
+                    CASE WHEN (h >> {p}) = 0 THEN {max_rho}
+                         ELSE {max_rho} - length(bin(h >> {p})) END) AS BIGINT) AS reg
+  FROM hb_h)""",
+        est(0),
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""hb_r{r} AS (
+  SELECT id, bucket, MAX(reg) AS reg FROM (
+    SELECT id, bucket, reg FROM hb_r{r - 1}
+    UNION ALL
+    SELECT a.dst AS id, x.bucket, x.reg
+    FROM hb_adj a JOIN hb_r{r - 1} x ON a.src = x.id
+  ) GROUP BY id, bucket)"""
+        )
+        parts.append(est(r))
+    harm = " + ".join(
+        f"greatest(0, hb_e{t}.e{t} - hb_e{t - 1}.e{t - 1}) // {t}"
+        for t in range(1, rounds + 1)
+    )
+    joins = " ".join(f"JOIN hb_e{t} USING (id)" for t in range(1, rounds + 1))
+    parts.append(
+        f"""hb_out AS (
+  SELECT id, hb_e{rounds}.e{rounds} AS ball_x1000,
+         CAST({harm} AS BIGINT) AS harmonic_x1000
+  FROM hb_e0 {joins})"""
+    )
+    return ",\n".join(parts)

@@ -364,3 +364,34 @@ def q_copurchase_ppr(spark, sf_dir):
     return scores.select(
         F.col("id").alias("part_key"), F.col("score").cast("long").alias("score")
     )
+
+
+_HB_ROUNDS = 3
+
+
+def _harmonic_sql() -> str:
+    from ..operators.baskets import capped_baskets_sql
+    from ..operators.graph import hyperball_oracle_sql
+
+    return f"""
+WITH {capped_baskets_sql(_BASKET_SQL, _MAX_BASKET)},
+{hyperball_oracle_sql(_COOC_SQL, rounds=_HB_ROUNDS)}
+SELECT id AS part_key, ball_x1000, harmonic_x1000 FROM hb_out
+"""
+
+
+@register(
+    "copurchase_harmonic",
+    _harmonic_sql(),
+    doc=f"HyperBall ({_HB_ROUNDS} rounds, m=32 HLL registers): per-part ball-size estimate and harmonic centrality over the co-occurrence graph — the sketch+graph composition that replaces all-pairs BFS at scale",
+    tags=("graph", "sketch", "joins", "aggregation"),
+)
+def q_copurchase_harmonic(spark, sf_dir):
+    from ..operators.graph import cooccurrence_edges, hyperball_harmonic
+
+    hb = hyperball_harmonic(
+        cooccurrence_edges(_capped(spark, sf_dir)), rounds=_HB_ROUNDS
+    )
+    return hb.select(
+        F.col("id").alias("part_key"), "ball_x1000", "harmonic_x1000"
+    )

@@ -462,3 +462,49 @@ def test_ppr_rejects_disconnected_seed_set(spark):
     seeds = spark.createDataFrame([(99,)], "id long")
     with _pytest.raises(ValueError):
         personalized_pagerank(df, seeds)
+
+
+# ---------------------------------------------------------------------------
+# HyperBall harmonic centrality
+
+
+def test_hyperball_small_balls_near_exact(spark):
+    from marketpipe_spark.operators.graph import hyperball_harmonic
+
+    # Path 0-1-2-...-9. Balls are tiny vs m=32, so linear counting is in
+    # its high-accuracy regime: est within ~15% of the exact ball size.
+    e = spark.createDataFrame([(i, i + 1) for i in range(9)], "u long, v long")
+    rows = {r["id"]: r for r in hyperball_harmonic(e, rounds=3).collect()}
+    assert len(rows) == 10
+    # middle node 5: ball(3) = {2..8} = 7 nodes
+    assert abs(rows[5]["ball_x1000"] - 7000) < 1100
+    # endpoint 0: ball(3) = {0,1,2,3} = 4 nodes
+    assert abs(rows[0]["ball_x1000"] - 4000) < 700
+
+
+def test_hyperball_star_hub_most_central(spark):
+    from marketpipe_spark.operators.graph import hyperball_harmonic
+
+    edges = [(0, i) for i in range(1, 13)]
+    e = spark.createDataFrame(edges, "u long, v long")
+    rows = {r["id"]: r for r in hyperball_harmonic(e, rounds=2).collect()}
+    hub, leaves = rows[0], [rows[i] for i in range(1, 13)]
+    # hub reaches everything in 1 hop; leaves pay 1/2 for 11 of 12 others
+    assert all(hub["harmonic_x1000"] > l["harmonic_x1000"] for l in leaves)
+    assert len({l["harmonic_x1000"] for l in leaves}) == 1  # symmetry
+
+
+def test_hyperball_partition_invariant(spark):
+    from marketpipe_spark.operators.graph import hyperball_harmonic
+
+    import random
+
+    rng = random.Random(11)
+    edges = list({(min(a, b), max(a, b))
+                  for a, b in ((rng.randrange(40), rng.randrange(40)) for _ in range(150))
+                  if a != b})
+    e1 = spark.createDataFrame(edges, "u long, v long").repartition(1)
+    e2 = spark.createDataFrame(edges, "u long, v long").repartition(17)
+    r1 = sorted(map(tuple, hyperball_harmonic(e1, rounds=2).collect()))
+    r2 = sorted(map(tuple, hyperball_harmonic(e2, rounds=2).collect()))
+    assert r1 == r2 and len(r1) > 0
