@@ -10,6 +10,7 @@ expressions are JVM-side built-ins — no Python UDFs on the hot path.
 from __future__ import annotations
 
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from .registry import register, t
 
@@ -1988,4 +1989,156 @@ def q_bloom_decontaminate(spark, sf_dir):
                 F.sum(F.col("bloom_hit").cast("long")) - F.sum("thit")
             ).cast("long").alias("fp_grams"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Two-sample Kolmogorov-Smirnov drift — the CDF-distance complement of
+# token_drift_psi (bucketed divergence): per language, the maximum gap
+# between the train and test splits' document-length CDFs. Each side's CDF
+# is exact integer ppm of ITS OWN count (cum * 1e6 DIV n — truncating but
+# deterministic, and scale-safe: no n_train * n_test product, which would
+# overflow int64 at ~3e6 rows/side). The cumulative windows run over the
+# DISTINCT length values per language (vocabulary-scale, not corpus-scale
+# — the ranksum_returns bounded-global-pass argument).
+
+SQL_KS_DRIFT = f"""
+WITH s AS (
+  SELECT doc_id, lang, n_chars,
+         CASE WHEN {_h60_sql('split')} < {_thr(0.9)} THEN 'train'
+              WHEN {_h60_sql('split')} < {_thr(0.95)} THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+),
+cnt AS (
+  SELECT lang, n_chars,
+         CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS c_tr,
+         CAST(SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS c_te
+  FROM s WHERE split IN ('train', 'test') AND lang IS NOT NULL
+  GROUP BY lang, n_chars
+),
+tot AS (
+  SELECT lang, CAST(SUM(c_tr) AS BIGINT) AS n_tr, CAST(SUM(c_te) AS BIGINT) AS n_te
+  FROM cnt GROUP BY lang
+),
+cdf AS (
+  SELECT cnt.lang,
+         SUM(c_tr) OVER (PARTITION BY cnt.lang ORDER BY n_chars) * 1000000 // tot.n_tr AS f_tr_ppm,
+         SUM(c_te) OVER (PARTITION BY cnt.lang ORDER BY n_chars) * 1000000 // tot.n_te AS f_te_ppm
+  FROM cnt JOIN tot USING (lang)
+  WHERE tot.n_tr > 0 AND tot.n_te > 0
+)
+SELECT cdf.lang, tot.n_tr AS n_train, tot.n_te AS n_test,
+       CAST(MAX(ABS(f_tr_ppm - f_te_ppm)) AS BIGINT) AS ks_ppm
+FROM cdf JOIN tot USING (lang)
+GROUP BY cdf.lang, tot.n_tr, tot.n_te
+"""
+
+
+@register(
+    "ks_drift",
+    SQL_KS_DRIFT,
+    doc="two-sample Kolmogorov-Smirnov distance (exact integer ppm CDFs) between train and test doc-length distributions per language",
+    tags=("text", "sampling", "window", "aggregation"),
+)
+def q_ks_drift(spark, sf_dir):
+    from ..operators.sampling import with_split
+
+    d = t(spark, sf_dir, "documents")
+    s = with_split(d, {"train": 0.9, "val": 0.05, "test": 0.05}, salt="split")
+    cnt = (
+        s.where(F.col("split").isin("train", "test") & F.col("lang").isNotNull())
+        .groupBy("lang", "n_chars")
+        .agg(
+            F.sum(F.when(F.col("split") == "train", 1).otherwise(0))
+            .cast("long")
+            .alias("c_tr"),
+            F.sum(F.when(F.col("split") == "test", 1).otherwise(0))
+            .cast("long")
+            .alias("c_te"),
+        )
+    )
+    tot = cnt.groupBy("lang").agg(
+        F.sum("c_tr").cast("long").alias("n_tr"),
+        F.sum("c_te").cast("long").alias("n_te"),
+    )
+    wo = W.partitionBy("lang").orderBy("n_chars")
+    cdf = (
+        cnt.join(F.broadcast(tot.where((F.col("n_tr") > 0) & (F.col("n_te") > 0))), "lang")
+        .select(
+            "lang",
+            "n_tr",
+            "n_te",
+            F.expr("1").alias("_one"),
+            (F.sum("c_tr").over(wo) * 1_000_000).alias("_cum_tr"),
+            (F.sum("c_te").over(wo) * 1_000_000).alias("_cum_te"),
+        )
+        .select(
+            "lang",
+            "n_tr",
+            "n_te",
+            F.expr("_cum_tr DIV n_tr").alias("f_tr_ppm"),
+            F.expr("_cum_te DIV n_te").alias("f_te_ppm"),
+        )
+    )
+    return cdf.groupBy("lang").agg(
+        F.max("n_tr").alias("n_train"),
+        F.max("n_te").alias("n_test"),
+        F.max(F.abs(F.col("f_tr_ppm") - F.col("f_te_ppm"))).cast("long").alias("ks_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token-frequency Gini — vocabulary concentration (how Zipf-skewed is the
+# corpus?), the single-number companion of vocab_top_tokens. Exact integer:
+# with counts sorted ascending under the total order (freq, token) and
+# ranked 1..V, G_micro = (2*sum(i*c_i) - (V+1)*S) * 1e6 DIV (V*S). The
+# global sort ranks the VOCABULARY (distinct tokens), not the corpus —
+# the skyline/ranksum bounded-global-pass argument.
+
+SQL_TOKEN_GINI = r"""
+WITH tok AS (
+  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+  FROM documents
+),
+tf AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY token),
+rk AS (
+  SELECT c, ROW_NUMBER() OVER (ORDER BY c, token) AS i FROM tf
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS vocab_size,
+       CAST(SUM(c) AS BIGINT) AS total_tokens,
+       CAST((2 * SUM(i * c) - (COUNT(*) + 1) * SUM(c)) * 1000000
+            // (COUNT(*) * SUM(c)) AS BIGINT) AS gini_micro
+FROM rk
+"""
+
+
+@register(
+    "token_gini",
+    SQL_TOKEN_GINI,
+    doc="exact integer Gini coefficient of the corpus token-frequency distribution (vocabulary concentration / Zipf skew)",
+    tags=("text", "aggregation", "window"),
+)
+def q_token_gini(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    tf = (
+        d.select(
+            F.explode(F.split(F.trim(F.lower(F.col("text"))), TOKEN_SPLIT_RE)).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    # ROW_NUMBER over the (c, token) total order WITHOUT the one-partition
+    # global window: dense_ids range-partitions + offsets (the W2
+    # surrogate-id machinery), so the vocabulary rank pass stays parallel.
+    from ..operators.scd import dense_ids
+
+    rk = dense_ids(tf, ["c", "token"], id_name="i").select("c", "i")
+    return rk.agg(
+        F.count(F.lit(1)).cast("long").alias("vocab_size"),
+        F.sum("c").cast("long").alias("total_tokens"),
+        F.expr(
+            "CAST((2 * SUM(i * c) - (COUNT(1) + 1) * SUM(c)) * 1000000"
+            " DIV (COUNT(1) * SUM(c)) AS BIGINT)"
+        ).alias("gini_micro"),
     )
