@@ -176,6 +176,16 @@ FULL_EXTRA = [
     "bootstrap_return_ci",
     "ranksum_returns",
     "acf_returns",
+    # round-7 additions
+    "heavy_hitter_tokens",
+    "copurchase_link_prediction",
+    "copurchase_ppr",
+    "copurchase_harmonic",
+    "bloom_decontaminate",
+    "theil_sen_trend",
+    "mad_outliers",
+    "ks_drift",
+    "token_gini",
 ]
 
 

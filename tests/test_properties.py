@@ -582,3 +582,50 @@ def test_chunked_sessionize_matches_plain_and_python_model(spark, rows, span, ga
     chunked = run(span)
     assert plain == want
     assert chunked == want
+
+
+# ---------------------------------------------------------------------------
+# Link prediction vs a pure-Python scorer: random graphs, every score field
+# (cn / ra_micro / jaccard_micro), hub-cap semantics, adjacency exclusion.
+
+edges_st = st.sets(
+    st.tuples(st.integers(0, 14), st.integers(0, 14)).filter(lambda e: e[0] != e[1]),
+    min_size=1,
+    max_size=30,
+)
+
+
+@_settings
+@given(raw=edges_st, cap=st.sampled_from([2, 4, 100]))
+def test_link_prediction_matches_python_model(spark, raw, cap):
+    from marketpipe_spark.operators.graph import link_prediction
+
+    edges = {(min(a, b), max(a, b)) for a, b in raw}
+    adj: dict[int, set[int]] = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    deg = {z: len(ns) for z, ns in adj.items()}
+
+    want = {}
+    for z, ns in adj.items():  # wedge centers, cap applied
+        if deg[z] > cap:
+            continue
+        ns_sorted = sorted(ns)
+        for i, b in enumerate(ns_sorted):
+            for c in ns_sorted[i + 1:]:
+                if (b, c) in edges:
+                    continue
+                cn, ra = want.get((b, c), (0, 0))
+                want[(b, c)] = (cn + 1, ra + 1_000_000 // deg[z])
+    expect = {
+        k: (cn, ra, cn * 1_000_000 // (deg[k[0]] + deg[k[1]] - cn))
+        for k, (cn, ra) in want.items()
+    }
+
+    df = spark.createDataFrame(sorted(edges), "u long, v long")
+    got = {
+        (r["b"], r["c"]): (r["cn"], r["ra_micro"], r["jaccard_micro"])
+        for r in link_prediction(df, max_center_deg=cap, top_n=10_000).collect()
+    }
+    assert got == expect
