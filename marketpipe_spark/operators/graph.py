@@ -1181,3 +1181,138 @@ hb_e{r} AS (
   FROM hb_e0 {joins})"""
     )
     return ",\n".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic random walks — the walk-corpus generator behind
+# DeepWalk/node2vec-style graph embeddings (Perozzi 2014 / Grover 2016):
+# sample fixed-length walks from every node, feed the visit sequences to a
+# skip-gram trainer. The "randomness" is the repo's cross-engine parity
+# hash (the dsir_resample / bootstrap precedent): the step choice is a pure
+# md5_60 function of (start, walk, step, current node), so the walk corpus
+# is bit-identical on any engine or partitioning — reproducible training
+# data, and an exact SQL oracle.
+
+
+def deterministic_walks(
+    edges: DataFrame,
+    walks_per_node: int = 2,
+    steps: int = 4,
+    family: str = "md5_60",
+) -> DataFrame:
+    """Per-node visit counts over a deterministic walk corpus.
+
+    From EVERY node, ``walks_per_node`` walks of ``steps`` hops; at each
+    hop the walker at ``cur`` moves to neighbor #``md5_60(start:w:s:cur)
+    % deg(cur) + 1`` under the (ascending neighbor id) index — uniform
+    over neighbors, deterministic everywhere. Returns ``(id, visits)``
+    counting every position including starts, so ``sum(visits) =
+    |V| * walks_per_node * (steps + 1)`` — a live conservation invariant.
+
+    Scale: walk state is ``|V| * walks_per_node`` rows ALWAYS (walks never
+    die — every node in an edge list has deg >= 1). Each hop is one
+    broadcast-gated join against the node-sized degree table (computes the
+    neighbor index) + ONE two-key equi-join (cur, idx) against the pinned
+    indexed adjacency — no per-hop fan-out: the index equality selects
+    exactly one neighbor row per walker BEFORE any filter.
+    """
+    from .dedup import _hash64
+
+    e = edges.select(
+        F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+    ).distinct()
+    adj = e.select(F.col("u").alias("z"), F.col("v").alias("nb")).unionByName(
+        e.select(F.col("v").alias("z"), F.col("u").alias("nb"))
+    )
+    from pyspark.sql.window import Window as W
+
+    pins: list = []
+    ia = _pin_keyed(
+        adj.select(
+            "z",
+            "nb",
+            F.row_number().over(W.partitionBy("z").orderBy("nb")).cast("long").alias("idx"),
+        ),
+        "z",
+        scope=pins,
+    )
+    dg = _pin_keyed(
+        adj.groupBy("z").agg(F.count(F.lit(1)).cast("long").alias("deg")),
+        "z",
+        scope=pins,
+    )
+    n = dg.count()
+
+    ws = [F.lit(w).alias("w") for w in range(walks_per_node)]
+    state = dg.select(F.col("z").alias("start")).select(
+        "start", F.explode(F.array(*ws)).alias("w")
+    ).select("start", "w", F.col("start").alias("cur"))
+    state = _pin_state(state)
+    visits = [state.select(F.col("cur").alias("id"))]
+    for s in range(1, steps + 1):
+        key = F.concat_ws(
+            ":",
+            F.col("start").cast("string"),
+            F.col("w").cast("string"),
+            F.lit(str(s)),
+            F.col("cur").cast("string"),
+        )
+        stepped = (
+            state.join(_state(dg, n), state.cur == dg.z)
+            .select(
+                "start",
+                "w",
+                "cur",
+                (F.pmod(_hash64(key, None, family), F.col("deg")) + 1).alias("_idx"),
+            )
+            .join(ia, (F.col("cur") == ia.z) & (F.col("_idx") == ia.idx))
+            .select("start", "w", F.col("nb").alias("cur"))
+        )
+        state = _pin_state(stepped)
+        visits.append(state.select(F.col("cur").alias("id")))
+    allv = visits[0]
+    for v in visits[1:]:
+        allv = allv.unionByName(v)
+    out = allv.groupBy("id").agg(F.count(F.lit(1)).cast("long").alias("visits"))
+    out = _pin_state(out)
+    _release(pins)
+    return out
+
+
+def deterministic_walks_oracle_sql(
+    edges_sql: str, walks_per_node: int = 2, steps: int = 4
+) -> str:
+    """CTE list reproducing :func:`deterministic_walks`; exposes
+    ``wk_out(id, visits)``."""
+    wlist = ", ".join(str(w) for w in range(walks_per_node))
+    parts = [
+        f"wk_e AS (SELECT DISTINCT LEAST(u, v) AS u, GREATEST(u, v) AS v FROM ({edges_sql}))",
+        "wk_adj AS (SELECT u AS z, v AS nb FROM wk_e UNION ALL SELECT v, u FROM wk_e)",
+        "wk_ia AS (SELECT z, nb, CAST(ROW_NUMBER() OVER (PARTITION BY z ORDER BY nb) AS BIGINT) AS idx FROM wk_adj)",
+        "wk_dg AS (SELECT z, CAST(COUNT(*) AS BIGINT) AS deg FROM wk_adj GROUP BY z)",
+        f"wk_s0 AS (SELECT z AS start, k.w, z AS cur FROM wk_dg CROSS JOIN (SELECT unnest([{wlist}]) AS w) k)",
+    ]
+    for s in range(1, steps + 1):
+        h = (
+            "CAST(('0x' || substr(md5(CAST(st.start AS VARCHAR) || ':' || "
+            f"CAST(st.w AS VARCHAR) || ':' || '{s}' || ':' || "
+            "CAST(st.cur AS VARCHAR)), 1, 15)) AS BIGINT)"
+        )
+        parts.append(
+            f"""wk_s{s} AS (
+  SELECT st.start, st.w, a.nb AS cur
+  FROM wk_s{s - 1} st
+  JOIN wk_dg d ON d.z = st.cur
+  JOIN wk_ia a ON a.z = st.cur AND a.idx = ({h} % d.deg) + 1
+)"""
+        )
+    unions = "\n    UNION ALL\n    ".join(
+        f"SELECT cur AS id FROM wk_s{s}" for s in range(0, steps + 1)
+    )
+    parts.append(
+        f"""wk_out AS (
+  SELECT id, CAST(COUNT(*) AS BIGINT) AS visits FROM (
+    {unions}
+  ) GROUP BY id)"""
+    )
+    return ",\n".join(parts)

@@ -2142,3 +2142,101 @@ def q_token_gini(spark, sf_dir):
             " DIV (COUNT(1) * SUM(c)) AS BIGINT)"
         ).alias("gini_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-source n-gram overlap matrix — which corpus sources duplicate each
+# other (mirror sites, re-crawls, syndication): pairwise Jaccard of the
+# sources' distinct word-3-gram sets. Spark side groups each gram's source
+# list (bounded by |sources|) and enumerates pairs MAP-SIDE from the sorted
+# array (the basket PAIRS_EXPR pattern) — the oracle is the naive
+# source×source self-join, so parity doubles as an equivalence proof of
+# the array rewrite. Output is |sources| choose 2 rows regardless of
+# corpus size; the only corpus-scale shuffle is the (source, gram_h)
+# distinct.
+
+SQL_SOURCE_OVERLAP = r"""
+WITH tokd AS (
+  SELECT source, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+  FROM documents WHERE source IS NOT NULL
+),
+grams AS (
+  SELECT source,
+         unnest(CASE WHEN len(toks) >= 3
+                THEN list_transform(range(1, len(toks) - 1),
+                                    i -> array_to_string(toks[i:i+2], ' '))
+                ELSE CAST([] AS VARCHAR[]) END) AS gram
+  FROM tokd
+),
+sg AS (
+  SELECT DISTINCT source,
+         CAST(('0x' || substr(md5(gram), 1, 15)) AS BIGINT) AS gram_h
+  FROM grams
+),
+sz AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM sg GROUP BY source),
+inter AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM sg a JOIN sg b ON a.gram_h = b.gram_h AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT source_a, source_b, n_common,
+       za.n AS n_a, zb.n AS n_b,
+       CAST(n_common * 1000000 // (za.n + zb.n - n_common) AS BIGINT) AS jaccard_ppm
+FROM inter JOIN sz za ON za.source = inter.source_a
+           JOIN sz zb ON zb.source = inter.source_b
+"""
+
+
+@register(
+    "source_overlap",
+    SQL_SOURCE_OVERLAP,
+    doc="pairwise word-3-gram Jaccard between corpus sources (mirror/re-crawl detection); map-side pair enumeration vs a self-join oracle",
+    tags=("text", "dedup", "aggregation"),
+)
+def q_source_overlap(spark, sf_dir):
+    from ..operators.dedup import _hash64
+
+    d = t(spark, sf_dir, "documents").where(F.col("source").isNotNull())
+    from ..operators.textclean import _gram_text
+
+    sg = (
+        d.select(
+            "source", F.explode(_gram_text(F.col("text"), 3)).alias("gram")
+        )
+        .select("source", _hash64(F.col("gram"), None, "md5_60").alias("gram_h"))
+        .distinct()
+    )
+    sz = sg.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    pairs = (
+        sg.groupBy("gram_h")
+        .agg(F.sort_array(F.collect_set("source")).alias("items"))
+        .where(F.size("items") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(items, (x, i) -> "
+                    "transform(slice(items, i + 2, size(items)), "
+                    "y -> struct(x AS source_a, y AS source_b))))"
+                )
+            ).alias("p")
+        )
+        .groupBy("p.source_a", "p.source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    za = sz.select(F.col("source").alias("source_a"), F.col("n").alias("n_a"))
+    zb = sz.select(F.col("source").alias("source_b"), F.col("n").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(za), "source_a")
+        .join(F.broadcast(zb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_common",
+            "n_a",
+            "n_b",
+            F.expr("CAST(n_common * 1000000 DIV (n_a + n_b - n_common) AS BIGINT)").alias(
+                "jaccard_ppm"
+            ),
+        )
+    )

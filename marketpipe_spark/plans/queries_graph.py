@@ -395,3 +395,35 @@ def q_copurchase_harmonic(spark, sf_dir):
     return hb.select(
         F.col("id").alias("part_key"), "ball_x1000", "harmonic_x1000"
     )
+
+
+_WALKS_PER_NODE = 2
+_WALK_STEPS = 4
+
+
+def _walks_sql() -> str:
+    from ..operators.baskets import capped_baskets_sql
+    from ..operators.graph import deterministic_walks_oracle_sql
+
+    return f"""
+WITH {capped_baskets_sql(_BASKET_SQL, _MAX_BASKET)},
+{deterministic_walks_oracle_sql(_COOC_SQL, walks_per_node=_WALKS_PER_NODE, steps=_WALK_STEPS)}
+SELECT id AS part_key, visits FROM wk_out
+"""
+
+
+@register(
+    "copurchase_walks",
+    _walks_sql(),
+    doc=f"deterministic random-walk corpus ({_WALKS_PER_NODE} walks x {_WALK_STEPS} hops from every part, md5_60 step choice): per-part visit counts — the DeepWalk/node2vec corpus generator, bit-reproducible on any engine",
+    tags=("graph", "sampling", "joins"),
+)
+def q_copurchase_walks(spark, sf_dir):
+    from ..operators.graph import cooccurrence_edges, deterministic_walks
+
+    wv = deterministic_walks(
+        cooccurrence_edges(_capped(spark, sf_dir)),
+        walks_per_node=_WALKS_PER_NODE,
+        steps=_WALK_STEPS,
+    )
+    return wv.select(F.col("id").alias("part_key"), "visits")

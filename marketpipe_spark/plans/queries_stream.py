@@ -297,3 +297,48 @@ def q_stream_top_users(spark, sf_dir):
         .limit(_TOPN_USERS)
     )
     return run_to_memory(top, "stream_top_users", "complete")
+
+
+_SLIDE_NS = 5 * 60 * NS_PER_SEC
+_WIN_SLIDES = 3  # 15-minute window / 5-minute slide
+
+
+def _sliding_sql() -> str:
+    # Batch equivalent of the sliding window: every bar belongs to the
+    # _WIN_SLIDES consecutive slide-aligned windows whose span covers it —
+    # start = floor_slide(ts) - k*slide for k in 0.._WIN_SLIDES-1 (epoch
+    # alignment is Spark's F.window contract). COMPLETE mode over a bounded
+    # stream emits exactly this group-by.
+    ks = ", ".join(str(k) for k in range(_WIN_SLIDES))
+    return f"""
+WITH {SQL_BARS},
+kk AS (SELECT unnest([{ks}]) AS k),
+m AS (
+  SELECT symbol,
+         (ts_ns - ts_ns % {_SLIDE_NS}) - k * {_SLIDE_NS} AS ws,
+         volume
+  FROM bars CROSS JOIN kk
+)
+SELECT symbol, CAST(ws AS BIGINT) AS ts_ns,
+       CAST(SUM(volume) AS BIGINT) AS volume,
+       CAST(COUNT(*) AS BIGINT) AS n_bars
+FROM m GROUP BY symbol, ws
+"""
+
+
+@register(
+    "stream_sliding_volume",
+    _sliding_sql(),
+    doc="Structured Streaming SLIDING windows (15 min / 5 min slide, complete mode, AvailableNow): per-symbol volume profile == batch k-shift window expansion",
+    tags=("streaming", "agg", "window"),
+)
+def q_stream_sliding_volume(spark, sf_dir):
+    from ..streaming.stream import sliding_volume
+
+    agg = sliding_volume(
+        _bar_stream(spark, sf_dir),
+        window_minutes=15,
+        slide_minutes=5,
+        watermark=f"{WM_MIN} minutes",
+    )
+    return run_to_memory(agg, "stream_sliding_volume", "complete")

@@ -466,3 +466,41 @@ def dedup_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def sliding_volume(
+    bar_stream: DataFrame,
+    window_minutes: int = 15,
+    slide_minutes: int = 5,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Event-time SLIDING-window volume profile — the overlapping-window
+    shape the tumbling entries cannot express: each bar contributes to
+    ``window/slide`` windows (Spark expands the membership internally;
+    state per key is windows × symbols, watermark-evicted).
+
+    Returns ``(symbol, ts_ns = window start, volume, n_bars)``; window
+    starts are epoch-aligned multiples of ``slide`` (Spark's alignment
+    contract, replicated literally by the batch oracle's k-shift
+    expansion).
+    """
+    with_ts = bar_stream.withColumn(
+        "event_time", F.timestamp_micros(F.expr("ts_ns div 1000"))
+    )
+    win = F.window(
+        "event_time", f"{window_minutes} minutes", f"{slide_minutes} minutes"
+    )
+    out = (
+        with_ts.withWatermark("event_time", watermark)
+        .groupBy(F.col("symbol"), win.alias("w"))
+        .agg(
+            F.sum("volume").cast("long").alias("volume"),
+            F.count(F.lit(1)).cast("long").alias("n_bars"),
+        )
+    )
+    return out.select(
+        "symbol",
+        (F.unix_micros(F.col("w.start")) * 1000).alias("ts_ns"),
+        "volume",
+        "n_bars",
+    )

@@ -508,3 +508,61 @@ def test_hyperball_partition_invariant(spark):
     r1 = sorted(map(tuple, hyperball_harmonic(e1, rounds=2).collect()))
     r2 = sorted(map(tuple, hyperball_harmonic(e2, rounds=2).collect()))
     assert r1 == r2 and len(r1) > 0
+
+
+# ---------------------------------------------------------------------------
+# Deterministic random walks
+
+
+def test_walks_conservation_and_partition_invariance(spark):
+    from marketpipe_spark.operators.graph import deterministic_walks
+
+    import random
+
+    rng = random.Random(3)
+    edges = list({(min(a, b), max(a, b))
+                  for a, b in ((rng.randrange(25), rng.randrange(25)) for _ in range(80))
+                  if a != b})
+    nodes = {x for e in edges for x in e}
+    W_, L_ = 2, 4
+    e1 = spark.createDataFrame(edges, "u long, v long").repartition(1)
+    e2 = spark.createDataFrame(edges, "u long, v long").repartition(9)
+    r1 = sorted(map(tuple, deterministic_walks(e1, W_, L_).collect()))
+    r2 = sorted(map(tuple, deterministic_walks(e2, W_, L_).collect()))
+    assert r1 == r2
+    # walks never die: every position of every walk is counted exactly once
+    assert sum(v for _, v in r1) == len(nodes) * W_ * (L_ + 1)
+
+
+def test_walks_follow_the_documented_hash_rule(spark):
+    from marketpipe_spark.operators.dedup import _hash64  # noqa: F401  (documented family)
+    import hashlib
+
+    from marketpipe_spark.operators.graph import deterministic_walks
+
+    # Tiny fixed graph; replicate the walk in pure Python and compare
+    # visit counts exactly.
+    edges = [(1, 2), (2, 3), (3, 4), (4, 1), (1, 3)]
+    adj: dict[int, list[int]] = {}
+    for u, v in edges:
+        adj.setdefault(u, []).append(v)
+        adj.setdefault(v, []).append(u)
+    adj = {z: sorted(ns) for z, ns in adj.items()}
+
+    def h60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    W_, L_ = 2, 4
+    visits: dict[int, int] = {}
+    for start in adj:
+        for w in range(W_):
+            cur = start
+            visits[cur] = visits.get(cur, 0) + 1
+            for s in range(1, L_ + 1):
+                ns = adj[cur]
+                cur = ns[h60(f"{start}:{w}:{s}:{cur}") % len(ns)]
+                visits[cur] = visits.get(cur, 0) + 1
+
+    df = spark.createDataFrame(edges, "u long, v long")
+    got = {r["id"]: r["visits"] for r in deterministic_walks(df, W_, L_).collect()}
+    assert got == visits

@@ -667,3 +667,20 @@ def test_windowed_aggregation_state_recovers_across_restart(spark, tmp_path):
     got = {tuple(r) for r in out.select("symbol", "ts_ns", "open", "high", "low", "close", "volume").collect()}
     want = {tuple(r) for r in batch.select("symbol", "ts_ns", "open", "high", "low", "close", "volume").collect()}
     assert got == want
+
+
+def test_sliding_volume_conserves_multiplicity(spark, tmp_path):
+    """Every bar lands in exactly window/slide sliding windows, so
+    sum(n_bars) == 3 x input rows and sum(volume) == 3 x input volume."""
+    from marketpipe_spark.plans.registry import bars
+    from marketpipe_spark.plans.queries_stream import q_stream_sliding_volume
+
+    sf = "/root/testdata/sf0.001"
+    out = q_stream_sliding_volume(spark, sf)
+    agg = out.agg({"n_bars": "sum", "volume": "sum"}).collect()[0]
+    src = bars(spark, sf).agg(
+        {"volume": "sum"}
+    ).collect()[0]
+    n_src = bars(spark, sf).count()
+    assert agg["sum(n_bars)"] == 3 * n_src
+    assert agg["sum(volume)"] == 3 * src["sum(volume)"]
