@@ -186,6 +186,9 @@ FULL_EXTRA = [
     "mad_outliers",
     "ks_drift",
     "token_gini",
+    "stream_sliding_volume",
+    "copurchase_walks",
+    "source_overlap",
 ]
 
 
