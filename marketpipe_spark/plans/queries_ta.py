@@ -1492,3 +1492,144 @@ def q_mad_outliers(spark, sf_dir):
             F.expr("abs(cm - med)").alias("dev_micro"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling-window OLS beta — symbol_beta's closed form over a trailing
+# 20-bucket window per symbol (the shape a live risk dashboard runs: one
+# beta per symbol per 5m bucket, not one per symbol per history). Same
+# exact centi-quantized power-sum discipline: every windowed sum (Σx, Σy,
+# Σxy, Σyy) is an exact integer, the closed form then runs on identical
+# doubles in both engines. One shuffle for the per-bucket market return,
+# one per-symbol window pass — no join, no self-join.
+#
+# Scale: ROWS BETWEEN 19 PRECEDING is a bounded-lookback frame, so the
+# skew story is the same as sma_20's (hot symbol → chunked_trailing_frame
+# applies if diagnosed); window state is 20 rows regardless of volume.
+
+_RB_WIN = 20
+
+SQL_ROLLING_BETA = f"""
+WITH {SQL_R5},
+r AS (SELECT symbol, ts_ns,
+             CAST(FLOOR(close * 100) AS BIGINT)
+               - LAG(CAST(FLOOR(close * 100) AS BIGINT))
+                 OVER (PARTITION BY symbol ORDER BY ts_ns) AS x
+      FROM r5),
+rx AS (SELECT symbol, ts_ns, x FROM r WHERE x IS NOT NULL),
+m AS (SELECT symbol, ts_ns, x,
+             SUM(x) OVER (PARTITION BY ts_ns) AS y
+      FROM rx),
+w AS (SELECT symbol, ts_ns,
+             CAST(COUNT(*) OVER wt AS BIGINT) AS n,
+             CAST(SUM(x) OVER wt AS BIGINT) AS sx,
+             CAST(SUM(y) OVER wt AS BIGINT) AS sy,
+             CAST(SUM(x * y) OVER wt AS BIGINT) AS sxy,
+             CAST(SUM(y * y) OVER wt AS BIGINT) AS syy
+      FROM m
+      WINDOW wt AS (PARTITION BY symbol ORDER BY ts_ns
+                    ROWS BETWEEN {_RB_WIN - 1} PRECEDING AND CURRENT ROW))
+SELECT symbol, ts_ns, sx, sy, sxy, syy,
+       CASE WHEN CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy <> 0.0 THEN
+         (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+           / (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)
+       END AS beta
+FROM w WHERE n = {_RB_WIN}
+"""
+
+
+@register(
+    "rolling_beta",
+    SQL_ROLLING_BETA,
+    doc=f"trailing {_RB_WIN}-bucket OLS beta per symbol vs the per-bucket market return (exact windowed power sums)",
+    tags=("ta", "window"),
+)
+def q_rolling_beta(spark, sf_dir):
+    r5 = _r5(spark, sf_dir)
+    wo = W.partitionBy("symbol").orderBy("ts_ns")
+    cc = F.floor(F.col("close") * F.lit(100)).cast("long")
+    rx = r5.select("symbol", "ts_ns", (cc - F.lag(cc).over(wo)).alias("x")).filter(
+        F.col("x").isNotNull()
+    )
+    m = rx.withColumn("y", F.sum("x").over(W.partitionBy("ts_ns")))
+    wt = W.partitionBy("symbol").orderBy("ts_ns").rowsBetween(-(_RB_WIN - 1), 0)
+    w = m.select(
+        "symbol",
+        "ts_ns",
+        F.count(F.lit(1)).over(wt).alias("n"),
+        F.sum("x").over(wt).cast("long").alias("sx"),
+        F.sum("y").over(wt).cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(wt).cast("long").alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).over(wt).cast("long").alias("syy"),
+    ).where(F.col("n") == _RB_WIN)
+    nd = F.lit(float(_RB_WIN))
+    den = nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy")
+    num = nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    return w.select(
+        "symbol", "ts_ns", "sx", "sy", "sxy", "syy",
+        F.when(den != 0.0, num / den).alias("beta"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal volume anomalies — hour-of-week baseline + division-free flag.
+# The classic seasonality-aware anomaly pass: each 5m bar's volume is
+# compared against its (symbol, day-of-week, hour-of-day) slot's average.
+# dow/hour come from pure integer ns arithmetic (epoch day + 4 mod 7 —
+# 1970-01-01 was a Thursday — and in-day ns DIV hour), identical in both
+# engines with no timezone/date-function dependence. The slot stats are
+# window sums over the slot partition (one shuffle, no join), and the
+# anomaly predicate is cross-multiplied (volume * n > k * total) so no
+# division ever happens — exact at any magnitude.
+#
+# Scale: the slot partition key (symbol × 168 slots) fans the per-symbol
+# hot key out 168-ways for free; state per window is two longs.
+
+_SVA_K = 2  # flag when volume > _SVA_K × slot mean
+_SVA_MIN_N = 4  # require this much slot history before flagging (live rows at every SF)
+_NS_PER_HOUR = 3_600 * NS_PER_SEC
+
+SQL_SEASONAL_VOLUME = f"""
+WITH {SQL_R5},
+s AS (SELECT symbol, ts_ns, volume,
+             CAST((ts_ns // {NS_PER_DAY} + 4) % 7 AS BIGINT) AS dow,
+             CAST((ts_ns % {NS_PER_DAY}) // {_NS_PER_HOUR} AS BIGINT) AS hod
+      FROM r5),
+w AS (SELECT symbol, ts_ns, volume, dow, hod,
+             CAST(COUNT(*) OVER sl AS BIGINT) AS n,
+             CAST(SUM(volume) OVER sl AS BIGINT) AS tot
+      FROM s WINDOW sl AS (PARTITION BY symbol, dow, hod))
+SELECT symbol, ts_ns, volume, dow, hod, n, tot
+FROM w WHERE n >= {_SVA_MIN_N} AND volume * n > {_SVA_K} * tot
+"""
+
+
+@register(
+    "seasonal_volume_anomaly",
+    SQL_SEASONAL_VOLUME,
+    doc=f"bars whose volume exceeds {_SVA_K}x their (symbol, dow, hour) seasonal slot mean (division-free integer predicate)",
+    tags=("ta", "window"),
+)
+def q_seasonal_volume_anomaly(spark, sf_dir):
+    r5 = _r5(spark, sf_dir)
+    s = r5.select(
+        "symbol",
+        "ts_ns",
+        "volume",
+        F.expr(f"CAST((ts_ns DIV {NS_PER_DAY} + 4) % 7 AS BIGINT)").alias("dow"),
+        F.expr(f"CAST((ts_ns % {NS_PER_DAY}) DIV {_NS_PER_HOUR} AS BIGINT)").alias("hod"),
+    )
+    sl = W.partitionBy("symbol", "dow", "hod")
+    w = s.select(
+        "symbol",
+        "ts_ns",
+        "volume",
+        "dow",
+        "hod",
+        F.count(F.lit(1)).over(sl).cast("long").alias("n"),
+        F.sum("volume").over(sl).cast("long").alias("tot"),
+    )
+    return w.where(
+        (F.col("n") >= _SVA_MIN_N)
+        & (F.col("volume") * F.col("n") > _SVA_K * F.col("tot"))
+    )
