@@ -1633,3 +1633,63 @@ def q_seasonal_volume_anomaly(spark, sf_dir):
         (F.col("n") >= _SVA_MIN_N)
         & (F.col("volume") * F.col("n") > _SVA_K * F.col("tot"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Bradley-Terry strength ranking — the pairwise-preference fitting pass
+# (operators/ranking.py). Matches are derived from the bar data itself:
+# within every 5m bucket, each symbol pair with differing centi-returns is
+# one decided match (higher return wins) — the same bucket equi-join shape
+# as return_correlations, so match volume is C(symbols, 2) per bucket and
+# the games matrix the loop iterates over is |symbols|^2-bounded. Four MM
+# rounds, integer micro fixed-point, verified against the fully unrolled
+# DuckDB CTE chain (the pagerank oracle strategy).
+
+_BT_ITERS = 4
+
+_BT_MATCHES = """SELECT CASE WHEN a.x > b.x THEN a.symbol ELSE b.symbol END AS winner,
+       CASE WHEN a.x > b.x THEN b.symbol ELSE a.symbol END AS loser
+FROM btx a JOIN btx b ON a.ts_ns = b.ts_ns AND a.symbol < b.symbol
+WHERE a.x <> b.x"""
+
+
+def _bt_sql() -> str:
+    from ..operators.ranking import bradley_terry_oracle_sql
+
+    return f"""
+WITH {SQL_R5},
+btr AS (SELECT symbol, ts_ns,
+               CAST(FLOOR(close * 100) AS BIGINT)
+                 - LAG(CAST(FLOOR(close * 100) AS BIGINT))
+                   OVER (PARTITION BY symbol ORDER BY ts_ns) AS x
+        FROM r5),
+btx AS (SELECT symbol, ts_ns, x FROM btr WHERE x IS NOT NULL),
+{bradley_terry_oracle_sql(_BT_MATCHES, iterations=_BT_ITERS)}
+"""
+
+
+@register(
+    "symbol_bt_strength",
+    _bt_sql(),
+    doc=f"Bradley-Terry strength per symbol from pairwise per-bucket return comparisons ({_BT_ITERS} MM rounds, integer fixed-point, unrolled-CTE oracle)",
+    tags=("ta", "ranking", "joins"),
+)
+def q_symbol_bt_strength(spark, sf_dir):
+    from ..operators.ranking import bradley_terry
+
+    r5 = _r5(spark, sf_dir)
+    wo = W.partitionBy("symbol").orderBy("ts_ns")
+    cc = F.floor(F.col("close") * F.lit(100)).cast("long")
+    rx = r5.select("symbol", "ts_ns", (cc - F.lag(cc).over(wo)).alias("x")).filter(
+        F.col("x").isNotNull()
+    )
+    a = rx.select(F.col("symbol").alias("sym_a"), "ts_ns", F.col("x").alias("xa"))
+    b = rx.select(F.col("symbol").alias("sym_b"), F.col("ts_ns").alias("ts_b"), F.col("x").alias("xb"))
+    matches = (
+        a.join(b, (a.ts_ns == b.ts_b) & (a.sym_a < b.sym_b) & (a.xa != b.xb))
+        .select(
+            F.when(F.col("xa") > F.col("xb"), F.col("sym_a")).otherwise(F.col("sym_b")).alias("winner"),
+            F.when(F.col("xa") > F.col("xb"), F.col("sym_b")).otherwise(F.col("sym_a")).alias("loser"),
+        )
+    )
+    return bradley_terry(matches, iterations=_BT_ITERS)
