@@ -102,6 +102,69 @@ def basket_pairs(arrays: DataFrame) -> DataFrame:
     )
 
 
+#: Within-basket ordered TRIPLES (a < b < c in item-key order) as a pure map
+#: expression over the sorted ``items`` array — C(cap, 3)-bounded fan-out,
+#: no self-join. Index math (0-based lambda indices, 1-based slice starts):
+#: the middle element y = items[i+1+j] sits at 1-based position i+j+2, so
+#: the third element ranges over slice(items, i+j+3, ...).
+TRIPLES_EXPR = (
+    "flatten(flatten(transform(items, (x, i) -> "
+    "transform(slice(items, i + 2, size(items)), (y, j) -> "
+    "transform(slice(items, i + j + 3, size(items)), "
+    "z -> struct(x AS a, y AS b, z AS c))))))"
+)
+
+
+def basket_triples(arrays: DataFrame) -> DataFrame:
+    """Explode :data:`TRIPLES_EXPR` over ``(bk, items)``: one (a, b, c) row
+    per within-basket ordered triple, enumerated map-side."""
+    return arrays.select(F.explode(F.expr(TRIPLES_EXPR)).alias("t")).select(
+        "t.a", "t.b", "t.c"
+    )
+
+
+def frequent_triples(
+    arrays: DataFrame, min_support: int = 5, top_n: int = 50
+) -> DataFrame:
+    """Size-3 frequent itemsets over capped ``(bk, items)`` basket arrays:
+    ``(a, b, c, support)`` for every ordered triple co-occurring in >=
+    ``min_support`` baskets, ranked by (support desc, a, b, c) — a total
+    order, so the ``top_n`` truncation is deterministic on any engine.
+
+    Plan: map-side :data:`TRIPLES_EXPR` enumeration (the basket cap bounds
+    fan-out at C(cap, 3) — the Apriori transaction-truncation trade), one
+    shuffle hash aggregation, bounded TakeOrderedAndProject. The oracle
+    spells the triples as a three-way self-join over the capped row form —
+    an equivalence proof of the array enumeration, same as PAIRS_EXPR."""
+    sup = basket_triples(arrays).groupBy("a", "b", "c").agg(
+        F.count(F.lit(1)).alias("support")
+    )
+    return (
+        sup.where(F.col("support") >= min_support)
+        .orderBy(F.desc("support"), "a", "b", "c")
+        .limit(top_n)
+    )
+
+
+def frequent_triples_sql(
+    basket_sql: str, max_basket: int, min_support: int = 5, top_n: int = 50
+) -> str:
+    """Full oracle for :func:`frequent_triples` over
+    :func:`capped_baskets_sql`'s row form (three-way self-join)."""
+    return f"""
+WITH {capped_baskets_sql(basket_sql, max_basket)},
+t3 AS (
+  SELECT x.item AS a, y.item AS b, z.item AS c
+  FROM bcap x
+  JOIN bcap y ON x.bk = y.bk AND x.item < y.item
+  JOIN bcap z ON y.bk = z.bk AND y.item < z.item
+)
+SELECT a, b, c, CAST(COUNT(*) AS BIGINT) AS support
+FROM t3 GROUP BY a, b, c HAVING COUNT(*) >= {min_support}
+ORDER BY support DESC, a, b, c LIMIT {top_n}
+"""
+
+
 def capped_baskets(
     df: DataFrame, basket_col: str, item_col: str, max_basket: int
 ) -> DataFrame:

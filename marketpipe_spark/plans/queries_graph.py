@@ -427,3 +427,50 @@ def q_copurchase_walks(spark, sf_dir):
         steps=_WALK_STEPS,
     )
     return wv.select(F.col("id").alias("part_key"), "visits")
+
+
+# ---------------------------------------------------------------------------
+# Size-3 frequent itemsets — the Apriori step up from the pairwise rules.
+# Items are BRANDS (order -> distinct p_brand through lineitem ⋈ part): a
+# 25-value item space, so triadic co-occurrence is dense and the support
+# ranking is meaningful at every SF (partkey triples are birthday-sparse).
+# Triples are enumerated map-side from the capped sorted basket array
+# (TRIPLES_EXPR, C(cap, 3)-bounded); the oracle spells them as a three-way
+# self-join over the capped row form — the equivalence proof of the array
+# rewrite, same contract as the pair entries.
+
+_TRI_CAP = 5
+_TRI_MIN_SUPPORT = 5
+_TRI_TOP_N = 50
+_BRAND_BASKET_SQL = (
+    "SELECT l_orderkey AS bk, p_brand AS item "
+    "FROM lineitem JOIN part ON l_partkey = p_partkey"
+)
+
+
+def _frequent_triples_sql() -> str:
+    from ..operators.baskets import frequent_triples_sql
+
+    return frequent_triples_sql(
+        _BRAND_BASKET_SQL, _TRI_CAP, min_support=_TRI_MIN_SUPPORT, top_n=_TRI_TOP_N
+    )
+
+
+@register(
+    "frequent_brand_triples",
+    _frequent_triples_sql(),
+    doc=f"top-{_TRI_TOP_N} size-3 frequent brand itemsets per order basket (map-side C(cap,3) triple enumeration, three-way self-join oracle)",
+    tags=("aggregation", "joins", "baskets"),
+)
+def q_frequent_brand_triples(spark, sf_dir):
+    from ..operators.baskets import capped_basket_arrays, frequent_triples
+
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    bb = li.join(p, li.l_partkey == p.p_partkey).select(
+        "l_orderkey", F.col("p_brand").alias("brand")
+    )
+    arrays = capped_basket_arrays(bb, "l_orderkey", "brand", _TRI_CAP)
+    return frequent_triples(
+        arrays, min_support=_TRI_MIN_SUPPORT, top_n=_TRI_TOP_N
+    )

@@ -566,3 +566,36 @@ def test_walks_follow_the_documented_hash_rule(spark):
     df = spark.createDataFrame(edges, "u long, v long")
     got = {r["id"]: r["visits"] for r in deterministic_walks(df, W_, L_).collect()}
     assert got == visits
+
+
+def test_basket_triples_enumerates_all_combinations(spark):
+    from itertools import combinations
+
+    from marketpipe_spark.operators.baskets import (
+        basket_triples,
+        capped_basket_arrays,
+        frequent_triples,
+    )
+
+    rows = [(1, i) for i in (5, 3, 9, 1)] + [(2, i) for i in (7, 7, 2)] + [(3, 4)]
+    df = spark.createDataFrame(rows, "bk long, item long")
+    arrays = capped_basket_arrays(df, "bk", "item", 10)
+    got = sorted(tuple(r) for r in basket_triples(arrays).collect())
+    want = sorted(combinations(sorted({5, 3, 9, 1}), 3))  # bk 2/3 too small
+    assert got == [tuple(t) for t in want]
+
+    # The cap keeps the LOWEST items: with cap 3 only (1, 3, 5) survives.
+    capped = capped_basket_arrays(df, "bk", "item", 3)
+    got3 = [tuple(r) for r in basket_triples(capped).collect()]
+    assert got3 == [(1, 3, 5)]
+
+    # frequent_triples ranking is (support desc, a, b, c) with min support.
+    many = spark.createDataFrame(
+        [(b, i) for b in range(4) for i in (1, 2, 3)]  # (1,2,3) x4
+        + [(b, i) for b in range(10, 12) for i in (1, 2, 4)],  # (1,2,4) x2
+        "bk long, item long",
+    )
+    top = frequent_triples(
+        capped_basket_arrays(many, "bk", "item", 5), min_support=2, top_n=1
+    ).collect()
+    assert [tuple(r) for r in top] == [(1, 2, 3, 4)]
