@@ -184,3 +184,79 @@ nearest AS (
     FROM lpairs
   ) WHERE rn = 1
 )"""
+
+
+def blocked_similarity_pairs(
+    df: DataFrame,
+    id_col: str,
+    field_col: str,
+    block_cols: list[str],
+    max_dist: int = 2,
+    max_block: int = 2000,
+) -> DataFrame:
+    """Every within-block record pair at Levenshtein distance <=
+    ``max_dist`` — the PAIR-GENERATION stage of entity resolution (the
+    nearest-match operator keeps one winner per record; ER clustering
+    needs the full epsilon-neighborhood edge list).
+
+    Returns ``(id_a, id_b)`` with ``id_a < id_b``, ready for
+    :func:`~marketpipe_spark.operators.dedup.dedup_clusters`.
+
+    Exactness of the prefilter: ``lev(x, y) >= |len(x) - len(y)|``, so the
+    length band ``|Δlen| <= max_dist`` cannot drop a qualifying pair — it
+    only prunes edit-distance work (the same bound nearest_field_match's
+    adaptive band uses). Blocking is the (documented, semantic) recall
+    trade: pairs in different blocks are never compared.
+
+    Scale: the block is the unit of quadratic work; ``max_block`` caps it
+    by keeping each block's lowest-id members (deterministic, so both
+    engines agree which records participate). ``field_col`` must be
+    NON-NULL (levenshtein(NULL, x) is NULL — same contract as
+    nearest_field_match).
+    """
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(field_col).alias("f"),
+        *[F.col(c) for c in block_cols],
+    )
+    wcap = Window.partitionBy(*block_cols).orderBy("id")
+    cand = (
+        base.withColumn("rn", F.row_number().over(wcap))
+        .where(F.col("rn") <= max_block)
+        .drop("rn")
+    )
+    a, b = cand.alias("a"), cand.alias("b")
+    cond = (F.col("a.id") < F.col("b.id")) & (
+        F.abs(F.length(F.col("a.f")) - F.length(F.col("b.f"))) <= max_dist
+    )
+    for c in block_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    return (
+        a.join(b, cond)
+        .where(F.levenshtein(F.col("a.f"), F.col("b.f")) <= max_dist)
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    )
+
+
+def blocked_similarity_pairs_sql(
+    src_sql: str, block_cols: list[str], max_dist: int = 2, max_block: int = 2000
+) -> str:
+    """CTE list reproducing :func:`blocked_similarity_pairs`. ``src_sql``
+    must select ``id``, ``f`` and the block columns; exposes
+    ``simpairs(id_a, id_b)``."""
+    blk_eq = " AND ".join(f"a.{c} = b.{c}" for c in block_cols)
+    blk_part = ", ".join(block_cols)
+    return f"""erbase AS MATERIALIZED ({src_sql}),
+ercand AS MATERIALIZED (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY {blk_part} ORDER BY id) AS rn
+    FROM erbase
+  ) WHERE rn <= {max_block}
+),
+simpairs AS MATERIALIZED (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM ercand a JOIN ercand b
+  ON {blk_eq} AND a.id < b.id
+  AND abs(length(a.f) - length(b.f)) <= {max_dist}
+  AND levenshtein(a.f, b.f) <= {max_dist}
+)"""

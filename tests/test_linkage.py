@@ -105,3 +105,54 @@ def test_nearest_match_partition_invariance(spark):
         ).collect()
     )
     assert a == b and len(a) == 120
+
+
+def test_blocked_similarity_pairs_exact_neighborhood(spark):
+    from marketpipe_spark.operators.linkage import blocked_similarity_pairs
+
+    rows = [
+        (1, "alpha", "X"),    # pairs with 2 (dist 1) and 3 (dist 2)
+        (2, "alphb", "X"),
+        (3, "alpXY", "X"),    # dist 2 from alpha... (alpha->alpXY: h->X, a->Y = 2)
+        (4, "zzzzzzzzzz", "X"),  # length band prunes vs all (|Δlen| 5 > 2)
+        (5, "alpha", "Y"),    # identical text, different block: never paired
+        (6, "gamma", "Y"),
+    ]
+    df = spark.createDataFrame(rows, "id long, f string, blk string")
+    got = sorted(
+        tuple(r)
+        for r in blocked_similarity_pairs(df, "id", "f", ["blk"], max_dist=2).collect()
+    )
+    # Brute-force reference within blocks.
+    import itertools
+
+    def lev(a, b):
+        d = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, d[0] = d[0], i
+            for j, cb in enumerate(b, 1):
+                prev, d[j] = d[j], min(d[j] + 1, d[j - 1] + 1, prev + (ca != cb))
+        return d[len(b)]
+
+    want = sorted(
+        (x[0], y[0])
+        for x, y in itertools.combinations(rows, 2)
+        if x[2] == y[2] and lev(x[1], y[1]) <= 2
+    )
+    assert got == want
+    assert (1, 2) in got and (1, 5) not in got and all(4 not in p for p in got)
+
+
+def test_blocked_similarity_pairs_block_cap_is_deterministic(spark):
+    from marketpipe_spark.operators.linkage import blocked_similarity_pairs
+
+    # Cap 2 keeps only ids 1 and 2 in the block; the (2, 3) pair vanishes.
+    rows = [(1, "aaaa", "X"), (2, "aaab", "X"), (3, "aabb", "X")]
+    df = spark.createDataFrame(rows, "id long, f string, blk string")
+    got = sorted(
+        tuple(r)
+        for r in blocked_similarity_pairs(
+            df, "id", "f", ["blk"], max_dist=2, max_block=2
+        ).collect()
+    )
+    assert got == [(1, 2)]
