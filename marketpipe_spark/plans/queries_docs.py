@@ -2240,3 +2240,62 @@ def q_source_overlap(spark, sf_dir):
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# LIX readability — the classic language-agnostic readability index
+# (Björnsson 1968): words/sentences + 100 * longwords/words, here in exact
+# integer micro-units with truncating DIV so both engines agree to the
+# last digit. Word counting reuses the engine's established whitespace
+# split; sentences are [.!?] separator counts (floored at 1); long words
+# (> 6 chars) are counted with a map-side array lambda — no UDF, no
+# explode. The quality-classifier family's readability axis.
+
+SQL_LIX = r"""
+SELECT doc_id, lang, n_words, n_sentences, n_long,
+       n_words * 1000000 // n_sentences
+         + n_long * 100000000 // n_words AS lix_micro
+FROM (
+  SELECT doc_id, lang,
+         GREATEST(1, CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)) AS n_words,
+         GREATEST(1, CAST(len(regexp_split_to_array(text, '[.!?]')) AS BIGINT) - 1) AS n_sentences,
+         CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                              w -> length(w) > 6)) AS BIGINT) AS n_long
+  FROM documents
+)
+"""
+
+
+@register(
+    "lix_readability",
+    SQL_LIX,
+    doc="LIX readability per document (integer micro-units: words/sentence + 100*longword ratio, map-side array lambdas)",
+    tags=("text",),
+)
+def q_lix_readability(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        "lang",
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.size(F.split(F.trim(F.col("text")), TOKEN_SPLIT_RE)).cast("long"),
+        ).alias("n_words"),
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.size(F.split(F.col("text"), r"[.!?]")).cast("long") - 1,
+        ).alias("n_sentences"),
+        F.expr(
+            r"CAST(size(filter(split(trim(text), '\\s+'), w -> length(w) > 6)) AS BIGINT)"
+        ).alias("n_long"),
+    )
+    return base.select(
+        "doc_id",
+        "lang",
+        "n_words",
+        "n_sentences",
+        "n_long",
+        F.expr(
+            "n_words * 1000000 DIV n_sentences + n_long * 100000000 DIV n_words"
+        ).alias("lix_micro"),
+    )

@@ -1693,3 +1693,140 @@ def q_symbol_bt_strength(spark, sf_dir):
         )
     )
     return bradley_terry(matches, iterations=_BT_ITERS)
+
+
+# ---------------------------------------------------------------------------
+# Historical VaR / expected shortfall — tail order statistics of daily ppm
+# returns per symbol. Returns are exact integers ((cm - prev) * 1e6 DIV
+# prev, truncating DIV toward zero on both engines — the theil_sen/holt
+# contract); the 95% VaR is the k-th LOWEST return with k = GREATEST(1,
+# n*5 DIV 100) (a pinned order statistic, no interpolation), and ES is the
+# mean of the k tail returns (exact integer sum + deterministic double).
+# One bounded array agg per symbol (calendar-bounded, the mad_outliers
+# pattern) — no window re-sort, no self-join.
+
+SQL_VAR_ES = f"""
+WITH {SQL_BARS},
+ved AS (
+  SELECT symbol, ts_ns // {NS_PER_DAY} AS d,
+         CAST(FLOOR(max_by(close, ts_ns) * 1e6) AS BIGINT) AS cm
+  FROM bars GROUP BY symbol, ts_ns // {NS_PER_DAY}
+),
+ver AS (
+  SELECT symbol,
+         (cm - LAG(cm) OVER (PARTITION BY symbol ORDER BY d)) * 1000000
+           // LAG(cm) OVER (PARTITION BY symbol ORDER BY d) AS r
+  FROM ved
+),
+vea AS (
+  SELECT symbol, CAST(COUNT(*) AS BIGINT) AS n_days,
+         list_sort(list(r)) AS sr,
+         GREATEST(1, CAST(COUNT(*) AS BIGINT) * 5 // 100) AS k
+  FROM ver WHERE r IS NOT NULL GROUP BY symbol
+)
+SELECT symbol, n_days, k,
+       sr[CAST(k AS INT)] AS var95_ppm,
+       CAST(list_sum(list_slice(sr, 1, CAST(k AS INT))) AS BIGINT) AS tail_sum_ppm,
+       CAST(CAST(list_sum(list_slice(sr, 1, CAST(k AS INT))) AS BIGINT) AS DOUBLE)
+         / k AS es95_ppm
+FROM vea
+"""
+
+
+@register(
+    "historical_var_es",
+    SQL_VAR_ES,
+    doc="95% historical VaR (pinned order statistic) and expected shortfall of daily ppm returns per symbol (exact integer tail sums)",
+    tags=("ta", "aggregation"),
+)
+def q_historical_var_es(spark, sf_dir):
+    b = bars(spark, sf_dir)
+    dd = b.groupBy(
+        "symbol", F.expr(f"ts_ns DIV {NS_PER_DAY}").alias("d")
+    ).agg(F.expr("CAST(FLOOR(max_by(close, ts_ns) * 1e6) AS BIGINT)").alias("cm"))
+    wo = W.partitionBy("symbol").orderBy("d")
+    r = dd.select(
+        "symbol",
+        F.expr("(cm - lag(cm) OVER (PARTITION BY symbol ORDER BY d)) * 1000000").alias("_num"),
+        F.lag("cm").over(wo).alias("_prev"),
+    ).select("symbol", F.expr("_num DIV _prev").alias("r")).where(F.col("r").isNotNull())
+    a = r.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.array_sort(F.collect_list("r")).alias("sr"),
+    ).withColumn("k", F.expr("GREATEST(1L, n_days * 5 DIV 100)"))
+    return a.select(
+        "symbol",
+        "n_days",
+        "k",
+        F.expr("element_at(sr, CAST(k AS INT))").alias("var95_ppm"),
+        F.expr(
+            "aggregate(slice(sr, 1, CAST(k AS INT)), 0L, (acc, x) -> acc + x)"
+        ).alias("tail_sum_ppm"),
+        F.expr(
+            "CAST(aggregate(slice(sr, 1, CAST(k AS INT)), 0L, (acc, x) -> acc + x) AS DOUBLE) / k"
+        ).alias("es95_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Amihud illiquidity — |daily ppm return| per unit of daily volume, averaged
+# per symbol (Amihud 2002, the standard price-impact proxy). Per-day ratio
+# is exact integer (abs(r) * 1e6 DIV GREATEST(1, volume)); the average is
+# an exact integer sum + deterministic double.
+
+SQL_AMIHUD = f"""
+WITH {SQL_BARS},
+amd AS (
+  SELECT symbol, ts_ns // {NS_PER_DAY} AS d,
+         CAST(FLOOR(max_by(close, ts_ns) * 1e6) AS BIGINT) AS cm,
+         CAST(SUM(volume) AS BIGINT) AS vol
+  FROM bars GROUP BY symbol, ts_ns // {NS_PER_DAY}
+),
+amr AS (
+  SELECT symbol, vol,
+         (cm - LAG(cm) OVER (PARTITION BY symbol ORDER BY d)) * 1000000
+           // LAG(cm) OVER (PARTITION BY symbol ORDER BY d) AS r
+  FROM amd
+),
+ami AS (
+  SELECT symbol, abs(r) * 1000000 // GREATEST(1, vol) AS illiq
+  FROM amr WHERE r IS NOT NULL
+)
+SELECT symbol, CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(SUM(illiq) AS BIGINT) AS illiq_sum,
+       CAST(CAST(SUM(illiq) AS BIGINT) AS DOUBLE) / COUNT(*) AS illiq_avg
+FROM ami GROUP BY symbol
+"""
+
+
+@register(
+    "amihud_illiquidity",
+    SQL_AMIHUD,
+    doc="Amihud illiquidity per symbol: mean of |daily ppm return| DIV daily volume (exact integer per-day ratios)",
+    tags=("ta", "aggregation"),
+)
+def q_amihud_illiquidity(spark, sf_dir):
+    b = bars(spark, sf_dir)
+    dd = b.groupBy(
+        "symbol", F.expr(f"ts_ns DIV {NS_PER_DAY}").alias("d")
+    ).agg(
+        F.expr("CAST(FLOOR(max_by(close, ts_ns) * 1e6) AS BIGINT)").alias("cm"),
+        F.sum("volume").cast("long").alias("vol"),
+    )
+    wo = W.partitionBy("symbol").orderBy("d")
+    r = dd.select(
+        "symbol",
+        "vol",
+        ((F.col("cm") - F.lag("cm").over(wo)) * F.lit(1_000_000)).alias("_num"),
+        F.lag("cm").over(wo).alias("_prev"),
+    ).select(
+        "symbol", "vol", F.expr("_num DIV _prev").alias("r")
+    ).where(F.col("r").isNotNull())
+    illiq = r.select(
+        "symbol", F.expr("abs(r) * 1000000 DIV GREATEST(1L, vol)").alias("illiq")
+    )
+    return illiq.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("illiq").cast("long").alias("illiq_sum"),
+        (F.sum("illiq").cast("long").cast("double") / F.count(F.lit(1))).alias("illiq_avg"),
+    )
