@@ -189,6 +189,15 @@ FULL_EXTRA = [
     "stream_sliding_volume",
     "copurchase_walks",
     "source_overlap",
+    # round-7 batch 3
+    "rolling_beta",
+    "seasonal_volume_anomaly",
+    "symbol_bt_strength",
+    "frequent_brand_triples",
+    "part_golden_records",
+    "historical_var_es",
+    "amihud_illiquidity",
+    "lix_readability",
 ]
 
 
