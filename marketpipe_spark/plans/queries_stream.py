@@ -342,3 +342,45 @@ def q_stream_sliding_volume(spark, sf_dir):
         watermark=f"{WM_MIN} minutes",
     )
     return run_to_memory(agg, "stream_sliding_volume", "complete")
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful operator under the oracle: anomaly_stream is an
+# applyInPandasWithState per-symbol extreme-movement detector (one
+# (last_ts, last_close) state pair per symbol, Arrow-chunk-fold before the
+# scan). Over a bounded drained stream its emission is exactly the batch
+# lag-1 window — so the ONE streaming API family the other entries don't
+# cover (arbitrary stateful processing, SURVEY §2.9's custom-operator
+# path) gets a full value-hash oracle too, not just unit tests. The input
+# contract that makes the scan deterministic: (symbol, ts_ns) is unique in
+# the driver's events (checked — the stable sort is then a total order and
+# Arrow chunk arrival order is irrelevant); move_frac is the same IEEE
+# double division in pandas and both SQL engines.
+
+_ANOM_THRESHOLD = 1.0
+
+
+SQL_STREAM_ANOMALY = f"""
+WITH {SQL_BARS},
+sa AS (SELECT symbol, ts_ns, close,
+              LAG(close) OVER (PARTITION BY symbol ORDER BY ts_ns) AS prev_close
+       FROM bars)
+SELECT symbol, ts_ns, close, prev_close,
+       abs(close - prev_close) / abs(prev_close) AS move_frac
+FROM sa
+WHERE prev_close IS NOT NULL AND prev_close <> 0
+  AND abs(close - prev_close) / abs(prev_close) > {_ANOM_THRESHOLD}
+"""
+
+
+@register(
+    "stream_anomaly_alerts",
+    SQL_STREAM_ANOMALY,
+    doc=f"applyInPandasWithState extreme-movement detector (per-symbol lag-1 state, move > {_ANOM_THRESHOLD}) == batch lag window over the drained stream",
+    tags=("streaming", "window"),
+)
+def q_stream_anomaly_alerts(spark, sf_dir):
+    from ..streaming.stream import anomaly_stream
+
+    alerts = anomaly_stream(_bar_stream(spark, sf_dir), threshold=_ANOM_THRESHOLD)
+    return run_to_memory(alerts, "stream_anomaly_alerts", "append")
