@@ -1525,3 +1525,92 @@ def q_hll_distinct_users(spark, sf_dir):
     return est.join(exact, "event_type").select(
         "event_type", "n_exact", "n_registers", "hll_est_x1000"
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-touch attribution — position-based (U-shaped) conversion credit:
+# for every purchase, the user's preceding non-purchase events within a
+# 7-day lookback are the touchpoints; credit is split 40/20/40 between the
+# first touch, the (evenly split) middles, and the last touch, in exact
+# integer ppm with truncating DIV (middle remainders are dropped — the
+# documented truncation, same both engines). One range join user-bucketed
+# on the conversion side, one per-conversion window with a unique
+# (ts_ns, event_id) tie-break — fan-out is bounded by events-per-user
+# within the lookback window, the knob that caps it at 100 TB.
+
+_ATTR_LOOKBACK_NS = 7 * NS_PER_DAY
+
+SQL_ATTRIBUTION = f"""
+WITH {SQL_BARS},
+conv AS (SELECT user_id, ts_ns AS conv_ns, event_id AS conv_id
+         FROM bars WHERE symbol = 'purchase'),
+tp AS (
+  SELECT e.symbol AS channel, e.ts_ns, e.event_id, c.conv_id
+  FROM bars e JOIN conv c
+  ON e.user_id = c.user_id
+  AND e.ts_ns < c.conv_ns AND e.ts_ns >= c.conv_ns - {_ATTR_LOOKBACK_NS}
+  AND e.symbol <> 'purchase'
+),
+pos AS (
+  SELECT channel, conv_id,
+         ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY ts_ns, event_id) AS p,
+         COUNT(*) OVER (PARTITION BY conv_id) AS n
+  FROM tp
+),
+cr AS (
+  SELECT channel,
+         CAST(CASE WHEN n = 1 THEN 1000000
+                   WHEN n = 2 THEN 500000
+                   WHEN p = 1 OR p = n THEN 400000
+                   ELSE 200000 // (n - 2) END AS BIGINT) AS credit_ppm,
+         conv_id
+  FROM pos
+)
+SELECT channel,
+       CAST(COUNT(*) AS BIGINT) AS touches,
+       CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS conversions_touched,
+       CAST(SUM(credit_ppm) AS BIGINT) AS credit_ppm_sum
+FROM cr GROUP BY channel
+"""
+
+
+@register(
+    "attribution_credits",
+    SQL_ATTRIBUTION,
+    doc="position-based (40/20/40) multi-touch conversion attribution per channel, exact integer ppm credit, 7-day lookback",
+    tags=("analytics", "joins", "window"),
+)
+def q_attribution_credits(spark, sf_dir):
+    b = bars(spark, sf_dir)
+    conv = b.where(F.col("symbol") == "purchase").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts_ns").alias("conv_ns"),
+        F.col("event_id").alias("conv_id"),
+    )
+    tp = b.where(F.col("symbol") != "purchase").join(
+        conv,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("ts_ns") < F.col("conv_ns"))
+        & (F.col("ts_ns") >= F.col("conv_ns") - F.lit(_ATTR_LOOKBACK_NS)),
+    ).select(F.col("symbol").alias("channel"), "ts_ns", "event_id", "conv_id")
+    wp = W.partitionBy("conv_id").orderBy("ts_ns", "event_id")
+    pos = tp.select(
+        "channel",
+        "conv_id",
+        F.row_number().over(wp).alias("p"),
+        F.count(F.lit(1)).over(W.partitionBy("conv_id")).alias("n"),
+    )
+    cr = pos.select(
+        "channel",
+        "conv_id",
+        F.expr(
+            "CAST(CASE WHEN n = 1 THEN 1000000 WHEN n = 2 THEN 500000 "
+            "WHEN p = 1 OR p = n THEN 400000 "
+            "ELSE 200000 DIV (n - 2) END AS BIGINT)"
+        ).alias("credit_ppm"),
+    )
+    return cr.groupBy("channel").agg(
+        F.count(F.lit(1)).alias("touches"),
+        F.countDistinct("conv_id").alias("conversions_touched"),
+        F.sum("credit_ppm").cast("long").alias("credit_ppm_sum"),
+    )

@@ -1358,3 +1358,128 @@ def q_waiting_suppliers(spark, sf_dir):
         .orderBy(F.desc("numwait"), "s_name")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Referential-integrity audit — the data-quality pass a pipeline runs over
+# every foreign-key relation before trusting a snapshot: per relation, the
+# child row count, orphan children (FK with no parent — corruption), parent
+# count, and childless parents (coverage holes — live numbers here:
+# customers with no orders, parts never ordered). One FULL OUTER join per
+# relation folds all four counts into a single aggregation (parent keys are
+# primary keys, so an unmatched parent appears exactly once). The
+# cross-modal embeddings->documents relation is included — the join a
+# multimodal training pipeline must audit.
+
+_FK_RELATIONS = [
+    # (name, child_table, child_key, parent_table, parent_key)
+    ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation->region", "nation", "n_regionkey", "region", "r_regionkey"),
+    ("embeddings->documents", "embeddings", "vec_id", "documents", "doc_id"),
+    ("events->customer", "events", "user_id", "customer", "c_custkey"),
+]
+
+
+def _fk_audit_sql() -> str:
+    parts = []
+    for name, ct, ck, pt, pk in _FK_RELATIONS:
+        parts.append(f"""
+SELECT '{name}' AS relation,
+       CAST(COUNT({ck}) AS BIGINT) AS child_rows,
+       CAST(COUNT(CASE WHEN {ck} IS NOT NULL AND {pk} IS NULL THEN 1 END) AS BIGINT) AS orphan_children,
+       CAST(COUNT(DISTINCT {pk}) AS BIGINT) AS parents,
+       CAST(COUNT(CASE WHEN {ck} IS NULL THEN 1 END) AS BIGINT) AS childless_parents
+FROM (SELECT {ck} FROM {ct}) c FULL OUTER JOIN (SELECT {pk} FROM {pt}) p
+ON c.{ck} = p.{pk}""")
+    return "\nUNION ALL\n".join(parts)
+
+
+@register(
+    "fk_integrity_audit",
+    _fk_audit_sql(),
+    doc="referential-integrity audit over every FK relation incl. cross-modal embeddings->documents: orphan children + childless parents from one full-outer aggregation per relation",
+    tags=("joins", "validation"),
+)
+def q_fk_integrity_audit(spark, sf_dir):
+    out = None
+    for name, ct, ck, pt, pk in _FK_RELATIONS:
+        c = t(spark, sf_dir, ct).select(F.col(ck).alias("_ck"))
+        p = t(spark, sf_dir, pt).select(F.col(pk).alias("_pk"))
+        j = c.join(p, c._ck == p._pk, "full_outer")
+        row = j.agg(
+            F.count("_ck").cast("long").alias("child_rows"),
+            F.count(
+                F.when(F.col("_ck").isNotNull() & F.col("_pk").isNull(), 1)
+            ).cast("long").alias("orphan_children"),
+            F.countDistinct("_pk").cast("long").alias("parents"),
+            F.count(F.when(F.col("_ck").isNull(), 1)).cast("long").alias(
+                "childless_parents"
+            ),
+        ).select(F.lit(name).alias("relation"), "*")
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit — the classic fabricated-data detector over a
+# monetary column: observed first-digit shares of o_totalprice vs Benford's
+# (FLOOR before the BIGINT cast — Spark truncates a double->long cast while
+# DuckDB rounds it, so the bare cast is engine-dependent at .5 boundaries).
+# log10(1 + 1/d) expectation. Expectations are Python-precomputed ppm
+# literals inlined into BOTH engines (no libm log on either side); shares
+# and deviations are exact integer ppm.
+
+_BENFORD_PPM = {
+    d: int(__import__("math").log10(1 + 1 / d) * 1_000_000) for d in range(1, 10)
+}
+_BENFORD_CASE = " ".join(
+    f"WHEN {d} THEN {p}" for d, p in _BENFORD_PPM.items()
+)
+
+SQL_BENFORD = f"""
+WITH fd AS (
+  SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+  FROM orders WHERE o_totalprice >= 1
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM fd)
+SELECT digit,
+       CAST(COUNT(*) AS BIGINT) AS cnt,
+       CAST(COUNT(*) AS BIGINT) * 1000000 // (SELECT n FROM tot) AS share_ppm,
+       CAST(CASE digit {_BENFORD_CASE} END AS BIGINT) AS benford_ppm,
+       abs(CAST(COUNT(*) AS BIGINT) * 1000000 // (SELECT n FROM tot)
+           - CASE digit {_BENFORD_CASE} END) AS abs_dev_ppm
+FROM fd GROUP BY digit
+"""
+
+
+@register(
+    "benford_order_totals",
+    SQL_BENFORD,
+    doc="Benford's-law first-digit audit of order totals (integer ppm shares vs inlined log10 expectations)",
+    tags=("validation", "aggregation"),
+)
+def q_benford_order_totals(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    fd = o.where(F.col("o_totalprice") >= 1).select(
+        F.expr(
+            "CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS STRING), 1, 1) AS BIGINT)"
+        ).alias("digit")
+    )
+    from .registry import scalar_join
+
+    tot = fd.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    g = fd.groupBy("digit").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    g = scalar_join(g, "digit", tot)
+    bexp = "CASE digit " + _BENFORD_CASE + " END"
+    return g.select(
+        "digit",
+        "cnt",
+        F.expr("cnt * 1000000 DIV n").alias("share_ppm"),
+        F.expr(f"CAST({bexp} AS BIGINT)").alias("benford_ppm"),
+        F.expr(f"abs(cnt * 1000000 DIV n - {bexp})").alias("abs_dev_ppm"),
+    )
