@@ -198,6 +198,10 @@ FULL_EXTRA = [
     "historical_var_es",
     "amihud_illiquidity",
     "lix_readability",
+    "stream_anomaly_alerts",
+    "fk_integrity_audit",
+    "benford_order_totals",
+    "attribution_credits",
 ]
 
 
