@@ -202,6 +202,8 @@ FULL_EXTRA = [
     "fk_integrity_audit",
     "benford_order_totals",
     "attribution_credits",
+    "holt_backtest_mae",
+    "k_anonymity_audit",
 ]
 
 

@@ -1830,3 +1830,84 @@ def q_amihud_illiquidity(spark, sf_dir):
         F.sum("illiq").cast("long").alias("illiq_sum"),
         (F.sum("illiq").cast("long").cast("double") / F.count(F.lit(1))).alias("illiq_avg"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Holt backtest — one-step-ahead forecast evaluation for the holt_trend
+# model: at every day i >= 2 the PREVIOUS state's forecast (l + b) is
+# scored against the day's actual close BEFORE the state updates, and the
+# absolute errors accumulate in the fold (a 3-field struct: l, b, sae).
+# The model-evaluation pass any forecasting pipeline needs — same exact
+# integer recurrence as holt_trend (same alpha/beta ppm literals), same
+# recursive-CTE oracle strategy (the DuckDB list_reduce struct-mutation
+# hazard documented at holt_trend applies here too).
+
+_HBT_L = _HOLT_L  # same smoothing recurrence and literals as holt_trend
+_HBT_NL_SQL = _HOLT_NL_SQL
+
+SQL_HOLT_BACKTEST = f"""
+WITH RECURSIVE {SQL_BARS},
+bd AS (
+  SELECT symbol, ts_ns - ts_ns % {NS_PER_DAY} AS day,
+         CAST(FLOOR(max_by(close, ts_ns) * 1e6) AS BIGINT) AS cm
+  FROM bars GROUP BY symbol, ts_ns - ts_ns % {NS_PER_DAY}
+),
+bi AS MATERIALIZED (
+  SELECT symbol, cm,
+         ROW_NUMBER() OVER (PARTITION BY symbol ORDER BY day) AS i
+  FROM bd
+),
+bn AS (SELECT symbol, CAST(COUNT(*) AS BIGINT) AS n_days FROM bi GROUP BY symbol),
+bs AS (
+  SELECT symbol, i, cm AS l, CAST(0 AS BIGINT) AS b, CAST(0 AS BIGINT) AS sae
+  FROM bi WHERE i = 1
+  UNION ALL
+  SELECT h.symbol, h.i,
+         {_HBT_NL_SQL} AS l,
+         ({_HOLT_BETA_PPM} * ({_HBT_NL_SQL} - s.l) + {1_000_000 - _HOLT_BETA_PPM} * s.b) // 1000000 AS b,
+         s.sae + abs(h.cm - (s.l + s.b)) AS sae
+  FROM bs s JOIN bi h ON h.symbol = s.symbol AND h.i = s.i + 1
+)
+SELECT bs.symbol, bn.n_days, bs.sae AS abs_err_sum_micro,
+       bs.sae // (bn.n_days - 1) AS mae_micro
+FROM bs JOIN bn ON bs.symbol = bn.symbol AND bs.i = bn.n_days
+WHERE bn.n_days >= 2
+"""
+
+
+@register(
+    "holt_backtest_mae",
+    SQL_HOLT_BACKTEST,
+    doc="one-step-ahead Holt forecast backtest per symbol: exact integer absolute-error fold (error scored against the pre-update state), MAE in micro",
+    tags=("ta", "aggregation"),
+)
+def q_holt_backtest_mae(spark, sf_dir):
+    b = bars(spark, sf_dir)
+    hd = b.groupBy(
+        "symbol",
+        (F.col("ts_ns") - F.col("ts_ns") % F.lit(NS_PER_DAY)).alias("day"),
+    ).agg(F.expr("CAST(FLOOR(max_by(close, ts_ns) * 1e6) AS BIGINT)").alias("cm"))
+    fold = (
+        "aggregate(slice(a, 2, size(a) - 1), "
+        "named_struct('l', element_at(a, 1).cm, 'b', CAST(0 AS BIGINT), "
+        "'sae', CAST(0 AS BIGINT)), "
+        f"(acc, x) -> named_struct("
+        f"'l', {_HBT_L}, "
+        f"'b', ({_HOLT_BETA_PPM} * (({_HBT_L}) - acc.l) + {1_000_000 - _HOLT_BETA_PPM} * acc.b) div 1000000, "
+        "'sae', acc.sae + abs(x.cm - (acc.l + acc.b))))"
+    )
+    return (
+        hd.groupBy("symbol")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.array_sort(F.collect_list(F.struct("day", "cm"))).alias("a"),
+        )
+        .where(F.col("n_days") >= 2)
+        .select("symbol", "n_days", F.expr(fold).alias("s"))
+        .select(
+            "symbol",
+            "n_days",
+            F.col("s.sae").alias("abs_err_sum_micro"),
+            F.expr("s.sae DIV (n_days - 1)").alias("mae_micro"),
+        )
+    )

@@ -1483,3 +1483,37 @@ def q_benford_order_totals(spark, sf_dir):
         F.expr(f"CAST({bexp} AS BIGINT)").alias("benford_ppm"),
         F.expr(f"abs(cnt * 1000000 DIV n - {bexp})").alias("abs_dev_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit — the privacy pass a data-release pipeline runs before
+# publishing: group sizes over the quasi-identifier combination
+# (nation, market segment) with a violates-k flag per equivalence class.
+# Output is QI-cardinality-bounded (a profile, not a row-level export);
+# the row-level risk set is group_n itself. Completes the privacy family
+# next to pii_scrub (detection) — this is the aggregate-disclosure check.
+
+_KANON_K = 10
+
+SQL_K_ANONYMITY = f"""
+SELECT c_nationkey, c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS group_n,
+       CAST(CASE WHEN COUNT(*) < {_KANON_K} THEN 1 ELSE 0 END AS BIGINT) AS violates_k
+FROM customer GROUP BY c_nationkey, c_mktsegment
+"""
+
+
+@register(
+    "k_anonymity_audit",
+    SQL_K_ANONYMITY,
+    doc=f"k-anonymity audit (k={_KANON_K}) over the (nation, segment) quasi-identifier: equivalence-class sizes + violation flags",
+    tags=("validation", "aggregation"),
+)
+def q_k_anonymity_audit(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("group_n"),
+        F.expr(
+            f"CAST(CASE WHEN COUNT(*) < {_KANON_K} THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("violates_k"),
+    )

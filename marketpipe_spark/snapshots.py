@@ -1,0 +1,268 @@
+"""Versioned copy-on-write table snapshots — time travel for the parquet lake.
+
+The Delta/Iceberg capability the manifest module (file-stats skipping) does
+not provide: MULTI-VERSION reads. Every commit writes NEW immutable data
+files plus one JSON manifest listing the version's full live file set, so
+
+- readers pin a version and see an immutable snapshot (no torn reads while
+  a writer lands),
+- ``read_table(root, version=N)`` time-travels to any retained version,
+- upserts are file-granular copy-on-write: only data files that actually
+  contain matching keys are rewritten; untouched files are carried by
+  reference into the next manifest (the Delta `MERGE` file-pruning model),
+- old versions stay readable until :func:`expire_snapshots` drops them.
+
+Reference analog: the lake's in-place keep-last upsert
+(reference: src/marketpipe/ingestion/infrastructure/parquet_engine.py:
+126-170) mutates partitions destructively — a reader racing that rewrite
+sees a mix of old and new files. The snapshot commit protocol fixes both
+the isolation and the audit trail.
+
+Scale design:
+
+- **Data-file writes are distributed** (plain ``df.write.parquet`` into a
+  per-commit staging dir, then renamed into ``data/``); the driver touches
+  only file NAMES.
+- **Affected-file detection is distributed**: one semi-join of the live
+  rows (tagged with ``input_file_name()``) against the incoming keys —
+  the driver collects only the distinct affected path list (bounded by the
+  file count, the same contract as Delta's driver-side file planning).
+- **The manifest is O(files) JSON.** At millions of files, swap the JSON
+  body for a parquet manifest table read through the same two-phase
+  commit; the protocol (immutable data files + atomically-renamed manifest
+  pointer) is unchanged.
+- **Single-writer protocol.** Commits allocate ``v{N}`` by reading the
+  current latest; two concurrent writers can race the rename. A real
+  deployment puts a lock (or a conditional-put object store) around
+  :func:`_commit` — documented, not hidden.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .session import tune
+
+__all__ = [
+    "write_table",
+    "upsert_table",
+    "read_table",
+    "table_history",
+    "expire_snapshots",
+]
+
+_SNAP_DIR = "_snapshots"
+_DATA_DIR = "data"
+
+
+def _snap_root(root: str) -> str:
+    return os.path.join(root, _SNAP_DIR)
+
+
+def _versions(root: str) -> list[int]:
+    d = _snap_root(root)
+    if not os.path.isdir(d):
+        return []
+    out = []
+    for name in os.listdir(d):
+        if name.startswith("v") and name.endswith(".json"):
+            try:
+                out.append(int(name[1:-5]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def _read_manifest(root: str, version: int) -> dict:
+    with open(os.path.join(_snap_root(root), f"v{version}.json")) as f:
+        return json.load(f)
+
+
+def _commit(root: str, files: list[str], note: str, parent: int | None) -> int:
+    """Two-phase manifest commit: write v{N}.json.tmp, then atomic rename.
+    A reader either sees the old latest or the new one, never a partial
+    manifest."""
+    os.makedirs(_snap_root(root), exist_ok=True)
+    version = (parent if parent is not None else 0) + 1
+    body = {
+        "version": version,
+        "parent": parent,
+        "note": note,
+        "files": sorted(files),
+        "n_files": len(files),
+    }
+    path = os.path.join(_snap_root(root), f"v{version}.json")
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(body, f)
+    os.replace(tmp, path)
+    return version
+
+
+def _land_data_files(df: DataFrame, root: str, version_hint: int) -> list[str]:
+    """Write ``df`` distributed into a staging dir, then move the part files
+    under ``data/`` with commit-unique names. Returns lake-relative paths."""
+    os.makedirs(os.path.join(root, _DATA_DIR), exist_ok=True)
+    stage = os.path.join(root, f"_stage-{uuid.uuid4().hex}")
+    df.write.mode("overwrite").parquet(stage)
+    out: list[str] = []
+    i = 0
+    for name in sorted(os.listdir(stage)):
+        if not name.endswith(".parquet"):
+            continue
+        rel = os.path.join(
+            _DATA_DIR, f"c{version_hint:06d}-{uuid.uuid4().hex[:8]}-{i}.parquet"
+        )
+        os.replace(os.path.join(stage, name), os.path.join(root, rel))
+        out.append(rel)
+        i += 1
+    shutil.rmtree(stage, ignore_errors=True)
+    return out
+
+
+def _latest(root: str) -> int | None:
+    vs = _versions(root)
+    return vs[-1] if vs else None
+
+
+def write_table(
+    df: DataFrame, root: str, mode: str = "append", note: str = ""
+) -> int:
+    """Commit ``df`` as a new snapshot version.
+
+    ``mode="append"`` carries the parent's live files by reference and adds
+    the new ones; ``mode="overwrite"`` starts the live set fresh (old files
+    remain on disk for time travel until :func:`expire_snapshots`).
+    Returns the new version number."""
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    parent = _latest(root)
+    new_files = _land_data_files(df, root, (parent or 0) + 1)
+    live = list(new_files)
+    if mode == "append" and parent is not None:
+        live += _read_manifest(root, parent)["files"]
+    return _commit(root, live, note or f"{mode} {len(new_files)} files", parent)
+
+
+def read_table(
+    spark: SparkSession, root: str, version: int | None = None
+) -> DataFrame:
+    """Read a pinned snapshot (default: latest). The returned plan lists the
+    manifest's exact file set — concurrent commits cannot change what this
+    DataFrame reads."""
+    tune(spark)
+    v = version if version is not None else _latest(root)
+    if v is None:
+        raise FileNotFoundError(f"no snapshots at {root}")
+    m = _read_manifest(root, v)
+    if not m["files"]:
+        raise FileNotFoundError(f"snapshot v{v} at {root} is empty")
+    return spark.read.parquet(*[os.path.join(root, f) for f in m["files"]])
+
+
+def upsert_table(
+    spark: SparkSession,
+    new: DataFrame,
+    root: str,
+    keys: list[str],
+    note: str = "",
+) -> int:
+    """File-granular copy-on-write keep-last upsert.
+
+    Live files that contain NO row matching ``new``'s key set are carried
+    by reference (never read beyond the key column, never rewritten).
+    Affected files are rewritten as (their non-matching rows) ∪ ``new`` —
+    new rows win on key collision, the lake's keep-last contract. Returns
+    the new version; the parent version still reads the pre-image."""
+    parent = _latest(root)
+    if parent is None:
+        return write_table(new, root, mode="overwrite", note=note or "initial upsert")
+    live = _read_manifest(root, parent)["files"]
+    # Key-columns-only scan (column pruning reaches the parquet reader) —
+    # the detection pass never reads payload columns.
+    cur = spark.read.parquet(*[os.path.join(root, f) for f in live]).select(
+        F.input_file_name().alias("_file"), *[F.col(k) for k in keys]
+    )
+    new_keys = new.select(*keys).distinct()
+    # Distributed affected-file detection; driver collects only paths.
+    affected_rows = (
+        cur.join(F.broadcast(new_keys) if _small(new_keys) else new_keys, keys)
+        .select("_file")
+        .distinct()
+        .collect()
+    )
+    affected = {os.path.relpath(_strip_scheme(r["_file"]), root) for r in affected_rows}
+    carried = [f for f in live if f not in affected]
+    if affected:
+        old_affected = spark.read.parquet(
+            *[os.path.join(root, f) for f in sorted(affected)]
+        )
+        survivors = old_affected.join(new_keys, keys, "left_anti")
+        merged = survivors.unionByName(new.select(*old_affected.columns))
+    else:
+        merged = new
+    new_files = _land_data_files(merged, root, parent + 1)
+    return _commit(
+        root,
+        carried + new_files,
+        note or f"upsert: rewrote {len(affected)} files, carried {len(carried)}",
+        parent,
+    )
+
+
+def _strip_scheme(p: str) -> str:
+    return p[5:] if p.startswith("file:") else p
+
+
+def _small(df: DataFrame, limit_rows: int = 1_000_000) -> bool:
+    # Cheap broadcast gate: key frames under ~1M rows broadcast; bigger key
+    # sets go through a shuffle join (the correct at-scale default).
+    try:
+        return df.count() <= limit_rows
+    except Exception:
+        return False
+
+
+def table_history(root: str) -> list[dict]:
+    """All retained versions, oldest first: version, parent, note, n_files."""
+    out = []
+    for v in _versions(root):
+        m = _read_manifest(root, v)
+        out.append(
+            {k: m[k] for k in ("version", "parent", "note", "n_files")}
+        )
+    return out
+
+
+def expire_snapshots(root: str, keep_last: int = 2) -> dict:
+    """Drop all but the newest ``keep_last`` manifests and delete data files
+    referenced by NO retained manifest. Returns counts. The retention knob
+    is the storage/time-travel trade every snapshot store exposes."""
+    vs = _versions(root)
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    drop, keep = vs[:-keep_last], vs[-keep_last:]
+    referenced: set[str] = set()
+    for v in keep:
+        referenced.update(_read_manifest(root, v)["files"])
+    removed_files = 0
+    data_dir = os.path.join(root, _DATA_DIR)
+    if os.path.isdir(data_dir):
+        for name in os.listdir(data_dir):
+            rel = os.path.join(_DATA_DIR, name)
+            if rel not in referenced:
+                os.remove(os.path.join(root, rel))
+                removed_files += 1
+    for v in drop:
+        os.remove(os.path.join(_snap_root(root), f"v{v}.json"))
+    return {
+        "dropped_versions": len(drop),
+        "kept_versions": len(keep),
+        "deleted_files": removed_files,
+    }
