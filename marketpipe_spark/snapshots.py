@@ -54,6 +54,8 @@ __all__ = [
     "upsert_table",
     "read_table",
     "table_history",
+    "table_changes",
+    "compact_table",
     "expire_snapshots",
 ]
 
@@ -266,3 +268,80 @@ def expire_snapshots(root: str, keep_last: int = 2) -> dict:
         "kept_versions": len(keep),
         "deleted_files": removed_files,
     }
+
+
+def table_changes(
+    spark: SparkSession,
+    root: str,
+    keys: list[str],
+    v_from: int,
+    v_to: int | None = None,
+) -> DataFrame:
+    """Change data feed between two snapshot versions: one row per changed
+    key with ``_change IN ('insert', 'update', 'delete')`` plus the
+    key columns and the new-image payload (NULL for deletes).
+
+    The diff is a single full-outer join of the two pinned snapshots on
+    ``keys`` — the CDC derivation downstream consumers (incremental
+    materialized views, replication, audit) read instead of re-scanning
+    the whole table. An update is any key present in both versions whose
+    non-key payload differs (struct equality — NULL-safe via Spark's
+    struct ``<=>`` semantics).
+
+    Scale: one shuffle join on the key columns; the output is bounded by
+    the churn between the versions, not the table size. Key columns must
+    identify rows uniquely in each version (the upsert keep-last contract
+    guarantees this for tables maintained through :func:`upsert_table`).
+    """
+    old = read_table(spark, root, version=v_from)
+    new = read_table(spark, root, version=v_to)
+    payload = [c for c in new.columns if c not in keys]
+    o = old.select(
+        *[F.col(k).alias(f"_ok_{k}") for k in keys],
+        F.struct(*payload).alias("_old_p"),
+    )
+    n = new.select(
+        *[F.col(k).alias(f"_nk_{k}") for k in keys],
+        F.struct(*payload).alias("_new_p"),
+    )
+    cond = None
+    for k in keys:
+        c = F.col(f"_ok_{k}") == F.col(f"_nk_{k}")
+        cond = c if cond is None else cond & c
+    j = o.join(n, cond, "full_outer")
+    old_present = F.col(f"_ok_{keys[0]}").isNotNull()
+    new_present = F.col(f"_nk_{keys[0]}").isNotNull()
+    change = (
+        F.when(~old_present, F.lit("insert"))
+        .when(~new_present, F.lit("delete"))
+        .when(~F.col("_old_p").eqNullSafe(F.col("_new_p")), F.lit("update"))
+    )
+    out_keys = [
+        F.coalesce(F.col(f"_nk_{k}"), F.col(f"_ok_{k}")).alias(k) for k in keys
+    ]
+    return (
+        j.withColumn("_change", change)
+        .where(F.col("_change").isNotNull())
+        .select(*out_keys, F.col("_change"), F.col("_new_p").alias("_new"))
+    )
+
+
+def compact_table(
+    spark: SparkSession, root: str, target_files: int = 1, note: str = ""
+) -> int:
+    """OPTIMIZE: rewrite the latest snapshot's live set into
+    ``target_files`` files as a NEW version (rows identical, layout
+    consolidated). Old versions keep reading their own files until
+    :func:`expire_snapshots`. The small-files problem is the steady-state
+    failure mode of frequent upserts — compaction is the maintenance pass
+    every snapshot store schedules."""
+    parent = _latest(root)
+    if parent is None:
+        raise FileNotFoundError(f"no snapshots at {root}")
+    cur = read_table(spark, root, version=parent)
+    new_files = _land_data_files(
+        cur.repartition(target_files), root, parent + 1
+    )
+    return _commit(
+        root, new_files, note or f"compact -> {len(new_files)} files", parent
+    )

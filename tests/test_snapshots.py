@@ -120,3 +120,58 @@ def test_expire_deletes_only_unreferenced_files(spark, tmp_path):
 
     with pytest.raises(FileNotFoundError):
         read_table(spark, root, version=1)
+
+
+def test_table_changes_classifies_cdc(spark, tmp_path):
+    from marketpipe_spark.snapshots import table_changes
+
+    root = str(tmp_path / "snap")
+    write_table(
+        spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+            "id long, v string, x double",
+        ),
+        root,
+    )
+    upsert_table(
+        spark,
+        spark.createDataFrame(
+            [(2, "B!", 20.0), (4, "d", 40.0)], "id long, v string, x double"
+        ),
+        root,
+        keys=["id"],
+    )
+    ch = {
+        r["id"]: (r["_change"], tuple(r["_new"]) if r["_new"] else None)
+        for r in table_changes(spark, root, ["id"], v_from=1, v_to=2).collect()
+    }
+    assert ch == {2: ("update", ("B!", 20.0)), 4: ("insert", ("d", 40.0))}
+    # Deleting = overwrite without the row; diff v2 -> v3 shows it.
+    write_table(
+        spark.createDataFrame([(2, "B!", 20.0)], "id long, v string, x double"),
+        root,
+        mode="overwrite",
+    )
+    ch2 = {
+        r["id"]: r["_change"]
+        for r in table_changes(spark, root, ["id"], v_from=2, v_to=3).collect()
+    }
+    assert ch2 == {1: "delete", 3: "delete", 4: "delete"}
+
+
+def test_compact_preserves_rows_and_history(spark, tmp_path):
+    from marketpipe_spark.snapshots import compact_table
+
+    root = str(tmp_path / "snap")
+    for i in range(4):  # four tiny single-file commits -> 4 live files
+        write_table(
+            spark.createDataFrame([(i, f"r{i}")], "id long, v string").coalesce(1),
+            root,
+            mode="append",
+        )
+    before = _rows(read_table(spark, root))
+    v = compact_table(spark, root, target_files=1)
+    hist = {h["version"]: h["n_files"] for h in table_history(root)}
+    assert hist[v] == 1 and hist[v - 1] == 4
+    assert _rows(read_table(spark, root)) == before
+    assert _rows(read_table(spark, root, version=v - 1)) == before  # pre-image intact
