@@ -1316,3 +1316,150 @@ def deterministic_walks_oracle_sql(
   ) GROUP BY id)"""
     )
     return ",\n".join(parts)
+
+
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 4,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Fixed-iteration integer HITS (Kleinberg hubs & authorities) over a
+    directed edge list. Returns ``(id, hub, auth)`` for every node.
+
+    Per round (replicated literally by :func:`hits_oracle_sql`):
+
+    - raw authority ``a'(v) = Σ_{u→v} h(u)``, then mean-1 renormalize:
+      ``a(v) = a'(v) * N * scale DIV Σ a'`` (exact integer; the classic
+      L2 norm would need sqrt — the L1/mean norm is the deterministic
+      fixed-point variant and preserves the ranking);
+    - raw hub ``h'(u) = Σ_{u→v} a(v)`` with the same renormalization.
+
+    Nodes with no in-edges keep authority 0 (and pure-sink nodes hub 0) —
+    on a bipartite customer→part list that is exactly the expected shape
+    (customers are hubs, parts are authorities). Initial ``h = scale``.
+
+    Scale: one shuffle join + one hash agg per half-round on the pinned
+    edge list (the pagerank discipline: `_pin_keyed` co-partitions under
+    persist mode, `_state` broadcast-gates the node-sized score frames);
+    normalization totals ride a non-foldable 0-key BroadcastHashJoin.
+    Integer bound: Σ h ≈ N·scale after each renormalization, so a node's
+    raw inbox is < N·scale·maxdeg — document N·scale ≤ 9.2e12 when
+    maxdeg ≤ 1e6 (far beyond any capped-basket graph).
+    """
+    from .ranking import _zero_key
+
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    pins: list = []
+    ed = _pin_keyed(e, "src", scope=pins)
+    nodes = _pin_keyed(
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct(),
+        "id",
+        scope=pins,
+    )
+    n = nodes.count()
+
+    def _mean_norm(scored: DataFrame, col: str) -> DataFrame:
+        tot = scored.agg(F.sum(col).cast("long").alias("_tot"))
+        return (
+            scored.withColumn("_k", _zero_key(F.col("id")))
+            .join(F.broadcast(tot.withColumn("_k", _zero_key(F.col("_tot")))), "_k")
+            .select(
+                "id",
+                F.expr(f"{col} * {n} * {scale} DIV _tot").alias(col),
+            )
+        )
+
+    h = nodes.withColumn("h", F.lit(scale).cast("long"))
+    a = None
+    for _ in range(iterations):
+        raw_a = (
+            ed.join(_state(h, n), ed.src == h.id)
+            .select("dst", "h")
+            .groupBy("dst")
+            .agg(F.sum("h").alias("ra"))
+        )
+        a = _pin_state(
+            _mean_norm(
+                nodes.join(_state(raw_a, n), nodes.id == raw_a.dst, "left_outer")
+                .select("id", F.coalesce("ra", F.lit(0)).cast("long").alias("a")),
+                "a",
+            ).select("id", F.col("a"))
+        )
+        raw_h = (
+            ed.join(_state(a.select(F.col("id").alias("aid"), "a"), n), ed.dst == F.col("aid"))
+            .select("src", "a")
+            .groupBy("src")
+            .agg(F.sum("a").alias("rh"))
+        )
+        h = _pin_state(
+            _mean_norm(
+                nodes.join(_state(raw_h, n), nodes.id == raw_h.src, "left_outer")
+                .select("id", F.coalesce("rh", F.lit(0)).cast("long").alias("h")),
+                "h",
+            ).select("id", F.col("h"))
+        )
+    out = _pin_state(
+        h.join(a.select(F.col("id").alias("_aid"), "a"), h.id == F.col("_aid"))
+        .select("id", F.col("h").alias("hub"), F.col("a").alias("auth"))
+    )
+    _release(pins)
+    return out
+
+
+def hits_oracle_sql(
+    edges_sql: str, iterations: int = 4, scale: int = 1_000_000
+) -> str:
+    """DuckDB CTE chain reproducing :func:`hits` literally — one unrolled
+    (authority, hub) CTE pair per round, MATERIALIZED fences on the
+    doubly-referenced state CTEs (the bradley_terry oracle lesson:
+    inlined chains re-expand exponentially)."""
+    parts = [
+        f"he AS MATERIALIZED (SELECT DISTINCT src, dst FROM ({edges_sql}))",
+        "hnd AS MATERIALIZED (SELECT src AS id FROM he UNION SELECT dst FROM he)",
+        "hcnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM hnd)",
+        f"h0 AS (SELECT id, CAST({scale} AS BIGINT) AS h FROM hnd)",
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"""ar{i} AS (
+  SELECT hnd.id, CAST(COALESCE(x.ra, 0) AS BIGINT) AS a
+  FROM hnd LEFT JOIN (
+    SELECT he.dst AS id, CAST(SUM(p.h) AS BIGINT) AS ra
+    FROM he JOIN h{i - 1} p ON he.src = p.id GROUP BY he.dst
+  ) x USING (id)
+)"""
+        )
+        parts.append(
+            f"""a{i} AS MATERIALIZED (
+  SELECT id, a * (SELECT n FROM hcnt) * {scale}
+           // (SELECT CAST(SUM(a) AS BIGINT) FROM ar{i}) AS a
+  FROM ar{i}
+)"""
+        )
+        parts.append(
+            f"""hr{i} AS (
+  SELECT hnd.id, CAST(COALESCE(x.rh, 0) AS BIGINT) AS h
+  FROM hnd LEFT JOIN (
+    SELECT he.src AS id, CAST(SUM(p.a) AS BIGINT) AS rh
+    FROM he JOIN a{i} p ON he.dst = p.id GROUP BY he.src
+  ) x USING (id)
+)"""
+        )
+        parts.append(
+            f"""h{i} AS MATERIALIZED (
+  SELECT id, h * (SELECT n FROM hcnt) * {scale}
+           // (SELECT CAST(SUM(h) AS BIGINT) FROM hr{i}) AS h
+  FROM hr{i}
+)"""
+        )
+    return (
+        ",\n".join(parts)
+        + f"""
+SELECT h{iterations}.id, h{iterations}.h AS hub, a{iterations}.a AS auth
+FROM h{iterations} JOIN a{iterations} ON h{iterations}.id = a{iterations}.id
+"""
+    )

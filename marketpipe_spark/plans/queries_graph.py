@@ -474,3 +474,66 @@ def q_frequent_brand_triples(spark, sf_dir):
     return frequent_triples(
         arrays, min_support=_TRI_MIN_SUPPORT, top_n=_TRI_TOP_N
     )
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs & authorities over the DIRECTED customer→part purchase relation
+# (customers are hubs — they point at parts; parts are authorities). The
+# mean-1 integer renormalization each half-round keeps every value exact
+# and bounded: with scale 1e4 even total mass concentration on one node
+# keeps the normalization product N·scale·N·scale ≈ 1.2e17 < 2^63 at
+# sf0.1's 35k nodes (the documented worst-case bound; real inboxes are
+# deg-bounded far below it).
+
+_HITS_ITERS = 4
+_HITS_SCALE = 10_000
+
+_HITS_EDGES_SQL = """
+SELECT DISTINCT o_custkey * 2 AS src, l_partkey * 2 + 1 AS dst
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+"""
+
+
+def _hits_sql() -> str:
+    from ..operators.graph import hits_oracle_sql
+
+    body = hits_oracle_sql(_HITS_EDGES_SQL, iterations=_HITS_ITERS, scale=_HITS_SCALE)
+    chain, tail = body.rsplit("\nSELECT", 1)
+    return f"""
+WITH {chain},
+hfin AS (SELECT{tail})
+SELECT CASE WHEN id % 2 = 0 THEN 'customer' ELSE 'part' END AS node_type,
+       CAST(id // 2 AS BIGINT) AS node_key,
+       hub AS hub_score, auth AS auth_score
+FROM hfin
+"""
+
+
+@register(
+    "copurchase_hits",
+    _hits_sql(),
+    doc=f"HITS hubs/authorities over the directed customer->part graph ({_HITS_ITERS} rounds, exact mean-1 integer renormalization, unrolled-CTE oracle)",
+    tags=("graph", "joins", "aggregation"),
+)
+def q_copurchase_hits(spark, sf_dir):
+    from ..operators.graph import hits
+
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_partkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    sc = hits(edges, iterations=_HITS_ITERS, scale=_HITS_SCALE)
+    return sc.select(
+        F.when(F.col("id") % 2 == 0, F.lit("customer"))
+        .otherwise(F.lit("part"))
+        .alias("node_type"),
+        F.expr("id DIV 2").cast("long").alias("node_key"),
+        F.col("hub").alias("hub_score"),
+        F.col("auth").alias("auth_score"),
+    )

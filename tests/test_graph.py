@@ -599,3 +599,38 @@ def test_basket_triples_enumerates_all_combinations(spark):
         capped_basket_arrays(many, "bk", "item", 5), min_support=2, top_n=1
     ).collect()
     assert [tuple(r) for r in top] == [(1, 2, 3, 4)]
+
+
+def test_hits_matches_integer_reference(spark):
+    from marketpipe_spark.operators.graph import hits
+
+    # Bipartite: hub u1 points at 3 parts, u2 at 1 of them.
+    edges = [(1, 10), (1, 11), (1, 12), (2, 10)]
+    SCALE, IT = 10_000, 4
+
+    def ref():
+        nodes = sorted({x for e in edges for x in e})
+        n = len(nodes)
+        h = {v: SCALE for v in nodes}
+        a = {}
+        for _ in range(IT):
+            ra = {v: 0 for v in nodes}
+            for s, d in edges:
+                ra[d] += h[s]
+            tot = sum(ra.values())
+            a = {v: ra[v] * n * SCALE // tot for v in nodes}
+            rh = {v: 0 for v in nodes}
+            for s, d in edges:
+                rh[s] += a[d]
+            tot = sum(rh.values())
+            h = {v: rh[v] * n * SCALE // tot for v in nodes}
+        return {v: (h[v], a[v]) for v in nodes}
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["id"]: (r["hub"], r["auth"]) for r in hits(df, iterations=IT, scale=SCALE).collect()}
+    assert got == ref()
+    # Sanity: the 3-edge hub dominates; the doubly-cited part is top authority.
+    assert got[1][0] > got[2][0]
+    assert got[10][1] > got[11][1]
+    # Pure hubs have zero authority, pure authorities zero hub.
+    assert got[1][1] == 0 and got[10][0] == 0
