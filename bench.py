@@ -204,6 +204,7 @@ FULL_EXTRA = [
     "attribution_credits",
     "holt_backtest_mae",
     "k_anonymity_audit",
+    "copurchase_hits",
 ]
 
 
