@@ -205,6 +205,7 @@ FULL_EXTRA = [
     "holt_backtest_mae",
     "k_anonymity_audit",
     "copurchase_hits",
+    "stream_outer_attribution",
 ]
 
 

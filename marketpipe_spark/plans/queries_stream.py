@@ -384,3 +384,92 @@ def q_stream_anomaly_alerts(spark, sf_dir):
 
     alerts = anomaly_stream(_bar_stream(spark, sf_dir), threshold=_ANOM_THRESHOLD)
     return run_to_memory(alerts, "stream_anomaly_alerts", "append")
+
+
+# ---------------------------------------------------------------------------
+# Stream-stream LEFT OUTER interval join — the null-padding emission
+# semantics the inner attribution entry can't exercise: matched pairs emit
+# immediately (inner behavior); an UNMATCHED click emits null-padded only
+# once the global watermark (min over both legs of max-event-ms − delay)
+# passes its join-window close, so clicks near the end of the bounded
+# stream stay IN STATE when the query drains — the oracle reproduces the
+# join predicate (µs precision, the event_time resolution) PLUS that
+# watermark cutoff rule (ms precision, the watermark resolution), i.e. the
+# late/outer emission contract itself is what's verified (the
+# stream_sessions strategy applied to outer joins). Empirically pinned at
+# sf0.001: 5 matched + 204 of 205 unmatched emitted; the one retained
+# click is the one whose window outlives the final watermark.
+
+_OUTER_WINDOW_MIN = 60
+
+
+SQL_STREAM_OUTER = f"""
+WITH {SQL_BARS},
+ock AS (SELECT user_id, event_id, ts_ns FROM bars WHERE symbol = 'click'),
+opu AS (SELECT user_id, event_id, ts_ns FROM bars WHERE symbol = 'purchase'),
+owm AS (SELECT LEAST((SELECT MAX(ts_ns) FROM ock), (SELECT MAX(ts_ns) FROM opu))
+               // 1000000 - {WM_MIN * 60_000} AS wm_ms),
+omt AS (
+  SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+         p.ts_ns - c.ts_ns AS gap_ns
+  FROM ock c JOIN opu p ON c.user_id = p.user_id
+   AND p.ts_ns // 1000 >= c.ts_ns // 1000
+   AND p.ts_ns // 1000 <= c.ts_ns // 1000 + {_OUTER_WINDOW_MIN * 60_000_000}
+),
+oum AS (
+  SELECT c.user_id, c.event_id AS click_id,
+         CAST(NULL AS BIGINT) AS purchase_id, CAST(NULL AS BIGINT) AS gap_ns
+  FROM ock c
+  WHERE NOT EXISTS (
+    SELECT 1 FROM opu p WHERE p.user_id = c.user_id
+     AND p.ts_ns // 1000 >= c.ts_ns // 1000
+     AND p.ts_ns // 1000 <= c.ts_ns // 1000 + {_OUTER_WINDOW_MIN * 60_000_000})
+   AND c.ts_ns // 1000000 + {_OUTER_WINDOW_MIN * 60_000} < (SELECT wm_ms FROM owm)
+)
+SELECT user_id, click_id, purchase_id, gap_ns FROM omt
+UNION ALL
+SELECT user_id, click_id, purchase_id, gap_ns FROM oum
+"""
+
+
+@register(
+    "stream_outer_attribution",
+    SQL_STREAM_OUTER,
+    doc=f"stream-stream LEFT OUTER interval join (click->purchase within {_OUTER_WINDOW_MIN}m): null-padded emission gated by the min-leg watermark — the outer/late contract itself is oracle-verified",
+    tags=("streaming", "joins"),
+)
+def q_stream_outer_attribution(spark, sf_dir):
+    def leg(evtype, prefix):
+        ev = _event_stream(spark, sf_dir)
+        base = ev.select(
+            "event_id", "user_id", "event_type", ts_ns_expr(ev).alias("ts_ns")
+        )
+        return (
+            base.where(F.col("event_type") == evtype)
+            .withColumn("event_time", F.timestamp_micros(F.expr("ts_ns div 1000")))
+            .select(
+                F.col("event_id").alias(f"{prefix}_id"),
+                F.col("user_id").alias(f"{prefix}_user"),
+                F.col("ts_ns").alias(f"{prefix}_ts_ns"),
+                F.col("event_time").alias(f"{prefix}_time"),
+            )
+            .withWatermark(f"{prefix}_time", f"{WM_MIN} minutes")
+        )
+
+    clicks, purchases = leg("click", "click"), leg("purchase", "purchase")
+    joined = clicks.join(
+        purchases,
+        (F.col("click_user") == F.col("purchase_user"))
+        & (F.col("purchase_time") >= F.col("click_time"))
+        & (
+            F.col("purchase_time")
+            <= F.col("click_time") + F.expr(f"INTERVAL {_OUTER_WINDOW_MIN} MINUTES")
+        ),
+        "leftOuter",
+    ).select(
+        F.col("click_user").alias("user_id"),
+        F.col("click_id"),
+        F.col("purchase_id"),
+        (F.col("purchase_ts_ns") - F.col("click_ts_ns")).alias("gap_ns"),
+    )
+    return run_to_memory(joined, "stream_outer_attribution", "append")
