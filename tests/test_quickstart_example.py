@@ -69,3 +69,17 @@ def test_relational_mining_tour_runs_end_to_end(spark, tmp_path, capsys):
     assert "relational mining tour complete." in out
     assert "communities" in out
     assert "frontier" in out
+
+
+def test_snapshot_tables_tour_runs_end_to_end(spark, tmp_path, capsys):
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        "examples", "snapshot_tables_tour.py")
+    spec = importlib.util.spec_from_file_location("snapshot_tables_tour_example", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    mod.run(str(tmp_path), spark=spark)
+    out = capsys.readouterr().out
+    assert "snapshot tour complete" in out
+    assert "time travel to v1" in out
+    assert "'version': 3" in out
