@@ -279,10 +279,18 @@ def test_stream_dedup_microbatch_matches_model(spark, tmp_path_factory, rows, cu
 def _attr_model(batches: list[list[tuple[int, int, str, int]]]):
     """Micro-batch stream-stream inner join with per-side watermarks and the
     30-minute range condition. ``batches`` hold (event_id, user, type, ts_us).
-    Both legs read the same files, so both sides share batch boundaries and
-    the global watermark."""
+    Both legs read the same files, so both sides share batch boundaries —
+    but each leg has its OWN watermark node (the type filter sits before
+    ``withWatermark``, so the click node sees only click timestamps and the
+    purchase node only purchase timestamps), and the GLOBAL watermark is the
+    MIN across nodes. A leg that has seen no rows keeps the global watermark
+    unset. (Found by hypothesis: a shared-max model let one leg's far-future
+    row evict the other leg's state and drop its late rows, where real Spark
+    holds the global watermark at the slower leg.)"""
     win_us = _ATTR_WINDOW_NS // 1000
     wm = _TwoPhaseWatermark(DELAY_US)
+    max_c: int | None = None  # per-leg watermark-node maxima
+    max_p: int | None = None
     clicks: list[tuple[int, int, int]] = []  # (id, user, ts_us) retained state
     purchases: list[tuple[int, int, int]] = []
     out = []
@@ -310,7 +318,16 @@ def _attr_model(batches: list[list[tuple[int, int, str, int]]]):
         if wm.evict_us is not None:
             clicks = [c for c in clicks if c[2] + win_us >= wm.evict_us]
             purchases = [p for p in purchases if p[2] >= wm.evict_us]
-        wm.observe([t for (_, _, _, t) in batch])
+        cts = [t for (_, _, ty, t) in batch if ty == "click"]
+        pts = [t for (_, _, ty, t) in batch if ty == "purchase"]
+        if cts:
+            max_c = max(max_c, *cts) if max_c is not None else max(cts)
+        if pts:
+            max_p = max(max_p, *pts) if max_p is not None else max(pts)
+        if max_c is not None and max_p is not None:
+            # min over the two nodes' maxima is non-decreasing, so feeding
+            # the running combined value into the two-phase tracker is exact.
+            wm.observe([min(max_c, max_p)])
     return sorted(out)
 
 
