@@ -1350,6 +1350,8 @@ def hits(
     """
     from .ranking import _zero_key
 
+    if iterations < 1:
+        raise ValueError("hits needs iterations >= 1 (authority is undefined at round 0)")
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
     pins: list = []
     ed = _pin_keyed(e, "src", scope=pins)

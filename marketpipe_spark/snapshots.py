@@ -223,8 +223,12 @@ def _strip_scheme(p: str) -> str:
 
 
 def _small(df: DataFrame, limit_rows: int = 1_000_000) -> bool:
-    # Cheap broadcast gate: key frames under ~1M rows broadcast; bigger key
-    # sets go through a shuffle join (the correct at-scale default).
+    # Broadcast gate for the affected-file probe: key frames under ~1M rows
+    # broadcast; bigger key sets go through a shuffle join (the correct
+    # at-scale default). The count() is one extra narrow job over the
+    # incoming batch's key projection — paid once per upsert, far below the
+    # join it sizes; replace with a sampled estimate if batches ever carry
+    # billions of keys.
     try:
         return df.count() <= limit_rows
     except Exception:
