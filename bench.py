@@ -206,6 +206,7 @@ FULL_EXTRA = [
     "k_anonymity_audit",
     "copurchase_hits",
     "stream_outer_attribution",
+    "copurchase_pagerank_weighted",
 ]
 
 

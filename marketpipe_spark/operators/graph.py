@@ -1465,3 +1465,101 @@ SELECT h{iterations}.id, h{iterations}.h AS hub, a{iterations}.a AS auth
 FROM h{iterations} JOIN a{iterations} ON h{iterations}.id = a{iterations}.id
 """
     )
+
+
+def pagerank_weighted(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    iterations: int = 5,
+    damping_ppm: int = 850_000,
+    scale: int = 1_000_000_000_000,
+) -> DataFrame:
+    """Weighted PageRank: :func:`pagerank` with per-edge integer weights —
+    each round ``v`` sends ``score(v) * w_e DIV wsum(v)`` along every
+    out-edge (mass splits by weight share instead of uniformly). The
+    real-graph variant: co-purchase multiplicity, link frequency, citation
+    counts. Duplicate (src, dst) rows are weight-summed up front.
+
+    Integer bound (documented, not enforced): ``score * w_e`` must stay
+    inside int64 — with the default ``scale`` 1e12 that means per-edge
+    weights <= ~9.2e6; normalize weights upstream for heavier
+    multiplicities. Plan shape is identical to :func:`pagerank` (pinned
+    weighted edge list, one shuffle join + one hash agg per round,
+    broadcast-gated state), replicated literally by
+    :func:`pagerank_weighted_oracle_sql`.
+    """
+    e = (
+        edges.select(
+            F.col(src).alias("src"), F.col(dst).alias("dst"), F.col(weight).alias("w")
+        )
+        .groupBy("src", "dst")
+        .agg(F.sum("w").cast("long").alias("w"))
+    )
+    ws = e.groupBy("src").agg(F.sum("w").cast("long").alias("wsum"))
+    pins: list = []
+    ed = _pin_keyed(e.join(ws, "src"), "src", scope=pins)
+    nodes = _pin_keyed(
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct(),
+        "id",
+        scope=pins,
+    )
+    n = nodes.count()
+    s0 = scale // n
+    base = (PPM - damping_ppm) * s0 // PPM
+
+    scores = nodes.withColumn("score", F.lit(s0).cast("long"))
+    for _ in range(iterations):
+        arrived = (
+            ed.join(_state(scores, n), ed.src == scores.id)
+            .select("dst", F.expr("score * w DIV wsum").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("acc"))
+        )
+        scores = _pin_state(
+            nodes.join(_state(arrived, n), nodes.id == arrived.dst, "left_outer")
+            .select(
+                "id",
+                (
+                    F.lit(base)
+                    + F.expr(f"coalesce(acc, 0L) * {damping_ppm} DIV {PPM}")
+                ).cast("long").alias("score"),
+            )
+        )
+    _release(pins)
+    return scores
+
+
+def pagerank_weighted_oracle_sql(
+    edges_sql: str,
+    iterations: int = 5,
+    damping_ppm: int = 850_000,
+    scale: int = 1_000_000_000_000,
+) -> str:
+    """DuckDB CTE chain reproducing :func:`pagerank_weighted` literally.
+    ``edges_sql`` must select ``src, dst, w``."""
+    parts = [
+        f"we AS MATERIALIZED (SELECT src, dst, CAST(SUM(w) AS BIGINT) AS w FROM ({edges_sql}) GROUP BY src, dst)",
+        "wdg AS (SELECT src, CAST(SUM(w) AS BIGINT) AS wsum FROM we GROUP BY src)",
+        "wed AS MATERIALIZED (SELECT we.src, we.dst, we.w, wdg.wsum FROM we JOIN wdg USING (src))",
+        "wnd AS MATERIALIZED (SELECT src AS id FROM we UNION SELECT dst FROM we)",
+        "wcnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM wnd)",
+        f"wk AS (SELECT {scale} // n AS s0, ({PPM} - {damping_ppm}) * ({scale} // n) // {PPM} AS base FROM wcnt)",
+        "ws0 AS (SELECT id, (SELECT s0 FROM wk) AS s FROM wnd)",
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"""ws{i} AS MATERIALIZED (
+  SELECT wnd.id,
+         CAST((SELECT base FROM wk)
+              + COALESCE(x.acc, 0) * {damping_ppm} // {PPM} AS BIGINT) AS s
+  FROM wnd LEFT JOIN (
+    SELECT wed.dst AS id, CAST(SUM(p.s * wed.w // wed.wsum) AS BIGINT) AS acc
+    FROM wed JOIN ws{i - 1} p ON wed.src = p.id GROUP BY wed.dst
+  ) x USING (id)
+)"""
+        )
+    return ",\n".join(parts) + f"\nSELECT id, s AS score FROM ws{iterations}"

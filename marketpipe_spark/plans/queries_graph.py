@@ -537,3 +537,73 @@ def q_copurchase_hits(spark, sf_dir):
         F.col("hub").alias("hub_score"),
         F.col("auth").alias("auth_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# WEIGHTED PageRank over the co-purchase bipartite relation: edge weight =
+# purchase multiplicity (how many orders connect the customer to the
+# part), both directions — mass now splits by how OFTEN a relation was
+# exercised, the real-curation-graph variant (uniform pagerank treats one
+# incidental purchase like a hundred repeat buys). Same 2k/2k+1 node
+# namespacing, same round shape, weighted-division oracle.
+
+_WPR_EDGES_SQL = """
+SELECT o_custkey * 2 AS src, l_partkey * 2 + 1 AS dst, CAST(COUNT(*) AS BIGINT) AS w
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_custkey, l_partkey
+UNION ALL
+SELECT l_partkey * 2 + 1 AS src, o_custkey * 2 AS dst, CAST(COUNT(*) AS BIGINT) AS w
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_custkey, l_partkey
+"""
+
+
+def _wpagerank_sql() -> str:
+    from ..operators.graph import pagerank_weighted_oracle_sql
+
+    body = pagerank_weighted_oracle_sql(_WPR_EDGES_SQL, iterations=_ITERS)
+    tail = f"SELECT id, s AS score FROM ws{_ITERS}"
+    body = body.replace("\n" + tail, f",\nwfin AS (SELECT id, s FROM ws{_ITERS})")
+    return f"""
+WITH {body}
+SELECT CASE WHEN id % 2 = 0 THEN 'customer' ELSE 'part' END AS node_type,
+       CAST(id // 2 AS BIGINT) AS node_key,
+       CAST(s AS BIGINT) AS score
+FROM wfin
+"""
+
+
+@register(
+    "copurchase_pagerank_weighted",
+    _wpagerank_sql(),
+    doc=f"weighted PageRank ({_ITERS} rounds): mass splits by purchase multiplicity instead of uniformly — the real-graph variant of copurchase_pagerank",
+    tags=("graph", "joins", "aggregation"),
+)
+def q_copurchase_pagerank_weighted(spark, sf_dir):
+    from ..operators.graph import pagerank_weighted
+
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pairs = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_custkey", "l_partkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+    fwd = pairs.select(
+        (F.col("o_custkey") * 2).alias("src"),
+        (F.col("l_partkey") * 2 + 1).alias("dst"),
+        "w",
+    )
+    rev = pairs.select(
+        (F.col("l_partkey") * 2 + 1).alias("src"),
+        (F.col("o_custkey") * 2).alias("dst"),
+        "w",
+    )
+    sc = pagerank_weighted(fwd.unionByName(rev), iterations=_ITERS)
+    return sc.select(
+        F.when(F.col("id") % 2 == 0, F.lit("customer"))
+        .otherwise(F.lit("part"))
+        .alias("node_type"),
+        F.expr("id DIV 2").cast("long").alias("node_key"),
+        F.col("score").cast("long").alias("score"),
+    )

@@ -634,3 +634,24 @@ def test_hits_matches_integer_reference(spark):
     assert got[10][1] > got[11][1]
     # Pure hubs have zero authority, pure authorities zero hub.
     assert got[1][1] == 0 and got[10][0] == 0
+
+
+def test_pagerank_weighted_uniform_equals_plain(spark):
+    from marketpipe_spark.operators.graph import pagerank, pagerank_weighted
+
+    edges = [(1, 2), (2, 3), (3, 1), (1, 3), (4, 1)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    plain = {r["id"]: r["score"] for r in pagerank(e, iterations=4).collect()}
+    ew = e.withColumn("w", e.src * 0 + 1)
+    wtd = {r["id"]: r["score"] for r in pagerank_weighted(ew, iterations=4).collect()}
+    # Unit weights: score * 1 DIV outdeg == score DIV outdeg — bit-identical.
+    assert wtd == plain
+
+    # Non-uniform weights shift mass: double the 1->3 edge and node 3 must
+    # gain strictly over its uniform score while node 2 loses.
+    ew2 = spark.createDataFrame(
+        [(1, 2, 1), (2, 3, 1), (3, 1, 1), (1, 3, 3), (4, 1, 1)],
+        "src long, dst long, w long",
+    )
+    wtd2 = {r["id"]: r["score"] for r in pagerank_weighted(ew2, iterations=4).collect()}
+    assert wtd2[3] > wtd[3] and wtd2[2] < wtd[2]
