@@ -447,6 +447,65 @@ def cmd_export(args) -> int:
     return 0
 
 
+def cmd_snapshots(args) -> int:
+    """Snapshot-table maintenance verbs (the lake CLI's missing sibling):
+    history / read / changes / write / upsert / compact / expire over a
+    versioned COW table root (local path, file:, hdfs: or s3a:)."""
+    from .plans.views import render
+    from .snapshots import (
+        compact_table,
+        expire_snapshots,
+        read_table,
+        table_changes,
+        table_history,
+        upsert_table,
+        write_table,
+    )
+
+    verb = args.snapshots_command
+    if verb == "history":
+        for h in table_history(args.root):
+            print(
+                f"v{h['version']:<6} parent={h['parent'] if h['parent'] is not None else '-':<6} "
+                f"files={h['n_files']:<6} {h['note']}"
+            )
+        return 0
+    spark = _spark("snapshots")
+    if verb == "read":
+        df = read_table(spark, args.root, version=args.version)
+        print(render(df, limit=args.limit, fmt=args.fmt))
+    elif verb == "changes":
+        df = table_changes(
+            spark, args.root, args.keys.split(","), v_from=args.from_v, v_to=args.to_v
+        )
+        print(render(df, limit=args.limit, fmt=args.fmt))
+    elif verb == "write":
+        v = write_table(
+            spark.read.parquet(args.input), args.root, mode=args.mode, note=args.note
+        )
+        print(f"committed v{v}")
+    elif verb == "upsert":
+        v = upsert_table(
+            spark,
+            spark.read.parquet(args.input),
+            args.root,
+            keys=args.keys.split(","),
+            note=args.note,
+            dedup_order=args.dedup_order.split(",") if args.dedup_order else None,
+        )
+        print(f"committed v{v}")
+    elif verb == "compact":
+        v = compact_table(spark, args.root, target_files=args.target_files)
+        print(f"committed v{v}")
+    elif verb == "expire":
+        out = expire_snapshots(args.root, keep_last=args.keep_last)
+        print(
+            f"dropped {out['dropped_versions']} versions, kept {out['kept_versions']}, "
+            f"deleted {out['deleted_files']} files"
+        )
+    return 0
+
+
 def cmd_health_check(args) -> int:
     """Installation/configuration self-check (reference cli/health_check.py:
     python + deps + install + data-dir + provider checks, pass/warn/fail per
@@ -760,6 +819,49 @@ def build_parser() -> argparse.ArgumentParser:
         help="webdataset: binary payload column (repeatable), e.g. payload:jpg",
     )
     x.set_defaults(fn=cmd_export)
+
+    sn = sub.add_parser(
+        "snapshots", help="versioned COW table maintenance (time travel / CDC / compaction)"
+    )
+    snsub = sn.add_subparsers(dest="snapshots_command", required=True)
+
+    def _snap_common(sp, with_render=False):
+        sp.add_argument("root", help="snapshot table root (path, file:, hdfs: or s3a:)")
+        if with_render:
+            sp.add_argument("--limit", type=int, default=50)
+            sp.add_argument("--fmt", choices=("markdown", "csv"), default="markdown")
+        sp.set_defaults(fn=cmd_snapshots)
+
+    _snap_common(snsub.add_parser("history", help="list retained versions"))
+    sr = snsub.add_parser("read", help="print a pinned version (default latest)")
+    sr.add_argument("--version", type=int, default=None)
+    _snap_common(sr, with_render=True)
+    sc = snsub.add_parser("changes", help="change data feed between two versions")
+    sc.add_argument("--keys", required=True, help="comma-separated key columns")
+    sc.add_argument("--from-v", type=int, required=True, dest="from_v")
+    sc.add_argument("--to-v", type=int, default=None, dest="to_v")
+    _snap_common(sc, with_render=True)
+    sw = snsub.add_parser("write", help="commit a parquet dataset as a new version")
+    _snap_common(sw)
+    sw.add_argument("input", help="input parquet path")
+    sw.add_argument("--mode", choices=("append", "overwrite"), default="append")
+    sw.add_argument("--note", default="")
+    su = snsub.add_parser("upsert", help="file-granular COW keep-last upsert")
+    _snap_common(su)
+    su.add_argument("input", help="incoming batch parquet path")
+    su.add_argument("--keys", required=True, help="comma-separated key columns")
+    su.add_argument("--note", default="")
+    su.add_argument(
+        "--dedup-order",
+        default="",
+        help="ordering column(s) for intra-batch keep-last (else dup keys fail)",
+    )
+    sk = snsub.add_parser("compact", help="OPTIMIZE the latest version's layout")
+    sk.add_argument("--target-files", type=int, default=1)
+    _snap_common(sk)
+    se = snsub.add_parser("expire", help="drop old versions + unreferenced data files")
+    se.add_argument("--keep-last", type=int, default=2)
+    _snap_common(se)
 
     h = sub.add_parser("health-check", help="installation/configuration self-check")
     h.add_argument("--data-dir", default="data")

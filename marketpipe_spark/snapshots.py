@@ -13,10 +13,33 @@ files plus one JSON manifest listing the version's full live file set, so
 - old versions stay readable until :func:`expire_snapshots` drops them.
 
 Reference analog: the lake's in-place keep-last upsert
-(reference: src/marketpipe/ingestion/infrastructure/parquet_engine.py:
-126-170) mutates partitions destructively — a reader racing that rewrite
-sees a mix of old and new files. The snapshot commit protocol fixes both
-the isolation and the audit trail.
+(reference: src/marketpipe/infrastructure/storage/parquet_engine.py:126-170)
+mutates partitions destructively — a reader racing that rewrite sees a mix
+of old and new files — and serializes writers with a fasteners file lock
+(reference: src/marketpipe/infrastructure/storage/parquet_engine.py:97-99).
+The snapshot commit protocol replaces both with optimistic concurrency:
+immutable data files + a conditional-put manifest publish.
+
+Concurrency model (writer-safe since r8):
+
+- **Publishing a manifest is a compare-and-set.** ``v{N}.json`` is created
+  with a create-if-absent primitive (:meth:`SnapshotFS.try_publish`); two
+  writers racing the same parent produce exactly one winner — the loser
+  gets :class:`CommitConflict`, never a silent overwrite.
+- **Losers rebase or retry.** An upsert that loses the race re-reads the
+  new latest and (a) REBASES when the winning commit is provably disjoint
+  — it removed none of the loser's affected files and its added files
+  contain none of the loser's keys (one key-pruned probe scan of just the
+  added files) — or (b) fully re-runs detection + merge against the new
+  parent. Either way the result is the serial keep-last order of the
+  commit timestamps; no update is lost. Abandoned attempts leave only
+  unreferenced data files, which :func:`expire_snapshots` reclaims.
+- **Conditional put per filesystem**: :class:`LocalFS` publishes with
+  ``os.link`` (atomic create-if-absent on POSIX); :class:`HadoopFS`
+  publishes with no-overwrite ``FileSystem.rename`` (atomic on HDFS; on
+  S3A the exists+rename pair is best-effort — a strict S3 deployment
+  injects a ``SnapshotFS`` whose ``try_publish`` maps to S3 conditional
+  put / GCS ``if-generation-match``, the documented extension point).
 
 Scale design:
 
@@ -27,22 +50,29 @@ Scale design:
   rows (tagged with ``input_file_name()``) against the incoming keys —
   the driver collects only the distinct affected path list (bounded by the
   file count, the same contract as Delta's driver-side file planning).
+  Collected URIs are canonicalized (percent-decoding + scheme/authority
+  parsing) and every one must resolve to a manifest member — a mismatch
+  fails loudly instead of double-writing rows.
 - **The manifest is O(files) JSON.** At millions of files, swap the JSON
-  body for a parquet manifest table read through the same two-phase
-  commit; the protocol (immutable data files + atomically-renamed manifest
-  pointer) is unchanged.
-- **Single-writer protocol.** Commits allocate ``v{N}`` by reading the
-  current latest; two concurrent writers can race the rename. A real
-  deployment puts a lock (or a conditional-put object store) around
-  :func:`_commit` — documented, not hidden.
+  body for a parquet manifest table read through the same conditional-put
+  commit; the protocol (immutable data files + CAS manifest pointer) is
+  unchanged.
+- **Manifest IO goes through** :class:`SnapshotFS`, so ``file:``, ``hdfs:``
+  and ``s3a:`` roots all work: plain paths use :class:`LocalFS`,
+  scheme-qualified roots resolve a :class:`HadoopFS` from the live
+  session's Hadoop configuration.
 """
 
 from __future__ import annotations
 
+import functools
 import json
+import operator
 import os
-import shutil
+import posixpath
 import uuid
+from typing import Protocol
+from urllib.parse import unquote, urlparse
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -50,6 +80,10 @@ from pyspark.sql import functions as F
 from .session import tune
 
 __all__ = [
+    "CommitConflict",
+    "SnapshotFS",
+    "LocalFS",
+    "HadoopFS",
     "write_table",
     "upsert_table",
     "read_table",
@@ -62,17 +96,225 @@ __all__ = [
 _SNAP_DIR = "_snapshots"
 _DATA_DIR = "data"
 
+#: Broadcast gate for the affected-file key probe, in distinct keys.
+_BROADCAST_KEY_ROWS = 1_000_000
+
+#: Commit attempts before giving up under sustained contention.
+_MAX_COMMIT_RETRIES = 20
+
+
+class CommitConflict(Exception):
+    """Another writer published this version first. Retryable: re-read the
+    latest manifest and rebase or re-run the write against the new parent
+    (the built-in writers do this automatically up to a retry bound)."""
+
+
+# ---------------------------------------------------------------------------
+# filesystem abstraction
+
+
+class SnapshotFS(Protocol):
+    """Minimal filesystem surface the snapshot protocol needs. The one
+    correctness-critical member is :meth:`try_publish` — the conditional
+    put that makes concurrent commits safe. Implementations for other
+    stores (e.g. S3 with ``If-None-Match``) plug in via the ``fs=``
+    parameter on every public function."""
+
+    def listdir(self, path: str) -> list[str]: ...  # names, [] if missing
+    def read_text(self, path: str) -> str: ...
+    def write_text(self, path: str, text: str) -> None: ...
+    def try_publish(self, tmp: str, final: str) -> bool: ...  # atomic create-if-absent
+    def rename(self, src: str, dst: str) -> None: ...
+    def delete(self, path: str) -> None: ...
+    def exists(self, path: str) -> bool: ...
+    def mkdirs(self, path: str) -> None: ...
+    def rmtree(self, path: str) -> None: ...
+
+
+class LocalFS:
+    """POSIX filesystem. ``try_publish`` hard-links the temp manifest to its
+    final name — ``link(2)`` fails with EEXIST if the name is taken, which
+    is the atomic create-if-absent CAS (``os.replace`` would silently
+    overwrite the racing winner). ``file:``-scheme paths are accepted and
+    stripped to their POSIX path."""
+
+    @staticmethod
+    def _p(path: str) -> str:
+        return _local_path(path)
+
+    def listdir(self, path: str) -> list[str]:
+        p = self._p(path)
+        return os.listdir(p) if os.path.isdir(p) else []
+
+    def read_text(self, path: str) -> str:
+        with open(self._p(path)) as f:
+            return f.read()
+
+    def write_text(self, path: str, text: str) -> None:
+        with open(self._p(path), "w") as f:
+            f.write(text)
+
+    def try_publish(self, tmp: str, final: str) -> bool:
+        tmp, final = self._p(tmp), self._p(final)
+        try:
+            os.link(tmp, final)
+        except FileExistsError:
+            return False
+        finally:
+            # The temp name is never reused; drop it win or lose.
+            try:
+                os.remove(tmp)
+            except FileNotFoundError:
+                pass
+        return True
+
+    def rename(self, src: str, dst: str) -> None:
+        os.replace(self._p(src), self._p(dst))
+
+    def delete(self, path: str) -> None:
+        try:
+            os.remove(self._p(path))
+        except FileNotFoundError:
+            pass
+
+    def exists(self, path: str) -> bool:
+        return os.path.exists(self._p(path))
+
+    def mkdirs(self, path: str) -> None:
+        os.makedirs(self._p(path), exist_ok=True)
+
+    def rmtree(self, path: str) -> None:
+        import shutil
+
+        shutil.rmtree(self._p(path), ignore_errors=True)
+
+
+class HadoopFS:
+    """Hadoop ``FileSystem`` bridge (via the live session's JVM) so snapshot
+    roots can be ``hdfs://...`` / ``s3a://...`` paths. ``try_publish`` uses
+    no-overwrite ``rename`` — atomic on HDFS; on object stores without
+    atomic no-overwrite rename, inject a store-native conditional-put FS
+    instead (module docstring)."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        jvm = spark._jvm
+        self._Path = jvm.org.apache.hadoop.fs.Path
+        self._io = jvm.org.apache.commons.io.IOUtils
+        self._charset = jvm.java.nio.charset.StandardCharsets.UTF_8
+        self._fs = self._Path(root).getFileSystem(spark._jsc.hadoopConfiguration())
+
+    def listdir(self, path: str) -> list[str]:
+        p = self._Path(path)
+        if not self._fs.exists(p):
+            return []
+        return [st.getPath().getName() for st in self._fs.listStatus(p)]
+
+    def read_text(self, path: str) -> str:
+        stream = self._fs.open(self._Path(path))
+        try:
+            return self._io.toString(stream, self._charset)
+        finally:
+            stream.close()
+
+    def write_text(self, path: str, text: str) -> None:
+        out = self._fs.create(self._Path(path), True)
+        try:
+            out.write(bytearray(text.encode("utf-8")))
+        finally:
+            out.close()
+
+    def try_publish(self, tmp: str, final: str) -> bool:
+        src, dst = self._Path(tmp), self._Path(final)
+        # exists() pre-check narrows the race window on stores whose rename
+        # overwrites; HDFS rename itself refuses an existing destination.
+        if self._fs.exists(dst) or not self._fs.rename(src, dst):
+            self._fs.delete(src, False)
+            return False
+        return True
+
+    def rename(self, src: str, dst: str) -> None:
+        if not self._fs.rename(self._Path(src), self._Path(dst)):
+            raise OSError(f"rename failed: {src} -> {dst}")
+
+    def delete(self, path: str) -> None:
+        self._fs.delete(self._Path(path), False)
+
+    def exists(self, path: str) -> bool:
+        return self._fs.exists(self._Path(path))
+
+    def mkdirs(self, path: str) -> None:
+        self._fs.mkdirs(self._Path(path))
+
+    def rmtree(self, path: str) -> None:
+        self._fs.delete(self._Path(path), True)
+
+
+def _has_scheme(path: str) -> bool:
+    p = urlparse(path)
+    return bool(p.scheme) and len(p.scheme) > 1  # len>1: not a drive letter
+
+
+def _resolve_fs(
+    root: str, spark: SparkSession | None, fs: SnapshotFS | None
+) -> SnapshotFS:
+    if fs is not None:
+        return fs
+    if _has_scheme(root) and urlparse(root).scheme != "file":
+        if spark is None:
+            raise ValueError(
+                f"scheme-qualified root {root!r} needs a SparkSession (HadoopFS) "
+                "or an explicit fs="
+            )
+        return HadoopFS(spark, root)
+    return LocalFS()
+
+
+def _local_path(root: str) -> str:
+    """file:-scheme roots still use LocalFS; strip the scheme for os calls."""
+    if _has_scheme(root):
+        p = urlparse(root)
+        if p.scheme == "file":
+            return unquote(p.path)
+    return root
+
+
+def _join(root: str, *parts: str) -> str:
+    return posixpath.join(root, *parts)
+
+
+def _root_data_path(root: str) -> str:
+    """Canonical absolute path of ``root`` as :func:`F.input_file_name`'s
+    URIs will render it: scheme-qualified roots keep only the URI path;
+    plain local roots are made absolute."""
+    if _has_scheme(root):
+        return urlparse(root).path
+    return os.path.abspath(root)
+
+
+def _canon_rel(file_uri: str, root_path: str) -> str:
+    """Manifest-relative path of an ``input_file_name()`` result.
+
+    ``input_file_name`` returns a percent-encoded URI whose scheme may be
+    ``file:``/``hdfs:``/``s3a:``; decode and parse it rather than prefix-
+    stripping (the r7 bug: ``relpath`` on the raw URI silently produced
+    garbage paths that matched nothing, so affected files were BOTH carried
+    and rewritten — duplicate rows)."""
+    p = urlparse(file_uri)
+    path = unquote(p.path) if p.scheme else file_uri
+    return posixpath.relpath(path, root_path)
+
+
+# ---------------------------------------------------------------------------
+# manifest protocol
+
 
 def _snap_root(root: str) -> str:
-    return os.path.join(root, _SNAP_DIR)
+    return _join(root, _SNAP_DIR)
 
 
-def _versions(root: str) -> list[int]:
-    d = _snap_root(root)
-    if not os.path.isdir(d):
-        return []
+def _versions(root: str, fs: SnapshotFS) -> list[int]:
     out = []
-    for name in os.listdir(d):
+    for name in fs.listdir(_snap_root(root)):
         if name.startswith("v") and name.endswith(".json"):
             try:
                 out.append(int(name[1:-5]))
@@ -81,16 +323,18 @@ def _versions(root: str) -> list[int]:
     return sorted(out)
 
 
-def _read_manifest(root: str, version: int) -> dict:
-    with open(os.path.join(_snap_root(root), f"v{version}.json")) as f:
-        return json.load(f)
+def _read_manifest(root: str, version: int, fs: SnapshotFS) -> dict:
+    return json.loads(fs.read_text(_join(_snap_root(root), f"v{version}.json")))
 
 
-def _commit(root: str, files: list[str], note: str, parent: int | None) -> int:
-    """Two-phase manifest commit: write v{N}.json.tmp, then atomic rename.
-    A reader either sees the old latest or the new one, never a partial
-    manifest."""
-    os.makedirs(_snap_root(root), exist_ok=True)
+def _commit(
+    root: str, files: list[str], note: str, parent: int | None, fs: SnapshotFS
+) -> int:
+    """Conditional-put manifest commit: write ``v{N}.json`` under a unique
+    temp name, then publish with create-if-absent. Raises
+    :class:`CommitConflict` if another writer owns v{N} — the version
+    sequence is linearized by whoever wins each publish."""
+    fs.mkdirs(_snap_root(root))
     version = (parent if parent is not None else 0) + 1
     body = {
         "version": version,
@@ -99,73 +343,119 @@ def _commit(root: str, files: list[str], note: str, parent: int | None) -> int:
         "files": sorted(files),
         "n_files": len(files),
     }
-    path = os.path.join(_snap_root(root), f"v{version}.json")
-    tmp = path + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(body, f)
-    os.replace(tmp, path)
+    path = _join(_snap_root(root), f"v{version}.json")
+    tmp = _join(_snap_root(root), f".v{version}-{uuid.uuid4().hex}.json.tmp")
+    fs.write_text(tmp, json.dumps(body))
+    if not fs.try_publish(tmp, path):
+        raise CommitConflict(
+            f"v{version} at {root} was published by a concurrent writer"
+        )
     return version
 
 
-def _land_data_files(df: DataFrame, root: str, version_hint: int) -> list[str]:
+def _land_data_files(
+    df: DataFrame, root: str, version_hint: int, fs: SnapshotFS
+) -> list[str]:
     """Write ``df`` distributed into a staging dir, then move the part files
-    under ``data/`` with commit-unique names. Returns lake-relative paths."""
-    os.makedirs(os.path.join(root, _DATA_DIR), exist_ok=True)
-    stage = os.path.join(root, f"_stage-{uuid.uuid4().hex}")
+    under ``data/`` with commit-unique names. Returns lake-relative paths.
+    The files are immutable once landed — a commit retry reuses them (same
+    rows regardless of which parent the manifest ends up under)."""
+    fs.mkdirs(_join(root, _DATA_DIR))
+    stage = _join(root, f"_stage-{uuid.uuid4().hex}")
     df.write.mode("overwrite").parquet(stage)
     out: list[str] = []
     i = 0
-    for name in sorted(os.listdir(stage)):
+    for name in sorted(fs.listdir(stage)):
         if not name.endswith(".parquet"):
             continue
-        rel = os.path.join(
-            _DATA_DIR, f"c{version_hint:06d}-{uuid.uuid4().hex[:8]}-{i}.parquet"
-        )
-        os.replace(os.path.join(stage, name), os.path.join(root, rel))
+        rel = _join(_DATA_DIR, f"c{version_hint:06d}-{uuid.uuid4().hex[:8]}-{i}.parquet")
+        fs.rename(_join(stage, name), _join(root, rel))
         out.append(rel)
         i += 1
-    shutil.rmtree(stage, ignore_errors=True)
+    fs.rmtree(stage)
     return out
 
 
-def _latest(root: str) -> int | None:
-    vs = _versions(root)
+def _latest(root: str, fs: SnapshotFS) -> int | None:
+    vs = _versions(root, fs)
     return vs[-1] if vs else None
 
 
+# ---------------------------------------------------------------------------
+# public API
+
+
 def write_table(
-    df: DataFrame, root: str, mode: str = "append", note: str = ""
+    df: DataFrame,
+    root: str,
+    mode: str = "append",
+    note: str = "",
+    fs: SnapshotFS | None = None,
 ) -> int:
     """Commit ``df`` as a new snapshot version.
 
     ``mode="append"`` carries the parent's live files by reference and adds
     the new ones; ``mode="overwrite"`` starts the live set fresh (old files
     remain on disk for time travel until :func:`expire_snapshots`).
+    Loses to a concurrent writer? The landed data files are parent-
+    independent, so the commit simply retries against the new latest.
     Returns the new version number."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
-    parent = _latest(root)
-    new_files = _land_data_files(df, root, (parent or 0) + 1)
-    live = list(new_files)
-    if mode == "append" and parent is not None:
-        live += _read_manifest(root, parent)["files"]
-    return _commit(root, live, note or f"{mode} {len(new_files)} files", parent)
+    fs = _resolve_fs(root, df.sparkSession, fs)
+    new_files = _land_data_files(df, root, (_latest(root, fs) or 0) + 1, fs)
+    for _ in range(_MAX_COMMIT_RETRIES):
+        parent = _latest(root, fs)
+        live = list(new_files)
+        if mode == "append" and parent is not None:
+            live += _read_manifest(root, parent, fs)["files"]
+        try:
+            return _commit(
+                root, live, note or f"{mode} {len(new_files)} files", parent, fs
+            )
+        except CommitConflict:
+            continue
+    raise CommitConflict(
+        f"write_table lost the commit race {_MAX_COMMIT_RETRIES} times at {root}"
+    )
 
 
 def read_table(
-    spark: SparkSession, root: str, version: int | None = None
+    spark: SparkSession,
+    root: str,
+    version: int | None = None,
+    fs: SnapshotFS | None = None,
 ) -> DataFrame:
     """Read a pinned snapshot (default: latest). The returned plan lists the
     manifest's exact file set — concurrent commits cannot change what this
     DataFrame reads."""
     tune(spark)
-    v = version if version is not None else _latest(root)
+    fs = _resolve_fs(root, spark, fs)
+    v = version if version is not None else _latest(root, fs)
     if v is None:
         raise FileNotFoundError(f"no snapshots at {root}")
-    m = _read_manifest(root, v)
+    m = _read_manifest(root, v, fs)
     if not m["files"]:
         raise FileNotFoundError(f"snapshot v{v} at {root} is empty")
-    return spark.read.parquet(*[os.path.join(root, f) for f in m["files"]])
+    return spark.read.parquet(*[_join(root, f) for f in m["files"]])
+
+
+def _keys_non_null(keys: list[str]):
+    return functools.reduce(operator.or_, [F.col(k).isNull() for k in keys])
+
+
+def _added_files_overlap_keys(
+    spark: SparkSession,
+    root: str,
+    added: list[str],
+    key_probe: DataFrame,
+    keys: list[str],
+) -> bool:
+    """Does any row in ``added`` (files committed by the racing writer)
+    carry one of our upsert keys? One key-column-pruned scan of JUST the
+    added files, semi-joined against the key set, first-hit short-circuit."""
+    probe = spark.read.parquet(*[_join(root, f) for f in sorted(added)]).select(*keys)
+    return probe.join(key_probe, keys, "left_semi").limit(1).count() > 0
 
 
 def upsert_table(
@@ -174,99 +464,197 @@ def upsert_table(
     root: str,
     keys: list[str],
     note: str = "",
+    dedup_order: str | list[str] | None = None,
+    fs: SnapshotFS | None = None,
 ) -> int:
     """File-granular copy-on-write keep-last upsert.
 
     Live files that contain NO row matching ``new``'s key set are carried
     by reference (never read beyond the key column, never rewritten).
     Affected files are rewritten as (their non-matching rows) ∪ ``new`` —
-    new rows win on key collision, the lake's keep-last contract. Returns
-    the new version; the parent version still reads the pre-image."""
-    parent = _latest(root)
+    new rows win on key collision, the lake's keep-last contract
+    (reference: src/marketpipe/infrastructure/storage/parquet_engine.py:163
+    drop_duplicates(keep='last')). Returns the new version; the parent
+    version still reads the pre-image.
+
+    Batch contract (validated in ONE pre-pass aggregate, which also sizes
+    the broadcast gate — no separate count job):
+
+    - key columns must be non-NULL (fails loudly otherwise — a NULL key
+      can never be matched by the equi-join detection);
+    - duplicate keys WITHIN the batch either fail loudly or, when
+      ``dedup_order`` names ordering column(s), keep the row with the
+      greatest ordering value per key (keep-last).
+
+    Concurrency: losing the manifest CAS triggers rebase-or-retry — see
+    the module docstring. Data files landed by an abandoned attempt are
+    unreferenced and reclaimed by :func:`expire_snapshots`.
+    """
+    fs = _resolve_fs(root, spark, fs)
+    st = new.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(*[F.col(k) for k in keys]).alias("nk"),
+        F.sum(F.when(_keys_non_null(keys), 1).otherwise(0)).alias("n_null"),
+    ).collect()[0]
+    if st["n_null"]:
+        raise ValueError(
+            f"upsert batch has {st['n_null']} rows with NULL in key columns "
+            f"{keys} — snapshot keys must be non-NULL"
+        )
+    if st["nk"] < st["n"]:
+        if dedup_order is None:
+            raise ValueError(
+                f"upsert batch has duplicate keys ({st['n']} rows, {st['nk']} "
+                f"distinct {keys}); pass dedup_order=<column(s)> to keep-last "
+                "within the batch, or pre-deduplicate"
+            )
+        from pyspark.sql.window import Window as W
+
+        order_cols = [dedup_order] if isinstance(dedup_order, str) else list(dedup_order)
+        w = W.partitionBy(*keys).orderBy(*[F.col(c).desc() for c in order_cols])
+        new = (
+            new.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+    parent = _latest(root, fs)
     if parent is None:
-        return write_table(new, root, mode="overwrite", note=note or "initial upsert")
-    live = _read_manifest(root, parent)["files"]
-    # Key-columns-only scan (column pruning reaches the parquet reader) —
-    # the detection pass never reads payload columns.
-    cur = spark.read.parquet(*[os.path.join(root, f) for f in live]).select(
-        F.input_file_name().alias("_file"), *[F.col(k) for k in keys]
-    )
+        return write_table(new, root, mode="overwrite", note=note or "initial upsert", fs=fs)
+
     new_keys = new.select(*keys).distinct()
-    # Distributed affected-file detection; driver collects only paths.
-    affected_rows = (
-        cur.join(F.broadcast(new_keys) if _small(new_keys) else new_keys, keys)
-        .select("_file")
-        .distinct()
-        .collect()
-    )
-    affected = {os.path.relpath(_strip_scheme(r["_file"]), root) for r in affected_rows}
-    carried = [f for f in live if f not in affected]
-    if affected:
-        old_affected = spark.read.parquet(
-            *[os.path.join(root, f) for f in sorted(affected)]
+    # Broadcast gate sized from the pre-pass aggregate (nk = exact distinct
+    # key count) — small key sets broadcast, big ones shuffle-join.
+    key_probe = F.broadcast(new_keys) if st["nk"] <= _BROADCAST_KEY_ROWS else new_keys
+    root_path = _root_data_path(root)
+
+    for _ in range(_MAX_COMMIT_RETRIES):
+        live = _read_manifest(root, parent, fs)["files"]
+        live_set = set(live)
+        # Key-columns-only scan (column pruning reaches the parquet reader) —
+        # the detection pass never reads payload columns.
+        cur = spark.read.parquet(*[_join(root, f) for f in live]).select(
+            F.input_file_name().alias("_file"), *[F.col(k) for k in keys]
         )
-        survivors = old_affected.join(new_keys, keys, "left_anti")
-        merged = survivors.unionByName(new.select(*old_affected.columns))
-    else:
-        merged = new
-    new_files = _land_data_files(merged, root, parent + 1)
-    return _commit(
-        root,
-        carried + new_files,
-        note or f"upsert: rewrote {len(affected)} files, carried {len(carried)}",
-        parent,
+        affected_rows = cur.join(key_probe, keys).select("_file").distinct().collect()
+        affected = {_canon_rel(r["_file"], root_path) for r in affected_rows}
+        unresolved = affected - live_set
+        if unresolved:
+            raise RuntimeError(
+                f"affected-file probe returned paths outside the v{parent} "
+                f"manifest at {root}: {sorted(unresolved)[:5]} — URI "
+                "canonicalization does not match this filesystem layout"
+            )
+        carried = [f for f in live if f not in affected]
+        if affected:
+            old_affected = spark.read.parquet(
+                *[_join(root, f) for f in sorted(affected)]
+            )
+            survivors = old_affected.join(new_keys, keys, "left_anti")
+            merged = survivors.unionByName(new.select(*old_affected.columns))
+        else:
+            merged = new
+        new_files = _land_data_files(merged, root, parent + 1, fs)
+        try:
+            return _commit(
+                root,
+                carried + new_files,
+                note or f"upsert: rewrote {len(affected)} files, carried {len(carried)}",
+                parent,
+                fs,
+            )
+        except CommitConflict:
+            rebased = _try_rebase(
+                spark, root, fs, live_set, affected, new_files, key_probe, keys, note
+            )
+            if rebased is not None:
+                return rebased
+            # Overlapping commit: full retry against the new latest. The
+            # files just landed are now orphans (expire reclaims them).
+            parent = _latest(root, fs)
+            continue
+    raise CommitConflict(
+        f"upsert lost the commit race {_MAX_COMMIT_RETRIES} times at {root}"
     )
 
 
-def _strip_scheme(p: str) -> str:
-    return p[5:] if p.startswith("file:") else p
+def _try_rebase(
+    spark: SparkSession,
+    root: str,
+    fs: SnapshotFS,
+    base_live: set[str],
+    affected: set[str],
+    new_files: list[str],
+    key_probe: DataFrame,
+    keys: list[str],
+    note: str,
+) -> int | None:
+    """After losing the manifest CAS: commit the already-merged result on
+    top of the new latest iff the intervening commits are provably disjoint
+    from this upsert — they removed none of our affected files (their
+    content is baked into our merge) and their added files contain none of
+    our keys (one pruned probe scan). Returns the committed version, or
+    None when the writes genuinely overlap and a full re-merge is needed.
+
+    Soundness: every base-live file NOT in ``affected`` was proven key-free
+    by the detection join, so carrying ``latest_live - affected`` plus our
+    merged files preserves both keep-last (our keys exist only in our
+    files) and the other writer's effect (their adds/removes pass through
+    untouched) — the serial order 'winner, then us'."""
+    while True:
+        latest = _latest(root, fs)
+        latest_live = set(_read_manifest(root, latest, fs)["files"])
+        removed = base_live - latest_live
+        added = sorted(latest_live - base_live)
+        if removed & affected:
+            return None
+        if added and _added_files_overlap_keys(spark, root, added, key_probe, keys):
+            return None
+        carried = sorted(latest_live - affected)
+        try:
+            return _commit(
+                root,
+                carried + new_files,
+                (note or "upsert") + f" (rebased onto v{latest})",
+                latest,
+                fs,
+            )
+        except CommitConflict:
+            continue  # someone else landed again; re-check against base_live
 
 
-def _small(df: DataFrame, limit_rows: int = 1_000_000) -> bool:
-    # Broadcast gate for the affected-file probe: key frames under ~1M rows
-    # broadcast; bigger key sets go through a shuffle join (the correct
-    # at-scale default). The count() is one extra narrow job over the
-    # incoming batch's key projection — paid once per upsert, far below the
-    # join it sizes; replace with a sampled estimate if batches ever carry
-    # billions of keys.
-    try:
-        return df.count() <= limit_rows
-    except Exception:
-        return False
-
-
-def table_history(root: str) -> list[dict]:
+def table_history(root: str, fs: SnapshotFS | None = None) -> list[dict]:
     """All retained versions, oldest first: version, parent, note, n_files."""
+    fs = _resolve_fs(root, None, fs)
     out = []
-    for v in _versions(root):
-        m = _read_manifest(root, v)
-        out.append(
-            {k: m[k] for k in ("version", "parent", "note", "n_files")}
-        )
+    for v in _versions(root, fs):
+        m = _read_manifest(root, v, fs)
+        out.append({k: m[k] for k in ("version", "parent", "note", "n_files")})
     return out
 
 
-def expire_snapshots(root: str, keep_last: int = 2) -> dict:
+def expire_snapshots(
+    root: str, keep_last: int = 2, fs: SnapshotFS | None = None
+) -> dict:
     """Drop all but the newest ``keep_last`` manifests and delete data files
-    referenced by NO retained manifest. Returns counts. The retention knob
-    is the storage/time-travel trade every snapshot store exposes."""
-    vs = _versions(root)
+    referenced by NO retained manifest — including orphans from abandoned
+    commit attempts. Returns counts. The retention knob is the
+    storage/time-travel trade every snapshot store exposes."""
+    fs = _resolve_fs(root, None, fs)
+    vs = _versions(root, fs)
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
     drop, keep = vs[:-keep_last], vs[-keep_last:]
     referenced: set[str] = set()
     for v in keep:
-        referenced.update(_read_manifest(root, v)["files"])
+        referenced.update(_read_manifest(root, v, fs)["files"])
     removed_files = 0
-    data_dir = os.path.join(root, _DATA_DIR)
-    if os.path.isdir(data_dir):
-        for name in os.listdir(data_dir):
-            rel = os.path.join(_DATA_DIR, name)
-            if rel not in referenced:
-                os.remove(os.path.join(root, rel))
-                removed_files += 1
+    for name in fs.listdir(_join(root, _DATA_DIR)):
+        rel = _join(_DATA_DIR, name)
+        if rel not in referenced:
+            fs.delete(_join(root, rel))
+            removed_files += 1
     for v in drop:
-        os.remove(os.path.join(_snap_root(root), f"v{v}.json"))
+        fs.delete(_join(_snap_root(root), f"v{v}.json"))
     return {
         "dropped_versions": len(drop),
         "kept_versions": len(keep),
@@ -280,6 +668,7 @@ def table_changes(
     keys: list[str],
     v_from: int,
     v_to: int | None = None,
+    fs: SnapshotFS | None = None,
 ) -> DataFrame:
     """Change data feed between two snapshot versions: one row per changed
     key with ``_change IN ('insert', 'update', 'delete')`` plus the
@@ -289,39 +678,48 @@ def table_changes(
     ``keys`` — the CDC derivation downstream consumers (incremental
     materialized views, replication, audit) read instead of re-scanning
     the whole table. An update is any key present in both versions whose
-    non-key payload differs (struct equality — NULL-safe via Spark's
-    struct ``<=>`` semantics).
+    non-key payload differs (struct equality — NULL-safe via ``<=>``).
+
+    NULL-key semantics: the join condition is ``eqNullSafe`` and presence
+    is tracked with explicit marker columns, so a legitimately-NULL key
+    value diffs as one key (insert/update/delete classified correctly)
+    rather than exploding into a spurious delete+insert pair. (Tables
+    maintained through :func:`upsert_table` reject NULL keys at write
+    time, but CDC must also be correct over externally-written versions.)
 
     Scale: one shuffle join on the key columns; the output is bounded by
     the churn between the versions, not the table size. Key columns must
     identify rows uniquely in each version (the upsert keep-last contract
     guarantees this for tables maintained through :func:`upsert_table`).
     """
-    old = read_table(spark, root, version=v_from)
-    new = read_table(spark, root, version=v_to)
+    old = read_table(spark, root, version=v_from, fs=fs)
+    new = read_table(spark, root, version=v_to, fs=fs)
     payload = [c for c in new.columns if c not in keys]
     o = old.select(
         *[F.col(k).alias(f"_ok_{k}") for k in keys],
         F.struct(*payload).alias("_old_p"),
+        F.lit(True).alias("_old_present"),
     )
     n = new.select(
         *[F.col(k).alias(f"_nk_{k}") for k in keys],
         F.struct(*payload).alias("_new_p"),
+        F.lit(True).alias("_new_present"),
     )
-    cond = None
-    for k in keys:
-        c = F.col(f"_ok_{k}") == F.col(f"_nk_{k}")
-        cond = c if cond is None else cond & c
+    cond = functools.reduce(
+        operator.and_,
+        [F.col(f"_ok_{k}").eqNullSafe(F.col(f"_nk_{k}")) for k in keys],
+    )
     j = o.join(n, cond, "full_outer")
-    old_present = F.col(f"_ok_{keys[0]}").isNotNull()
-    new_present = F.col(f"_nk_{keys[0]}").isNotNull()
+    old_present = F.coalesce(F.col("_old_present"), F.lit(False))
+    new_present = F.coalesce(F.col("_new_present"), F.lit(False))
     change = (
         F.when(~old_present, F.lit("insert"))
         .when(~new_present, F.lit("delete"))
         .when(~F.col("_old_p").eqNullSafe(F.col("_new_p")), F.lit("update"))
     )
     out_keys = [
-        F.coalesce(F.col(f"_nk_{k}"), F.col(f"_ok_{k}")).alias(k) for k in keys
+        F.when(new_present, F.col(f"_nk_{k}")).otherwise(F.col(f"_ok_{k}")).alias(k)
+        for k in keys
     ]
     return (
         j.withColumn("_change", change)
@@ -331,21 +729,33 @@ def table_changes(
 
 
 def compact_table(
-    spark: SparkSession, root: str, target_files: int = 1, note: str = ""
+    spark: SparkSession,
+    root: str,
+    target_files: int = 1,
+    note: str = "",
+    fs: SnapshotFS | None = None,
 ) -> int:
     """OPTIMIZE: rewrite the latest snapshot's live set into
     ``target_files`` files as a NEW version (rows identical, layout
     consolidated). Old versions keep reading their own files until
     :func:`expire_snapshots`. The small-files problem is the steady-state
     failure mode of frequent upserts — compaction is the maintenance pass
-    every snapshot store schedules."""
-    parent = _latest(root)
-    if parent is None:
-        raise FileNotFoundError(f"no snapshots at {root}")
-    cur = read_table(spark, root, version=parent)
-    new_files = _land_data_files(
-        cur.repartition(target_files), root, parent + 1
-    )
-    return _commit(
-        root, new_files, note or f"compact -> {len(new_files)} files", parent
+    every snapshot store schedules. Losing the commit race re-runs the
+    compaction over the new latest (compacting a stale version would
+    silently drop the interleaved commit's rows)."""
+    fs = _resolve_fs(root, spark, fs)
+    for _ in range(_MAX_COMMIT_RETRIES):
+        parent = _latest(root, fs)
+        if parent is None:
+            raise FileNotFoundError(f"no snapshots at {root}")
+        cur = read_table(spark, root, version=parent, fs=fs)
+        new_files = _land_data_files(cur.repartition(target_files), root, parent + 1, fs)
+        try:
+            return _commit(
+                root, new_files, note or f"compact -> {len(new_files)} files", parent, fs
+            )
+        except CommitConflict:
+            continue
+    raise CommitConflict(
+        f"compact lost the commit race {_MAX_COMMIT_RETRIES} times at {root}"
     )

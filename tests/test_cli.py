@@ -258,3 +258,31 @@ def test_cli_ingest_with_shipped_example_config(spark, tmp_path, capsys):
     counts = {r.symbol: r.n for r in lake.groupBy("symbol").agg(F.count("*").alias("n")).collect()}
     assert counts == {"AAPL": 30, "GOOGL": 30, "MSFT": 30}
     assert read_bars(spark, agg, frame="5m").count() > 0
+
+
+def test_cli_snapshots_verbs(spark, tmp_path, capsys):
+    """snapshots write/upsert/history/read/changes/compact/expire round-trip."""
+    from marketpipe_spark.cli import main
+
+    root = str(tmp_path / "snaptbl")
+    inp1 = str(tmp_path / "b1.parquet")
+    inp2 = str(tmp_path / "b2.parquet")
+    spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string").write.parquet(inp1)
+    spark.createDataFrame([(2, "B!"), (3, "c")], "id long, v string").write.parquet(inp2)
+
+    assert main(["snapshots", "write", root, inp1, "--mode", "overwrite"]) == 0
+    assert main(["snapshots", "upsert", root, inp2, "--keys", "id"]) == 0
+    assert main(["snapshots", "history", root]) == 0
+    out = capsys.readouterr().out
+    assert "v1" in out and "v2" in out
+    assert main(["snapshots", "read", root, "--fmt", "csv"]) == 0
+    assert "B!" in capsys.readouterr().out
+    assert (
+        main(["snapshots", "changes", root, "--keys", "id", "--from-v", "1", "--to-v", "2"])
+        == 0
+    )
+    out = capsys.readouterr().out
+    assert "update" in out and "insert" in out
+    assert main(["snapshots", "compact", root, "--target-files", "1"]) == 0
+    assert main(["snapshots", "expire", root, "--keep-last", "1"]) == 0
+    assert "dropped 2 versions" in capsys.readouterr().out.splitlines()[-1]

@@ -175,3 +175,275 @@ def test_compact_preserves_rows_and_history(spark, tmp_path):
     assert hist[v] == 1 and hist[v - 1] == 4
     assert _rows(read_table(spark, root)) == before
     assert _rows(read_table(spark, root, version=v - 1)) == before  # pre-image intact
+
+
+# ---------------------------------------------------------------------------
+# r8: concurrent writers, NULL-key CDC, batch contract, path schemes
+
+
+def test_commit_cas_rejects_second_writer(tmp_path):
+    """Two writers racing the same parent version: exactly one wins the
+    conditional put; the loser gets CommitConflict, never a silent
+    overwrite (the r7 race: last os.replace won and orphaned the other)."""
+    import pytest
+
+    from marketpipe_spark.snapshots import CommitConflict, LocalFS, _commit
+
+    root = str(tmp_path / "snap")
+    fs = LocalFS()
+    assert _commit(root, ["data/a.parquet"], "w1", None, fs) == 1
+    with pytest.raises(CommitConflict):
+        _commit(root, ["data/b.parquet"], "w2", None, fs)
+    # The winner's manifest is intact.
+    import json
+
+    m = json.load(open(os.path.join(root, "_snapshots", "v1.json")))
+    assert m["note"] == "w1" and m["files"] == ["data/a.parquet"]
+
+
+class _GatedFS:
+    """LocalFS that parks the first publish until released — deterministic
+    interleaving for the two-writer tests."""
+
+    def __init__(self):
+        import threading
+
+        from marketpipe_spark.snapshots import LocalFS
+
+        self._inner = LocalFS()
+        self.reached = threading.Event()
+        self.go = threading.Event()
+        self.conflicts = 0
+
+    def try_publish(self, tmp, final):
+        self.reached.set()
+        assert self.go.wait(timeout=120), "gate never released"
+        ok = self._inner.try_publish(tmp, final)
+        if not ok:
+            self.conflicts += 1
+        return ok
+
+    def __getattr__(self, name):
+        return getattr(self._inner, name)
+
+
+def _two_file_table(spark, root):
+    write_table(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string").coalesce(1),
+        root,
+    )
+    write_table(
+        spark.createDataFrame([(10, "x"), (11, "y")], "id long, v string").coalesce(1),
+        root,
+        mode="append",
+    )
+
+
+def test_concurrent_disjoint_upserts_rebase(spark, tmp_path):
+    """Writer A (insert of a brand-new key) loses the CAS to writer B
+    (update of id=2). Their file sets are disjoint, so A rebases: both
+    effects land, versions are linear, nothing is lost."""
+    import threading
+
+    root = str(tmp_path / "snap")
+    _two_file_table(spark, root)
+
+    gated = _GatedFS()
+    result = {}
+
+    def writer_a():
+        result["v"] = upsert_table(
+            spark,
+            spark.createDataFrame([(99, "new")], "id long, v string"),
+            root,
+            keys=["id"],
+            fs=gated,
+        )
+
+    ta = threading.Thread(target=writer_a)
+    ta.start()
+    assert gated.reached.wait(timeout=120)
+    # B commits v3 while A is parked at its publish of v3.
+    upsert_table(
+        spark,
+        spark.createDataFrame([(2, "B!")], "id long, v string"),
+        root,
+        keys=["id"],
+    )
+    gated.go.set()
+    ta.join(timeout=300)
+    assert not ta.is_alive() and gated.conflicts == 1
+    assert result["v"] == 4
+    hist = table_history(root)
+    assert [h["version"] for h in hist] == [1, 2, 3, 4]
+    assert [h["parent"] for h in hist] == [None, 1, 2, 3]
+    assert "rebased" in hist[-1]["note"]
+    assert _rows(read_table(spark, root)) == [
+        (1, "a"),
+        (2, "B!"),
+        (10, "x"),
+        (11, "y"),
+        (99, "new"),
+    ]
+    # The pre-race version still reads its own image.
+    assert _rows(read_table(spark, root, version=3)) == [
+        (1, "a"),
+        (2, "B!"),
+        (10, "x"),
+        (11, "y"),
+    ]
+
+
+def test_concurrent_overlapping_upserts_retry_keep_last(spark, tmp_path):
+    """Both writers update id=2. The loser may NOT rebase (the winner's new
+    file carries its key) — it re-runs the merge against the new parent, so
+    the serial order is 'winner then loser' and the loser's value is the
+    final keep-last image. No update is silently dropped."""
+    import threading
+
+    root = str(tmp_path / "snap")
+    _two_file_table(spark, root)
+
+    gated = _GatedFS()
+
+    def writer_a():
+        upsert_table(
+            spark,
+            spark.createDataFrame([(2, "A2")], "id long, v string"),
+            root,
+            keys=["id"],
+            fs=gated,
+        )
+
+    ta = threading.Thread(target=writer_a)
+    ta.start()
+    assert gated.reached.wait(timeout=120)
+    upsert_table(
+        spark,
+        spark.createDataFrame([(2, "B2")], "id long, v string"),
+        root,
+        keys=["id"],
+    )
+    gated.go.set()
+    ta.join(timeout=300)
+    assert not ta.is_alive() and gated.conflicts == 1
+    hist = table_history(root)
+    assert [h["version"] for h in hist] == [1, 2, 3, 4]
+    # v3 = B's commit, v4 = A re-merged on top of it: A wins keep-last.
+    assert _rows(read_table(spark, root, version=3))[1] == (2, "B2")
+    assert _rows(read_table(spark, root)) == [
+        (1, "a"),
+        (2, "A2"),
+        (10, "x"),
+        (11, "y"),
+    ]
+    # The abandoned first attempt's files are orphans; expiry reclaims them
+    # and every retained version still reads.
+    import json
+
+    referenced = set()
+    for h in hist:
+        referenced.update(
+            json.load(open(os.path.join(root, "_snapshots", f"v{h['version']}.json")))["files"]
+        )
+    on_disk = {os.path.join("data", n) for n in os.listdir(os.path.join(root, "data"))}
+    assert on_disk - referenced, "expected orphaned files from the aborted attempt"
+    out = __import__("marketpipe_spark.snapshots", fromlist=["expire_snapshots"]).expire_snapshots(
+        root, keep_last=len(hist)
+    )
+    assert out["deleted_files"] == len(on_disk - referenced)
+    assert _rows(read_table(spark, root)) == [(1, "a"), (2, "A2"), (10, "x"), (11, "y")]
+
+
+def test_upsert_rejects_null_keys_and_intra_batch_dups(spark, tmp_path):
+    import pytest
+
+    root = str(tmp_path / "snap")
+    write_table(spark.createDataFrame([(1, "a")], "id long, v string"), root)
+    with pytest.raises(ValueError, match="NULL"):
+        upsert_table(
+            spark,
+            spark.createDataFrame([(None, "x")], "id long, v string"),
+            root,
+            keys=["id"],
+        )
+    with pytest.raises(ValueError, match="duplicate keys"):
+        upsert_table(
+            spark,
+            spark.createDataFrame([(5, "x"), (5, "y")], "id long, v string"),
+            root,
+            keys=["id"],
+        )
+    # With dedup_order, keep-last within the batch (greatest ordering value).
+    upsert_table(
+        spark,
+        spark.createDataFrame(
+            [(5, "x", 1), (5, "y", 2)], "id long, v string, seq long"
+        ).select("id", "v"),
+        root,
+        keys=["id"],
+        dedup_order="v",  # 'y' > 'x'
+    )
+    assert _rows(read_table(spark, root)) == [(1, "a"), (5, "y")]
+
+
+def test_table_changes_null_key_is_one_update(spark, tmp_path):
+    """A legitimately-NULL key value must diff as ONE key (eqNullSafe join),
+    not a spurious delete+insert pair (the r7 `==` join bug)."""
+    from marketpipe_spark.snapshots import table_changes
+
+    root = str(tmp_path / "snap")
+    write_table(
+        spark.createDataFrame([(None, 1.0), (7, 2.0)], "id long, x double"), root
+    )
+    write_table(
+        spark.createDataFrame([(None, 9.0), (7, 2.0)], "id long, x double"),
+        root,
+        mode="overwrite",
+    )
+    ch = table_changes(spark, root, ["id"], v_from=1, v_to=2).collect()
+    assert len(ch) == 1
+    assert ch[0]["id"] is None and ch[0]["_change"] == "update"
+    assert ch[0]["_new"]["x"] == 9.0
+
+
+def test_file_scheme_root_roundtrip(spark, tmp_path):
+    """file:-scheme roots work end to end through the FS abstraction."""
+    root = "file:" + str(tmp_path / "snap")
+    write_table(spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"), root)
+    upsert_table(
+        spark,
+        spark.createDataFrame([(2, "B!")], "id long, v string"),
+        root,
+        keys=["id"],
+    )
+    assert _rows(read_table(spark, root)) == [(1, "a"), (2, "B!")]
+    assert [h["version"] for h in table_history(root)] == [1, 2]
+
+
+def test_hadoop_fs_bridge_roundtrip(spark, tmp_path):
+    """HadoopFS (the hdfs:/s3a: path) exercised against the local scheme:
+    manifest IO, CAS publish, data-file renames all through the JVM
+    FileSystem — proves the non-POSIX deployment path works."""
+    import pytest
+
+    from marketpipe_spark.snapshots import CommitConflict, HadoopFS, _commit
+
+    root = "file:" + str(tmp_path / "snap")
+    fs = HadoopFS(spark, root)
+    v1 = write_table(
+        spark.createDataFrame([(1, "a")], "id long, v string"), root, fs=fs
+    )
+    v2 = upsert_table(
+        spark,
+        spark.createDataFrame([(1, "A"), (2, "b")], "id long, v string"),
+        root,
+        keys=["id"],
+        fs=fs,
+    )
+    assert (v1, v2) == (1, 2)
+    assert _rows(read_table(spark, root, fs=fs)) == [(1, "A"), (2, "b")]
+    assert _rows(read_table(spark, root, version=1, fs=fs)) == [(1, "a")]
+    # The CAS refuses an already-published version through this FS too.
+    with pytest.raises(CommitConflict):
+        _commit(root, [], "late", 1, fs)
