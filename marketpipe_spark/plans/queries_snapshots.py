@@ -1,0 +1,118 @@
+"""Snapshot-table CDC queries — the change-data-feed path oracle-verified.
+
+These entries drive the REAL snapshot subsystem (``marketpipe_spark.
+snapshots``: versioned manifests on disk, COW upsert, conditional-put
+commits) end to end on driver testdata, then hand the resulting
+:func:`table_changes` feed to the DuckDB oracle, which reconstructs the
+same three versions declaratively from the base ``orders`` table. That
+makes the whole write → upsert → overwrite → diff pipeline part of the
+value-hash correctness gate, not just unit-tested.
+
+Version recipe (deterministic in ``o_orderkey``, so both engines agree):
+
+- **v1** = orders with ``o_orderkey % 10 <> 0`` (payload: custkey, status,
+  totalprice — doubles pass through parquet untouched, hash-stable);
+- **v2** = v1 upserted with the batch ``o_orderkey % 3 = 0`` whose status
+  is rewritten to ``'U'`` (keys in v1 → updates; keys with ``% 10 = 0``
+  → inserts);
+- **v3** = overwrite of v2 filtered to ``o_orderkey % 7 <> 0`` (deletes).
+
+``snapshot_changes`` diffs v1 → v3, so all three CDC classes are live in
+one entry. The table is rebuilt under a deterministic temp root per
+(session, sf_dir) — reruns start clean.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from ..snapshots import read_table, table_changes, upsert_table, write_table
+from .registry import register, t
+
+_PAYLOAD = ("o_custkey", "o_orderstatus", "o_totalprice")
+
+
+def _build_versions(spark, sf_dir: str) -> str:
+    """Materialize the three-version snapshot table for ``sf_dir`` under a
+    deterministic temp root (rebuilt from scratch each call)."""
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    root = os.path.join(tempfile.gettempdir(), f"mp_snapshot_cdc_{tag}")
+    shutil.rmtree(root, ignore_errors=True)
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", *_PAYLOAD)
+    write_table(
+        orders.where(F.col("o_orderkey") % 10 != 0), root, mode="overwrite", note="v1"
+    )
+    batch = orders.where(F.col("o_orderkey") % 3 == 0).withColumn(
+        "o_orderstatus", F.lit("U")
+    )
+    upsert_table(spark, batch, root, keys=["o_orderkey"], note="v2 upsert")
+    v2 = read_table(spark, root, version=2)
+    write_table(
+        v2.where(F.col("o_orderkey") % 7 != 0), root, mode="overwrite", note="v3"
+    )
+    return root
+
+
+SQL_SNAPSHOT_CHANGES = """
+WITH v1 AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 10 <> 0
+),
+batch AS (
+  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 3 = 0
+),
+v2 AS (
+  SELECT * FROM batch
+  UNION ALL
+  SELECT * FROM v1 WHERE o_orderkey NOT IN (SELECT o_orderkey FROM batch)
+),
+v3 AS (
+  SELECT * FROM v2 WHERE o_orderkey % 7 <> 0
+),
+diff AS (
+  SELECT
+    COALESCE(n.o_orderkey, o.o_orderkey) AS o_orderkey,
+    CASE
+      WHEN o.o_orderkey IS NULL THEN 'insert'
+      WHEN n.o_orderkey IS NULL THEN 'delete'
+      WHEN NOT (o.o_custkey IS NOT DISTINCT FROM n.o_custkey
+                AND o.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus
+                AND o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice)
+        THEN 'update'
+    END AS change,
+    n.o_custkey AS new_custkey,
+    n.o_orderstatus AS new_status,
+    n.o_totalprice AS new_totalprice
+  FROM v1 o FULL OUTER JOIN v3 n ON o.o_orderkey = n.o_orderkey
+)
+SELECT o_orderkey, change, new_custkey, new_status, new_totalprice
+FROM diff WHERE change IS NOT NULL
+"""
+
+
+@register(
+    "snapshot_changes",
+    SQL_SNAPSHOT_CHANGES,
+    doc=(
+        "change data feed across a real snapshot table (write v1, COW upsert "
+        "v2, overwrite v3 on disk; diff v1->v3 covers insert/update/delete); "
+        "oracle reconstructs the versions declaratively from orders"
+    ),
+    tags=("snapshots", "cdc", "joins"),
+)
+def q_snapshot_changes(spark, sf_dir):
+    root = _build_versions(spark, sf_dir)
+    ch = table_changes(spark, root, ["o_orderkey"], v_from=1, v_to=3)
+    return ch.select(
+        "o_orderkey",
+        F.col("_change").alias("change"),
+        F.col("_new.o_custkey").alias("new_custkey"),
+        F.col("_new.o_orderstatus").alias("new_status"),
+        F.col("_new.o_totalprice").alias("new_totalprice"),
+    )

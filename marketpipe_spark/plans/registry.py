@@ -183,6 +183,7 @@ def all_queries() -> dict[str, Query]:
         queries_linkage,
         queries_sim,
         queries_skyline,
+        queries_snapshots,
         queries_stream,
         queries_ta,
         queries_tpch,

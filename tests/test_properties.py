@@ -629,3 +629,119 @@ def test_link_prediction_matches_python_model(spark, raw, cap):
         for r in link_prediction(df, max_center_deg=cap, top_n=10_000).collect()
     }
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# snapshot tables: upsert/overwrite composition + CDC vs a dict model
+
+_snap_batch_st = st.dictionaries(
+    st.integers(0, 6),
+    st.lists(st.sampled_from(["a", "b", "c", "d"]), min_size=1, max_size=2),
+    max_size=5,
+)
+
+_snap_ops_st = st.lists(
+    st.tuples(st.sampled_from(["upsert", "overwrite"]), _snap_batch_st),
+    min_size=1,
+    max_size=3,
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(first=_snap_batch_st, ops=_snap_ops_st)
+def test_snapshot_versions_and_cdc_match_dict_model(spark, first, ops):
+    """Apply a random op sequence (overwrite bootstrap, then upsert/
+    overwrite with intra-batch duplicate values resolved by dedup_order)
+    to a real snapshot table AND to a pure-Python keep-last dict model;
+    every historical version's read-back and every adjacent-version CDC
+    diff must match the model. Covers: empty batches, all-keys-affected,
+    none-affected, dup keys in batch, interleaved overwrite resets."""
+    import shutil
+    import tempfile
+
+    from marketpipe_spark.snapshots import (
+        read_table,
+        table_changes,
+        upsert_table,
+        write_table,
+    )
+
+    def _df(batch):
+        # one row per (key, i-th value); seq = position, keep-last = max seq
+        rows = [(k, v, i) for k, vs in batch.items() for i, v in enumerate(vs)]
+        return spark.createDataFrame(rows or [(None, None, None)], "id long, v string, seq long").where(
+            "id IS NOT NULL" if not rows else "1=1"
+        )
+
+    def _model(batch):
+        return {k: vs[-1] for k, vs in batch.items()}
+
+    def _dedup_df(batch):
+        # write_table is a RAW commit (no key semantics) — overwrite ops
+        # pre-resolve intra-batch dups themselves, like a real caller.
+        m = _model(batch)
+        return spark.createDataFrame(
+            list(m.items()) or [(None, None)], "id long, v string"
+        ).where("id IS NOT NULL" if not m else "1=1")
+
+    root = tempfile.mkdtemp(prefix="mp_snap_prop_")
+    try:
+        states = []  # model state per committed version, index 0 == v1
+        write_table(_dedup_df(first), root, mode="overwrite")
+        state = dict(_model(first))
+        states.append(dict(state))
+        for kind, batch in ops:
+            if kind == "overwrite":
+                write_table(_dedup_df(batch), root, mode="overwrite")
+                state = _model(batch)
+            else:
+                upsert_table(
+                    spark, _df(batch), root, keys=["id"], dedup_order="seq"
+                )
+                state.update(_model(batch))
+            states.append(dict(state))
+
+        for i, want in enumerate(states):
+            try:
+                got = {
+                    r["id"]: r["v"]
+                    for r in read_table(spark, root, version=i + 1)
+                    .select("id", "v")
+                    .collect()
+                }
+            except FileNotFoundError:
+                got = {}  # an all-empty version has no data files
+            assert got == want, f"v{i+1} read-back != model"
+
+        for i in range(len(states) - 1):
+            old, new = states[i], states[i + 1]
+            want_diff = {}
+            for k in set(old) | set(new):
+                if k not in old:
+                    want_diff[k] = ("insert", new[k])
+                elif k not in new:
+                    want_diff[k] = ("delete", None)
+                elif old[k] != new[k]:
+                    want_diff[k] = ("update", new[k])
+            try:
+                rows = table_changes(
+                    spark, root, ["id"], v_from=i + 1, v_to=i + 2
+                ).collect()
+            except FileNotFoundError:
+                assert not want_diff or not old or not new
+                continue
+            got_diff = {
+                r["id"]: (r["_change"], r["_new"]["v"] if r["_new"] else None)
+                for r in rows
+            }
+            # a delete row carries a NULL payload struct field
+            got_diff = {
+                k: (c, None if c == "delete" else v) for k, (c, v) in got_diff.items()
+            }
+            assert got_diff == want_diff, f"CDC v{i+1}->v{i+2} != model"
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
