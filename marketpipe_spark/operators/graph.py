@@ -97,6 +97,8 @@ def pagerank(
         scope=pins,
     )
     n = nodes.count()
+    if n == 0:
+        raise ValueError("pagerank: empty edge list (no nodes)")
     s0 = scale // n
     base = (PPM - damping_ppm) * s0 // PPM
 
@@ -1323,7 +1325,7 @@ def hits(
     src: str = "src",
     dst: str = "dst",
     iterations: int = 4,
-    scale: int = 1_000_000,
+    scale: int = 10_000,
 ) -> DataFrame:
     """Fixed-iteration integer HITS (Kleinberg hubs & authorities) over a
     directed edge list. Returns ``(id, hub, auth)`` for every node.
@@ -1344,11 +1346,14 @@ def hits(
     edge list (the pagerank discipline: `_pin_keyed` co-partitions under
     persist mode, `_state` broadcast-gates the node-sized score frames);
     normalization totals ride a non-foldable 0-key BroadcastHashJoin.
-    Integer bound: Σ h ≈ N·scale after each renormalization, so a node's
-    raw inbox is < N·scale·maxdeg — document N·scale ≤ 9.2e12 when
-    maxdeg ≤ 1e6 (far beyond any capped-basket graph).
+    Integer bound (ENFORCED): the renormalization computes
+    ``raw * N * scale`` where ``raw`` can itself reach ~``N * scale``
+    (total mass concentrated on one node), so int64 requires
+    ``(N * scale)^2 < 2^63`` ⇔ ``N * scale <= 3_037_000_499``. The
+    default ``scale`` 1e4 is safe to ~300k nodes; the constructor raises
+    past the bound rather than silently wrapping in non-ANSI mode.
     """
-    from .ranking import _zero_key
+    from .ranking import _check_renorm_bound, _zero_key
 
     if iterations < 1:
         raise ValueError("hits needs iterations >= 1 (authority is undefined at round 0)")
@@ -1363,6 +1368,7 @@ def hits(
         scope=pins,
     )
     n = nodes.count()
+    _check_renorm_bound(n, scale, "hits")
 
     def _mean_norm(scored: DataFrame, col: str) -> DataFrame:
         tot = scored.agg(F.sum(col).cast("long").alias("_tot"))
@@ -1413,7 +1419,7 @@ def hits(
 
 
 def hits_oracle_sql(
-    edges_sql: str, iterations: int = 4, scale: int = 1_000_000
+    edges_sql: str, iterations: int = 4, scale: int = 10_000
 ) -> str:
     """DuckDB CTE chain reproducing :func:`hits` literally — one unrolled
     (authority, hub) CTE pair per round, MATERIALIZED fences on the
@@ -1482,13 +1488,17 @@ def pagerank_weighted(
     real-graph variant: co-purchase multiplicity, link frequency, citation
     counts. Duplicate (src, dst) rows are weight-summed up front.
 
-    Integer bound (documented, not enforced): ``score * w_e`` must stay
-    inside int64 — with the default ``scale`` 1e12 that means per-edge
-    weights <= ~9.2e6; normalize weights upstream for heavier
-    multiplicities. Plan shape is identical to :func:`pagerank` (pinned
-    weighted edge list, one shuffle join + one hash agg per round,
-    broadcast-gated state), replicated literally by
-    :func:`pagerank_weighted_oracle_sql`.
+    Contract (ENFORCED): the edge list must be non-empty and every
+    aggregated weight must be a positive non-NULL integer — a NULL or
+    non-positive weight would silently propagate NULL/garbage through
+    ``score * w DIV wsum``, so the constructor raises instead (one cheap
+    first-hit probe on the deduped edge list). Integer bound (documented,
+    not enforced): ``score * w_e`` must stay inside int64 — with the
+    default ``scale`` 1e12 that means per-edge weights <= ~9.2e6;
+    normalize weights upstream for heavier multiplicities. Plan shape is
+    identical to :func:`pagerank` (pinned weighted edge list, one shuffle
+    join + one hash agg per round, broadcast-gated state), replicated
+    literally by :func:`pagerank_weighted_oracle_sql`.
     """
     e = (
         edges.select(
@@ -1497,6 +1507,11 @@ def pagerank_weighted(
         .groupBy("src", "dst")
         .agg(F.sum("w").cast("long").alias("w"))
     )
+    if e.where(F.col("w").isNull() | (F.col("w") <= 0)).limit(1).count() > 0:
+        raise ValueError(
+            "pagerank_weighted: edge weights must be positive and non-NULL "
+            "(a NULL/<=0 weight would propagate NULL scores)"
+        )
     ws = e.groupBy("src").agg(F.sum("w").cast("long").alias("wsum"))
     pins: list = []
     ed = _pin_keyed(e.join(ws, "src"), "src", scope=pins)
@@ -1508,6 +1523,8 @@ def pagerank_weighted(
         scope=pins,
     )
     n = nodes.count()
+    if n == 0:
+        raise ValueError("pagerank_weighted: empty edge list (no nodes)")
     s0 = scale // n
     base = (PPM - damping_ppm) * s0 // PPM
 

@@ -54,6 +54,24 @@ def _zero_key(c: Column) -> Column:
     return F.pmod(F.coalesce(F.length(c.cast("string")), F.lit(0)), F.lit(1))
 
 
+#: floor(sqrt(2^63 - 1)): the largest M with M*M inside int64. Both the
+#: HITS and Bradley-Terry mean-renormalizations compute ``value * N *
+#: scale`` where ``value`` itself is bounded by the total mass ~``N *
+#: scale`` (full concentration on one node/player), so int64 safety is
+#: exactly ``N * scale <= _RENORM_MAX`` — NOT the looser single-factor
+#: ``N * scale <= 9.2e18`` a first reading suggests.
+_RENORM_MAX = 3_037_000_499
+
+
+def _check_renorm_bound(n: int, scale: int, op: str) -> None:
+    if n * scale > _RENORM_MAX:
+        raise ValueError(
+            f"{op}: N*scale = {n}*{scale} exceeds {_RENORM_MAX} "
+            f"(the renormalization product (N*scale)^2 would overflow "
+            f"int64 and silently wrap in non-ANSI Spark); lower scale"
+        )
+
+
 def bradley_terry(
     matches: DataFrame,
     winner: str = "winner",
@@ -70,6 +88,14 @@ def bradley_terry(
 
     Semantics are replicated literally by :func:`bradley_terry_oracle_sql`
     (see the module docstring for the per-round integer recurrence).
+
+    Integer bound (ENFORCED): the mean renormalization computes
+    ``u * P * scale`` where ``u`` can reach ~``P * scale`` (all strength
+    on one player), so int64 requires ``(P * scale)^2 < 2^63`` ⇔
+    ``P * scale <= 3_037_000_499`` — ~3000 players at the default
+    ``scale`` 1e6; lower ``scale`` for bigger ladders. (The per-pair term
+    ``n_ab * scale^2`` additionally needs ``n_ab <= 9.2e18 / scale^2``,
+    ~9.2e6 games per pair at the default.)
     """
     from .dedup import _pin, _release
 
@@ -106,6 +132,7 @@ def bradley_terry(
     ).select("p", F.coalesce("wc", F.lit(0)).cast("long").alias("wins"))
     gcnt = g.groupBy(F.col("a").alias("p")).agg(F.sum("n").cast("long").alias("games"))
     n_players = players.count()
+    _check_renorm_bound(n_players, scale, "bradley_terry")
 
     s = players.withColumn("s", F.lit(scale).cast("long"))
     one = F.lit(1).cast("long")

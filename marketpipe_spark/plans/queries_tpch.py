@@ -1386,15 +1386,23 @@ _FK_RELATIONS = [
 
 
 def _fk_audit_sql() -> str:
+    # Presence MARKERS (not key-NULL tests) classify the full-outer rows: a
+    # child row whose FK is legitimately NULL also surfaces as an unmatched
+    # row with both keys NULL, so keying 'childless parent' on the child key
+    # being NULL misclassified it (and dropped it from child_rows). NULL-FK
+    # children are reported in their own column — neither orphans (no
+    # parent was REFERENCED) nor childless parents.
     parts = []
     for name, ct, ck, pt, pk in _FK_RELATIONS:
         parts.append(f"""
 SELECT '{name}' AS relation,
-       CAST(COUNT({ck}) AS BIGINT) AS child_rows,
-       CAST(COUNT(CASE WHEN {ck} IS NOT NULL AND {pk} IS NULL THEN 1 END) AS BIGINT) AS orphan_children,
+       CAST(COUNT(c_present) AS BIGINT) AS child_rows,
+       CAST(COUNT(CASE WHEN c_present = 1 AND {ck} IS NOT NULL AND p_present IS NULL THEN 1 END) AS BIGINT) AS orphan_children,
+       CAST(COUNT(CASE WHEN c_present = 1 AND {ck} IS NULL THEN 1 END) AS BIGINT) AS null_fk_children,
        CAST(COUNT(DISTINCT {pk}) AS BIGINT) AS parents,
-       CAST(COUNT(CASE WHEN {ck} IS NULL THEN 1 END) AS BIGINT) AS childless_parents
-FROM (SELECT {ck} FROM {ct}) c FULL OUTER JOIN (SELECT {pk} FROM {pt}) p
+       CAST(COUNT(CASE WHEN p_present = 1 AND c_present IS NULL THEN 1 END) AS BIGINT) AS childless_parents
+FROM (SELECT {ck}, 1 AS c_present FROM {ct}) c
+FULL OUTER JOIN (SELECT {pk}, 1 AS p_present FROM {pt}) p
 ON c.{ck} = p.{pk}""")
     return "\nUNION ALL\n".join(parts)
 
@@ -1402,24 +1410,36 @@ ON c.{ck} = p.{pk}""")
 @register(
     "fk_integrity_audit",
     _fk_audit_sql(),
-    doc="referential-integrity audit over every FK relation incl. cross-modal embeddings->documents: orphan children + childless parents from one full-outer aggregation per relation",
+    doc="referential-integrity audit over every FK relation incl. cross-modal embeddings->documents: orphan children, NULL-FK children, and childless parents from one full-outer aggregation per relation (presence-marker classification — NULL-safe)",
     tags=("joins", "validation"),
 )
 def q_fk_integrity_audit(spark, sf_dir):
     out = None
     for name, ct, ck, pt, pk in _FK_RELATIONS:
-        c = t(spark, sf_dir, ct).select(F.col(ck).alias("_ck"))
-        p = t(spark, sf_dir, pt).select(F.col(pk).alias("_pk"))
+        c = t(spark, sf_dir, ct).select(
+            F.col(ck).alias("_ck"), F.lit(1).alias("_cp")
+        )
+        p = t(spark, sf_dir, pt).select(
+            F.col(pk).alias("_pk"), F.lit(1).alias("_pp")
+        )
         j = c.join(p, c._ck == p._pk, "full_outer")
         row = j.agg(
-            F.count("_ck").cast("long").alias("child_rows"),
+            F.count("_cp").cast("long").alias("child_rows"),
             F.count(
-                F.when(F.col("_ck").isNotNull() & F.col("_pk").isNull(), 1)
+                F.when(
+                    (F.col("_cp") == 1)
+                    & F.col("_ck").isNotNull()
+                    & F.col("_pp").isNull(),
+                    1,
+                )
             ).cast("long").alias("orphan_children"),
+            F.count(
+                F.when((F.col("_cp") == 1) & F.col("_ck").isNull(), 1)
+            ).cast("long").alias("null_fk_children"),
             F.countDistinct("_pk").cast("long").alias("parents"),
-            F.count(F.when(F.col("_ck").isNull(), 1)).cast("long").alias(
-                "childless_parents"
-            ),
+            F.count(
+                F.when((F.col("_pp") == 1) & F.col("_cp").isNull(), 1)
+            ).cast("long").alias("childless_parents"),
         ).select(F.lit(name).alias("relation"), "*")
         out = row if out is None else out.unionByName(row)
     return out

@@ -655,3 +655,35 @@ def test_pagerank_weighted_uniform_equals_plain(spark):
     )
     wtd2 = {r["id"]: r["score"] for r in pagerank_weighted(ew2, iterations=4).collect()}
     assert wtd2[3] > wtd[3] and wtd2[2] < wtd[2]
+
+
+def test_pagerank_weighted_guards(spark):
+    """r8 ADVICE: empty edge list and NULL/non-positive weights fail loudly
+    instead of ZeroDivisionError / silent NULL propagation."""
+    import pytest
+
+    from marketpipe_spark.operators.graph import pagerank_weighted
+
+    empty = spark.createDataFrame([], "src long, dst long, w long")
+    with pytest.raises(ValueError, match="empty edge list"):
+        pagerank_weighted(empty, iterations=1)
+    bad = spark.createDataFrame([(1, 2, 0), (2, 1, 3)], "src long, dst long, w long")
+    with pytest.raises(ValueError, match="positive"):
+        pagerank_weighted(bad, iterations=1)
+    null_w = spark.createDataFrame([(1, 2, None)], "src long, dst long, w long")
+    with pytest.raises(ValueError, match="positive"):
+        pagerank_weighted(null_w, iterations=1)
+
+
+def test_hits_renorm_bound_enforced(spark):
+    """(N*scale)^2 must fit int64: an unsafe scale raises instead of
+    silently wrapping (r8 ADVICE: the old docstring claimed 9.2e12)."""
+    import pytest
+
+    from marketpipe_spark.operators.graph import hits
+
+    e = spark.createDataFrame([(1, 2), (2, 3), (3, 1)], "src long, dst long")
+    with pytest.raises(ValueError, match="overflow"):
+        hits(e, iterations=1, scale=2_000_000_000)  # 3 nodes * 2e9 > bound
+    out = {r["id"]: r for r in hits(e, iterations=1).collect()}
+    assert len(out) == 3  # default scale is safe here

@@ -63,3 +63,13 @@ def test_bradley_terry_two_players(spark):
     assert got == _bt_reference(matches, 3)
     assert got["X"][0] == got["Y"][0] == 4
     assert got["X"][2] > got["Y"][2]
+
+
+def test_bradley_terry_renorm_bound_enforced(spark):
+    import pytest
+
+    from marketpipe_spark.operators.ranking import bradley_terry
+
+    m = spark.createDataFrame([("a", "b"), ("b", "c")], "winner string, loser string")
+    with pytest.raises(ValueError, match="overflow"):
+        bradley_terry(m, iterations=1, scale=2_000_000_000)
