@@ -71,17 +71,22 @@ def sma(
     bars: DataFrame,
     n: int = 20,
     price_col: str = "close",
-    skew_span: int | None = None,
+    skew_span: int | str | None = None,
 ) -> DataFrame:
     """W4 — trailing-N simple moving average; NULL until N samples
     (reference: domain/services.py:284-326). ``skew_span`` (ns) chunks the
     per-symbol window with a bounded carry — identical output, no hot-symbol
-    straggler (see ``skew.chunked_trailing_frame``)."""
+    straggler (see ``skew.chunked_trailing_frame``); ``"auto"`` profiles the
+    data first and chunks only diagnosed hot symbols
+    (``skew.plan_trailing_skew``)."""
+    from .skew import chunked_trailing_frame, resolve_trailing_skew
+
+    skew_span, hot = resolve_trailing_skew(bars, "symbol", "ts_ns", skew_span)
     src, parts = bars, ["symbol"]
     if skew_span is not None:
-        from .skew import chunked_trailing_frame
-
-        src = chunked_trailing_frame(bars, "symbol", "ts_ns", n - 1, skew_span)
+        src = chunked_trailing_frame(
+            bars, "symbol", "ts_ns", n - 1, skew_span, hot_keys=hot
+        )
         parts = ["symbol", "_chunk"]
     w = W.partitionBy(*parts).orderBy("ts_ns").rowsBetween(-(n - 1), 0)
     avg_n = F.avg(price_col).over(w)
@@ -96,16 +101,20 @@ def rolling_volatility(
     bars: DataFrame,
     n: int = 20,
     price_col: str = "close",
-    skew_span: int | None = None,
+    skew_span: int | str | None = None,
 ) -> DataFrame:
     """W5 — sample stddev of ln-returns over the trailing N returns; NULL
     until enough data (reference: domain/services.py:328-371). ``skew_span``
-    as in :func:`sma` (lookback here is n: n-1 frame rows + 1 lag row)."""
+    as in :func:`sma` (lookback here is n: n-1 frame rows + 1 lag row),
+    ``"auto"`` included."""
+    from .skew import chunked_trailing_frame, resolve_trailing_skew
+
+    skew_span, hot = resolve_trailing_skew(bars, "symbol", "ts_ns", skew_span)
     src, parts = bars, ["symbol"]
     if skew_span is not None:
-        from .skew import chunked_trailing_frame
-
-        src = chunked_trailing_frame(bars, "symbol", "ts_ns", n, skew_span)
+        src = chunked_trailing_frame(
+            bars, "symbol", "ts_ns", n, skew_span, hot_keys=hot
+        )
         parts = ["symbol", "_chunk"]
     wo = W.partitionBy(*parts).orderBy("ts_ns")
     wf = wo.rowsBetween(-(n - 1), 0)

@@ -101,12 +101,88 @@ def hot_key_profile(
     ).select("key", "n", "share_ppm", "rank")
 
 
+def plan_trailing_skew(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    shuffle_partitions: int = 32,
+    safety: float = 4.0,
+    chunks_per_slot: int = 4,
+    max_hot: int = 64,
+) -> tuple[int, list] | None:
+    """Skew auto-dispatch: decide whether a trailing-window computation
+    over ``key`` needs :func:`chunked_trailing_frame`, and for WHICH keys.
+
+    Threshold: a key whose row share exceeds ``safety / shuffle_partitions``
+    makes one window task carry ≥ ``safety``× an average slot's work — the
+    measured regime where the straggler dominates (SKEW_BENCH: the plain
+    plan pays 1.72× at ×64 and 2.41× at ×256 with a 50%-hot key, while at
+    uniform shares chunking COSTS up to 2.5×). Below the threshold return
+    ``None`` (keep the plain single-window plan); above it return
+    ``(span, hot_keys)`` where ``span`` splits the global time range into
+    ``shuffle_partitions * chunks_per_slot`` chunks and ``hot_keys`` is the
+    bounded list (≤ ``max_hot``; at most ``shuffle_partitions/safety`` keys
+    can exceed the share threshold, so the collect is tiny by construction)
+    of keys that actually need chunking — cold keys keep their one-task
+    window and skip the carry machinery entirely.
+
+    Cost: two narrow passes — one global aggregate (count + ts min/max)
+    and one map-side-combined per-key count filtered to the hot list. No
+    sort, no wide shuffle of the data itself.
+    """
+    g = df.agg(
+        F.count(F.lit(1)).alias("tot"),
+        F.min(ts).alias("t0"),
+        F.max(ts).alias("t1"),
+    ).collect()[0]
+    if not g["tot"]:
+        return None
+    # Share threshold, capped at 50%: a majority key is a straggler at ANY
+    # cluster size (and without the cap, safety/partitions >= 1 on small
+    # local sessions would disable dispatch entirely).
+    thr_rows = int(g["tot"] * min(safety / shuffle_partitions, 0.5))
+    hot = (
+        df.groupBy(key)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > thr_rows)
+        .orderBy(F.col("n").desc(), F.col(key).asc())
+        .limit(max_hot)
+        .collect()
+    )
+    if not hot:
+        return None
+    span = max(1, (g["t1"] - g["t0"] + 1) // (shuffle_partitions * chunks_per_slot))
+    return span, [r[key] for r in hot]
+
+
+def resolve_trailing_skew(
+    df: DataFrame, key: str, ts: str, skew_span: int | str | None
+) -> tuple[int | None, list | None]:
+    """Normalize the window operators' ``skew_span`` parameter:
+
+    - ``None`` → ``(None, None)``: plain single-window plan;
+    - ``"auto"`` → :func:`plan_trailing_skew` decides from the data —
+      plain plan when no key crosses the straggler threshold, else the
+      hot-key-targeted chunked plan;
+    - an int → ``(span, None)``: chunk EVERY key at that span (the r7
+      always-on behavior the registry skewsafe twins pin).
+    """
+    if skew_span is None:
+        return None, None
+    if skew_span == "auto":
+        sp = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+        plan = plan_trailing_skew(df, key, ts, shuffle_partitions=sp)
+        return (None, None) if plan is None else plan
+    return skew_span, None
+
+
 def chunked_trailing_frame(
     df: DataFrame,
     key: str,
     ts: str,
     lookback: int,
     span: int,
+    hot_keys: list | None = None,
 ) -> DataFrame:
     """Skew-tolerant base frame for BOUNDED trailing-window computations.
 
@@ -143,15 +219,34 @@ def chunked_trailing_frame(
     (key, chunk) — a few percent for sane spans. Pick ``span`` ≫ the time
     covered by ``lookback`` rows (e.g. one day for minute bars and
     lookback 20).
+
+    ``hot_keys`` (r8, the uniform-tax fix): when given, ONLY those keys are
+    time-chunked — every other key keeps a single chunk (``_chunk = -1``),
+    i.e. exactly the plain per-key window, and its rows never enter the
+    tails/carry machinery. The chunk overhead then scales with the HOT
+    subset instead of the whole table (measured: the all-keys plan cost
+    2.57× on uniform data at ×256 — SKEW_BENCH). Requires ``ts >= 0`` for
+    hot-key rows (epoch timestamps are). :func:`plan_trailing_skew`
+    produces the list from a two-pass profile; ``hot_keys=None`` keeps the
+    r7 chunk-everything behavior, ``hot_keys=[]`` degenerates to the plain
+    frame (one chunk per key, no carries).
     """
     cols = list(df.columns)
-    b = df.withColumn("_chunk", F.expr(f"{ts} div {span}"))
+    if hot_keys is not None:
+        is_hot = F.col(key).isin(list(hot_keys)) if hot_keys else F.lit(False)
+        b = df.withColumn(
+            "_chunk", F.when(is_hot, F.expr(f"{ts} div {span}")).otherwise(F.lit(-1))
+        )
+        hot_rows = b.where(is_hot)
+    else:
+        b = df.withColumn("_chunk", F.expr(f"{ts} div {span}"))
+        hot_rows = b
 
     from pyspark.sql.window import Window as W
 
     wdesc = W.partitionBy(key, "_chunk").orderBy(F.col(ts).desc())
     tails = (
-        b.withColumn("_rn", F.row_number().over(wdesc))
+        hot_rows.withColumn("_rn", F.row_number().over(wdesc))
         .where(F.col("_rn") <= lookback)
         .groupBy(key, "_chunk")
         .agg(

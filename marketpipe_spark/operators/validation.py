@@ -31,7 +31,7 @@ VOLUME_CAP = 1_000_000_000
 
 
 def validate_bars(
-    bars: DataFrame, *, market_hours: bool = True, skew_span: int | None = None
+    bars: DataFrame, *, market_hours: bool = True, skew_span: int | str | None = None
 ) -> DataFrame:
     """Run all rules; return errors(symbol, ts_ns, reason).
 
@@ -44,13 +44,18 @@ def validate_bars(
     carry (``skew.chunked_trailing_frame``) — bit-identical output, but one
     hot symbol's rows spread over time-range/span tasks instead of one
     straggler (SURVEY §7.4). Use ~1 day for minute bars; ``None`` keeps the
-    single-window plan.
+    single-window plan; ``"auto"`` profiles the table and chunks only
+    diagnosed hot symbols (``skew.plan_trailing_skew`` — plain plan when
+    no symbol crosses the straggler threshold).
     """
+    from .skew import chunked_trailing_frame, resolve_trailing_skew
+
+    skew_span, hot = resolve_trailing_skew(bars, "symbol", "ts_ns", skew_span)
     src = bars
     if skew_span is not None:
-        from .skew import chunked_trailing_frame
-
-        src = chunked_trailing_frame(bars, "symbol", "ts_ns", 20, skew_span)
+        src = chunked_trailing_frame(
+            bars, "symbol", "ts_ns", 20, skew_span, hot_keys=hot
+        )
         wo = W.partitionBy("symbol", "_chunk").orderBy("ts_ns")
     else:
         wo = W.partitionBy("symbol").orderBy("ts_ns")

@@ -563,6 +563,23 @@ def q_validation_report_skewsafe(spark, sf_dir):
 
 
 @register(
+    "validation_report_skewauto",
+    SQL_VALIDATION_REPORT,
+    doc="validation_report under skew AUTO-dispatch (skew.plan_trailing_skew "
+    "profiles the table; plain plan when no symbol crosses the straggler "
+    "threshold, hot-key-targeted chunking when one does) — IDENTICAL oracle "
+    "as validation_report: parity proves dispatch never changes rows",
+    tags=("validation", "skew"),
+)
+def q_validation_report_skewauto(spark, sf_dir):
+    from ..operators.validation import validate_bars
+
+    return validate_bars(
+        _bars_core(spark, sf_dir), market_hours=False, skew_span="auto"
+    )
+
+
+@register(
     "sma_20_skewsafe",
     SQL_SMA,
     doc="W4 trailing-20 SMA on the chunked window (19-row carry) — same "

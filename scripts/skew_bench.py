@@ -42,6 +42,7 @@ TMP = os.path.join(REPO, ".scale_tmp")
 DEFAULT_OPS = [
     "validation_report",
     "validation_report_skewsafe",
+    "validation_report_skewauto",
     "sma_20",
     "sma_20_skewsafe",
     "volatility_20",

@@ -89,3 +89,96 @@ def test_hot_key_profile_finds_planted_skew(spark):
     # Everything else is uniform → rank 2+ counts are 1, ties key-ordered.
     assert [r.n for r in prof[1:]] == [1, 1, 1, 1]
     assert [r.key for r in prof[1:]] == sorted(r.key for r in prof[1:])
+
+
+# ---------------------------------------------------------------------------
+# r8: hot-key-targeted chunking + skew auto-dispatch
+
+
+def _bars(spark, hot_rows=300, cold_rows=40):
+    """Minute bars: one hot symbol with hot_rows bars, three cold symbols."""
+    ns_min = 60_000_000_000
+    rows = [("HOT", i * ns_min, 100.0 + (i % 7), 10 + i % 3) for i in range(hot_rows)]
+    for s in ("C1", "C2", "C3"):
+        rows += [(s, i * ns_min, 50.0 + (i % 5), 5) for i in range(cold_rows)]
+    return spark.createDataFrame(rows, "symbol string, ts_ns long, close double, volume long").select(
+        "symbol",
+        "ts_ns",
+        F.col("close").alias("open"),
+        (F.col("close") + 1).alias("high"),
+        (F.col("close") - 1).alias("low"),
+        "close",
+        "volume",
+    )
+
+
+def test_chunked_frame_hot_keys_bit_identical(spark):
+    """hot_keys chunking (only the hot symbol is chunked; cold symbols keep
+    one task) must reproduce the plain per-key window bit-for-bit."""
+    from marketpipe_spark.operators.analytics import sma
+
+    bars = _bars(spark)
+    ns_hour = 3_600_000_000_000
+    plain = sma(bars, n=20)
+    all_chunked = sma(bars, n=20, skew_span=ns_hour)
+    # hot-targeted: go through chunked_trailing_frame directly
+    from pyspark.sql.window import Window as W
+
+    from marketpipe_spark.operators.skew import chunked_trailing_frame
+
+    src = chunked_trailing_frame(bars, "symbol", "ts_ns", 19, ns_hour, hot_keys=["HOT"])
+    w = W.partitionBy("symbol", "_chunk").orderBy("ts_ns").rowsBetween(-19, 0)
+    hot_targeted = (
+        src.withColumn("sma_20", F.when(F.count(F.lit(1)).over(w) >= 20, F.avg("close").over(w)))
+        .filter(F.col("_carry") == 0)
+        .drop("_chunk", "_carry")
+    )
+    want = sorted(map(tuple, plain.collect()), key=repr)
+    assert sorted(map(tuple, all_chunked.collect()), key=repr) == want
+    assert sorted(map(tuple, hot_targeted.collect()), key=repr) == want
+    # hot_keys=[] degenerates to the plain frame: no carries at all.
+    none_hot = chunked_trailing_frame(bars, "symbol", "ts_ns", 19, ns_hour, hot_keys=[])
+    assert none_hot.where("_carry = 1").count() == 0
+    assert none_hot.select(F.countDistinct("_chunk")).collect()[0][0] == 1
+
+
+def test_plan_trailing_skew_threshold(spark):
+    """Uniform data -> None (plain plan); a dominant key -> (span, [key])."""
+    from marketpipe_spark.operators.skew import plan_trailing_skew
+
+    uniform = spark.range(4000).select(
+        (F.col("id") % 100).cast("string").alias("symbol"),
+        (F.col("id") * 60_000_000_000).alias("ts_ns"),
+    )
+    assert plan_trailing_skew(uniform, "symbol", "ts_ns", shuffle_partitions=4) is None
+
+    skewed = _bars(spark, hot_rows=1000, cold_rows=20)
+    plan = plan_trailing_skew(skewed, "symbol", "ts_ns", shuffle_partitions=4)
+    assert plan is not None
+    span, hot = plan
+    assert hot == ["HOT"] and span >= 1
+
+
+def test_validate_bars_auto_matches_plain_both_regimes(spark):
+    """skew_span='auto' output == plain output on skewed AND uniform data
+    (dispatch changes the plan, never the rows)."""
+    from marketpipe_spark.operators.validation import validate_bars
+
+    for bars in (_bars(spark), _bars(spark, hot_rows=40, cold_rows=40)):
+        plain = sorted(map(repr, validate_bars(bars, market_hours=False).collect()))
+        auto = sorted(
+            map(repr, validate_bars(bars, market_hours=False, skew_span="auto").collect())
+        )
+        assert auto == plain
+
+
+def test_sma_and_volatility_auto_match_plain(spark):
+    from marketpipe_spark.operators.analytics import rolling_volatility, sma
+
+    bars = _bars(spark)
+    assert sorted(map(repr, sma(bars, skew_span="auto").collect())) == sorted(
+        map(repr, sma(bars).collect())
+    )
+    assert sorted(
+        map(repr, rolling_volatility(bars, skew_span="auto").collect())
+    ) == sorted(map(repr, rolling_volatility(bars).collect()))
