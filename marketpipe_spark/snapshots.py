@@ -123,6 +123,8 @@ class SnapshotFS(Protocol):
     def listdir(self, path: str) -> list[str]: ...  # names, [] if missing
     def read_text(self, path: str) -> str: ...
     def write_text(self, path: str, text: str) -> None: ...
+    def read_bytes(self, path: str) -> bytes: ...
+    def write_bytes(self, path: str, data: bytes) -> None: ...
     def try_publish(self, tmp: str, final: str) -> bool: ...  # atomic create-if-absent
     def rename(self, src: str, dst: str) -> None: ...
     def delete(self, path: str) -> None: ...
@@ -153,6 +155,14 @@ class LocalFS:
     def write_text(self, path: str, text: str) -> None:
         with open(self._p(path), "w") as f:
             f.write(text)
+
+    def read_bytes(self, path: str) -> bytes:
+        with open(self._p(path), "rb") as f:
+            return f.read()
+
+    def write_bytes(self, path: str, data: bytes) -> None:
+        with open(self._p(path), "wb") as f:
+            f.write(data)
 
     def try_publish(self, tmp: str, final: str) -> bool:
         tmp, final = self._p(tmp), self._p(final)
@@ -217,9 +227,19 @@ class HadoopFS:
             stream.close()
 
     def write_text(self, path: str, text: str) -> None:
+        self.write_bytes(path, text.encode("utf-8"))
+
+    def read_bytes(self, path: str) -> bytes:
+        stream = self._fs.open(self._Path(path))
+        try:
+            return bytes(self._io.toByteArray(stream))
+        finally:
+            stream.close()
+
+    def write_bytes(self, path: str, data: bytes) -> None:
         out = self._fs.create(self._Path(path), True)
         try:
-            out.write(bytearray(text.encode("utf-8")))
+            out.write(bytearray(data))
         finally:
             out.close()
 
@@ -323,8 +343,29 @@ def _versions(root: str, fs: SnapshotFS) -> list[int]:
     return sorted(out)
 
 
+#: Above this live-file count the manifest's file list moves out of the
+#: JSON body into a sidecar PARQUET file (columnar, zstd-compressed,
+#: readable without parsing a giant JSON array) — the millions-of-files
+#: regime. The commit protocol is unchanged: the sidecar is written first
+#: under a commit-unique name, then the small JSON pointer is published
+#: with the same conditional put; a losing writer's sidecar is an orphan
+#: that :func:`expire_snapshots` reclaims. Overridable for tests/tuning.
+PARQUET_MANIFEST_MIN_FILES = int(
+    os.environ.get("MP_SNAPSHOT_PARQUET_MANIFEST_MIN", "100000")
+)
+
+
 def _read_manifest(root: str, version: int, fs: SnapshotFS) -> dict:
-    return json.loads(fs.read_text(_join(_snap_root(root), f"v{version}.json")))
+    m = json.loads(fs.read_text(_join(_snap_root(root), f"v{version}.json")))
+    sidecar = m.get("files_parquet")
+    if sidecar:
+        import io as _io
+
+        import pyarrow.parquet as pq
+
+        data = fs.read_bytes(_join(_snap_root(root), sidecar))
+        m["files"] = pq.read_table(_io.BytesIO(data)).column("path").to_pylist()
+    return m
 
 
 def _commit(
@@ -333,16 +374,33 @@ def _commit(
     """Conditional-put manifest commit: write ``v{N}.json`` under a unique
     temp name, then publish with create-if-absent. Raises
     :class:`CommitConflict` if another writer owns v{N} — the version
-    sequence is linearized by whoever wins each publish."""
+    sequence is linearized by whoever wins each publish. File lists past
+    :data:`PARQUET_MANIFEST_MIN_FILES` are stored as a parquet sidecar."""
     fs.mkdirs(_snap_root(root))
     version = (parent if parent is not None else 0) + 1
+    files = sorted(files)
     body = {
         "version": version,
         "parent": parent,
         "note": note,
-        "files": sorted(files),
         "n_files": len(files),
     }
+    if len(files) >= PARQUET_MANIFEST_MIN_FILES:
+        import io as _io
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        sidecar = f"v{version}-{uuid.uuid4().hex[:8]}.files.parquet"
+        buf = _io.BytesIO()
+        pq.write_table(
+            pa.table({"path": pa.array(files, pa.string())}), buf, compression="zstd"
+        )
+        fs.write_bytes(_join(_snap_root(root), sidecar), buf.getvalue())
+        body["files_parquet"] = sidecar
+        body["files"] = []
+    else:
+        body["files"] = files
     path = _join(_snap_root(root), f"v{version}.json")
     tmp = _join(_snap_root(root), f".v{version}-{uuid.uuid4().hex}.json.tmp")
     fs.write_text(tmp, json.dumps(body))
@@ -645,8 +703,12 @@ def expire_snapshots(
         raise ValueError("keep_last must be >= 1")
     drop, keep = vs[:-keep_last], vs[-keep_last:]
     referenced: set[str] = set()
+    kept_sidecars: set[str] = set()
     for v in keep:
-        referenced.update(_read_manifest(root, v, fs)["files"])
+        m = _read_manifest(root, v, fs)
+        referenced.update(m["files"])
+        if m.get("files_parquet"):
+            kept_sidecars.add(m["files_parquet"])
     removed_files = 0
     for name in fs.listdir(_join(root, _DATA_DIR)):
         rel = _join(_DATA_DIR, name)
@@ -655,6 +717,11 @@ def expire_snapshots(
             removed_files += 1
     for v in drop:
         fs.delete(_join(_snap_root(root), f"v{v}.json"))
+    # Parquet manifest sidecars of dropped versions AND of commit attempts
+    # that lost the publish race are now unreferenced — reclaim them.
+    for name in fs.listdir(_snap_root(root)):
+        if name.endswith(".files.parquet") and name not in kept_sidecars:
+            fs.delete(_join(_snap_root(root), name))
     return {
         "dropped_versions": len(drop),
         "kept_versions": len(keep),

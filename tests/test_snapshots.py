@@ -447,3 +447,51 @@ def test_hadoop_fs_bridge_roundtrip(spark, tmp_path):
     # The CAS refuses an already-published version through this FS too.
     with pytest.raises(CommitConflict):
         _commit(root, [], "late", 1, fs)
+
+
+def test_parquet_manifest_sidecar(spark, tmp_path, monkeypatch):
+    """Past the file-count threshold the manifest's file list lives in a
+    zstd parquet sidecar; reads/upserts/expiry are transparent to it and
+    expiry reclaims sidecars of dropped versions."""
+    import json
+
+    import marketpipe_spark.snapshots as snap
+
+    monkeypatch.setattr(snap, "PARQUET_MANIFEST_MIN_FILES", 2)
+    root = str(tmp_path / "snap")
+    write_table(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string").repartition(3),
+        root,
+    )
+    m1 = json.load(open(os.path.join(root, "_snapshots", "v1.json")))
+    assert m1["files"] == [] and m1["files_parquet"].endswith(".files.parquet")
+    assert _rows(read_table(spark, root)) == [(1, "a"), (2, "b")]
+    # COW upsert reads the sidecar list and commits another sidecar version.
+    upsert_table(
+        spark,
+        spark.createDataFrame([(2, "B!")], "id long, v string"),
+        root,
+        keys=["id"],
+    )
+    assert _rows(read_table(spark, root)) == [(1, "a"), (2, "B!")]
+    # Overwrite to a single small file -> inline JSON again (below threshold
+    # only if < 2 files; repartition(1) gives exactly 1).
+    write_table(
+        spark.createDataFrame([(9, "z")], "id long, v string").repartition(1),
+        root,
+        mode="overwrite",
+    )
+    m3 = json.load(open(os.path.join(root, "_snapshots", "v3.json")))
+    assert m3["files"] and "files_parquet" not in m3
+    sidecars = [
+        n for n in os.listdir(os.path.join(root, "_snapshots"))
+        if n.endswith(".files.parquet")
+    ]
+    assert len(sidecars) == 2  # v1 + v2
+    out = expire_snapshots(root, keep_last=1)
+    assert out["dropped_versions"] == 2
+    assert not [
+        n for n in os.listdir(os.path.join(root, "_snapshots"))
+        if n.endswith(".files.parquet")
+    ]
+    assert _rows(read_table(spark, root)) == [(9, "z")]
