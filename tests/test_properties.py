@@ -745,3 +745,85 @@ def test_snapshot_versions_and_cdc_match_dict_model(spark, first, ops):
             assert got_diff == want_diff, f"CDC v{i+1}->v{i+2} != model"
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+_cow_batches_st = st.lists(
+    st.sets(st.integers(0, 5), min_size=1, max_size=3), min_size=2, max_size=4
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(file_keys=_cow_batches_st, batch=st.sets(st.integers(0, 5), min_size=1, max_size=4))
+def test_snapshot_upsert_cow_is_file_granular(spark, file_keys, batch):
+    """COW granularity invariant: an upsert rewrites EXACTLY the live files
+    whose key sets intersect the batch — every other file is carried by
+    reference (same path in the next manifest), and the rewritten rows
+    equal (survivors ∪ batch) keep-last. Model: per-file key sets."""
+    import json
+    import os
+    import shutil
+    import tempfile
+
+    from marketpipe_spark.snapshots import read_table, upsert_table, write_table
+
+    root = tempfile.mkdtemp(prefix="mp_snap_cow_")
+    try:
+        # One single-file commit per key set (keys can repeat across files;
+        # later files win nothing yet — write_table is raw append — so make
+        # them disjoint across files to keep per-version key uniqueness).
+        seen: set[int] = set()
+        per_file: list[set[int]] = []
+        for ks in file_keys:
+            ks = set(ks) - seen
+            if not ks:
+                continue
+            seen |= ks
+            per_file.append(ks)
+            write_table(
+                spark.createDataFrame(
+                    [(k, f"v{k}") for k in sorted(ks)], "id long, v string"
+                ).coalesce(1),
+                root,
+                mode="append",
+            )
+        if not per_file:
+            return
+        vN = len(per_file)
+        live = json.load(
+            open(os.path.join(root, "_snapshots", f"v{vN}.json"))
+        )["files"]
+        # Map each live file to its key set by reading it back.
+        file_of = {}
+        for f in live:
+            ids = {
+                r["id"]
+                for r in spark.read.parquet(os.path.join(root, f)).collect()
+            }
+            file_of[f] = ids
+        v2 = upsert_table(
+            spark,
+            spark.createDataFrame(
+                [(k, f"u{k}") for k in sorted(batch)], "id long, v string"
+            ),
+            root,
+            keys=["id"],
+        )
+        m2 = json.load(open(os.path.join(root, "_snapshots", f"v{v2}.json")))
+        carried = set(m2["files"]) & set(live)
+        rewritten = set(live) - set(m2["files"])
+        for f in live:
+            if file_of[f] & batch:
+                assert f in rewritten, f"file with matching keys was carried: {f}"
+            else:
+                assert f in carried, f"key-free file was rewritten: {f}"
+        # Read-back = keep-last merge of the model.
+        want = {k: f"v{k}" for k in seen}
+        want.update({k: f"u{k}" for k in batch})
+        got = {r["id"]: r["v"] for r in read_table(spark, root).collect()}
+        assert got == want
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
