@@ -163,14 +163,21 @@ def resolve_trailing_skew(
     - ``None`` → ``(None, None)``: plain single-window plan;
     - ``"auto"`` → :func:`plan_trailing_skew` decides from the data —
       plain plan when no key crosses the straggler threshold, else the
-      hot-key-targeted chunked plan;
+      hot-key-targeted chunked plan. ``"auto:N"`` pins the partition
+      count the threshold is computed against (``"auto"`` reads the live
+      session's ``spark.sql.shuffle.partitions``) — use the pinned form
+      where the chosen PLAN must be session-independent, e.g. plan-shape
+      regression baselines;
     - an int → ``(span, None)``: chunk EVERY key at that span (the r7
       always-on behavior the registry skewsafe twins pin).
     """
     if skew_span is None:
         return None, None
-    if skew_span == "auto":
-        sp = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    if isinstance(skew_span, str) and skew_span.startswith("auto"):
+        if ":" in skew_span:
+            sp = int(skew_span.split(":", 1)[1])
+        else:
+            sp = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
         plan = plan_trailing_skew(df, key, ts, shuffle_partitions=sp)
         return (None, None) if plan is None else plan
     return skew_span, None

@@ -574,8 +574,12 @@ def q_validation_report_skewsafe(spark, sf_dir):
 def q_validation_report_skewauto(spark, sf_dir):
     from ..operators.validation import validate_bars
 
+    # auto:32 pins the dispatch threshold to the deployment partition
+    # count so the chosen plan depends only on the DATA — a bare "auto"
+    # would read the live session's shuffle.partitions and give the
+    # plan-shape baseline a session-dependent answer.
     return validate_bars(
-        _bars_core(spark, sf_dir), market_hours=False, skew_span="auto"
+        _bars_core(spark, sf_dir), market_hours=False, skew_span="auto:32"
     )
 
 
