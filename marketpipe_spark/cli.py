@@ -454,8 +454,10 @@ def cmd_snapshots(args) -> int:
     from .plans.views import render
     from .snapshots import (
         compact_table,
+        delete_where,
         expire_snapshots,
         read_table,
+        restore_table,
         table_changes,
         table_history,
         upsert_table,
@@ -493,6 +495,12 @@ def cmd_snapshots(args) -> int:
             note=args.note,
             dedup_order=args.dedup_order.split(",") if args.dedup_order else None,
         )
+        print(f"committed v{v}")
+    elif verb == "delete":
+        v = delete_where(spark, args.root, args.where)
+        print(f"committed v{v}")
+    elif verb == "restore":
+        v = restore_table(spark, args.root, version=args.version)
         print(f"committed v{v}")
     elif verb == "compact":
         v = compact_table(spark, args.root, target_files=args.target_files)
@@ -856,6 +864,12 @@ def build_parser() -> argparse.ArgumentParser:
         default="",
         help="ordering column(s) for intra-batch keep-last (else dup keys fail)",
     )
+    sd = snsub.add_parser("delete", help="copy-on-write DELETE of rows matching a predicate")
+    _snap_common(sd)
+    sd.add_argument("--where", required=True, help="SQL predicate, e.g. \"symbol = 'X'\"")
+    sre = snsub.add_parser("restore", help="roll back: re-commit an old version's file set")
+    _snap_common(sre)
+    sre.add_argument("--version", type=int, required=True)
     sk = snsub.add_parser("compact", help="OPTIMIZE the latest version's layout")
     sk.add_argument("--target-files", type=int, default=1)
     _snap_common(sk)

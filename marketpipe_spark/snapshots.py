@@ -86,6 +86,8 @@ __all__ = [
     "HadoopFS",
     "write_table",
     "upsert_table",
+    "delete_where",
+    "restore_table",
     "read_table",
     "table_history",
     "table_changes",
@@ -678,6 +680,104 @@ def _try_rebase(
             )
         except CommitConflict:
             continue  # someone else landed again; re-check against base_live
+
+
+def delete_where(
+    spark: SparkSession,
+    root: str,
+    predicate,
+    note: str = "",
+    fs: SnapshotFS | None = None,
+) -> int:
+    """File-granular copy-on-write DELETE: rows matching ``predicate`` (a
+    SQL string or Column) are removed in a new version. Files containing
+    NO matching row are carried by reference (detected with one pruned
+    scan tagged by ``input_file_name``); affected files are rewritten as
+    their non-matching rows. The parent version still reads the pre-image
+    — this is the GDPR-eraser / retention-delete surface next to
+    :func:`upsert_table`.
+
+    Concurrency: losing the manifest CAS re-runs detection + rewrite
+    against the new latest (predicate deletes don't rebase — a rebase
+    would need to prove the interleaved commit's added files match
+    nothing, which costs the same scan as the retry)."""
+    fs = _resolve_fs(root, spark, fs)
+    pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+    for _ in range(_MAX_COMMIT_RETRIES):
+        parent = _latest(root, fs)
+        if parent is None:
+            raise FileNotFoundError(f"no snapshots at {root}")
+        live = _read_manifest(root, parent, fs)["files"]
+        root_path = _root_data_path(root)
+        cur = spark.read.parquet(*[_join(root, f) for f in live])
+        affected_rows = (
+            cur.select(F.input_file_name().alias("_file"), pred.alias("_m"))
+            .where(F.col("_m"))
+            .select("_file")
+            .distinct()
+            .collect()
+        )
+        affected = {_canon_rel(r["_file"], root_path) for r in affected_rows}
+        unresolved = affected - set(live)
+        if unresolved:
+            raise RuntimeError(
+                f"delete_where probe returned paths outside the v{parent} "
+                f"manifest at {root}: {sorted(unresolved)[:5]}"
+            )
+        carried = [f for f in live if f not in affected]
+        if not affected:
+            # Nothing matches: still commit (an auditable no-op version).
+            new_files: list[str] = []
+        else:
+            survivors = spark.read.parquet(
+                *[_join(root, f) for f in sorted(affected)]
+            ).where(~pred)
+            new_files = _land_data_files(survivors, root, parent + 1, fs)
+        try:
+            return _commit(
+                root,
+                carried + new_files,
+                note
+                or f"delete: rewrote {len(affected)} files, carried {len(carried)}",
+                parent,
+                fs,
+            )
+        except CommitConflict:
+            continue
+    raise CommitConflict(
+        f"delete_where lost the commit race {_MAX_COMMIT_RETRIES} times at {root}"
+    )
+
+
+def restore_table(
+    spark: SparkSession | None,
+    root: str,
+    version: int,
+    note: str = "",
+    fs: SnapshotFS | None = None,
+) -> int:
+    """ROLL BACK: re-commit version ``version``'s exact live file set as a
+    NEW version (Delta RESTORE). Pure manifest operation — zero data
+    files are read or written; the rolled-back-over versions remain
+    readable until expiry, so a bad upsert is undone without losing the
+    audit trail. Requires the target version to still be retained."""
+    fs = _resolve_fs(root, spark, fs)
+    target = _read_manifest(root, version, fs)
+    for _ in range(_MAX_COMMIT_RETRIES):
+        parent = _latest(root, fs)
+        try:
+            return _commit(
+                root,
+                list(target["files"]),
+                note or f"restore v{version}",
+                parent,
+                fs,
+            )
+        except CommitConflict:
+            continue
+    raise CommitConflict(
+        f"restore lost the commit race {_MAX_COMMIT_RETRIES} times at {root}"
+    )
 
 
 def table_history(root: str, fs: SnapshotFS | None = None) -> list[dict]:

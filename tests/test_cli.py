@@ -286,3 +286,19 @@ def test_cli_snapshots_verbs(spark, tmp_path, capsys):
     assert main(["snapshots", "compact", root, "--target-files", "1"]) == 0
     assert main(["snapshots", "expire", root, "--keep-last", "1"]) == 0
     assert "dropped 2 versions" in capsys.readouterr().out.splitlines()[-1]
+
+
+def test_cli_snapshots_delete_restore(spark, tmp_path, capsys):
+    from marketpipe_spark.cli import main
+
+    root = str(tmp_path / "snaptbl2")
+    inp = str(tmp_path / "c1.parquet")
+    spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string").write.parquet(inp)
+    assert main(["snapshots", "write", root, inp, "--mode", "overwrite"]) == 0
+    assert main(["snapshots", "delete", root, "--where", "id = 2"]) == 0
+    assert main(["snapshots", "read", root, "--fmt", "csv"]) == 0
+    out = capsys.readouterr().out
+    assert "b" not in out.splitlines()[-2]
+    assert main(["snapshots", "restore", root, "--version", "1"]) == 0
+    assert main(["snapshots", "read", root, "--fmt", "csv"]) == 0
+    assert "b" in capsys.readouterr().out

@@ -495,3 +495,59 @@ def test_parquet_manifest_sidecar(spark, tmp_path, monkeypatch):
         if n.endswith(".files.parquet")
     ]
     assert _rows(read_table(spark, root)) == [(9, "z")]
+
+
+def test_delete_where_is_file_granular_cow(spark, tmp_path):
+    """Predicate delete rewrites only files containing matching rows; the
+    pre-image stays readable; a no-match delete is an auditable no-op
+    version."""
+    import json
+
+    from marketpipe_spark.snapshots import delete_where
+
+    root = str(tmp_path / "snap")
+    _two_file_table(spark, root)  # file A: ids 1,2; file B: ids 10,11
+    live = json.load(open(os.path.join(root, "_snapshots", "v2.json")))["files"]
+    v3 = delete_where(spark, root, "id = 2")
+    m3 = json.load(open(os.path.join(root, "_snapshots", f"v{v3}.json")))
+    assert len(set(m3["files"]) & set(live)) == 1  # B carried
+    assert _rows(read_table(spark, root)) == [(1, "a"), (10, "x"), (11, "y")]
+    assert _rows(read_table(spark, root, version=2)) == [
+        (1, "a"),
+        (2, "b"),
+        (10, "x"),
+        (11, "y"),
+    ]
+    v4 = delete_where(spark, root, "id = 999")  # matches nothing
+    m4 = json.load(open(os.path.join(root, "_snapshots", f"v{v4}.json")))
+    assert set(m4["files"]) == set(m3["files"])
+    # Column predicate form + full-file delete drops the file entirely.
+    from pyspark.sql import functions as F
+
+    delete_where(spark, root, F.col("id") >= 10)
+    assert _rows(read_table(spark, root)) == [(1, "a")]
+
+
+def test_restore_rolls_back_without_data_io(spark, tmp_path):
+    """RESTORE re-commits an old manifest's exact file set as a new
+    version — pure manifest commit, bad upsert undone, audit retained."""
+    import json
+
+    from marketpipe_spark.snapshots import restore_table
+
+    root = str(tmp_path / "snap")
+    _two_file_table(spark, root)
+    upsert_table(
+        spark,
+        spark.createDataFrame([(2, "OOPS")], "id long, v string"),
+        root,
+        keys=["id"],
+    )
+    assert _rows(read_table(spark, root))[1] == (2, "OOPS")
+    v4 = restore_table(spark, root, version=2)
+    m2 = json.load(open(os.path.join(root, "_snapshots", "v2.json")))
+    m4 = json.load(open(os.path.join(root, "_snapshots", f"v{v4}.json")))
+    assert m4["files"] == m2["files"]  # byte-identical file set, no rewrite
+    assert _rows(read_table(spark, root)) == [(1, "a"), (2, "b"), (10, "x"), (11, "y")]
+    # The bad version remains readable until expiry (audit trail).
+    assert _rows(read_table(spark, root, version=3))[1] == (2, "OOPS")
