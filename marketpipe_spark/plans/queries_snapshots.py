@@ -31,7 +31,13 @@ import tempfile
 
 from pyspark.sql import functions as F
 
-from ..snapshots import read_table, table_changes, upsert_table, write_table
+from ..snapshots import (
+    incremental_agg,
+    read_table,
+    table_changes,
+    upsert_table,
+    write_table,
+)
 from .registry import register, t
 
 _PAYLOAD = ("o_custkey", "o_orderstatus", "o_totalprice")
@@ -115,4 +121,58 @@ def q_snapshot_changes(spark, sf_dir):
         F.col("_new.o_custkey").alias("new_custkey"),
         F.col("_new.o_orderstatus").alias("new_status"),
         F.col("_new.o_totalprice").alias("new_totalprice"),
+    )
+
+
+SQL_SNAPSHOT_INCR_AGG = """
+WITH v1 AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 10 <> 0
+),
+batch AS (
+  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 3 = 0
+),
+v2 AS (
+  SELECT * FROM batch
+  UNION ALL
+  SELECT * FROM v1 WHERE o_orderkey NOT IN (SELECT o_orderkey FROM batch)
+),
+v3 AS (
+  SELECT * FROM v2 WHERE o_orderkey % 7 <> 0
+)
+SELECT o_orderstatus,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_price,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM v3 GROUP BY o_orderstatus
+"""
+
+
+@register(
+    "snapshot_incremental_agg",
+    SQL_SNAPSHOT_INCR_AGG,
+    doc=(
+        "incremental materialized-view maintenance: the v1 aggregate plus "
+        "CDC deltas (inserts add, deletes retract, updates migrate between "
+        "groups) reproduces the v3 aggregate bit-for-bit — the oracle "
+        "recomputes v3 directly, so parity proves base+delta == recompute; "
+        "refresh cost is churn-bounded, not table-bounded"
+    ),
+    tags=("snapshots", "cdc", "agg"),
+)
+def q_snapshot_incremental_agg(spark, sf_dir):
+    root = _build_versions(spark, sf_dir)
+    out = incremental_agg(
+        spark,
+        root,
+        keys=["o_orderkey"],
+        group_cols=["o_orderstatus"],
+        sum_cols=["o_totalprice"],
+        v_from=1,
+        v_to=3,
+    )
+    return out.select(
+        "o_orderstatus",
+        F.col("sum_o_totalprice").cast("double").alias("sum_price"),
+        "n_rows",
     )

@@ -91,6 +91,7 @@ __all__ = [
     "read_table",
     "table_history",
     "table_changes",
+    "incremental_agg",
     "compact_table",
     "expire_snapshots",
 ]
@@ -836,6 +837,7 @@ def table_changes(
     v_from: int,
     v_to: int | None = None,
     fs: SnapshotFS | None = None,
+    include_old: bool = False,
 ) -> DataFrame:
     """Change data feed between two snapshot versions: one row per changed
     key with ``_change IN ('insert', 'update', 'delete')`` plus the
@@ -854,13 +856,42 @@ def table_changes(
     maintained through :func:`upsert_table` reject NULL keys at write
     time, but CDC must also be correct over externally-written versions.)
 
-    Scale: one shuffle join on the key columns; the output is bounded by
-    the churn between the versions, not the table size. Key columns must
-    identify rows uniquely in each version (the upsert keep-last contract
-    guarantees this for tables maintained through :func:`upsert_table`).
+    ``include_old=True`` additionally emits the PRE-image payload struct
+    as ``_old`` (NULL for inserts) — what delta-driven consumers
+    (:func:`incremental_agg`) need to retract the replaced contribution.
+
+    Scale — the INPUT is churn-bounded, not just the output: data files
+    are immutable, so a file present in BOTH manifests is byte-identical
+    in both versions and cannot produce a change; the diff therefore
+    reads ONLY the symmetric difference of the two file sets (the files
+    the intervening commits rewrote, added, or dropped) and joins those.
+    A 2k-row upsert into a million-file table diffs a handful of files,
+    regardless of table size. One shuffle join on the key columns over
+    that bounded input. Key columns must identify rows uniquely in each
+    version (the upsert keep-last contract guarantees this for tables
+    maintained through :func:`upsert_table`).
     """
-    old = read_table(spark, root, version=v_from, fs=fs)
-    new = read_table(spark, root, version=v_to, fs=fs)
+    tune(spark)
+    fs = _resolve_fs(root, spark, fs)
+    v_to_r = v_to if v_to is not None else _latest(root, fs)
+    from_files = _read_manifest(root, v_from, fs)["files"]
+    to_files = _read_manifest(root, v_to_r, fs)["files"]
+    old_only = sorted(set(from_files) - set(to_files))
+    new_only = sorted(set(to_files) - set(from_files))
+    schema_src = old_only or new_only or to_files or from_files
+    if not schema_src:
+        raise FileNotFoundError(
+            f"both v{v_from} and v{v_to_r} at {root} are empty — nothing to diff"
+        )
+    proto = spark.read.parquet(_join(root, schema_src[0]))
+
+    def _side_read(files: list[str]) -> DataFrame:
+        if not files:
+            return proto.limit(0)
+        return spark.read.parquet(*[_join(root, f) for f in files])
+
+    old = _side_read(old_only)
+    new = _side_read(new_only)
     payload = [c for c in new.columns if c not in keys]
     o = old.select(
         *[F.col(k).alias(f"_ok_{k}") for k in keys],
@@ -888,11 +919,119 @@ def table_changes(
         F.when(new_present, F.col(f"_nk_{k}")).otherwise(F.col(f"_ok_{k}")).alias(k)
         for k in keys
     ]
+    extra = [F.col("_old_p").alias("_old")] if include_old else []
     return (
         j.withColumn("_change", change)
         .where(F.col("_change").isNotNull())
-        .select(*out_keys, F.col("_change"), F.col("_new_p").alias("_new"))
+        .select(*out_keys, F.col("_change"), F.col("_new_p").alias("_new"), *extra)
     )
+
+
+def incremental_agg(
+    spark: SparkSession,
+    root: str,
+    keys: list[str],
+    group_cols: list[str],
+    sum_cols: list[str],
+    v_from: int,
+    v_to: int | None = None,
+    fs: SnapshotFS | None = None,
+    base: DataFrame | None = None,
+) -> DataFrame:
+    """Incremental MATERIALIZED-VIEW maintenance from the change feed:
+    ``groupBy(group_cols).agg(SUM(sum_cols), COUNT(*))`` at ``v_to``,
+    computed as the ``v_from`` aggregate PLUS the CDC deltas — inserts
+    add their contribution, deletes retract theirs, updates retract the
+    pre-image and add the post-image (group migration included: an update
+    that moves a row between groups emits a retraction in the old group
+    and an addition in the new one). Groups whose row count reaches zero
+    are dropped, matching a direct recompute.
+
+    Sums accumulate as ``DECIMAL(38,6)`` so the incremental result is
+    BIT-IDENTICAL to recomputing over ``v_to`` (decimal addition is exact
+    and order-independent; float sums would drift between the two paths).
+    Output: ``group_cols + [sum_<c> ...] + n_rows``.
+
+    Scale: the base aggregate scans ``v_from`` once — or, in steady
+    state, is the PREVIOUS refresh's output passed back via ``base``
+    (columns ``group_cols + [sum_<c>] + n_rows``, e.g. the materialized
+    view's stored rows), in which case a refresh costs ONE churn-bounded
+    diff join + a delta-sized aggregation — independent of table size,
+    the reason CDC exists. The group-side combine is a full-outer
+    null-safe join on the (small) group dimension.
+    """
+    dec = "decimal(38,6)"
+
+    def _agg(df: DataFrame) -> DataFrame:
+        return df.groupBy(*group_cols).agg(
+            *[F.sum(F.col(c).cast(dec)).alias(f"sum_{c}") for c in sum_cols],
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+
+    if base is None:
+        base = _agg(read_table(spark, root, version=v_from, fs=fs))
+    else:
+        base = base.select(
+            *group_cols,
+            *[F.col(f"sum_{c}").cast(dec).alias(f"sum_{c}") for c in sum_cols],
+            F.col("n_rows").cast("long"),
+        )
+    ch = table_changes(spark, root, keys, v_from, v_to, fs=fs, include_old=True)
+
+    def _side(struct: str, col: str):
+        # Key columns live at the CDC top level; payload columns inside
+        # the image struct. For the old side the top-level key equals the
+        # row's key in BOTH versions (keys identify rows), so it is valid.
+        return F.col(col) if col in keys else F.col(f"{struct}.{col}")
+
+    def _contrib(struct: str, sign: int, change_in: tuple[str, str]) -> DataFrame:
+        return ch.where(F.col("_change").isin(*change_in)).select(
+            *[_side(struct, g).alias(g) for g in group_cols],
+            *[
+                (F.lit(sign) * _side(struct, c).cast(dec)).alias(f"d_{c}")
+                for c in sum_cols
+            ],
+            F.lit(sign).cast("long").alias("dn"),
+        )
+
+    delta = (
+        _contrib("_old", -1, ("delete", "update"))
+        .unionByName(_contrib("_new", 1, ("insert", "update")))
+        .groupBy(*group_cols)
+        .agg(
+            *[F.sum(f"d_{c}").alias(f"d_{c}") for c in sum_cols],
+            F.sum("dn").alias("dn"),
+        )
+    )
+    b = base.select(
+        *[F.col(g).alias(f"_bg_{g}") for g in group_cols],
+        *[F.col(f"sum_{c}") for c in sum_cols],
+        "n_rows",
+    )
+    d = delta.select(
+        *[F.col(g).alias(f"_dg_{g}") for g in group_cols],
+        *[F.col(f"d_{c}") for c in sum_cols],
+        "dn",
+    )
+    cond = functools.reduce(
+        operator.and_,
+        [F.col(f"_bg_{g}").eqNullSafe(F.col(f"_dg_{g}")) for g in group_cols],
+    )
+    j = b.join(d, cond, "full_outer")
+    zero = F.lit(0).cast(dec)
+    out_groups = [
+        F.coalesce(F.col(f"_bg_{g}"), F.col(f"_dg_{g}")).alias(g) for g in group_cols
+    ]
+    sums = [
+        (F.coalesce(F.col(f"sum_{c}"), zero) + F.coalesce(F.col(f"d_{c}"), zero))
+        .cast(dec)
+        .alias(f"sum_{c}")
+        for c in sum_cols
+    ]
+    n = (
+        F.coalesce(F.col("n_rows"), F.lit(0)) + F.coalesce(F.col("dn"), F.lit(0))
+    ).cast("long")
+    return j.select(*out_groups, *sums, n.alias("n_rows")).where(F.col("n_rows") > 0)
 
 
 def compact_table(

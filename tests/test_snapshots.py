@@ -551,3 +551,50 @@ def test_restore_rolls_back_without_data_io(spark, tmp_path):
     assert _rows(read_table(spark, root)) == [(1, "a"), (2, "b"), (10, "x"), (11, "y")]
     # The bad version remains readable until expiry (audit trail).
     assert _rows(read_table(spark, root, version=3))[1] == (2, "OOPS")
+
+
+def test_incremental_agg_matches_recompute(spark, tmp_path):
+    """IVM: base aggregate + CDC deltas == direct recompute, including
+    group MIGRATION (update moves a row between groups), group VANISH
+    (count reaches zero -> dropped), and NULL group values."""
+    from marketpipe_spark.snapshots import incremental_agg
+
+    root = str(tmp_path / "snap")
+    write_table(
+        spark.createDataFrame(
+            [(1, "g1", 10.0), (2, "g1", 20.0), (3, "g2", 30.0), (4, None, 5.0)],
+            "id long, grp string, x double",
+        ),
+        root,
+    )
+    # v2: migrate id=3 g2->g1 (g2 vanishes), update id=1 in place,
+    # delete id=4 (NULL group vanishes), insert id=9 into new group g3.
+    write_table(
+        spark.createDataFrame(
+            [(1, "g1", 11.0), (2, "g1", 20.0), (3, "g1", 30.0), (9, "g3", 1.0)],
+            "id long, grp string, x double",
+        ),
+        root,
+        mode="overwrite",
+    )
+
+    def direct(version):
+        from pyspark.sql import functions as F
+
+        return {
+            r["grp"]: (float(r["s"]), r["n"])
+            for r in read_table(spark, root, version=version)
+            .groupBy("grp")
+            .agg(
+                F.sum(F.col("x").cast("decimal(38,6)")).cast("double").alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        }
+
+    out = incremental_agg(
+        spark, root, keys=["id"], group_cols=["grp"], sum_cols=["x"], v_from=1, v_to=2
+    )
+    got = {r["grp"]: (float(r["sum_x"]), r["n_rows"]) for r in out.collect()}
+    assert got == direct(2)
+    assert "g2" not in got and None not in got and got["g3"] == (1.0, 1)
