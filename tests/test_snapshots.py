@@ -598,3 +598,43 @@ def test_incremental_agg_matches_recompute(spark, tmp_path):
     got = {r["grp"]: (float(r["sum_x"]), r["n_rows"]) for r in out.collect()}
     assert got == direct(2)
     assert "g2" not in got and None not in got and got["g3"] == (1.0, 1)
+
+
+def test_incremental_agg_base_reuse_matches(spark, tmp_path):
+    """Steady-state IVM: passing the previous refresh's rows as base=
+    yields the same result as recomputing the base from v_from."""
+    from marketpipe_spark.snapshots import incremental_agg
+
+    root = str(tmp_path / "snap")
+    write_table(
+        spark.createDataFrame(
+            [(i, f"g{i % 3}", float(i)) for i in range(30)],
+            "id long, grp string, x double",
+        ),
+        root,
+    )
+    upsert_table(
+        spark,
+        spark.createDataFrame(
+            [(5, "g0", 100.0), (77, "g9", 7.0)], "id long, grp string, x double"
+        ),
+        root,
+        keys=["id"],
+    )
+    from pyspark.sql import functions as F
+
+    mv1 = (
+        read_table(spark, root, version=1)
+        .groupBy("grp")
+        .agg(
+            F.sum(F.col("x").cast("decimal(38,6)")).alias("sum_x"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+    args = dict(keys=["id"], group_cols=["grp"], sum_cols=["x"], v_from=1, v_to=2)
+    without = sorted(map(tuple, incremental_agg(spark, root, **args).collect()))
+    with_base = sorted(
+        map(tuple, incremental_agg(spark, root, **args, base=mv1).collect())
+    )
+    assert without == with_base
+    assert any(r[0] == "g9" for r in with_base)  # new group from the insert
