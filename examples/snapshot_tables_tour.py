@@ -64,7 +64,7 @@ def run(workdir: str, spark=None) -> None:
     for h in table_history(root):
         print("  ", h)
 
-    stats = expire_snapshots(root, keep_last=2)
+    stats = expire_snapshots(root, keep_last=2, min_age_seconds=0)
     print("expiry:", stats)
     print("latest still reads:", read_table(spark, root).count(), "rows")
     print("snapshot tour complete")

@@ -506,7 +506,9 @@ def cmd_snapshots(args) -> int:
         v = compact_table(spark, args.root, target_files=args.target_files)
         print(f"committed v{v}")
     elif verb == "expire":
-        out = expire_snapshots(args.root, keep_last=args.keep_last)
+        out = expire_snapshots(
+            args.root, keep_last=args.keep_last, min_age_seconds=args.min_age_seconds
+        )
         print(
             f"dropped {out['dropped_versions']} versions, kept {out['kept_versions']}, "
             f"deleted {out['deleted_files']} files"
@@ -875,6 +877,12 @@ def build_parser() -> argparse.ArgumentParser:
     _snap_common(sk)
     se = snsub.add_parser("expire", help="drop old versions + unreferenced data files")
     se.add_argument("--keep-last", type=int, default=2)
+    se.add_argument(
+        "--min-age-seconds",
+        type=float,
+        default=3600.0,
+        help="only reclaim unreferenced files older than this (protects in-flight writers); 0 = immediate",
+    )
     _snap_common(se)
 
     h = sub.add_parser("health-check", help="installation/configuration self-check")

@@ -132,6 +132,7 @@ class SnapshotFS(Protocol):
     def rename(self, src: str, dst: str) -> None: ...
     def delete(self, path: str) -> None: ...
     def exists(self, path: str) -> bool: ...
+    def mtime(self, path: str) -> float: ...  # seconds since epoch
     def mkdirs(self, path: str) -> None: ...
     def rmtree(self, path: str) -> None: ...
 
@@ -192,6 +193,9 @@ class LocalFS:
 
     def exists(self, path: str) -> bool:
         return os.path.exists(self._p(path))
+
+    def mtime(self, path: str) -> float:
+        return os.path.getmtime(self._p(path))
 
     def mkdirs(self, path: str) -> None:
         os.makedirs(self._p(path), exist_ok=True)
@@ -264,6 +268,9 @@ class HadoopFS:
 
     def exists(self, path: str) -> bool:
         return self._fs.exists(self._Path(path))
+
+    def mtime(self, path: str) -> float:
+        return self._fs.getFileStatus(self._Path(path)).getModificationTime() / 1000.0
 
     def mkdirs(self, path: str) -> None:
         self._fs.mkdirs(self._Path(path))
@@ -792,16 +799,30 @@ def table_history(root: str, fs: SnapshotFS | None = None) -> list[dict]:
 
 
 def expire_snapshots(
-    root: str, keep_last: int = 2, fs: SnapshotFS | None = None
+    root: str,
+    keep_last: int = 2,
+    fs: SnapshotFS | None = None,
+    min_age_seconds: float = 3600.0,
 ) -> dict:
     """Drop all but the newest ``keep_last`` manifests and delete data files
     referenced by NO retained manifest — including orphans from abandoned
     commit attempts. Returns counts. The retention knob is the
-    storage/time-travel trade every snapshot store exposes."""
+    storage/time-travel trade every snapshot store exposes.
+
+    ``min_age_seconds`` (default 1h) protects IN-FLIGHT writers: a
+    concurrent upsert lands its data files BEFORE publishing a manifest,
+    and during a rebase/retry window those files are unreferenced — an
+    unguarded expiry would delete them out from under the commit (the
+    same hazard Delta's VACUUM retention threshold exists for). Only
+    unreferenced files older than the threshold are reclaimed; pass 0 to
+    force immediate reclamation when no writer can be live."""
     fs = _resolve_fs(root, None, fs)
     vs = _versions(root, fs)
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
+    import time as _time
+
+    cutoff = _time.time() - min_age_seconds
     drop, keep = vs[:-keep_last], vs[-keep_last:]
     referenced: set[str] = set()
     kept_sidecars: set[str] = set()
@@ -810,10 +831,19 @@ def expire_snapshots(
         referenced.update(m["files"])
         if m.get("files_parquet"):
             kept_sidecars.add(m["files_parquet"])
+
+    def _old_enough(path: str) -> bool:
+        if min_age_seconds <= 0:
+            return True
+        try:
+            return fs.mtime(path) <= cutoff
+        except Exception:
+            return False  # can't prove age -> keep (safe side)
+
     removed_files = 0
     for name in fs.listdir(_join(root, _DATA_DIR)):
         rel = _join(_DATA_DIR, name)
-        if rel not in referenced:
+        if rel not in referenced and _old_enough(_join(root, rel)):
             fs.delete(_join(root, rel))
             removed_files += 1
     for v in drop:
@@ -821,7 +851,11 @@ def expire_snapshots(
     # Parquet manifest sidecars of dropped versions AND of commit attempts
     # that lost the publish race are now unreferenced — reclaim them.
     for name in fs.listdir(_snap_root(root)):
-        if name.endswith(".files.parquet") and name not in kept_sidecars:
+        if (
+            name.endswith(".files.parquet")
+            and name not in kept_sidecars
+            and _old_enough(_join(_snap_root(root), name))
+        ):
             fs.delete(_join(_snap_root(root), name))
     return {
         "dropped_versions": len(drop),

@@ -109,7 +109,7 @@ def test_expire_deletes_only_unreferenced_files(spark, tmp_path):
     write_table(
         spark.createDataFrame([(3, "c")], "id long, v string"), root, mode="append"
     )
-    out = expire_snapshots(root, keep_last=2)
+    out = expire_snapshots(root, keep_last=2, min_age_seconds=0)
     assert out["dropped_versions"] == 1 and out["kept_versions"] == 2
     # v1's file (overwritten away in v2) is unreferenced by v2/v3 -> deleted.
     assert out["deleted_files"] >= 1
@@ -349,7 +349,7 @@ def test_concurrent_overlapping_upserts_retry_keep_last(spark, tmp_path):
     on_disk = {os.path.join("data", n) for n in os.listdir(os.path.join(root, "data"))}
     assert on_disk - referenced, "expected orphaned files from the aborted attempt"
     out = __import__("marketpipe_spark.snapshots", fromlist=["expire_snapshots"]).expire_snapshots(
-        root, keep_last=len(hist)
+        root, keep_last=len(hist), min_age_seconds=0
     )
     assert out["deleted_files"] == len(on_disk - referenced)
     assert _rows(read_table(spark, root)) == [(1, "a"), (2, "A2"), (10, "x"), (11, "y")]
@@ -488,7 +488,7 @@ def test_parquet_manifest_sidecar(spark, tmp_path, monkeypatch):
         if n.endswith(".files.parquet")
     ]
     assert len(sidecars) == 2  # v1 + v2
-    out = expire_snapshots(root, keep_last=1)
+    out = expire_snapshots(root, keep_last=1, min_age_seconds=0)
     assert out["dropped_versions"] == 2
     assert not [
         n for n in os.listdir(os.path.join(root, "_snapshots"))
@@ -638,3 +638,21 @@ def test_incremental_agg_base_reuse_matches(spark, tmp_path):
     )
     assert without == with_base
     assert any(r[0] == "g9" for r in with_base)  # new group from the insert
+
+
+def test_expire_protects_in_flight_files(spark, tmp_path):
+    """Default retention age: a freshly-landed unreferenced file (what an
+    in-flight writer looks like mid-commit) survives expiry; with
+    min_age_seconds=0 it is reclaimed."""
+    from marketpipe_spark.snapshots import expire_snapshots
+
+    root = str(tmp_path / "snap")
+    write_table(spark.createDataFrame([(1, "a")], "id long, v string"), root)
+    write_table(
+        spark.createDataFrame([(2, "b")], "id long, v string"), root, mode="overwrite"
+    )
+    out = expire_snapshots(root, keep_last=1)  # default 1h age guard
+    assert out["deleted_files"] == 0  # v1's file is young -> protected
+    out = expire_snapshots(root, keep_last=1, min_age_seconds=0)
+    assert out["deleted_files"] >= 1
+    assert _rows(read_table(spark, root)) == [(2, "b")]
