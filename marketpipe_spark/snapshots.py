@@ -91,6 +91,7 @@ __all__ = [
     "read_table",
     "table_history",
     "table_changes",
+    "changes_since",
     "incremental_agg",
     "compact_table",
     "expire_snapshots",
@@ -1066,6 +1067,55 @@ def incremental_agg(
         F.coalesce(F.col("n_rows"), F.lit(0)) + F.coalesce(F.col("dn"), F.lit(0))
     ).cast("long")
     return j.select(*out_groups, *sums, n.alias("n_rows")).where(F.col("n_rows") > 0)
+
+
+def changes_since(
+    spark: SparkSession,
+    root: str,
+    keys: list[str],
+    consumer_id: str,
+    checkpoints,
+    fs: SnapshotFS | None = None,
+    include_old: bool = False,
+):
+    """Exactly-once incremental CDC consumption (the Delta "table
+    streaming" pattern on the repo's batch-incremental chassis): returns
+    ``(changes_df, ack)`` where ``changes_df`` is :func:`table_changes`
+    from the consumer's last-acknowledged version to the current latest
+    (``None`` when there is nothing new), and ``ack()`` persists the new
+    position AFTER the caller has durably applied the feed — crash
+    between apply and ack replays the same closed version interval, so a
+    downstream writer that is idempotent per interval (e.g.
+    :func:`incremental_agg` + an upsert keyed on the group) gets
+    exactly-once effect.
+
+    ``checkpoints`` is a :class:`streaming.incremental.CheckpointStore`
+    (positions are version numbers in the ``last_processed_ns`` slot —
+    the store is schema-agnostic about units). First call starts at the
+    OLDEST retained version, diffing it against latest, so a brand-new
+    consumer bootstraps from the earliest readable snapshot; consumers
+    that need "everything ever" should start before expiry drops v1.
+
+    Input cost is churn-bounded (``table_changes`` reads only the file
+    sets that differ between the two manifests).
+    """
+    fs = _resolve_fs(root, spark, fs)
+    vs = _versions(root, fs)
+    if not vs:
+        raise FileNotFoundError(f"no snapshots at {root}")
+    latest = vs[-1]
+    last = checkpoints.last_processed(consumer_id, root)
+    v_from = int(last) if last is not None else vs[0]
+    if v_from >= latest:
+        return None, lambda: None
+    df = table_changes(
+        spark, root, keys, v_from=v_from, v_to=latest, fs=fs, include_old=include_old
+    )
+
+    def ack() -> None:
+        checkpoints.save(consumer_id, {root: latest})
+
+    return df, ack
 
 
 def compact_table(

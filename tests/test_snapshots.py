@@ -656,3 +656,50 @@ def test_expire_protects_in_flight_files(spark, tmp_path):
     out = expire_snapshots(root, keep_last=1, min_age_seconds=0)
     assert out["deleted_files"] >= 1
     assert _rows(read_table(spark, root)) == [(2, "b")]
+
+
+def test_changes_since_exactly_once_consumption(spark, tmp_path):
+    """Incremental CDC consumer: first call bootstraps from the oldest
+    retained version; ack() advances the position; un-acked intervals
+    replay; nothing-new returns None."""
+    from marketpipe_spark.snapshots import changes_since
+    from marketpipe_spark.streaming.incremental import CheckpointStore
+
+    root = str(tmp_path / "snap")
+    ckpt = CheckpointStore(spark, str(tmp_path / "ckpt"))
+    write_table(spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"), root)
+
+    df, ack = changes_since(spark, root, ["id"], "mv1", ckpt)
+    assert df is None  # single version: nothing to diff yet
+
+    upsert_table(
+        spark,
+        spark.createDataFrame([(2, "B"), (3, "c")], "id long, v string"),
+        root,
+        keys=["id"],
+    )
+    df, ack = changes_since(spark, root, ["id"], "mv1", ckpt)
+    got = {r["id"]: r["_change"] for r in df.collect()}
+    assert got == {2: "update", 3: "insert"}
+    # Crash before ack -> same interval replays.
+    df2, ack2 = changes_since(spark, root, ["id"], "mv1", ckpt)
+    assert {r["id"]: r["_change"] for r in df2.collect()} == got
+    ack2()
+    df3, _ = changes_since(spark, root, ["id"], "mv1", ckpt)
+    assert df3 is None  # caught up
+    # Next commit produces only ITS interval.
+    upsert_table(
+        spark,
+        spark.createDataFrame([(9, "z")], "id long, v string"),
+        root,
+        keys=["id"],
+    )
+    df4, ack4 = changes_since(spark, root, ["id"], "mv1", ckpt)
+    assert {r["id"]: r["_change"] for r in df4.collect()} == {9: "insert"}
+    # Independent consumers keep independent positions.
+    df5, _ = changes_since(spark, root, ["id"], "mv2", ckpt)
+    assert {r["id"]: r["_change"] for r in df5.collect()} == {
+        2: "update",
+        3: "insert",
+        9: "insert",
+    }
