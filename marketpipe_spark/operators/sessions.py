@@ -21,17 +21,26 @@ def sessionize(
     ts: str = "ts_ns",
     gap: int = 1_800_000_000_000,
     order_cols: list[str] | None = None,
-    skew_span: int | None = None,
+    skew_span: int | str | None = None,
 ) -> DataFrame:
     """Tag each row with ``session_seq`` (1-based per key). ``order_cols``
     breaks ts ties to keep the window total-ordered.
 
     ``skew_span`` (optional, in ``ts`` units) switches to the skew-tolerant
     two-phase plan for hot keys — see :func:`_sessionize_chunked`. Results
-    are bit-identical for any span ≥ 1.
+    are bit-identical for any span ≥ 1. ``"auto"`` (or ``"auto:N"`` with a
+    pinned partition count) profiles the data first
+    (``skew.plan_trailing_skew``) and chunks ONLY diagnosed hot keys —
+    cold keys keep the plain single-window plan inside the same pass.
     """
     if skew_span:
-        return _sessionize_chunked(events, key, ts, gap, order_cols, skew_span)
+        from .skew import resolve_trailing_skew
+
+        skew_span, hot = resolve_trailing_skew(events, key, ts, skew_span)
+        if skew_span is not None:
+            return _sessionize_chunked(
+                events, key, ts, gap, order_cols, skew_span, hot_keys=hot
+            )
     order = [F.col(ts).asc()] + [F.col(c).asc() for c in (order_cols or [])]
     w = W.partitionBy(key).orderBy(*order)
     prev = F.lag(ts).over(w)
@@ -49,6 +58,7 @@ def _sessionize_chunked(
     gap: int,
     order_cols: list[str] | None,
     span: int,
+    hot_keys: list | None = None,
 ) -> DataFrame:
     """Exact sessionization that spreads a hot key over time chunks.
 
@@ -76,9 +86,24 @@ def _sessionize_chunked(
     1, where every chunk holds one timestamp). Cost: the summary pass and
     one co-keyed join on (key, chunk); pick span ≫ typical gap so carries
     stay rare (e.g. one day for ns timestamps and a 30-minute gap).
+
+    ``hot_keys`` (r8): when given, ONLY those keys are time-chunked; every
+    other key keeps a single chunk (``_chunk = -1``) — exactly the plain
+    per-key window — and skips both the summary pass and the offset join
+    (a single-chunk key's offset is always its first-row flag 1, so
+    ``session_seq = 1 + local running sum`` directly). The two-phase
+    overhead then scales with the HOT subset, not the table. Requires
+    ``ts >= 0`` for hot-key rows (epoch timestamps are).
     """
     order = [F.col(ts).asc()] + [F.col(c).asc() for c in (order_cols or [])]
-    b = events.withColumn("_chunk", F.expr(f"{ts} div {span}"))
+    if hot_keys is not None:
+        is_hot = F.col(key).isin(list(hot_keys)) if hot_keys else F.lit(False)
+        b = events.withColumn(
+            "_chunk", F.when(is_hot, F.expr(f"{ts} div {span}")).otherwise(F.lit(-1))
+        )
+    else:
+        is_hot = None
+        b = events.withColumn("_chunk", F.expr(f"{ts} div {span}"))
 
     wc = W.partitionBy(key, "_chunk").orderBy(*order)
     prev = F.lag(ts).over(wc)
@@ -89,6 +114,14 @@ def _sessionize_chunked(
     tagged = b.withColumn("_lb", local_b).withColumn(
         "_lcum", F.sum("_lb").over(wc.rowsBetween(W.unboundedPreceding, W.currentRow))
     )
+
+    if is_hot is not None:
+        cold = tagged.where(~is_hot).withColumn(
+            "session_seq", (F.lit(1) + F.col("_lcum")).cast("long")
+        ).drop("_chunk", "_lb", "_lcum")
+        tagged = tagged.where(is_hot)
+        if not hot_keys:
+            return cold
 
     summ = tagged.groupBy(key, "_chunk").agg(
         F.min(ts).alias("_first"),
@@ -111,11 +144,14 @@ def _sessionize_chunked(
         .select(key, "_chunk", "_off")
     )
 
-    return (
+    out = (
         tagged.join(offs, [key, "_chunk"])
         .withColumn("session_seq", (F.col("_off") + F.col("_lcum")).cast("long"))
         .drop("_chunk", "_lb", "_lcum", "_off")
     )
+    if is_hot is not None:
+        out = out.unionByName(cold)
+    return out
 
 
 def session_stats(
@@ -124,7 +160,7 @@ def session_stats(
     ts: str = "ts_ns",
     gap: int = 1_800_000_000_000,
     order_cols: list[str] | None = None,
-    skew_span: int | None = None,
+    skew_span: int | str | None = None,
 ) -> DataFrame:
     """Per-session summary: start/end/duration/event count.
 
@@ -181,7 +217,7 @@ def session_paths(
     gap: int = 1_800_000_000_000,
     order_cols: list[str] | None = None,
     max_steps: int = 5,
-    skew_span: int | None = None,
+    skew_span: int | str | None = None,
 ) -> DataFrame:
     """Top journey paths: each session's ordered sequence of its first
     ``max_steps`` event types joined with ``>`` (``signup>view>click``),

@@ -127,6 +127,26 @@ def q_user_sessions_skewsafe(spark, sf_dir):
     )
 
 
+@register(
+    "user_sessions_skewauto",
+    SQL_SESSIONS,
+    doc="user_sessions under skew AUTO-dispatch (plan_trailing_skew profile; "
+    "plain plan when no user crosses the straggler threshold, hot-user-"
+    "targeted two-phase sessionizer when one does; cold users bypass the "
+    "summary/offset machinery entirely) — IDENTICAL oracle as "
+    "user_sessions: parity proves dispatch never changes rows",
+    tags=("window", "sessions", "skew"),
+)
+def q_user_sessions_skewauto(spark, sf_dir):
+    b = bars(spark, sf_dir).select("user_id", "ts_ns", "event_id")
+    # auto:32 pins the threshold partition count (plan-shape determinism —
+    # see validation_report_skewauto).
+    return session_stats(
+        b, key="user_id", ts="ts_ns", gap=NS_30MIN, order_cols=["event_id"],
+        skew_span="auto:32",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Journey paths: each 30-minute session's first-5 event-type sequence,
 # counted corpus-wide — funnel discovery over the same sessionization the

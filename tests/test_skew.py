@@ -182,3 +182,56 @@ def test_sma_and_volatility_auto_match_plain(spark):
     assert sorted(
         map(repr, rolling_volatility(bars, skew_span="auto").collect())
     ) == sorted(map(repr, rolling_volatility(bars).collect()))
+
+
+def test_sessionize_hot_keys_and_auto_bit_identical(spark):
+    """Hot-user-targeted two-phase sessionization == plain sessionization,
+    including the cold-key fast path (no offset join) and auto dispatch."""
+    from marketpipe_spark.operators.sessions import (
+        _sessionize_chunked,
+        sessionize,
+    )
+
+    ns_min = 60_000_000_000
+    rows = [("HOT", i * 7 * ns_min, i) for i in range(400)]  # gaps > 30min between some
+    rows += [("HOT", (i * 7 + 1) * ns_min, 1000 + i) for i in range(0, 400, 3)]
+    for u in ("c1", "c2"):
+        rows += [(u, i * 40 * ns_min, hash(u) % 97 + i) for i in range(30)]
+    ev = spark.createDataFrame(rows, "user_id string, ts_ns long, event_id long")
+    gap = 1_800_000_000_000
+    plain = sorted(
+        map(tuple, sessionize(ev, gap=gap, order_cols=["event_id"]).collect())
+    )
+    span = 86_400 * 10**9
+    all_chunked = sorted(
+        map(
+            tuple,
+            _sessionize_chunked(ev, "user_id", "ts_ns", gap, ["event_id"], span).collect(),
+        )
+    )
+    hot_targeted = sorted(
+        map(
+            tuple,
+            _sessionize_chunked(
+                ev, "user_id", "ts_ns", gap, ["event_id"], span, hot_keys=["HOT"]
+            ).collect(),
+        )
+    )
+    none_hot = sorted(
+        map(
+            tuple,
+            _sessionize_chunked(
+                ev, "user_id", "ts_ns", gap, ["event_id"], span, hot_keys=[]
+            ).collect(),
+        )
+    )
+    auto = sorted(
+        map(
+            tuple,
+            sessionize(ev, gap=gap, order_cols=["event_id"], skew_span="auto").collect(),
+        )
+    )
+    assert all_chunked == plain
+    assert hot_targeted == plain
+    assert none_hot == plain
+    assert auto == plain
