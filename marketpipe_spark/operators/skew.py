@@ -126,31 +126,43 @@ def plan_trailing_skew(
     of keys that actually need chunking — cold keys keep their one-task
     window and skip the carry machinery entirely.
 
-    Cost: two narrow passes — one global aggregate (count + ts min/max)
-    and one map-side-combined per-key count filtered to the hot list. No
-    sort, no wide shuffle of the data itself.
+    Cost: ONE narrow pass over the data (a map-side-combined per-key
+    count/min/max summary, persisted at key cardinality and unpersisted
+    before returning) plus key-cardinality-sized aggregates over it. The
+    common no-hot-key case pays exactly one scan + one summary aggregate;
+    only a diagnosed-hot table runs the (tiny) hot-list filter. No sort,
+    no wide shuffle of the data itself.
     """
-    g = df.agg(
-        F.count(F.lit(1)).alias("tot"),
-        F.min(ts).alias("t0"),
-        F.max(ts).alias("t1"),
-    ).collect()[0]
-    if not g["tot"]:
-        return None
-    # Share threshold, capped at 50%: a majority key is a straggler at ANY
-    # cluster size (and without the cap, safety/partitions >= 1 on small
-    # local sessions would disable dispatch entirely).
-    thr_rows = int(g["tot"] * min(safety / shuffle_partitions, 0.5))
-    hot = (
+    from pyspark import StorageLevel
+
+    counts = (
         df.groupBy(key)
-        .agg(F.count(F.lit(1)).alias("n"))
-        .where(F.col("n") > thr_rows)
-        .orderBy(F.col("n").desc(), F.col(key).asc())
-        .limit(max_hot)
-        .collect()
+        .agg(F.count(F.lit(1)).alias("n"), F.min(ts).alias("mn"), F.max(ts).alias("mx"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    if not hot:
-        return None
+    try:
+        g = counts.agg(
+            F.sum("n").alias("tot"),
+            F.max("n").alias("hot_n"),
+            F.min("mn").alias("t0"),
+            F.max("mx").alias("t1"),
+        ).collect()[0]
+        if not g["tot"]:
+            return None
+        # Share threshold, capped at 50%: a majority key is a straggler at
+        # ANY cluster size (and without the cap, safety/partitions >= 1 on
+        # small local sessions would disable dispatch entirely).
+        thr_rows = int(g["tot"] * min(safety / shuffle_partitions, 0.5))
+        if g["hot_n"] <= thr_rows:
+            return None
+        hot = (
+            counts.where(F.col("n") > thr_rows)
+            .orderBy(F.col("n").desc(), F.col(key).asc())
+            .limit(max_hot)
+            .collect()
+        )
+    finally:
+        counts.unpersist()
     span = max(1, (g["t1"] - g["t0"] + 1) // (shuffle_partitions * chunks_per_slot))
     return span, [r[key] for r in hot]
 
