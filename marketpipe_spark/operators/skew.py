@@ -109,6 +109,7 @@ def plan_trailing_skew(
     safety: float = 4.0,
     chunks_per_slot: int = 4,
     max_hot: int = 64,
+    sample_rows: int = 1_000_000,
 ) -> tuple[int, list] | None:
     """Skew auto-dispatch: decide whether a trailing-window computation
     over ``key`` needs :func:`chunked_trailing_frame`, and for WHICH keys.
@@ -126,43 +127,51 @@ def plan_trailing_skew(
     of keys that actually need chunking — cold keys keep their one-task
     window and skip the carry machinery entirely.
 
-    Cost: ONE narrow pass over the data (a map-side-combined per-key
-    count/min/max summary, persisted at key cardinality and unpersisted
-    before returning) plus key-cardinality-sized aggregates over it. The
-    common no-hot-key case pays exactly one scan + one summary aggregate;
-    only a diagnosed-hot table runs the (tiny) hot-list filter. No sort,
-    no wide shuffle of the data itself.
+    Cost: two narrow passes — one global aggregate (count + ts min/max;
+    no shuffle) and one hot-key detection pass. Past ``sample_rows``
+    total rows the detection groups a seeded SAMPLE instead of the full
+    table: at ×1024 volume the full per-key count shuffles a ~100M-key
+    summary just to learn "no key is hot" (measured: the shuffle dwarfs
+    the scan), while a hot key — by definition holding ≥ threshold share
+    — is detected in a bounded sample with certainty for any real margin.
+    Sampling can only affect WHICH plan is chosen, never the result
+    (chunking any key is bit-identical — the equivalence tests/oracles
+    pin that), so the detection threshold is halved under sampling to
+    absorb sampling error on borderline keys; a borderline key chunked
+    unnecessarily costs a few percent, one missed while truly hot is
+    ~impossible at ``sample_rows`` = 1M (a 12.5%-share key is ~125k
+    sample rows). Small tables (≤ ``sample_rows``) always use exact
+    counts — plan choice stays deterministic for the shape baselines.
+    (Also measured and rejected: persisting a fused per-key summary —
+    caching the 100M-key frame costs more than the scan it saves.)
     """
-    from pyspark import StorageLevel
-
-    counts = (
-        df.groupBy(key)
-        .agg(F.count(F.lit(1)).alias("n"), F.min(ts).alias("mn"), F.max(ts).alias("mx"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    g = df.agg(
+        F.count(F.lit(1)).alias("tot"),
+        F.min(ts).alias("t0"),
+        F.max(ts).alias("t1"),
+    ).collect()[0]
+    if not g["tot"]:
+        return None
+    # Share threshold, capped at 50%: a majority key is a straggler at ANY
+    # cluster size (and without the cap, safety/partitions >= 1 on small
+    # local sessions would disable dispatch entirely).
+    thr_rows = int(g["tot"] * min(safety / shuffle_partitions, 0.5))
+    frac = min(1.0, sample_rows / g["tot"])
+    if frac >= 1.0:
+        src, sthr = df.select(key), thr_rows
+    else:
+        src = df.select(key).sample(fraction=frac, seed=42)
+        sthr = int(thr_rows * frac * 0.5)
+    hot = (
+        src.groupBy(key)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > sthr)
+        .orderBy(F.col("n").desc(), F.col(key).asc())
+        .limit(max_hot)
+        .collect()
     )
-    try:
-        g = counts.agg(
-            F.sum("n").alias("tot"),
-            F.max("n").alias("hot_n"),
-            F.min("mn").alias("t0"),
-            F.max("mx").alias("t1"),
-        ).collect()[0]
-        if not g["tot"]:
-            return None
-        # Share threshold, capped at 50%: a majority key is a straggler at
-        # ANY cluster size (and without the cap, safety/partitions >= 1 on
-        # small local sessions would disable dispatch entirely).
-        thr_rows = int(g["tot"] * min(safety / shuffle_partitions, 0.5))
-        if g["hot_n"] <= thr_rows:
-            return None
-        hot = (
-            counts.where(F.col("n") > thr_rows)
-            .orderBy(F.col("n").desc(), F.col(key).asc())
-            .limit(max_hot)
-            .collect()
-        )
-    finally:
-        counts.unpersist()
+    if not hot:
+        return None
     span = max(1, (g["t1"] - g["t0"] + 1) // (shuffle_partitions * chunks_per_slot))
     return span, [r[key] for r in hot]
 
