@@ -45,8 +45,15 @@ _PAYLOAD = ("o_custkey", "o_orderstatus", "o_totalprice")
 
 def _build_versions(spark, sf_dir: str) -> str:
     """Materialize the three-version snapshot table for ``sf_dir`` under a
-    deterministic temp root (rebuilt from scratch each call)."""
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    per-(session, sf_dir) temp root (rebuilt from scratch each call).
+
+    The Spark applicationId is part of the root tag: two concurrent
+    sessions pointed at the same sf_dir would otherwise share the root,
+    and this function's rmtree would race the other session's reads and
+    commits mid-query."""
+    tag = hashlib.md5(
+        f"{spark.sparkContext.applicationId}|{sf_dir}".encode()
+    ).hexdigest()[:10]
     root = os.path.join(tempfile.gettempdir(), f"mp_snapshot_cdc_{tag}")
     shutil.rmtree(root, ignore_errors=True)
     orders = t(spark, sf_dir, "orders").select("o_orderkey", *_PAYLOAD)

@@ -65,6 +65,7 @@ Scale design:
 
 from __future__ import annotations
 
+import datetime as _dt
 import functools
 import json
 import operator
@@ -366,10 +367,15 @@ PARQUET_MANIFEST_MIN_FILES = int(
 )
 
 
-def _read_manifest(root: str, version: int, fs: SnapshotFS) -> dict:
+def _read_manifest(
+    root: str, version: int, fs: SnapshotFS, hydrate: bool = True
+) -> dict:
+    """Load a version manifest. ``hydrate=False`` skips loading the parquet
+    file-list sidecar — metadata-only callers (history listings) shouldn't
+    pull a multi-MB file list per version just to print ``n_files``."""
     m = json.loads(fs.read_text(_join(_snap_root(root), f"v{version}.json")))
     sidecar = m.get("files_parquet")
-    if sidecar:
+    if sidecar and hydrate:
         import io as _io
 
         import pyarrow.parquet as pq
@@ -395,6 +401,11 @@ def _commit(
         "parent": parent,
         "note": note,
         "n_files": len(files),
+        # Commit wall-clock (ISO-8601 UTC) — the time-travel key for
+        # read_table(as_of=...). Written by whichever writer WINS the CAS,
+        # so timestamps are monotone-enough per table for "state as of T"
+        # (ties/regressions from clock skew resolve by version order).
+        "committed_at": _dt.datetime.now(_dt.timezone.utc).isoformat(),
     }
     if len(files) >= PARQUET_MANIFEST_MIN_FILES:
         import io as _io
@@ -509,7 +520,9 @@ def read_table(
     return spark.read.parquet(*[_join(root, f) for f in m["files"]])
 
 
-def _keys_non_null(keys: list[str]):
+def _any_key_null(keys: list[str]):
+    """TRUE when ANY key column is NULL — the upsert batch-contract
+    violation the pre-pass aggregate counts."""
     return functools.reduce(operator.or_, [F.col(k).isNull() for k in keys])
 
 
@@ -563,7 +576,7 @@ def upsert_table(
     st = new.agg(
         F.count(F.lit(1)).alias("n"),
         F.count_distinct(*[F.col(k) for k in keys]).alias("nk"),
-        F.sum(F.when(_keys_non_null(keys), 1).otherwise(0)).alias("n_null"),
+        F.sum(F.when(_any_key_null(keys), 1).otherwise(0)).alias("n_null"),
     ).collect()[0]
     if st["n_null"]:
         raise ValueError(
@@ -668,8 +681,14 @@ def _try_rebase(
     by the detection join, so carrying ``latest_live - affected`` plus our
     merged files preserves both keep-last (our keys exist only in our
     files) and the other writer's effect (their adds/removes pass through
-    untouched) — the serial order 'winner, then us'."""
-    while True:
+    untouched) — the serial order 'winner, then us'.
+
+    The CAS retry is bounded like every other commit path: after
+    :data:`_MAX_COMMIT_RETRIES` lost publishes (sustained contention, or an
+    FS whose try_publish maps transient failures to conflict) it returns
+    None and the caller falls back to the outer full-retry loop instead of
+    livelocking here."""
+    for _ in range(_MAX_COMMIT_RETRIES):
         latest = _latest(root, fs)
         latest_live = set(_read_manifest(root, latest, fs)["files"])
         removed = base_live - latest_live
@@ -689,6 +708,7 @@ def _try_rebase(
             )
         except CommitConflict:
             continue  # someone else landed again; re-check against base_live
+    return None  # rebase exhausted its retry budget; outer loop re-merges
 
 
 def delete_where(
@@ -738,9 +758,13 @@ def delete_where(
             # Nothing matches: still commit (an auditable no-op version).
             new_files: list[str] = []
         else:
+            # SQL DELETE removes only TRUE rows: a NULL-evaluating predicate
+            # keeps the row. Plain ~pred would silently drop it (~NULL is
+            # NULL, filtered out) — inconsistently, since identical rows in
+            # unaffected files are carried by reference.
             survivors = spark.read.parquet(
                 *[_join(root, f) for f in sorted(affected)]
-            ).where(~pred)
+            ).where(~F.coalesce(pred, F.lit(False)))
             new_files = _land_data_files(survivors, root, parent + 1, fs)
         try:
             return _commit(
@@ -790,12 +814,16 @@ def restore_table(
 
 
 def table_history(root: str, fs: SnapshotFS | None = None) -> list[dict]:
-    """All retained versions, oldest first: version, parent, note, n_files."""
+    """All retained versions, oldest first: version, parent, note, n_files,
+    committed_at (ISO-8601 UTC; None on manifests written before timestamps
+    were recorded). Metadata only — file-list sidecars are not hydrated."""
     fs = _resolve_fs(root, None, fs)
     out = []
     for v in _versions(root, fs):
-        m = _read_manifest(root, v, fs)
-        out.append({k: m[k] for k in ("version", "parent", "note", "n_files")})
+        m = _read_manifest(root, v, fs, hydrate=False)
+        row = {k: m[k] for k in ("version", "parent", "note", "n_files")}
+        row["committed_at"] = m.get("committed_at")
+        out.append(row)
     return out
 
 
@@ -909,7 +937,9 @@ def table_changes(
     tune(spark)
     fs = _resolve_fs(root, spark, fs)
     v_to_r = v_to if v_to is not None else _latest(root, fs)
-    from_files = _read_manifest(root, v_from, fs)["files"]
+    # v_from=0 is the explicit empty base (versions start at 1): every row
+    # live at v_to comes back as an insert — the CDC "initial snapshot".
+    from_files = [] if v_from == 0 else _read_manifest(root, v_from, fs)["files"]
     to_files = _read_manifest(root, v_to_r, fs)["files"]
     old_only = sorted(set(from_files) - set(to_files))
     new_only = sorted(set(to_files) - set(from_files))
@@ -1077,6 +1107,7 @@ def changes_since(
     checkpoints,
     fs: SnapshotFS | None = None,
     include_old: bool = False,
+    bootstrap: str = "snapshot",
 ):
     """Exactly-once incremental CDC consumption (the Delta "table
     streaming" pattern on the repo's batch-incremental chassis): returns
@@ -1091,21 +1122,48 @@ def changes_since(
 
     ``checkpoints`` is a :class:`streaming.incremental.CheckpointStore`
     (positions are version numbers in the ``last_processed_ns`` slot —
-    the store is schema-agnostic about units). First call starts at the
-    OLDEST retained version, diffing it against latest, so a brand-new
-    consumer bootstraps from the earliest readable snapshot; consumers
-    that need "everything ever" should start before expiry drops v1.
+    the store is schema-agnostic about units).
+
+    Bootstrap: a brand-new consumer's first interval is the INITIAL
+    SNAPSHOT — every row live at the current latest version arrives as an
+    ``insert`` (a diff against the empty base v0), so the downstream state
+    starts complete rather than missing whatever predates the oldest
+    retained version. Pass ``bootstrap="none"`` to skip the initial
+    snapshot and deliver only changes committed after the first call.
+
+    A persisted checkpoint that points at an EXPIRED version (the retention
+    window moved past it) raises a descriptive error instead of a raw
+    missing-manifest read — the consumer's state no longer has a valid
+    handoff base and must re-bootstrap deliberately.
 
     Input cost is churn-bounded (``table_changes`` reads only the file
     sets that differ between the two manifests).
     """
+    if bootstrap not in ("snapshot", "none"):
+        raise ValueError(f"bootstrap must be snapshot|none, got {bootstrap!r}")
     fs = _resolve_fs(root, spark, fs)
     vs = _versions(root, fs)
     if not vs:
         raise FileNotFoundError(f"no snapshots at {root}")
     latest = vs[-1]
     last = checkpoints.last_processed(consumer_id, root)
-    v_from = int(last) if last is not None else vs[0]
+    if last is None:
+        if bootstrap == "none":
+            # Skip the initial snapshot: pin the position at latest so the
+            # next call diffs from here. Persisting immediately is safe —
+            # there is nothing to apply for this interval.
+            checkpoints.save(consumer_id, {root: latest})
+            return None, lambda: None
+        v_from = 0  # empty base: full current state as inserts
+    else:
+        v_from = int(last)
+        if v_from != latest and v_from not in vs:
+            raise LookupError(
+                f"consumer {consumer_id!r} checkpoint points at v{v_from} of "
+                f"{root}, which retention has expired (retained: v{vs[0]}.."
+                f"v{latest}); reset the checkpoint to re-bootstrap from the "
+                "initial snapshot"
+            )
     if v_from >= latest:
         return None, lambda: None
     df = table_changes(

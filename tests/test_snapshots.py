@@ -659,9 +659,9 @@ def test_expire_protects_in_flight_files(spark, tmp_path):
 
 
 def test_changes_since_exactly_once_consumption(spark, tmp_path):
-    """Incremental CDC consumer: first call bootstraps from the oldest
-    retained version; ack() advances the position; un-acked intervals
-    replay; nothing-new returns None."""
+    """Incremental CDC consumer: first call delivers the INITIAL SNAPSHOT
+    (all live rows as inserts); ack() advances the position; un-acked
+    intervals replay; nothing-new returns None."""
     from marketpipe_spark.snapshots import changes_since
     from marketpipe_spark.streaming.incremental import CheckpointStore
 
@@ -670,7 +670,13 @@ def test_changes_since_exactly_once_consumption(spark, tmp_path):
     write_table(spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"), root)
 
     df, ack = changes_since(spark, root, ["id"], "mv1", ckpt)
-    assert df is None  # single version: nothing to diff yet
+    # Bootstrap: the full current state arrives as inserts, so rows that
+    # predate the consumer are not silently skipped.
+    assert {r["id"]: r["_change"] for r in df.collect()} == {
+        1: "insert",
+        2: "insert",
+    }
+    ack()
 
     upsert_table(
         spark,
@@ -696,10 +702,80 @@ def test_changes_since_exactly_once_consumption(spark, tmp_path):
     )
     df4, ack4 = changes_since(spark, root, ["id"], "mv1", ckpt)
     assert {r["id"]: r["_change"] for r in df4.collect()} == {9: "insert"}
-    # Independent consumers keep independent positions.
+    # Independent consumers keep independent positions: a NEW consumer
+    # bootstraps with the full current state as inserts.
     df5, _ = changes_since(spark, root, ["id"], "mv2", ckpt)
     assert {r["id"]: r["_change"] for r in df5.collect()} == {
-        2: "update",
+        1: "insert",
+        2: "insert",
         3: "insert",
         9: "insert",
     }
+    # bootstrap="none" skips the initial snapshot: only future changes.
+    df6, _ = changes_since(spark, root, ["id"], "mv3", ckpt, bootstrap="none")
+    assert df6 is None
+    upsert_table(
+        spark,
+        spark.createDataFrame([(7, "q")], "id long, v string"),
+        root,
+        keys=["id"],
+    )
+    df7, _ = changes_since(spark, root, ["id"], "mv3", ckpt, bootstrap="none")
+    assert {r["id"]: r["_change"] for r in df7.collect()} == {7: "insert"}
+
+
+def test_delete_where_null_predicate_rows_survive(spark, tmp_path):
+    """SQL DELETE removes only rows where the predicate is TRUE. Rows where
+    it evaluates to NULL (e.g. NULL column vs sym = 'X') must SURVIVE —
+    including rows co-located in a rewritten (affected) file, which a naive
+    .where(~pred) would silently drop because ~NULL is NULL."""
+    from marketpipe_spark.snapshots import delete_where
+
+    root = str(tmp_path / "snap")
+    # ONE file so every NULL row is co-located with a true match.
+    df = spark.createDataFrame(
+        [(1, "X"), (2, None), (3, "Y"), (4, None)], "id long, sym string"
+    ).coalesce(1)
+    write_table(df, root)
+    delete_where(spark, root, "sym = 'X'")
+    assert _rows(read_table(spark, root)) == [(2, None), (3, "Y"), (4, None)]
+    # Column form, inequality: NULL <> 'Y' is NULL -> row survives too.
+    from pyspark.sql import functions as F
+
+    delete_where(spark, root, F.col("sym") != "Y")
+    assert _rows(read_table(spark, root)) == [(2, None), (3, "Y"), (4, None)]
+
+
+def test_changes_since_expired_checkpoint_is_descriptive(spark, tmp_path):
+    """A persisted position that retention has expired raises LookupError
+    with a re-bootstrap hint, not a raw missing-manifest read error."""
+    import pytest
+
+    from marketpipe_spark.snapshots import changes_since
+    from marketpipe_spark.streaming.incremental import CheckpointStore
+
+    root = str(tmp_path / "snap")
+    ckpt = CheckpointStore(spark, str(tmp_path / "ckpt"))
+    write_table(spark.createDataFrame([(1, "a")], "id long, v string"), root)
+    df, ack = changes_since(spark, root, ["id"], "c1", ckpt)
+    ack()  # position = v1
+    for i in range(3):
+        upsert_table(
+            spark,
+            spark.createDataFrame([(10 + i, "x")], "id long, v string"),
+            root,
+            keys=["id"],
+        )
+    expire_snapshots(root, keep_last=2, min_age_seconds=0)  # v1, v2 gone
+    with pytest.raises(LookupError, match="re-bootstrap"):
+        changes_since(spark, root, ["id"], "c1", ckpt)
+
+
+def test_table_history_reports_commit_timestamps(spark, tmp_path):
+    root = str(tmp_path / "snap")
+    write_table(spark.createDataFrame([(1, "a")], "id long, v string"), root)
+    write_table(spark.createDataFrame([(2, "b")], "id long, v string"), root)
+    hist = table_history(root)
+    stamps = [h["committed_at"] for h in hist]
+    assert all(isinstance(s, str) and "T" in s for s in stamps)
+    assert stamps == sorted(stamps)  # same-process commits are monotone
