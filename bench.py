@@ -238,12 +238,26 @@ def main() -> None:
     extra = run(EXTRA + (FULL_EXTRA if os.environ.get("SPARK_GRAFT_BENCH_FULL") else []))
     names = list(timings) + list(extra)
 
+    # Serving-mode wall: the same headline basket over PREBUILT plans
+    # (plans.registry.prebuilt — built once, executed again). The delta vs
+    # the cold total is pure driver-side plan construction, the cost a
+    # serving deployment pays once at warm-up instead of per query.
+    registry.warm_plans(spark, [n for n in HEADLINE if n in qs], sf_dir)
+    t0 = time.time()
+    for name in HEADLINE:
+        if name in qs:
+            registry.prebuilt(spark, name, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+    cached_total = round(time.time() - t0, 3)
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_queries_total_time",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "cached_total": cached_total,
         "extra_queries": extra,
         "extra_total": round(sum(extra.values()), 3),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

@@ -414,6 +414,72 @@ def cmd_plan(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    """Serving mode: long-lived session executing registry entries through
+    the PREBUILT-PLAN cache (plans.registry.prebuilt).
+
+    Plan construction is a per-query driver cost that dominates small-query
+    latency (FLOOR_EXPERIMENT.json: ~15% of sequential bench wall); a
+    serving tier pays it once at warm-up and then every request executes a
+    cached analyzed plan. Requests arrive on stdin, one per line:
+
+        <entry_name> [sf_dir]
+
+    and each response is one JSON line {name, rows, sec} (errors: {name,
+    error}). ``--warm`` prebuilds the named entries (or the headline basket
+    with ``--warm all``) before accepting requests; ``--threads`` sizes a
+    FAIR-scheduler pool so concurrent requests overlap in the cluster."""
+    import json as _json
+    import sys as _sys
+    import time as _time
+    from concurrent.futures import ThreadPoolExecutor
+
+    from .plans import registry
+    from .session import get_spark
+
+    spark = get_spark(
+        "marketpipe-serve", extra_conf={"spark.scheduler.mode": "FAIR"}
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = registry.spark_queries()
+
+    if args.warm:
+        names = list(qs) if args.warm == ["all"] else args.warm
+        unknown = [n for n in names if n not in qs]
+        if unknown:
+            print(f"unknown entries in --warm: {unknown}", file=_sys.stderr)
+            return 1
+        timings = registry.warm_plans(spark, names, args.sf_dir)
+        print(
+            _json.dumps({"warmed": len(timings), "sec": round(sum(timings.values()), 3)}),
+            file=_sys.stderr,
+        )
+
+    def handle(line: str) -> str:
+        parts = line.split()
+        name, sf = parts[0], (parts[1] if len(parts) > 1 else args.sf_dir)
+        if name not in qs:
+            return _json.dumps({"name": name, "error": "unknown entry"})
+        t0 = _time.time()
+        try:
+            df = registry.prebuilt(spark, name, sf)
+            n = df.count()
+        except Exception as exc:  # surface, keep serving
+            return _json.dumps({"name": name, "error": str(exc)[:200]})
+        return _json.dumps({"name": name, "rows": n, "sec": round(_time.time() - t0, 3)})
+
+    with ThreadPoolExecutor(max_workers=args.threads) as ex:
+        futs = []
+        for line in _sys.stdin:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            futs.append(ex.submit(handle, line))
+        for f in futs:
+            print(f.result(), flush=True)
+    return 0
+
+
 def cmd_export(args) -> int:
     """Export a parquet dataset as training-ready shards: JSONL (text
     pipelines) or WebDataset-style tar (multimodal loaders). Both write a
@@ -684,6 +750,20 @@ def build_parser() -> argparse.ArgumentParser:
     q.add_argument("--explain", action="store_true", help="print the physical plan instead of running")
     q.add_argument("--limit", "-l", type=int, default=50)
     q.set_defaults(fn=cmd_query)
+
+    srv = sub.add_parser(
+        "serve",
+        help="serving mode: execute registry entries from stdin through the prebuilt-plan cache",
+    )
+    srv.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    srv.add_argument("--threads", type=int, default=8)
+    srv.add_argument(
+        "--warm",
+        nargs="*",
+        default=None,
+        help="entries to prebuild before serving ('all' = every registry entry)",
+    )
+    srv.set_defaults(fn=cmd_serve)
 
     # Nested OHLCV sub-app — the reference's canonical command group
     # (reference: cli/__init__.py:109-149 `ohlcv ingest|validate|aggregate|

@@ -43,14 +43,25 @@ from .registry import register, t
 _PAYLOAD = ("o_custkey", "o_orderstatus", "o_totalprice")
 
 
+#: (session id, sf_dir) → (session, built root). One build per session: the
+#: fixture is deterministic given sf_dir, and rebuilding on every entry call
+#: would rmtree file paths a sibling entry's PREBUILT plan still references
+#: (data files are uuid-named, so a rebuild is not path-stable).
+_VERSIONS_CACHE: dict[tuple[int, str], tuple[object, str]] = {}
+
+
 def _build_versions(spark, sf_dir: str) -> str:
     """Materialize the three-version snapshot table for ``sf_dir`` under a
-    per-(session, sf_dir) temp root (rebuilt from scratch each call).
+    per-(session, sf_dir) temp root, once per session.
 
     The Spark applicationId is part of the root tag: two concurrent
     sessions pointed at the same sf_dir would otherwise share the root,
     and this function's rmtree would race the other session's reads and
     commits mid-query."""
+    ckey = (id(spark), sf_dir)
+    ent = _VERSIONS_CACHE.get(ckey)
+    if ent is not None and ent[0] is spark:
+        return ent[1]
     tag = hashlib.md5(
         f"{spark.sparkContext.applicationId}|{sf_dir}".encode()
     ).hexdigest()[:10]
@@ -68,6 +79,7 @@ def _build_versions(spark, sf_dir: str) -> str:
     write_table(
         v2.where(F.col("o_orderkey") % 7 != 0), root, mode="overwrite", note="v3"
     )
+    _VERSIONS_CACHE[ckey] = (spark, root)
     return root
 
 

@@ -311,3 +311,85 @@ def scalar_join(df: DataFrame, keycol: str, scalar: DataFrame) -> DataFrame:
         .join(F.broadcast(scalar.withColumn("_k", rkey)), "_k")
         .drop("_k")
     )
+
+
+# ---------------------------------------------------------------------------
+# prebuilt-plan cache — the serving mode
+
+#: Session confs that participate in the plan-cache fingerprint. Most SQL
+#: confs are read at EXECUTION time (shuffle partitions, AQE) so a cached
+#: DataFrame picks them up anyway; these are the ones that can change what a
+#: builder BAKES into the plan (literal parsing, resolution) plus the
+#: execution-shaping pair, included so a deliberate conf A/B never serves a
+#: plan fingerprinted under the other arm. Conservative-safe: a fingerprint
+#: mismatch only costs one rebuild.
+PLAN_CACHE_CONF_KEYS = (
+    "spark.sql.session.timeZone",
+    "spark.sql.ansi.enabled",
+    "spark.sql.shuffle.partitions",
+    "spark.sql.adaptive.enabled",
+)
+
+#: (session id, entry name, sf_dir) → (session, conf fingerprint, DataFrame).
+#: A DataFrame is an immutable analyzed logical plan: rebuilding it for every
+#: invocation re-pays ~15% of the sequential bench wall in driver-side py4j
+#: plan construction (FLOOR_EXPERIMENT.json: rebuild 10.8 s vs reuse 9.2 s
+#: sequential; 8 threads over prebuilt plans run the basket in 1.69 s, UNDER
+#: the DuckDB comparator). Serving deployments build once and execute many.
+_PLAN_CACHE: dict[tuple[int, str, str], tuple[SparkSession, tuple, DataFrame]] = {}
+
+
+def _conf_fingerprint(spark: SparkSession) -> tuple:
+    out = []
+    for k in PLAN_CACHE_CONF_KEYS:
+        try:
+            out.append(spark.conf.get(k))
+        except Exception:
+            out.append(None)
+    return tuple(out)
+
+
+def prebuilt(
+    spark: SparkSession, name: str, sf_dir: str, refresh: bool = False
+) -> DataFrame:
+    """Return the registry entry's DataFrame, memoized per (session, entry,
+    sf_dir) and invalidated when any :data:`PLAN_CACHE_CONF_KEYS` conf
+    changes. Identical results to a fresh build by construction — the same
+    builder runs against the same immutable inputs; the cached-vs-fresh
+    hash-identity test (tests/test_plan_cache.py) pins it.
+
+    Entries whose builders materialize state eagerly (streaming memory
+    sinks, snapshot fixtures, trained models) amortize that work too: the
+    cache holds the post-materialization plan. ``refresh=True`` forces a
+    rebuild (e.g. after external data changed under a fixture root)."""
+    q = all_queries()[name]  # KeyError on unknown entry, same as spark_queries
+    fp = _conf_fingerprint(spark)
+    key = (id(spark), name, sf_dir)
+    ent = _PLAN_CACHE.get(key)
+    # The stored session reference proves the cached plan belongs to THIS
+    # session (id() can be reused after GC) — same pattern as _TABLE_CACHE.
+    if not refresh and ent is not None and ent[0] is spark and ent[1] == fp:
+        return ent[2]
+    df = q.fn(spark, sf_dir)
+    _PLAN_CACHE[key] = (spark, fp, df)
+    return df
+
+
+def warm_plans(
+    spark: SparkSession, names: list[str], sf_dir: str
+) -> dict[str, float]:
+    """Build (and cache) each entry's plan; returns per-entry build seconds.
+    The serving warm-up: pay plan construction once at startup, then every
+    request executes a prebuilt plan."""
+    import time as _time
+
+    out: dict[str, float] = {}
+    for n in names:
+        t0 = _time.time()
+        prebuilt(spark, n, sf_dir)
+        out[n] = round(_time.time() - t0, 3)
+    return out
+
+
+def clear_plan_cache() -> None:
+    _PLAN_CACHE.clear()

@@ -1,0 +1,90 @@
+"""Prebuilt-plan cache (serving mode): identity, invalidation, parity.
+
+FLOOR_EXPERIMENT.json measured plan REBUILD at ~15% of the sequential bench
+wall; serving deployments build each registry plan once and execute it many
+times. These tests pin the contract that makes that safe: a cache hit is the
+SAME analyzed plan, a conf change or refresh=True rebuilds, and a cached
+plan's results are hash-identical to a fresh build's.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from marketpipe_spark.plans import registry
+
+SF = "/root/testdata/sf0.001"
+
+
+def _value_hash(df) -> str:
+    """Order-insensitive value hash over column-name-sorted rows (the
+    driver's compare, reimplemented small)."""
+    cols = sorted(df.columns)
+    rows = sorted(tuple(str(r[c]) for c in cols) for r in df.collect())
+    return hashlib.md5(repr(rows).encode()).hexdigest()
+
+
+def test_cache_hit_returns_same_plan_object(spark):
+    registry.clear_plan_cache()
+    a = registry.prebuilt(spark, "vwap", SF)
+    b = registry.prebuilt(spark, "vwap", SF)
+    assert a is b
+
+
+def test_conf_change_invalidates(spark):
+    registry.clear_plan_cache()
+    a = registry.prebuilt(spark, "vwap", SF)
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", str(int(old) + 1))
+        b = registry.prebuilt(spark, "vwap", SF)
+        assert a is not b
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    # Restoring the fingerprint does NOT resurrect the stale entry — the
+    # cache holds the latest build only.
+    c = registry.prebuilt(spark, "vwap", SF)
+    assert c is not a
+    assert registry.prebuilt(spark, "vwap", SF) is c
+
+
+def test_refresh_forces_rebuild(spark):
+    registry.clear_plan_cache()
+    a = registry.prebuilt(spark, "daily_summary", SF)
+    b = registry.prebuilt(spark, "daily_summary", SF, refresh=True)
+    assert a is not b
+    assert registry.prebuilt(spark, "daily_summary", SF) is b
+
+
+def test_cached_vs_fresh_hash_identity(spark):
+    """A served (cached) plan and a from-scratch build produce identical
+    results — one entry per major plan family, including a snapshot-fixture
+    entry (eager external state) and a window entry."""
+    registry.clear_plan_cache()
+    qs = registry.all_queries()
+    for name in ("vwap", "sma_20", "snapshot_diff", "dedup_keep_last"):
+        cached = _value_hash(registry.prebuilt(spark, name, SF))
+        fresh = _value_hash(qs[name].fn(spark, SF))
+        assert cached == fresh, name
+
+
+def test_warm_plans_reports_per_entry_build_time(spark):
+    registry.clear_plan_cache()
+    names = ["vwap", "daily_summary"]
+    timings = registry.warm_plans(spark, names, SF)
+    assert set(timings) == set(names)
+    assert all(t >= 0 for t in timings.values())
+    # Warmed entries now hit the cache.
+    assert registry.prebuilt(spark, "vwap", SF) is registry.prebuilt(
+        spark, "vwap", SF
+    )
+
+
+def test_serve_subcommand_wired():
+    from marketpipe_spark.cli import build_parser
+
+    args = build_parser().parse_args(
+        ["serve", "--sf-dir", "/tmp/x", "--threads", "4", "--warm", "vwap"]
+    )
+    assert args.fn.__name__ == "cmd_serve"
+    assert args.warm == ["vwap"] and args.threads == 4
