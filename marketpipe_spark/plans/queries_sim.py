@@ -414,22 +414,108 @@ def q_simhash(spark, sf_dir):
 
 # ---------------------------------------------------------------------------
 # Multimodal: binary payload column → Arrow-batched metadata extraction.
-# The Spark side really runs mapInPandas; the oracle reproduces the
-# deterministic stub decode in SQL, proving the Arrow plumbing end-to-end.
+# The Spark side really runs mapInPandas with the REAL header parser
+# (operators/multimodal.py parse_media_header). multimodal_meta feeds it
+# text payloads — honestly 'unknown' format, NULL dims; media_dimensions
+# synthesizes REAL PNG/JPEG/GIF headers JVM-side and the oracle pins the
+# width/height the parser must recover from the bytes.
 
 SQL_MULTIMODAL_META = """
 SELECT doc_id,
        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
        sha256(text) AS sha256,
-       CAST(octet_length(encode(text)) % 1024 AS INT) AS width,
-       CAST((octet_length(encode(text)) * 7) % 768 AS INT) AS height
+       'unknown' AS format,
+       CAST(NULL AS INT) AS width,
+       CAST(NULL AS INT) AS height
 FROM documents
 """
 
 
-@register("multimodal_meta", SQL_MULTIMODAL_META, doc="binary media column -> typed metadata via mapInPandas (stub decode)", tags=("multimodal",))
+@register("multimodal_meta", SQL_MULTIMODAL_META, doc="binary media column -> typed metadata via mapInPandas (real header parse; non-media payloads surface as unknown/NULL)", tags=("multimodal",))
 def q_multimodal_meta(spark, sf_dir):
     return extract_media_meta(attach_payload(t(spark, sf_dir, "documents")))
+
+
+# media_dimensions: per-doc payloads carrying REAL image headers, built with
+# JVM-side byte expressions (unhex of format_string — no Python in the
+# synthesis path), then decoded by the Arrow-batched header parser. Width/
+# height are closed-form in doc_id, so the DuckDB oracle pins the exact
+# values the byte-level parser must recover: synthesis → bytes → parse is
+# verified end-to-end, not assumed.
+#
+# doc_id % 4: 0 → PNG (big-endian u32 dims in IHDR), 1 → JPEG (APP0 segment
+# first, then SOF0 with big-endian u16 dims — exercises segment walking),
+# 2 → GIF89a (little-endian u16 dims), 3 → a non-media payload (must come
+# back format='unknown' with NULL dims, never fabricated numbers).
+
+SQL_MEDIA_DIMENSIONS = """
+SELECT doc_id,
+       CASE CAST(doc_id % 4 AS INT)
+         WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' WHEN 2 THEN 'gif'
+         ELSE 'unknown' END AS format,
+       CASE WHEN doc_id % 4 IN (0, 1, 2)
+            THEN CAST(16 + doc_id % 1009 AS INT) ELSE NULL END AS width,
+       CASE WHEN doc_id % 4 IN (0, 1, 2)
+            THEN CAST(16 + doc_id % 751 AS INT) ELSE NULL END AS height
+FROM documents
+"""
+
+
+def _media_payload_expr():
+    """Binary image-header payload as a JVM-side column expression."""
+    w = (F.lit(16) + F.col("doc_id") % F.lit(1009)).cast("int")
+    h = (F.lit(16) + F.col("doc_id") % F.lit(751)).cast("int")
+
+    def be32(c):
+        return F.format_string("%08x", c)
+
+    def be16(c):
+        return F.format_string("%04x", c)
+
+    png = F.concat(
+        F.lit("89504e470d0a1a0a"),  # signature
+        F.lit("0000000d49484452"),  # IHDR length=13 + type
+        be32(w),
+        be32(h),
+        F.lit("0806000000"),  # bit depth / color / compression / filter / interlace
+    )
+    jpeg = F.concat(
+        F.lit("ffd8"),  # SOI
+        F.lit("ffe000104a46494600010100000100010000"),  # APP0 JFIF, len 16
+        F.lit("ffc0000b08"),  # SOF0, len 11, precision 8
+        be16(h),
+        be16(w),
+        F.lit("01"),  # 1 component
+    )
+    gif = F.concat(
+        F.lit("474946383961"),  # GIF89a
+        # little-endian u16: low byte then high byte
+        F.format_string("%02x%02x", w % 256, (w / 256).cast("int")),
+        F.format_string("%02x%02x", h % 256, (h / 256).cast("int")),
+        F.lit("f70000"),
+    )
+    other = F.lit("6e6f74206d65646961")  # b"not media"
+    hex_payload = (
+        F.when(F.col("doc_id") % 4 == 0, png)
+        .when(F.col("doc_id") % 4 == 1, jpeg)
+        .when(F.col("doc_id") % 4 == 2, gif)
+        .otherwise(other)
+    )
+    return F.unhex(hex_payload)
+
+
+@register(
+    "media_dimensions",
+    SQL_MEDIA_DIMENSIONS,
+    doc="real PNG/JPEG/GIF header decode (stdlib byte parsing via mapInPandas) over JVM-synthesized headers; oracle pins exact dims",
+    tags=("multimodal",),
+)
+def q_media_dimensions(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    from ..operators.similarity import spread
+
+    payloads = spread(docs, "doc_id").withColumn("payload", _media_payload_expr())
+    return extract_media_meta(payloads).select("doc_id", "format", "width", "height")
 
 
 # ---------------------------------------------------------------------------
