@@ -306,3 +306,79 @@ def chunked_trailing_frame(
     return b.withColumn("_carry", F.lit(0)).unionByName(
         carried.select(*cols, "_chunk", "_carry")
     )
+
+
+def plan_join_skew(
+    df: DataFrame,
+    keys: list[str],
+    shuffle_partitions: int = 32,
+    safety: float = 4.0,
+    sample_rows: int = 1_000_000,
+    max_salt: int = 32,
+) -> int | None:
+    """Skew auto-dispatch for EQUI-JOINS: decide whether a join keyed on
+    ``keys`` needs explicit salting, and at what factor.
+
+    A join hashes ``df`` (the big, salt-receiving side) on ``keys``; the
+    heaviest key's share of the rows is the fraction of the whole join one
+    reducer would run. Above ``safety / shuffle_partitions`` (capped at
+    50%, same reasoning as :func:`plan_trailing_skew`) return a salt
+    factor ``ceil(share × shuffle_partitions)`` clamped to
+    ``[2, max_salt]`` — enough sub-keys to spread the hot key's rows back
+    to average-task size; below the threshold return ``None`` (plain join;
+    AQE's runtime split covers mild skew for free, and salting uniform
+    data taxes every key with the replicated-side shuffle).
+
+    Detection cost mirrors :func:`plan_trailing_skew`: one count, then one
+    grouped aggregate over the keys — SAMPLED past ``sample_rows`` (the
+    threshold halves under sampling to absorb borderline error; a wrongly
+    salted borderline key costs a few percent, a missed truly-hot key is
+    ~impossible at 1M samples). The share estimate and therefore the salt
+    factor come from the same pass.
+    """
+    tot = df.count()
+    if not tot:
+        return None
+    thr_share = min(safety / shuffle_partitions, 0.5)
+    frac = min(1.0, sample_rows / tot)
+    src = df.select(*keys) if frac >= 1.0 else df.select(*keys).sample(
+        fraction=frac, seed=42
+    )
+    g = (
+        src.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n").alias("mx"), F.sum("n").alias("tot"))
+        .collect()[0]
+    )
+    if not g["tot"]:
+        return None
+    share = g["mx"] / g["tot"]
+    eff_thr = thr_share * (0.5 if frac < 1.0 else 1.0)
+    if share <= eff_thr:
+        return None
+    import math
+
+    return min(max_salt, max(2, math.ceil(share * shuffle_partitions)))
+
+
+def resolve_join_skew(
+    df: DataFrame, keys: list[str], skew_salt: int | str | None
+) -> int | None:
+    """Normalize join operators' ``skew_salt`` parameter (the equi-join
+    sibling of :func:`resolve_trailing_skew`):
+
+    - ``None`` → plain join;
+    - ``"auto"`` / ``"auto:N"`` → :func:`plan_join_skew` decides from the
+      data (``:N`` pins the partition count for session-independent plan
+      shape);
+    - an int ≥ 2 → salt at that factor unconditionally.
+    """
+    if skew_salt is None:
+        return None
+    if isinstance(skew_salt, str) and skew_salt.startswith("auto"):
+        if ":" in skew_salt:
+            sp = int(skew_salt.split(":", 1)[1])
+        else:
+            sp = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+        return plan_join_skew(df, keys, shuffle_partitions=sp)
+    return int(skew_salt)

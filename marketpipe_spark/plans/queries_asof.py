@@ -39,6 +39,31 @@ def q_asof(spark, sf_dir):
     )
 
 
+@register(
+    "asof_trade_quote_skewauto",
+    SQL_ASOF,
+    doc="asof_trade_quote under skew AUTO-dispatch (plan_trailing_skew over "
+    "both sides' keys; plain union-window when no symbol crosses the "
+    "straggler threshold, hot-key time-chunking with one-row carry-in when "
+    "one does; cold symbols keep the single-task window) — IDENTICAL oracle "
+    "as asof_trade_quote: parity proves dispatch never changes rows",
+    tags=("join", "asof", "skew"),
+)
+def q_asof_skewauto(spark, sf_dir):
+    b = bars(spark, sf_dir)
+    trades = b.filter(F.col("event_id") % 2 == 0).select("symbol", "ts_ns", F.col("close").alias("trade_value"))
+    quotes = b.filter(F.col("event_id") % 2 == 1).select("symbol", "ts_ns", F.col("close").alias("quote_value"))
+    # auto:32 pins the threshold partition count (plan-shape determinism).
+    out = asof_join(
+        trades, quotes, on="symbol", ts="ts_ns", right_cols=["quote_value"],
+        suffix="_q", skew_span="auto:32",
+    )
+    return out.select(
+        "symbol", "ts_ns", "trade_value",
+        F.col("ts_ns_q").alias("quote_ts"), F.col("quote_value_q").alias("quote_value"),
+    )
+
+
 SQL_INTERVAL = f"""
 WITH {SQL_BARS},
 iv AS (
@@ -70,6 +95,35 @@ def q_interval(spark, sf_dir):
     )
     pts = b.select("symbol", "ts_ns", "close")
     return interval_join(pts, iv, on="symbol", ts="ts_ns", slab=NS_HOUR)
+
+
+@register(
+    "interval_join_sessions_skewauto",
+    SQL_INTERVAL,
+    doc="interval_join_sessions under skew AUTO-dispatch (plan_join_skew "
+    "profiles the points' (symbol, slab) shares; plain slab equi-join when "
+    "no cell crosses the straggler threshold, salted at a share-sized "
+    "factor when one does — the salt never reaches the output) — IDENTICAL "
+    "oracle as interval_join_sessions: parity proves dispatch never "
+    "changes rows",
+    tags=("join", "range", "skew"),
+)
+def q_interval_skewauto(spark, sf_dir):
+    b = bars(spark, sf_dir)
+    hours = (
+        b.select("symbol", F.expr(f"ts_ns div {NS_HOUR}").alias("h"))
+        .distinct()
+        .filter(F.col("h") % 4 == 0)
+    )
+    iv = hours.select(
+        "symbol",
+        (F.col("h") * NS_HOUR).alias("start_ns"),
+        (F.col("h") * NS_HOUR + NS_HALF_HOUR).alias("end_ns"),
+    )
+    pts = b.select("symbol", "ts_ns", "close")
+    return interval_join(
+        pts, iv, on="symbol", ts="ts_ns", slab=NS_HOUR, skew_salt="auto:32"
+    )
 
 
 NS_30MIN = 1_800_000_000_000

@@ -48,6 +48,11 @@ DEFAULT_OPS = [
     "volatility_20",
     "user_sessions",
     "user_sessions_skewsafe",
+    # r9: join-family auto-dispatch (hot-key chunked as-of, salted slab join)
+    "asof_trade_quote",
+    "asof_trade_quote_skewauto",
+    "interval_join_sessions",
+    "interval_join_sessions_skewauto",
 ]
 
 

@@ -235,3 +235,83 @@ def test_sessionize_hot_keys_and_auto_bit_identical(spark):
     assert hot_targeted == plain
     assert none_hot == plain
     assert auto == plain
+
+
+def test_asof_chunked_and_auto_bit_identical(spark):
+    """Hot-key time-chunked as-of == plain as-of, with and without
+    tolerance; auto dispatch profiles and picks the chunked plan for the
+    planted 80%-hot key, the plain plan for uniform keys."""
+    import random
+
+    from marketpipe_spark.operators.asof import asof_join
+
+    random.seed(11)
+    rows_l, seen, rows_r = [], set(), []
+    for i in range(3000):
+        sym = "HOT" if i % 5 != 4 else f"C{i % 7}"
+        rows_l.append((sym, random.randint(0, 90000), float(i)))
+    for i in range(1500):
+        sym = "HOT" if i % 5 != 4 else f"C{i % 7}"
+        t = random.randint(0, 90000)
+        while (sym, t) in seen:
+            t += 1
+        seen.add((sym, t))
+        rows_r.append((sym, t, i * 0.5))
+    left = spark.createDataFrame(rows_l, "symbol string, ts_ns long, lv double")
+    right = spark.createDataFrame(rows_r, "symbol string, ts_ns long, rv double")
+
+    def rowset(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    plain = rowset(asof_join(left, right, right_cols=["rv"]))
+    assert rowset(asof_join(left, right, right_cols=["rv"], skew_span=9000)) == plain
+    assert rowset(asof_join(left, right, right_cols=["rv"], skew_span="auto:4")) == plain
+    tol = rowset(asof_join(left, right, right_cols=["rv"], tolerance=4000))
+    assert (
+        rowset(asof_join(left, right, right_cols=["rv"], tolerance=4000, skew_span="auto:4"))
+        == tol
+    )
+
+
+def test_interval_join_salted_and_auto_bit_identical(spark):
+    from pyspark.sql import functions as F
+
+    from marketpipe_spark.operators.asof import interval_join
+
+    import random
+
+    random.seed(13)
+    pts_rows = [
+        ("HOT" if i % 4 else f"C{i % 5}", random.randint(0, 50000), float(i))
+        for i in range(2000)
+    ]
+    pts = spark.createDataFrame(pts_rows, "symbol string, ts_ns long, v double")
+    iv = (
+        pts.select("symbol", (F.col("ts_ns") - 1500).alias("start_ns"), (F.col("ts_ns") + 2500).alias("end_ns"))
+        .limit(300)
+    )
+
+    def rowset(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    plain = rowset(interval_join(pts, iv, slab=4000))
+    assert rowset(interval_join(pts, iv, slab=4000, skew_salt=8)) == plain
+    assert rowset(interval_join(pts, iv, slab=4000, skew_salt="auto:4")) == plain
+
+
+def test_plan_join_skew_threshold(spark):
+    from pyspark.sql import functions as F
+
+    from marketpipe_spark.operators.skew import plan_join_skew
+
+    uniform = spark.range(0, 20000).select(
+        (F.col("id") % 997).alias("k"), (F.col("id") % 31).alias("s")
+    )
+    assert plan_join_skew(uniform, ["k", "s"], shuffle_partitions=4) is None
+    hot = spark.range(0, 10000).select(
+        F.when(F.col("id") % 10 < 8, F.lit("HOT")).otherwise(F.lit("C")).alias("k"),
+        F.lit(1).alias("s"),
+    )
+    salt = plan_join_skew(hot, ["k", "s"], shuffle_partitions=4)
+    # ~80% share on 4 partitions -> ceil(0.8 * 4) = 4 sub-keys
+    assert salt is not None and 2 <= salt <= 32
