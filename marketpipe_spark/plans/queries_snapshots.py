@@ -195,3 +195,68 @@ def q_snapshot_incremental_agg(spark, sf_dir):
         F.col("sum_o_totalprice").cast("double").alias("sum_price"),
         "n_rows",
     )
+
+
+SQL_SNAPSHOT_INCR_AGG_MINMAX = """
+WITH v1 AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 10 <> 0
+),
+batch AS (
+  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 3 = 0
+),
+v2 AS (
+  SELECT * FROM batch
+  UNION ALL
+  SELECT * FROM v1 WHERE o_orderkey NOT IN (SELECT o_orderkey FROM batch)
+),
+v3 AS (
+  SELECT * FROM v2 WHERE o_orderkey % 7 <> 0
+)
+SELECT o_orderstatus,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_price,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       MIN(o_totalprice) AS min_price,
+       MAX(o_totalprice) AS max_price,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS DOUBLE)
+         / COUNT(*) AS avg_price
+FROM v3 GROUP BY o_orderstatus
+"""
+
+
+@register(
+    "snapshot_incremental_agg_minmax",
+    SQL_SNAPSHOT_INCR_AGG_MINMAX,
+    doc=(
+        "incremental MV maintenance for non-retraction-closed aggregates: "
+        "MIN/MAX fold inserts in directly and re-aggregate ONLY groups "
+        "where a retraction hit the stored extreme (the v1->v3 sequence "
+        "contains extreme-retracting deletes — v3 drops every 7th key); "
+        "AVG derives from the exact decimal SUM/COUNT; the oracle "
+        "recomputes v3 directly, so parity proves delta+rescan == recompute"
+    ),
+    tags=("snapshots", "cdc", "agg"),
+)
+def q_snapshot_incremental_agg_minmax(spark, sf_dir):
+    root = _build_versions(spark, sf_dir)
+    out = incremental_agg(
+        spark,
+        root,
+        keys=["o_orderkey"],
+        group_cols=["o_orderstatus"],
+        sum_cols=["o_totalprice"],
+        v_from=1,
+        v_to=3,
+        min_cols=["o_totalprice"],
+        max_cols=["o_totalprice"],
+        avg_cols=["o_totalprice"],
+    )
+    return out.select(
+        "o_orderstatus",
+        F.col("sum_o_totalprice").cast("double").alias("sum_price"),
+        "n_rows",
+        F.col("min_o_totalprice").alias("min_price"),
+        F.col("max_o_totalprice").alias("max_price"),
+        F.col("avg_o_totalprice").alias("avg_price"),
+    )

@@ -85,6 +85,7 @@ __all__ = [
     "SnapshotFS",
     "LocalFS",
     "HadoopFS",
+    "S3SimFS",
     "write_table",
     "upsert_table",
     "delete_where",
@@ -106,6 +107,26 @@ _BROADCAST_KEY_ROWS = 1_000_000
 
 #: Commit attempts before giving up under sustained contention.
 _MAX_COMMIT_RETRIES = 20
+
+#: CAS retry backoff: full-jitter exponential, seconds. Base/cap keep the
+#: worst-case added latency small (≤ ~2.5 s over all 20 attempts) while
+#: desynchronizing writers that lost the same publish — a tight retry loop
+#: makes N contending writers re-collide every round (and against an
+#: object store turns the conflict into a 412-request storm).
+_CAS_BACKOFF_BASE = 0.01
+_CAS_BACKOFF_CAP = 0.25
+
+
+def _cas_backoff(attempt: int) -> None:
+    """Sleep a full-jitter exponential backoff before CAS retry ``attempt``
+    (0-based; attempt 0 retries immediately — first conflicts are usually
+    one racing writer, not a storm)."""
+    if attempt <= 0:
+        return
+    import random
+    import time
+
+    time.sleep(random.random() * min(_CAS_BACKOFF_CAP, _CAS_BACKOFF_BASE * (2 ** attempt)))
 
 
 class CommitConflict(Exception):
@@ -279,6 +300,103 @@ class HadoopFS:
 
     def rmtree(self, path: str) -> None:
         self._fs.delete(self._Path(path), True)
+
+
+class S3SimFS:
+    """Object-store CONTRACT DOUBLE: local-disk-backed, but every operation
+    follows S3 semantics (post-2020 strong consistency) instead of POSIX —
+    the third leg of the snapshot FS matrix next to :class:`LocalFS` and
+    :class:`HadoopFS`.
+
+    - **No rename.** Objects are immutable blobs under flat keys; "rename"
+      is copy-bytes + delete-source, NOT atomic — exactly what an S3 SDK
+      does, so a test passing here never depended on atomic rename.
+    - **try_publish = conditional PUT** (``If-None-Match: *``): the object
+      is created iff the key does not exist, in one atomic operation; on
+      precondition failure the temp object is deleted and the CAS loses.
+      (Locally: ``O_CREAT|O_EXCL`` — the same create-if-absent atomicity
+      the S3 conditional write provides.)
+    - **Unordered listings.** ``listdir`` deterministically shuffles names
+      (seeded per path) so nothing can accidentally rely on lexicographic
+      ``ListObjectsV2`` order the protocol doesn't promise.
+    - **Fault injection** for retry-policy tests: ``fail_publish_n=k``
+      makes the next ``k`` conditional puts fail as transient conflicts
+      (the 409/412-storm regime); ``publishes`` counts attempts.
+
+    The snapshot DATA files still live on the local disk at the same paths
+    (Spark's parquet IO is scheme-routed separately); this class governs
+    the METADATA protocol — the part whose correctness depends on store
+    semantics.
+    """
+
+    def __init__(self, fail_publish_n: int = 0):
+        self._inner = LocalFS()
+        self.fail_publish_n = fail_publish_n
+        self.publishes = 0
+
+    # reads/writes: plain object GET/PUT (whole-blob, no partial update)
+    def read_text(self, path: str) -> str:
+        return self._inner.read_text(path)
+
+    def write_text(self, path: str, text: str) -> None:
+        self._inner.write_text(path, text)
+
+    def read_bytes(self, path: str) -> bytes:
+        return self._inner.read_bytes(path)
+
+    def write_bytes(self, path: str, data: bytes) -> None:
+        self._inner.write_bytes(path, data)
+
+    def listdir(self, path: str) -> list[str]:
+        import random as _random
+
+        names = self._inner.listdir(path)
+        _random.Random(hash(path) & 0xFFFF).shuffle(names)
+        return names
+
+    def try_publish(self, tmp: str, final: str) -> bool:
+        self.publishes += 1
+        if self.fail_publish_n > 0:
+            self.fail_publish_n -= 1
+            self._inner.delete(tmp)
+            return False
+        data = self._inner.read_bytes(tmp)
+        ok = True
+        try:
+            # Conditional PUT: create-if-absent in one atomic step.
+            fd = os.open(
+                _local_path(final), os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644
+            )
+            try:
+                os.write(fd, data)
+            finally:
+                os.close(fd)
+        except FileExistsError:
+            ok = False
+        self._inner.delete(tmp)
+        return ok
+
+    def rename(self, src: str, dst: str) -> None:
+        # S3 has no rename: server-side copy, then delete the source.
+        self._inner.write_bytes(dst, self._inner.read_bytes(src))
+        self._inner.delete(src)
+
+    def delete(self, path: str) -> None:
+        self._inner.delete(path)
+
+    def exists(self, path: str) -> bool:
+        return self._inner.exists(path)
+
+    def mtime(self, path: str) -> float:
+        return self._inner.mtime(path)
+
+    def mkdirs(self, path: str) -> None:
+        # Buckets have no directories; creating "prefixes" is a no-op. The
+        # local backing store still needs parents for O_EXCL creates.
+        self._inner.mkdirs(path)
+
+    def rmtree(self, path: str) -> None:
+        self._inner.rmtree(path)
 
 
 def _has_scheme(path: str) -> bool:
@@ -484,7 +602,7 @@ def write_table(
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     fs = _resolve_fs(root, df.sparkSession, fs)
     new_files = _land_data_files(df, root, (_latest(root, fs) or 0) + 1, fs)
-    for _ in range(_MAX_COMMIT_RETRIES):
+    for _attempt in range(_MAX_COMMIT_RETRIES):
         parent = _latest(root, fs)
         live = list(new_files)
         if mode == "append" and parent is not None:
@@ -494,6 +612,7 @@ def write_table(
                 root, live, note or f"{mode} {len(new_files)} files", parent, fs
             )
         except CommitConflict:
+            _cas_backoff(_attempt)
             continue
     raise CommitConflict(
         f"write_table lost the commit race {_MAX_COMMIT_RETRIES} times at {root}"
@@ -609,7 +728,7 @@ def upsert_table(
     key_probe = F.broadcast(new_keys) if st["nk"] <= _BROADCAST_KEY_ROWS else new_keys
     root_path = _root_data_path(root)
 
-    for _ in range(_MAX_COMMIT_RETRIES):
+    for _attempt in range(_MAX_COMMIT_RETRIES):
         live = _read_manifest(root, parent, fs)["files"]
         live_set = set(live)
         # Key-columns-only scan (column pruning reaches the parquet reader) —
@@ -652,6 +771,7 @@ def upsert_table(
                 return rebased
             # Overlapping commit: full retry against the new latest. The
             # files just landed are now orphans (expire reclaims them).
+            _cas_backoff(_attempt)
             parent = _latest(root, fs)
             continue
     raise CommitConflict(
@@ -688,7 +808,7 @@ def _try_rebase(
     FS whose try_publish maps transient failures to conflict) it returns
     None and the caller falls back to the outer full-retry loop instead of
     livelocking here."""
-    for _ in range(_MAX_COMMIT_RETRIES):
+    for _attempt in range(_MAX_COMMIT_RETRIES):
         latest = _latest(root, fs)
         latest_live = set(_read_manifest(root, latest, fs)["files"])
         removed = base_live - latest_live
@@ -707,6 +827,7 @@ def _try_rebase(
                 fs,
             )
         except CommitConflict:
+            _cas_backoff(_attempt)
             continue  # someone else landed again; re-check against base_live
     return None  # rebase exhausted its retry budget; outer loop re-merges
 
@@ -732,7 +853,7 @@ def delete_where(
     nothing, which costs the same scan as the retry)."""
     fs = _resolve_fs(root, spark, fs)
     pred = F.expr(predicate) if isinstance(predicate, str) else predicate
-    for _ in range(_MAX_COMMIT_RETRIES):
+    for _attempt in range(_MAX_COMMIT_RETRIES):
         parent = _latest(root, fs)
         if parent is None:
             raise FileNotFoundError(f"no snapshots at {root}")
@@ -776,6 +897,7 @@ def delete_where(
                 fs,
             )
         except CommitConflict:
+            _cas_backoff(_attempt)
             continue
     raise CommitConflict(
         f"delete_where lost the commit race {_MAX_COMMIT_RETRIES} times at {root}"
@@ -796,7 +918,7 @@ def restore_table(
     audit trail. Requires the target version to still be retained."""
     fs = _resolve_fs(root, spark, fs)
     target = _read_manifest(root, version, fs)
-    for _ in range(_MAX_COMMIT_RETRIES):
+    for _attempt in range(_MAX_COMMIT_RETRIES):
         parent = _latest(root, fs)
         try:
             return _commit(
@@ -807,6 +929,7 @@ def restore_table(
                 fs,
             )
         except CommitConflict:
+            _cas_backoff(_attempt)
             continue
     raise CommitConflict(
         f"restore lost the commit race {_MAX_COMMIT_RETRIES} times at {root}"
@@ -1002,6 +1125,9 @@ def incremental_agg(
     v_to: int | None = None,
     fs: SnapshotFS | None = None,
     base: DataFrame | None = None,
+    min_cols: list[str] | None = None,
+    max_cols: list[str] | None = None,
+    avg_cols: list[str] | None = None,
 ) -> DataFrame:
     """Incremental MATERIALIZED-VIEW maintenance from the change feed:
     ``groupBy(group_cols).agg(SUM(sum_cols), COUNT(*))`` at ``v_to``,
@@ -1019,18 +1145,44 @@ def incremental_agg(
 
     Scale: the base aggregate scans ``v_from`` once — or, in steady
     state, is the PREVIOUS refresh's output passed back via ``base``
-    (columns ``group_cols + [sum_<c>] + n_rows``, e.g. the materialized
-    view's stored rows), in which case a refresh costs ONE churn-bounded
-    diff join + a delta-sized aggregation — independent of table size,
-    the reason CDC exists. The group-side combine is a full-outer
-    null-safe join on the (small) group dimension.
+    (columns ``group_cols + [sum_<c>] + n_rows`` plus any min/max columns,
+    e.g. the materialized view's stored rows), in which case a refresh
+    costs ONE churn-bounded diff join + a delta-sized aggregation —
+    independent of table size, the reason CDC exists. The group-side
+    combine is a full-outer null-safe join on the (small) group dimension.
+
+    ``min_cols`` / ``max_cols`` maintain ``min_<c>`` / ``max_<c>``. Unlike
+    SUM/COUNT these are NOT retraction-closed: deleting the group's
+    current minimum needs to learn the runner-up. The maintenance is
+    delta-first with a targeted rescan fallback —
+
+    - inserts fold in for free (``least(base_min, min(inserted))``);
+    - a retraction whose old value is ABOVE the stored min provably
+      cannot change it (all v_from values ≥ min) — fold-free;
+    - only groups where a retracted value EQUALS the stored extreme are
+      DIRTY: those (and only those) are re-aggregated from ``v_to`` with
+      a semi-join — aggregation cost ∝ dirty groups, not the view. In
+      steady state retractions rarely hit the exact extreme, so most
+      refreshes never rescan (the dirty branch short-circuits to an
+      empty plan when no group qualifies).
+
+    ``avg_cols`` (⊆ ``sum_cols``) adds derived ``avg_<c> =
+    sum_<c> / n_rows`` — double division of the EXACT decimal sum, so
+    incremental and recomputed averages are bit-identical too.
     """
     dec = "decimal(38,6)"
+    min_cols = list(min_cols or [])
+    max_cols = list(max_cols or [])
+    avg_cols = list(avg_cols or [])
+    if not set(avg_cols) <= set(sum_cols):
+        raise ValueError(f"avg_cols {avg_cols} must be a subset of sum_cols {sum_cols}")
+    ext = [("min", c) for c in min_cols] + [("max", c) for c in max_cols]
 
     def _agg(df: DataFrame) -> DataFrame:
         return df.groupBy(*group_cols).agg(
             *[F.sum(F.col(c).cast(dec)).alias(f"sum_{c}") for c in sum_cols],
             F.count(F.lit(1)).alias("n_rows"),
+            *[getattr(F, k)(c).alias(f"{k}_{c}") for k, c in ext],
         )
 
     if base is None:
@@ -1040,6 +1192,7 @@ def incremental_agg(
             *group_cols,
             *[F.col(f"sum_{c}").cast(dec).alias(f"sum_{c}") for c in sum_cols],
             F.col("n_rows").cast("long"),
+            *[F.col(f"{k}_{c}") for k, c in ext],
         )
     ch = table_changes(spark, root, keys, v_from, v_to, fs=fs, include_old=True)
 
@@ -1057,6 +1210,17 @@ def incremental_agg(
                 for c in sum_cols
             ],
             F.lit(sign).cast("long").alias("dn"),
+            # Extreme-maintenance inputs: the inserted-side candidates and
+            # the retracted-side extremes, NULL on the opposite side so the
+            # grouped min/max ignores them.
+            *[
+                (_side(struct, c) if sign > 0 else F.lit(None).cast(ch.schema["_new"].dataType[c].dataType)).alias(f"ins_{k}_{c}")
+                for k, c in ext
+            ],
+            *[
+                (_side(struct, c) if sign < 0 else F.lit(None).cast(ch.schema["_new"].dataType[c].dataType)).alias(f"ret_{k}_{c}")
+                for k, c in ext
+            ],
         )
 
     delta = (
@@ -1066,17 +1230,24 @@ def incremental_agg(
         .agg(
             *[F.sum(f"d_{c}").alias(f"d_{c}") for c in sum_cols],
             F.sum("dn").alias("dn"),
+            # min over inserted values / min over retracted values (resp.
+            # max) — all the delta knows about the group's extremes.
+            *[getattr(F, k)(f"ins_{k}_{c}").alias(f"ins_{k}_{c}") for k, c in ext],
+            *[getattr(F, k)(f"ret_{k}_{c}").alias(f"ret_{k}_{c}") for k, c in ext],
         )
     )
     b = base.select(
         *[F.col(g).alias(f"_bg_{g}") for g in group_cols],
         *[F.col(f"sum_{c}") for c in sum_cols],
         "n_rows",
+        *[F.col(f"{k}_{c}") for k, c in ext],
     )
     d = delta.select(
         *[F.col(g).alias(f"_dg_{g}") for g in group_cols],
         *[F.col(f"d_{c}") for c in sum_cols],
         "dn",
+        *[F.col(f"ins_{k}_{c}") for k, c in ext],
+        *[F.col(f"ret_{k}_{c}") for k, c in ext],
     )
     cond = functools.reduce(
         operator.and_,
@@ -1096,7 +1267,76 @@ def incremental_agg(
     n = (
         F.coalesce(F.col("n_rows"), F.lit(0)) + F.coalesce(F.col("dn"), F.lit(0))
     ).cast("long")
-    return j.select(*out_groups, *sums, n.alias("n_rows")).where(F.col("n_rows") > 0)
+
+    def _avg_out(cols) -> list:
+        # Double division of the EXACT decimal sum: deterministic and
+        # identical between the incremental and recomputed paths (both
+        # divide the same exact numerator by the same count). Decimal
+        # division would also work but rounds differently across engines,
+        # which would break oracle parity for no precision gain.
+        return [
+            (F.col(f"sum_{c}").cast("double") / F.col("n_rows")).alias(f"avg_{c}")
+            for c in cols
+        ]
+
+    if not ext:
+        out = j.select(*out_groups, *sums, n.alias("n_rows")).where(
+            F.col("n_rows") > 0
+        )
+        return out.select("*", *_avg_out(avg_cols)) if avg_cols else out
+
+    # Extreme maintenance. A group is DIRTY for (k, c) iff a retraction hit
+    # the stored extreme exactly (every v_from value is bounded by the
+    # extreme, so a retraction strictly inside the range can never move
+    # it). Dirty groups get re-aggregated from v_to — aggregation work ∝
+    # dirty groups; clean groups fold the inserted-side candidate in
+    # directly. Brand-new groups (no base) are always clean: every current
+    # row arrived through the delta, so the inserted candidate IS the
+    # extreme.
+    fold = {"min": F.least, "max": F.greatest}
+    dirty_flags = [
+        (
+            F.col("n_rows").isNotNull()
+            & F.col(f"ret_{k}_{c}").isNotNull()
+            & (F.col(f"ret_{k}_{c}") == F.col(f"{k}_{c}"))
+        ).alias(f"_dirty_{k}_{c}")
+        for k, c in ext
+    ]
+    exts = [
+        fold[k](F.col(f"{k}_{c}"), F.col(f"ins_{k}_{c}")).alias(f"{k}_{c}")
+        for k, c in ext
+    ]
+    merged = j.select(
+        *out_groups, *sums, n.alias("n_rows"), *exts, *dirty_flags
+    ).where(F.col("n_rows") > 0)
+    any_dirty = functools.reduce(
+        operator.or_, [F.col(f"_dirty_{k}_{c}") for k, c in ext]
+    )
+    dirty_groups = merged.where(any_dirty).select(*group_cols)
+    v_to_r = v_to if v_to is not None else _latest(root, _resolve_fs(root, spark, fs))
+    rescan = (
+        read_table(spark, root, version=v_to_r, fs=fs)
+        .join(dirty_groups, group_cols, "left_semi")
+        .groupBy(*group_cols)
+        .agg(*[getattr(F, k)(c).alias(f"_rs_{k}_{c}") for k, c in ext])
+    )
+    # No pinned join strategy: the dirty set is usually tiny (AQE
+    # broadcasts it at runtime) but is unbounded in the worst case — a
+    # forced broadcast would be the OOM antipattern dim_join documents.
+    patched = merged.join(rescan, group_cols, "left")
+    final_ext = [
+        F.when(F.col(f"_dirty_{k}_{c}"), F.col(f"_rs_{k}_{c}"))
+        .otherwise(F.col(f"{k}_{c}"))
+        .alias(f"{k}_{c}")
+        for k, c in ext
+    ]
+    out = patched.select(
+        *group_cols,
+        *[F.col(f"sum_{c}") for c in sum_cols],
+        "n_rows",
+        *final_ext,
+    )
+    return out.select("*", *_avg_out(avg_cols)) if avg_cols else out
 
 
 def changes_since(
@@ -1192,7 +1432,7 @@ def compact_table(
     compaction over the new latest (compacting a stale version would
     silently drop the interleaved commit's rows)."""
     fs = _resolve_fs(root, spark, fs)
-    for _ in range(_MAX_COMMIT_RETRIES):
+    for _attempt in range(_MAX_COMMIT_RETRIES):
         parent = _latest(root, fs)
         if parent is None:
             raise FileNotFoundError(f"no snapshots at {root}")
@@ -1203,6 +1443,7 @@ def compact_table(
                 root, new_files, note or f"compact -> {len(new_files)} files", parent, fs
             )
         except CommitConflict:
+            _cas_backoff(_attempt)
             continue
     raise CommitConflict(
         f"compact lost the commit race {_MAX_COMMIT_RETRIES} times at {root}"

@@ -1,16 +1,47 @@
-"""Snapshot table protocol: time travel, COW upsert file pruning, expiry."""
+"""Snapshot table protocol: time travel, COW upsert file pruning, expiry.
+
+The WHOLE module runs twice — once over the POSIX :class:`LocalFS` and once
+over the S3-semantics contract double :class:`S3SimFS` (conditional-PUT
+publish, copy+delete rename, unordered listings) — so every protocol test,
+including the deterministic two-writer races and expiry, is proven under
+object-store semantics, not just the filesystem the sandbox happens to have.
+"""
 
 from __future__ import annotations
 
 import os
 
+import pytest
+
 from marketpipe_spark.snapshots import (
+    S3SimFS,
     expire_snapshots,
     read_table,
     table_history,
     upsert_table,
     write_table,
 )
+
+
+@pytest.fixture(params=["local", "s3sim"], autouse=True)
+def snapshot_fs_matrix(request, monkeypatch):
+    """Route default-FS resolution (fs=None) to the parametrized store.
+    Tests that pass an explicit ``fs=`` keep it (the gated-race wrappers
+    pick their inner store from this fixture instead)."""
+    if request.param == "local":
+        yield "local"
+        return
+    from marketpipe_spark import snapshots as S
+
+    orig = S._resolve_fs
+
+    def routed(root, spark, fs):
+        if fs is None and not S._has_scheme(root):
+            return S3SimFS()
+        return orig(root, spark, fs)
+
+    monkeypatch.setattr(S, "_resolve_fs", routed)
+    yield "s3sim"
 
 
 def _rows(df):
@@ -202,15 +233,16 @@ def test_commit_cas_rejects_second_writer(tmp_path):
 
 
 class _GatedFS:
-    """LocalFS that parks the first publish until released — deterministic
-    interleaving for the two-writer tests."""
+    """FS wrapper that parks the first publish until released —
+    deterministic interleaving for the two-writer tests. Wraps whichever
+    store the module matrix is running over (LocalFS by default)."""
 
-    def __init__(self):
+    def __init__(self, inner=None):
         import threading
 
         from marketpipe_spark.snapshots import LocalFS
 
-        self._inner = LocalFS()
+        self._inner = inner if inner is not None else LocalFS()
         self.reached = threading.Event()
         self.go = threading.Event()
         self.conflicts = 0
@@ -239,7 +271,7 @@ def _two_file_table(spark, root):
     )
 
 
-def test_concurrent_disjoint_upserts_rebase(spark, tmp_path):
+def test_concurrent_disjoint_upserts_rebase(spark, tmp_path, snapshot_fs_matrix):
     """Writer A (insert of a brand-new key) loses the CAS to writer B
     (update of id=2). Their file sets are disjoint, so A rebases: both
     effects land, versions are linear, nothing is lost."""
@@ -248,7 +280,9 @@ def test_concurrent_disjoint_upserts_rebase(spark, tmp_path):
     root = str(tmp_path / "snap")
     _two_file_table(spark, root)
 
-    gated = _GatedFS()
+    gated = _GatedFS(
+        S3SimFS() if snapshot_fs_matrix == "s3sim" else None
+    )
     result = {}
 
     def writer_a():
@@ -294,7 +328,7 @@ def test_concurrent_disjoint_upserts_rebase(spark, tmp_path):
     ]
 
 
-def test_concurrent_overlapping_upserts_retry_keep_last(spark, tmp_path):
+def test_concurrent_overlapping_upserts_retry_keep_last(spark, tmp_path, snapshot_fs_matrix):
     """Both writers update id=2. The loser may NOT rebase (the winner's new
     file carries its key) — it re-runs the merge against the new parent, so
     the serial order is 'winner then loser' and the loser's value is the
@@ -304,7 +338,9 @@ def test_concurrent_overlapping_upserts_retry_keep_last(spark, tmp_path):
     root = str(tmp_path / "snap")
     _two_file_table(spark, root)
 
-    gated = _GatedFS()
+    gated = _GatedFS(
+        S3SimFS() if snapshot_fs_matrix == "s3sim" else None
+    )
 
     def writer_a():
         upsert_table(
@@ -779,3 +815,172 @@ def test_table_history_reports_commit_timestamps(spark, tmp_path):
     stamps = [h["committed_at"] for h in hist]
     assert all(isinstance(s, str) and "T" in s for s in stamps)
     assert stamps == sorted(stamps)  # same-process commits are monotone
+
+
+def test_s3sim_conditional_put_contract(tmp_path):
+    """The S3 contract double itself: conditional PUT admits exactly one
+    writer per key; rename is copy+delete (source gone, bytes moved);
+    listings are non-lexicographic but complete."""
+    import json
+
+    from marketpipe_spark.snapshots import CommitConflict, _commit
+
+    root = str(tmp_path / "snap")
+    fs = S3SimFS()
+    assert _commit(root, ["data/a.parquet"], "w1", None, fs) == 1
+    with pytest.raises(CommitConflict):
+        _commit(root, ["data/b.parquet"], "w2", None, fs)
+    m = json.load(open(os.path.join(root, "_snapshots", "v1.json")))
+    assert m["note"] == "w1" and m["files"] == ["data/a.parquet"]
+    # rename = copy + delete
+    src, dst = str(tmp_path / "x.bin"), str(tmp_path / "y.bin")
+    fs.write_bytes(src, b"payload")
+    fs.rename(src, dst)
+    assert not fs.exists(src) and fs.read_bytes(dst) == b"payload"
+    # listing: complete, order not promised
+    names = fs.listdir(str(tmp_path))
+    assert "y.bin" in names
+
+
+def test_s3sim_transient_publish_failures_are_retried(spark, tmp_path):
+    """A 412-storm (every publish rejected k times) is absorbed by the
+    bounded backoff retry loop — the commit still lands, with exactly
+    k + 1 publish attempts."""
+    root = str(tmp_path / "snap")
+    fs = S3SimFS(fail_publish_n=3)
+    v = write_table(
+        spark.createDataFrame([(1, "a")], "id long, v string"), root, fs=fs
+    )
+    assert v == 1 and fs.publishes == 4
+    assert _rows(read_table(spark, root, fs=fs)) == [(1, "a")]
+
+
+def test_s3sim_exhausted_publish_budget_raises(spark, tmp_path):
+    from marketpipe_spark.snapshots import CommitConflict, _MAX_COMMIT_RETRIES
+
+    root = str(tmp_path / "snap")
+    fs = S3SimFS(fail_publish_n=_MAX_COMMIT_RETRIES + 1)
+    with pytest.raises(CommitConflict, match="lost the commit race"):
+        write_table(
+            spark.createDataFrame([(1, "a")], "id long, v string"), root, fs=fs
+        )
+
+
+def test_incremental_agg_minmax_retracting_deletes(spark, tmp_path):
+    """MIN/MAX maintenance across a CDC sequence engineered so deletes and
+    updates RETRACT group extremes (the non-retraction-closed case): the
+    incremental result must hash-equal a direct recompute, including the
+    dirty-group rescan, new-group bootstrap, and AVG-from-SUM/COUNT."""
+    from marketpipe_spark.snapshots import incremental_agg
+
+    root = str(tmp_path / "snap")
+    # v1: two groups. g1 min=1 max=9; g2 min=5 max=5.
+    write_table(
+        spark.createDataFrame(
+            [(1, "g1", 1.0), (2, "g1", 9.0), (3, "g1", 4.0), (4, "g2", 5.0)],
+            "id long, g string, x double",
+        ),
+        root,
+    )
+    # v2: delete g1's MAX (id=2 retracts 9.0 -> dirty max), update g1's MIN
+    # away (id=1: 1.0 -> 6.0, retract-min + insert), move id=3 to a NEW
+    # group g3 (group migration), leave g2 untouched.
+    write_table(
+        spark.createDataFrame(
+            [(1, "g1", 6.0), (3, "g3", 4.0), (4, "g2", 5.0)],
+            "id long, g string, x double",
+        ),
+        root,
+        mode="overwrite",
+    )
+    out = incremental_agg(
+        spark,
+        root,
+        keys=["id"],
+        group_cols=["g"],
+        sum_cols=["x"],
+        v_from=1,
+        v_to=2,
+        min_cols=["x"],
+        max_cols=["x"],
+        avg_cols=["x"],
+    )
+    got = {
+        r["g"]: (
+            float(r["sum_x"]),
+            r["n_rows"],
+            r["min_x"],
+            r["max_x"],
+            r["avg_x"],
+        )
+        for r in out.collect()
+    }
+    assert got == {
+        "g1": (6.0, 1, 6.0, 6.0, 6.0),
+        "g2": (5.0, 1, 5.0, 5.0, 5.0),
+        "g3": (4.0, 1, 4.0, 4.0, 4.0),
+    }
+    # Direct recompute parity (same expression shapes).
+    from pyspark.sql import functions as F
+
+    direct = {
+        r["g"]: (
+            float(r["sum_x"]),
+            r["n_rows"],
+            r["min_x"],
+            r["max_x"],
+            r["avg_x"],
+        )
+        for r in read_table(spark, root, version=2)
+        .groupBy("g")
+        .agg(
+            F.sum(F.col("x").cast("decimal(38,6)")).alias("sum_x"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("x").alias("min_x"),
+            F.max("x").alias("max_x"),
+        )
+        .withColumn("avg_x", F.col("sum_x").cast("double") / F.col("n_rows"))
+        .collect()
+    }
+    assert got == direct
+
+
+def test_incremental_agg_minmax_steady_state_base_reuse(spark, tmp_path):
+    """Steady state: the previous refresh's output (with min/max columns)
+    feeds back as `base`, and a non-extreme retraction folds WITHOUT a
+    rescan changing anything (the clean-branch path)."""
+    from marketpipe_spark.snapshots import incremental_agg
+
+    root = str(tmp_path / "snap")
+    write_table(
+        spark.createDataFrame(
+            [(1, "g", 1.0), (2, "g", 5.0), (3, "g", 9.0)],
+            "id long, g string, x double",
+        ),
+        root,
+    )
+    mv = incremental_agg(
+        spark, root, ["id"], ["g"], ["x"], v_from=1, v_to=1,
+        min_cols=["x"], max_cols=["x"],
+    )
+    # v2 deletes the MIDDLE value (5.0): neither extreme retracted -> clean.
+    write_table(
+        spark.createDataFrame(
+            [(1, "g", 1.0), (3, "g", 9.0)], "id long, g string, x double"
+        ),
+        root,
+        mode="overwrite",
+    )
+    out = incremental_agg(
+        spark, root, ["id"], ["g"], ["x"], v_from=1, v_to=2,
+        min_cols=["x"], max_cols=["x"], base=mv,
+    )
+    rows = out.collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (float(r["sum_x"]), r["n_rows"], r["min_x"], r["max_x"]) == (
+        10.0,
+        2,
+        1.0,
+        9.0,
+    )
