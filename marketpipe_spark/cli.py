@@ -533,14 +533,17 @@ def cmd_snapshots(args) -> int:
     verb = args.snapshots_command
     if verb == "history":
         for h in table_history(args.root):
+            ts = (h.get("committed_at") or "-")[:19]
             print(
                 f"v{h['version']:<6} parent={h['parent'] if h['parent'] is not None else '-':<6} "
-                f"files={h['n_files']:<6} {h['note']}"
+                f"files={h['n_files']:<6} {ts:<20} {h['note']}"
             )
         return 0
     spark = _spark("snapshots")
     if verb == "read":
-        df = read_table(spark, args.root, version=args.version)
+        df = read_table(
+            spark, args.root, version=args.version, as_of=getattr(args, "as_of", None)
+        )
         print(render(df, limit=args.limit, fmt=args.fmt))
     elif verb == "changes":
         df = table_changes(
@@ -925,6 +928,12 @@ def build_parser() -> argparse.ArgumentParser:
     _snap_common(snsub.add_parser("history", help="list retained versions"))
     sr = snsub.add_parser("read", help="print a pinned version (default latest)")
     sr.add_argument("--version", type=int, default=None)
+    sr.add_argument(
+        "--as-of",
+        default=None,
+        dest="as_of",
+        help="time-travel by commit timestamp (ISO-8601; latest version committed at or before it)",
+    )
     _snap_common(sr, with_render=True)
     sc = snsub.add_parser("changes", help="change data feed between two versions")
     sc.add_argument("--keys", required=True, help="comma-separated key columns")

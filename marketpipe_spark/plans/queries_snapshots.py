@@ -260,3 +260,43 @@ def q_snapshot_incremental_agg_minmax(spark, sf_dir):
         F.col("max_o_totalprice").alias("max_price"),
         F.col("avg_o_totalprice").alias("avg_price"),
     )
+
+
+SQL_SNAPSHOT_READ_AS_OF = """
+WITH v1 AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 10 <> 0
+),
+batch AS (
+  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 3 = 0
+)
+SELECT * FROM batch
+UNION ALL
+SELECT * FROM v1 WHERE o_orderkey NOT IN (SELECT o_orderkey FROM batch)
+"""
+
+
+@register(
+    "snapshot_read_as_of",
+    SQL_SNAPSHOT_READ_AS_OF,
+    doc=(
+        "timestamp time-travel: read_table(as_of=<v2's committed_at>) must "
+        "resolve to exactly version 2's file set (Delta TIMESTAMP AS OF "
+        "resolution over manifest commit timestamps, metadata-only); the "
+        "oracle rebuilds v2 declaratively, so parity proves the timestamp "
+        "scan picks the right manifest, through a SQL-registered view"
+    ),
+    tags=("snapshots", "timetravel"),
+)
+def q_snapshot_read_as_of(spark, sf_dir):
+    from ..snapshots import register_snapshot_view, table_history
+
+    root = _build_versions(spark, sf_dir)
+    ts2 = next(h["committed_at"] for h in table_history(root) if h["version"] == 2)
+    # The SQL surface: register the pinned-by-timestamp snapshot as a view
+    # and query it with plain spark.sql.
+    register_snapshot_view(spark, root, "snap_as_of_v2", as_of=ts2)
+    return spark.sql(
+        "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM snap_as_of_v2"
+    )

@@ -91,6 +91,8 @@ __all__ = [
     "delete_where",
     "restore_table",
     "read_table",
+    "register_snapshot_view",
+    "version_as_of",
     "table_history",
     "table_changes",
     "changes_since",
@@ -619,17 +621,55 @@ def write_table(
     )
 
 
+def version_as_of(root: str, as_of: str, fs: SnapshotFS | None = None) -> int:
+    """The latest retained version committed AT OR BEFORE ``as_of`` (an
+    ISO-8601 timestamp; a bare date reads as that day's midnight UTC;
+    naive timestamps are taken as UTC) — Delta's ``TIMESTAMP AS OF``
+    resolution. Raises LookupError when every retained version is newer
+    (the pre-history read) or when no retained manifest carries a commit
+    timestamp. Metadata-only: reads manifests, never data; ties and
+    writer clock skew resolve by version order (the scan takes the LAST
+    version whose timestamp qualifies)."""
+    fs = _resolve_fs(root, None, fs)
+    want = _dt.datetime.fromisoformat(as_of)
+    if want.tzinfo is None:
+        want = want.replace(tzinfo=_dt.timezone.utc)
+    best, stamped = None, False
+    for v in _versions(root, fs):
+        ts = _read_manifest(root, v, fs, hydrate=False).get("committed_at")
+        if ts is None:
+            continue
+        stamped = True
+        if _dt.datetime.fromisoformat(ts) <= want:
+            best = v
+    if best is None:
+        detail = (
+            "no retained manifest carries committed_at"
+            if not stamped
+            else f"every retained version was committed after {as_of}"
+        )
+        raise LookupError(f"no snapshot at {root} as of {as_of}: {detail}")
+    return best
+
+
 def read_table(
     spark: SparkSession,
     root: str,
     version: int | None = None,
     fs: SnapshotFS | None = None,
+    as_of: str | None = None,
 ) -> DataFrame:
     """Read a pinned snapshot (default: latest). The returned plan lists the
     manifest's exact file set — concurrent commits cannot change what this
-    DataFrame reads."""
+    DataFrame reads. ``as_of`` (ISO timestamp) time-travels by commit
+    wall-clock via :func:`version_as_of` — mutually exclusive with
+    ``version``."""
     tune(spark)
     fs = _resolve_fs(root, spark, fs)
+    if as_of is not None:
+        if version is not None:
+            raise ValueError("pass version= or as_of=, not both")
+        version = version_as_of(root, as_of, fs)
     v = version if version is not None else _latest(root, fs)
     if v is None:
         raise FileNotFoundError(f"no snapshots at {root}")
@@ -637,6 +677,23 @@ def read_table(
     if not m["files"]:
         raise FileNotFoundError(f"snapshot v{v} at {root} is empty")
     return spark.read.parquet(*[_join(root, f) for f in m["files"]])
+
+
+def register_snapshot_view(
+    spark: SparkSession,
+    root: str,
+    name: str,
+    version: int | None = None,
+    as_of: str | None = None,
+    fs: SnapshotFS | None = None,
+) -> DataFrame:
+    """Register a (pinned or latest) snapshot as a temp view so plain
+    ``spark.sql`` / the ``query`` CLI can read a versioned table — the SQL
+    surface over time travel. The view pins the manifest's exact file set
+    at registration time; re-register to follow new commits."""
+    df = read_table(spark, root, version=version, fs=fs, as_of=as_of)
+    df.createOrReplaceTempView(name)
+    return df
 
 
 def _any_key_null(keys: list[str]):

@@ -984,3 +984,26 @@ def test_incremental_agg_minmax_steady_state_base_reuse(spark, tmp_path):
         1.0,
         9.0,
     )
+
+
+def test_read_as_of_timestamp_resolution(spark, tmp_path):
+    """version_as_of picks the LAST version committed at or before the
+    timestamp; pre-history reads and both-pinned misuse fail loudly."""
+    from marketpipe_spark.snapshots import version_as_of
+
+    root = str(tmp_path / "snap")
+    write_table(spark.createDataFrame([(1, "a")], "id long, v string"), root)
+    write_table(
+        spark.createDataFrame([(2, "b")], "id long, v string"), root, mode="overwrite"
+    )
+    hist = table_history(root)
+    ts1, ts2 = hist[0]["committed_at"], hist[1]["committed_at"]
+    assert version_as_of(root, ts1) == 1
+    assert version_as_of(root, ts2) == 2
+    assert version_as_of(root, "2999-01-01") == 2  # after everything: latest
+    assert _rows(read_table(spark, root, as_of=ts1)) == [(1, "a")]
+    assert _rows(read_table(spark, root, as_of=ts2)) == [(2, "b")]
+    with pytest.raises(LookupError, match="committed after"):
+        version_as_of(root, "2000-01-01")
+    with pytest.raises(ValueError, match="not both"):
+        read_table(spark, root, version=1, as_of=ts1)
