@@ -604,7 +604,7 @@ np AS (
   SELECT LEAST(30, GREATEST(8, (
     SELECT MIN(p) FROM (SELECT unnest(range(31)) AS p)
     WHERE (CAST(1 AS BIGINT) << CAST(p AS INT))
-          >= ((SELECT COUNT(*) FROM allv) + 1) // 2
+          >= ((SELECT COUNT(*) FROM base) + 1) // 2
   ))) AS np
 ),
 v AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM allv),
@@ -658,13 +658,18 @@ def q_embedding_near_dup_lsh(spark, sf_dir):
     )
     corpus = emb.unionByName(planted)
     # The production auto-tune (constant expected bucket occupancy): the
-    # plane count is derived from the corpus size with integer-only math,
-    # so the oracle's np CTE lands on the identical count — the growth-curve
-    # sweep runs THIS entry and must not bend quadratic at a pinned count.
+    # plane count derives from the BASE table's size with integer-only
+    # math, read from parquet FOOTER metadata — zero Spark jobs, where an
+    # eager corpus.count() ran a full scan+aggregate per invocation just
+    # to fetch this scalar. The oracle's np CTE counts the same base table,
+    # so both engines land on the identical count — the growth-curve sweep
+    # runs THIS entry and must not bend quadratic at a pinned count.
+    from .registry import parquet_num_rows
+
     return embedding_near_duplicates_lsh(
         corpus,
         threshold=0.99,
-        n_planes=auto_plane_count(corpus.count()),
+        n_planes=auto_plane_count(parquet_num_rows(f"{sf_dir}/embeddings.parquet")),
         n_tables=8,
         plane_family="md5",
     )

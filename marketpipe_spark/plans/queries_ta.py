@@ -25,7 +25,7 @@ from pyspark.sql.window import Window as W
 
 from ..functions import NS_PER_DAY, NS_PER_SEC
 from ..operators.resample import resample_intraday
-from .registry import SQL_BARS, bars, register, t, ts_ns_expr
+from .registry import SQL_BARS, bars, register, scalar_join, t, ts_ns_expr
 
 _R5_NS = 300 * NS_PER_SEC
 
@@ -294,14 +294,23 @@ _W12 = _ema_weights(12)
 _W26 = _ema_weights(26)
 
 
-def _sql_wsum(warr: list[int]) -> str:
-    # rev[1] is the CURRENT bar; weight index aligns newest->oldest.
-    return (
-        f"CAST(list_sum(list_transform(range(1, len(rev) + 1), i -> rev[i] * ({warr})[i])) AS DOUBLE)"
-        f" / CAST(list_sum(list_transform(range(1, len(rev) + 1), i -> ({warr})[i])) AS DOUBLE)"
-    )
+def _prefix(warr: list[int]) -> list[int]:
+    out, acc = [], 0
+    for w in warr:
+        acc += w
+        out.append(acc)
+    return out
 
 
+# Oracle cost note (r9): the original formulation rebuilt the 40-element
+# weight-list literal inside a per-element lambda — four list constructions
+# × 40 index ops per ROW, 24.8 s at sf0.1 (63% of the whole oracle sweep).
+# This form evaluates the weights ONCE in a constant CTE, replaces both
+# per-row transforms with a single list_dot_product against a slice of the
+# constant weight list (list_resize over window-produced lists segfaults on
+# DuckDB 1.0.0, hence the slice), and indexes a prefix-sum literal for the
+# denominator. Every product/sum stays an exact integer < 2^53 before the
+# one double division, so the value hash is unchanged.
 SQL_MACD = f"""
 WITH {SQL_R5},
 a AS (SELECT symbol, ts_ns, close,
@@ -309,10 +318,15 @@ a AS (SELECT symbol, ts_ns, close,
                OVER (PARTITION BY symbol ORDER BY ts_ns
                      ROWS BETWEEN {_MACD_TERMS - 1} PRECEDING AND CURRENT ROW)) AS rev
       FROM r5),
+cw AS (SELECT CAST({_W12} AS BIGINT[]) AS w12, CAST({_W26} AS BIGINT[]) AS w26,
+              CAST({_prefix(_W12)} AS BIGINT[]) AS p12,
+              CAST({_prefix(_W26)} AS BIGINT[]) AS p26),
 e AS (SELECT symbol, ts_ns, close,
-             {_sql_wsum(_W12)} AS e12_micro,
-             {_sql_wsum(_W26)} AS e26_micro
-      FROM a)
+             CAST(list_dot_product(rev, w12[1:len(rev)]) AS DOUBLE)
+               / CAST(p12[len(rev)] AS DOUBLE) AS e12_micro,
+             CAST(list_dot_product(rev, w26[1:len(rev)]) AS DOUBLE)
+               / CAST(p26[len(rev)] AS DOUBLE) AS e26_micro
+      FROM a CROSS JOIN cw)
 SELECT symbol, ts_ns, close,
        e12_micro / 1e6 AS ema_12,
        e26_micro / 1e6 AS ema_26,
@@ -1235,13 +1249,24 @@ def q_ranksum_returns(spark, sf_dir):
         ).cast("long").alias("avgrank_x2"),
     )
     js = rr.join(rx, "rm").select("symbol", "avgrank_x2")
-    big_n = rr.count()
     n = F.count(F.lit(1)).cast("long")
-    return js.groupBy("symbol").agg(
+    g = js.groupBy("symbol").agg(
         n.alias("n_returns"),
         F.sum("avgrank_x2").cast("long").alias("rank_sum_x2"),
         (F.sum("avgrank_x2").cast("long") - n * (n + F.lit(1))).alias("u_x2"),
-        (n * (F.lit(big_n).cast("long") - n)).alias("expected_u_x2"),
+    )
+    # Pooled total attaches as a broadcast 1-row scalar_join — one job for
+    # the whole query, instead of an eager rr.count() that ran a separate
+    # scan+aggregate per invocation just to fetch a literal.
+    tot = rr.agg(F.count(F.lit(1)).cast("long").alias("_big_n"))
+    return scalar_join(g, "symbol", tot).select(
+        "symbol",
+        "n_returns",
+        "rank_sum_x2",
+        "u_x2",
+        (F.col("n_returns") * (F.col("_big_n") - F.col("n_returns"))).alias(
+            "expected_u_x2"
+        ),
     )
 
 

@@ -88,3 +88,18 @@ def test_serve_subcommand_wired():
     )
     assert args.fn.__name__ == "cmd_serve"
     assert args.warm == ["vwap"] and args.threads == 4
+
+
+def test_plan_builders_run_no_eager_jobs(spark):
+    """Building ranksum_returns / embedding_near_dup_lsh must not run a
+    Spark job (the r8 verdict nit: eager .count() inside the builder ran a
+    full scan+aggregate per invocation; totals now attach via scalar_join /
+    parquet footer metadata)."""
+    qs = registry.all_queries()
+    tracker = spark.sparkContext.statusTracker()
+    for name in ("ranksum_returns", "embedding_near_dup_lsh"):
+        qs[name].fn(spark, SF)  # warm: first parquet open may list files
+        before = len(tracker.getJobIdsForGroup(None) or [])
+        qs[name].fn(spark, SF)  # build only — no action
+        after = len(tracker.getJobIdsForGroup(None) or [])
+        assert after == before, f"{name} ran {after - before} eager job(s) at build"
