@@ -572,7 +572,13 @@ def cmd_snapshots(args) -> int:
         v = restore_table(spark, args.root, version=args.version)
         print(f"committed v{v}")
     elif verb == "compact":
-        v = compact_table(spark, args.root, target_files=args.target_files)
+        v = compact_table(
+            spark,
+            args.root,
+            target_files=args.target_files,
+            zorder=args.zorder.split(",") if getattr(args, "zorder", None) else None,
+            target_file_mb=getattr(args, "target_file_mb", None),
+        )
         print(f"committed v{v}")
     elif verb == "expire":
         out = expire_snapshots(
@@ -963,6 +969,18 @@ def build_parser() -> argparse.ArgumentParser:
     sre.add_argument("--version", type=int, required=True)
     sk = snsub.add_parser("compact", help="OPTIMIZE the latest version's layout")
     sk.add_argument("--target-files", type=int, default=1)
+    sk.add_argument(
+        "--zorder",
+        default=None,
+        help="comma-separated integer columns: range-partition + sort on their Morton interleave (OPTIMIZE ZORDER)",
+    )
+    sk.add_argument(
+        "--target-file-mb",
+        type=int,
+        default=None,
+        dest="target_file_mb",
+        help="size the output file count from the live set's estimated bytes instead of --target-files",
+    )
     _snap_common(sk)
     se = snsub.add_parser("expire", help="drop old versions + unreferenced data files")
     se.add_argument("--keep-last", type=int, default=2)

@@ -98,6 +98,7 @@ __all__ = [
     "changes_since",
     "incremental_agg",
     "compact_table",
+    "table_skip_stats",
     "expire_snapshots",
 ]
 
@@ -1007,6 +1008,47 @@ def table_history(root: str, fs: SnapshotFS | None = None) -> list[dict]:
     return out
 
 
+def table_skip_stats(
+    root: str,
+    x_col: str,
+    y_col: str,
+    x_range: tuple[int, int],
+    y_range: tuple[int, int],
+    version: int | None = None,
+    fs: SnapshotFS | None = None,
+) -> dict:
+    """Row-group pruning potential of a SNAPSHOT version's live file set
+    for a box predicate — :func:`bucketing.row_group_skip_stats` over the
+    manifest's exact files instead of a directory listing. Reads parquet
+    FOOTERS only (control plane, no data pages, no Spark job). The
+    before/after comparison for :func:`compact_table`'s ``zorder``."""
+    import pyarrow.parquet as pq
+
+    fs = _resolve_fs(root, None, fs)
+    v = version if version is not None else _latest(root, fs)
+    if v is None:
+        raise FileNotFoundError(f"no snapshots at {root}")
+    files = [_local_path(_join(root, f)) for f in _read_manifest(root, v, fs)["files"]]
+    total = skippable = 0
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        names = {md.schema.column(i).name: i for i in range(len(md.schema))}
+        for rg in range(md.num_row_groups):
+            total += 1
+            for col, (lo, hi) in ((x_col, x_range), (y_col, y_range)):
+                st = md.row_group(rg).column(names[col]).statistics
+                if st is not None and (st.max < lo or st.min > hi):
+                    skippable += 1
+                    break
+    return {
+        "version": v,
+        "n_files": len(files),
+        "n_row_groups": total,
+        "n_skippable": skippable,
+        "skip_ppm": (skippable * 1_000_000) // max(total, 1),
+    }
+
+
 def expire_snapshots(
     root: str,
     keep_last: int = 2,
@@ -1479,6 +1521,9 @@ def compact_table(
     target_files: int = 1,
     note: str = "",
     fs: SnapshotFS | None = None,
+    zorder: list[str] | None = None,
+    target_file_mb: int | None = None,
+    zorder_bits: int = 16,
 ) -> int:
     """OPTIMIZE: rewrite the latest snapshot's live set into
     ``target_files`` files as a NEW version (rows identical, layout
@@ -1487,17 +1532,56 @@ def compact_table(
     failure mode of frequent upserts — compaction is the maintenance pass
     every snapshot store schedules. Losing the commit race re-runs the
     compaction over the new latest (compacting a stale version would
-    silently drop the interleaved commit's rows)."""
+    silently drop the interleaved commit's rows).
+
+    ``zorder=[cols]`` is OPTIMIZE ZORDER: the rewrite range-partitions on
+    the Morton interleave of the named integer columns and sorts within
+    each file, so every output file/row group covers a small box of the
+    key space and parquet footer min/max stats prune reads on ANY of the
+    z-columns, not just a leading sort key (one column degenerates to a
+    plain range sort). Measure with :func:`table_skip_stats` before/after.
+
+    ``target_file_mb`` sizes the output from Catalyst's estimate of the
+    live set (file-footer byte sizes — no job) instead of a fixed file
+    count: ``ceil(estimated_bytes / target_file_mb)``."""
     fs = _resolve_fs(root, spark, fs)
     for _attempt in range(_MAX_COMMIT_RETRIES):
         parent = _latest(root, fs)
         if parent is None:
             raise FileNotFoundError(f"no snapshots at {root}")
         cur = read_table(spark, root, version=parent, fs=fs)
-        new_files = _land_data_files(cur.repartition(target_files), root, parent + 1, fs)
+        n_out = target_files
+        if target_file_mb is not None:
+            from .plans.registry import plan_size_bytes
+
+            est = plan_size_bytes(cur)
+            n_out = max(1, -(-est // (target_file_mb << 20)))
+        if zorder:
+            if len(zorder) == 1:
+                zkey = F.col(zorder[0])
+            else:
+                from .bucketing import zorder_key, zorder_key_n
+
+                zcols = [F.col(c) for c in zorder]
+                zkey = (
+                    zorder_key(*zcols, bits=zorder_bits)
+                    if len(zorder) == 2
+                    else zorder_key_n(zcols, bits=zorder_bits)
+                )
+            laid = (
+                cur.withColumn("_z", zkey)
+                .repartitionByRange(int(n_out), "_z")
+                .sortWithinPartitions("_z")
+                .drop("_z")
+            )
+            what = f"compact zorder({','.join(zorder)})"
+        else:
+            laid = cur.repartition(int(n_out))
+            what = "compact"
+        new_files = _land_data_files(laid, root, parent + 1, fs)
         try:
             return _commit(
-                root, new_files, note or f"compact -> {len(new_files)} files", parent, fs
+                root, new_files, note or f"{what} -> {len(new_files)} files", parent, fs
             )
         except CommitConflict:
             _cas_backoff(_attempt)

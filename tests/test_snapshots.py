@@ -1007,3 +1007,42 @@ def test_read_as_of_timestamp_resolution(spark, tmp_path):
         version_as_of(root, "2000-01-01")
     with pytest.raises(ValueError, match="not both"):
         read_table(spark, root, version=1, as_of=ts1)
+
+
+def test_compact_zorder_improves_row_group_pruning(spark, tmp_path):
+    """OPTIMIZE ZORDER on a snapshot table: before compaction every file
+    spans the full (x, y) range (zero pruning for a box predicate); after
+    compact_table(zorder=[x, y]) the files tile the key space and footer
+    stats skip most row groups. Rows identical, history intact, expiry
+    reclaims the pre-compaction files."""
+    from pyspark.sql import functions as F
+
+    from marketpipe_spark.snapshots import compact_table, table_skip_stats
+
+    root = str(tmp_path / "snap")
+    # Four commits, each covering the FULL x and y ranges -> every file's
+    # min/max envelope contains any box: nothing skippable.
+    for i in range(4):
+        df = spark.range(i * 400_000, (i + 1) * 400_000).select(
+            F.col("id"),
+            (F.col("id") % 1000).alias("x"),
+            (F.pmod(F.xxhash64("id"), F.lit(1000))).alias("y"),
+        )
+        write_table(df.coalesce(1), root, mode="append")
+    box = ((0, 99), (0, 99))
+    before = table_skip_stats(root, "x", "y", *box)
+    assert before["skip_ppm"] == 0
+    rows_before = _rows(read_table(spark, root))
+
+    v = compact_table(spark, root, zorder=["x", "y"], target_file_mb=1)
+    after = table_skip_stats(root, "x", "y", *box, version=v)
+    assert after["n_files"] > 1  # target_file_mb sized a real fan-out
+    assert after["skip_ppm"] >= 500_000, after  # at least half now skip
+    assert _rows(read_table(spark, root)) == rows_before
+    hist = table_history(root)
+    assert hist[-1]["version"] == v and "zorder(x,y)" in hist[-1]["note"]
+    # Pre-image still readable until expiry; expiry reclaims old files.
+    assert _rows(read_table(spark, root, version=v - 1)) == rows_before
+    out = expire_snapshots(root, keep_last=1, min_age_seconds=0)
+    assert out["deleted_files"] >= 4
+    assert _rows(read_table(spark, root)) == rows_before
