@@ -1,15 +1,17 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata,
 processed through Arrow-batched ``mapInPandas``.
 
-Image-dimension extraction is REAL: :func:`parse_media_header` decodes
-PNG / JPEG / GIF / BMP headers with stdlib bytes work (no PIL), covering
-the formats whose dimensions live in a fixed-layout header. Payloads in
+Metadata extraction is REAL across the three modalities, stdlib-only:
+:func:`parse_media_header` decodes PNG / JPEG / GIF / BMP / WebP image
+dimensions, :func:`parse_audio_header` decodes WAV channel/rate/bits/
+duration from the RIFF chunk list, and :func:`parse_video_header` walks
+ISO-BMFF (MP4) boxes for track dimensions and mvhd duration. Payloads in
 any other format come back honestly as ``format='unknown'`` with NULL
-dimensions — never fake numbers. Full pixel decode (image resize, audio
-resample, video frame-sample) needs libs not present in this container,
-so those KERNELS remain clearly-marked stubs, while everything Spark-side
-is real and tested: binary column handling, explicit output schemas,
-Arrow batch iteration, and partition-parallel execution.
+fields — never fake numbers. Full pixel/sample decode (image resize,
+audio resample, video frame-sample) needs libs not present in this
+container, so those KERNELS remain clearly-marked stubs, while everything
+Spark-side is real and tested: binary column handling, explicit output
+schemas, Arrow batch iteration, and partition-parallel execution.
 
 Scale notes: payloads travel as parquet binary columns; mapInPandas streams
 Arrow record batches so executor memory holds one batch of payloads, not a
@@ -72,6 +74,22 @@ def parse_media_header(b: bytes) -> tuple[str, int | None, int | None]:
     if len(b) >= 26 and b[:2] == b"BM":
         w, h = struct.unpack("<ii", b[18:26])
         return ("bmp", abs(w), abs(h))
+    if len(b) >= 16 and b[:4] == b"RIFF" and b[8:12] == b"WEBP":
+        sub = b[12:16]
+        if sub == b"VP8 " and len(b) >= 30 and b[23:26] == b"\x9d\x01\x2a":
+            # lossy: 3-byte frame tag, sync code, then 14-bit LE dims
+            w = struct.unpack("<H", b[26:28])[0] & 0x3FFF
+            h = struct.unpack("<H", b[28:30])[0] & 0x3FFF
+            return ("webp", w, h)
+        if sub == b"VP8L" and len(b) >= 25 and b[20] == 0x2F:
+            bits = struct.unpack("<I", b[21:25])[0]
+            return ("webp", (bits & 0x3FFF) + 1, ((bits >> 14) & 0x3FFF) + 1)
+        if sub == b"VP8X" and len(b) >= 30:
+            # extended: 24-bit LE canvas dims, minus-one coded
+            w = int.from_bytes(b[24:27], "little") + 1
+            h = int.from_bytes(b[27:30], "little") + 1
+            return ("webp", w, h)
+        return ("unknown", None, None)
     if len(b) >= 4 and b[:2] == b"\xff\xd8":
         i = 2
         while i + 4 <= len(b):
@@ -203,3 +221,111 @@ def frame_sample(docs_with_payload: DataFrame, every_n_bytes: int = 64) -> DataF
             yield pd.DataFrame(rows, columns=["doc_id", "offset", "frame_sha"])
 
     return docs_with_payload.select("doc_id", "payload").mapInPandas(batches, out_schema)
+
+
+#: Typed audio metadata (header decode — no sample data is read).
+AUDIO_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("format", T.StringType(), False),
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("bits_per_sample", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+    ]
+)
+
+
+def parse_audio_header(b: bytes) -> tuple:
+    """Decode (format, channels, sample_rate, bits_per_sample, duration_ms)
+    from a WAV (RIFF/WAVE) payload's chunk headers — stdlib bytes work, no
+    audio library, no sample decode. Walks the chunk list (chunks are
+    word-aligned) for ``fmt `` (PCM layout) and ``data`` (payload size);
+    duration = data bytes / byte rate. Anything else returns
+    ``('unknown', None, None, None, None)``."""
+    if len(b) >= 12 and b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+        fmt = data_size = None
+        i = 12
+        while i + 8 <= len(b):
+            cid = b[i : i + 4]
+            csz = struct.unpack("<I", b[i + 4 : i + 8])[0]
+            if cid == b"fmt " and i + 24 <= len(b):
+                _, ch, sr, br, _ba, bps = struct.unpack("<HHIIHH", b[i + 8 : i + 24])
+                fmt = (ch, sr, br, bps)
+            elif cid == b"data":
+                data_size = csz
+            i += 8 + csz + (csz & 1)  # chunks pad to even offsets
+        if fmt:
+            ch, sr, br, bps = fmt
+            dur = (data_size * 1000) // br if (data_size is not None and br) else None
+            return ("wav", ch, sr, bps, dur)
+    return ("unknown", None, None, None, None)
+
+
+def parse_video_header(b: bytes) -> tuple:
+    """Decode (format, width, height, duration_ms) from an ISO-BMFF (MP4)
+    payload's box structure: ``ftyp`` identifies the container, ``moov/
+    mvhd`` carries timescale+duration (v0 and v1 layouts), ``moov/trak/
+    tkhd`` carries 16.16-fixed track dimensions. Box walking is stdlib
+    bytes work; no frame is decoded. 64-bit (largesize) boxes and anything
+    non-BMFF return ``('unknown', None, None, None)``."""
+
+    def boxes(i: int, end: int):
+        while i + 8 <= end:
+            sz = struct.unpack(">I", b[i : i + 4])[0]
+            if sz < 8:  # largesize (1) / to-end (0) unsupported; corrupt guard
+                return
+            yield b[i + 4 : i + 8], i + 8, min(i + sz, end)
+            i += sz
+
+    if len(b) < 12 or b[4:8] != b"ftyp":
+        return ("unknown", None, None, None)
+    w = h = dur = None
+    for typ, s, e in boxes(0, len(b)):
+        if typ != b"moov":
+            continue
+        for t2, s2, e2 in boxes(s, e):
+            if t2 == b"mvhd" and e2 - s2 >= 20:
+                ver = b[s2]
+                if ver == 1 and e2 - s2 >= 32:
+                    ts = struct.unpack(">I", b[s2 + 20 : s2 + 24])[0]
+                    du = struct.unpack(">Q", b[s2 + 24 : s2 + 32])[0]
+                else:
+                    ts, du = struct.unpack(">II", b[s2 + 12 : s2 + 20])
+                if ts:
+                    dur = du * 1000 // ts
+            elif t2 == b"trak":
+                for t3, s3, e3 in boxes(s2, e2):
+                    if t3 == b"tkhd":
+                        off = s3 + (88 if b[s3] == 1 else 76)
+                        if off + 8 <= e3:
+                            ww, hh = struct.unpack(">II", b[off : off + 8])
+                            if ww and hh:
+                                w, h = ww >> 16, hh >> 16
+    return ("mp4", w, h, dur)
+
+
+def extract_audio_meta(docs_with_payload: DataFrame) -> DataFrame:
+    """Arrow-batched WAV header decode over a binary payload column —
+    the audio sibling of :func:`extract_media_meta`."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = pdf["payload"]
+            meta = [parse_audio_header(bytes(p)) for p in payloads]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "n_bytes": payloads.map(len).astype("int64"),
+                    "format": [m[0] for m in meta],
+                    "channels": pd.Series([m[1] for m in meta], dtype="Int32"),
+                    "sample_rate": pd.Series([m[2] for m in meta], dtype="Int32"),
+                    "bits_per_sample": pd.Series([m[3] for m in meta], dtype="Int32"),
+                    "duration_ms": pd.Series([m[4] for m in meta], dtype="Int64"),
+                }
+            )
+
+    return docs_with_payload.select("doc_id", "payload").mapInPandas(
+        batches, AUDIO_META_SCHEMA
+    )

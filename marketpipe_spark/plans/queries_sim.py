@@ -978,3 +978,84 @@ def q_setsim_join_exact(spark, sf_dir):
     return setsim_join_exact(
         t(spark, sf_dir, "documents"), k=3, threshold_ppm=600_000, family="md5_60"
     )
+
+
+# wav_audio_meta: WAV (RIFF/WAVE) header payloads synthesized JVM-side from
+# doc_id (little-endian fields via byte-order format_string + unhex), decoded
+# by the Arrow-batched stdlib chunk-walker. Channels / sample rate / bits /
+# duration are closed-form in doc_id, so the oracle pins the exact values
+# the byte-level parser must recover. doc_id % 5 == 4 rows carry a
+# non-audio payload and must surface as format='unknown' with NULL fields.
+
+SQL_WAV_AUDIO_META = """
+SELECT doc_id,
+       CASE WHEN doc_id % 5 = 4 THEN 'unknown' ELSE 'wav' END AS format,
+       CASE WHEN doc_id % 5 = 4 THEN NULL
+            ELSE CAST(1 + doc_id % 2 AS INT) END AS channels,
+       CASE WHEN doc_id % 5 = 4 THEN NULL
+            ELSE CAST(8000 * (1 + doc_id % 3) AS INT) END AS sample_rate,
+       CASE WHEN doc_id % 5 = 4 THEN NULL ELSE CAST(16 AS INT) END AS bits_per_sample,
+       CASE WHEN doc_id % 5 = 4 THEN NULL
+            ELSE CAST((1000 + doc_id % 9000) * 1000 // (8000 * (1 + doc_id % 3)) AS BIGINT)
+            END AS duration_ms
+FROM documents
+"""
+
+
+def _wav_payload_expr():
+    """Binary WAV-header payload as a JVM-side column expression (headers
+    only — the chunk walker reads sizes from the headers, so no sample
+    bytes need materializing)."""
+    ch = (F.lit(1) + F.col("doc_id") % F.lit(2)).cast("int")
+    sr = (F.lit(8000) * (F.lit(1) + F.col("doc_id") % F.lit(3))).cast("int")
+    frames = (F.lit(1000) + F.col("doc_id") % F.lit(9000)).cast("int")
+    ba = ch * F.lit(2)  # block align (16-bit PCM)
+    br = sr * ba  # byte rate
+    data_size = frames * ba
+
+    def le16(c):
+        return F.format_string("%02x%02x", c % 256, (c / 256).cast("int") % 256)
+
+    def le32(c):
+        return F.format_string(
+            "%02x%02x%02x%02x",
+            c % 256,
+            (c / 256).cast("int") % 256,
+            (c / 65536).cast("int") % 256,
+            (c / 16777216).cast("int") % 256,
+        )
+
+    wav = F.concat(
+        F.lit("52494646"),  # RIFF
+        le32(F.lit(36) + data_size),
+        F.lit("57415645"),  # WAVE
+        F.lit("666d7420"),  # 'fmt '
+        le32(F.lit(16)),
+        le16(F.lit(1)),  # PCM
+        le16(ch),
+        le32(sr),
+        le32(br),
+        le16(ba),
+        le16(F.lit(16)),  # bits per sample
+        F.lit("64617461"),  # 'data'
+        le32(data_size),
+    )
+    other = F.lit("6e6f7420617564696f")  # b"not audio"
+    return F.unhex(F.when(F.col("doc_id") % 5 == 4, other).otherwise(wav))
+
+
+@register(
+    "wav_audio_meta",
+    SQL_WAV_AUDIO_META,
+    doc="real WAV header decode (stdlib RIFF chunk walk via mapInPandas) over JVM-synthesized headers; oracle pins channels/rate/bits/duration",
+    tags=("multimodal", "audio"),
+)
+def q_wav_audio_meta(spark, sf_dir):
+    from ..operators.multimodal import extract_audio_meta
+    from ..operators.similarity import spread
+
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    payloads = spread(docs, "doc_id").withColumn("payload", _wav_payload_expr())
+    return extract_audio_meta(payloads).select(
+        "doc_id", "format", "channels", "sample_rate", "bits_per_sample", "duration_ms"
+    )
