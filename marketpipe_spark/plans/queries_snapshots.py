@@ -300,3 +300,39 @@ def q_snapshot_read_as_of(spark, sf_dir):
     return spark.sql(
         "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM snap_as_of_v2"
     )
+
+
+@register(
+    "stream_snapshot_cdc",
+    SQL_SNAPSHOT_CHANGES,
+    doc=(
+        "snapshot table consumed as a REAL Structured Streaming source "
+        "(PySpark Python DataSource: version-number offsets, churn-bounded "
+        "file partitions, Arrow record-batch reads) drained AvailableNow "
+        "from v1; per-micro-batch classification runs the SAME CDC kernel "
+        "as batch table_changes — IDENTICAL oracle as snapshot_changes, so "
+        "parity proves the streaming path end to end"
+    ),
+    tags=("snapshots", "cdc", "streaming"),
+)
+def q_stream_snapshot_cdc(spark, sf_dir):
+    import uuid as _uuid
+
+    from ..streaming.snapshot_source import stream_snapshot_changes
+
+    root = _build_versions(spark, sf_dir)
+    # Production sink shape: each micro-batch's classified changes land as
+    # parquet (no driver round-trip); the entry reads the sink back.
+    out = f"{root}_cdc_stream_{_uuid.uuid4().hex[:8]}"
+
+    def apply(changes, _bid):
+        changes.select(
+            "o_orderkey",
+            F.col("_change").alias("change"),
+            F.col("_new.o_custkey").alias("new_custkey"),
+            F.col("_new.o_orderstatus").alias("new_status"),
+            F.col("_new.o_totalprice").alias("new_totalprice"),
+        ).write.mode("append").parquet(out)
+
+    stream_snapshot_changes(spark, root, ["o_orderkey"], apply, starting_version=1)
+    return spark.read.parquet(out)

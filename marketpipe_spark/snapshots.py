@@ -95,6 +95,7 @@ __all__ = [
     "version_as_of",
     "table_history",
     "table_changes",
+    "classify_changes",
     "changes_since",
     "incremental_agg",
     "compact_table",
@@ -1179,6 +1180,20 @@ def table_changes(
 
     old = _side_read(old_only)
     new = _side_read(new_only)
+    return classify_changes(old, new, keys, include_old=include_old)
+
+
+def classify_changes(
+    old: DataFrame, new: DataFrame, keys: list[str], include_old: bool = False
+) -> DataFrame:
+    """The CDC classification kernel: given the OLD-version rows and the
+    NEW-version rows of the (churn-bounded) differing file sets, emit one
+    row per changed key with ``_change IN ('insert','update','delete')``
+    and the new image (``_old`` pre-image when ``include_old``). NULL-safe
+    on keys and payload (``eqNullSafe`` + presence markers). Shared by
+    :func:`table_changes` (batch) and the streaming snapshot-CDC source's
+    per-micro-batch transform (streaming/snapshot_source.py) so both
+    surfaces classify identically by construction."""
     payload = [c for c in new.columns if c not in keys]
     o = old.select(
         *[F.col(k).alias(f"_ok_{k}") for k in keys],
