@@ -539,6 +539,14 @@ def cmd_snapshots(args) -> int:
                 f"files={h['n_files']:<6} {ts:<20} {h['note']}"
             )
         return 0
+    if verb == "fsck":  # metadata-only, no session needed
+        from .snapshots import snapshot_fsck
+
+        import json as _json
+
+        rep = snapshot_fsck(args.root)
+        print(_json.dumps(rep, indent=2))
+        return 0 if rep["ok"] else 1
     spark = _spark("snapshots")
     if verb == "read":
         df = read_table(
@@ -982,6 +990,7 @@ def build_parser() -> argparse.ArgumentParser:
         help="size the output file count from the live set's estimated bytes instead of --target-files",
     )
     _snap_common(sk)
+    _snap_common(snsub.add_parser("fsck", help="metadata-only integrity check (missing files, chain, orphans)"))
     se = snsub.add_parser("expire", help="drop old versions + unreferenced data files")
     se.add_argument("--keep-last", type=int, default=2)
     se.add_argument(

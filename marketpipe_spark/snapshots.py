@@ -100,6 +100,8 @@ __all__ = [
     "incremental_agg",
     "compact_table",
     "table_skip_stats",
+    "snapshot_fsck",
+    "refresh_mv",
     "expire_snapshots",
 ]
 
@@ -1009,6 +1011,138 @@ def table_history(root: str, fs: SnapshotFS | None = None) -> list[dict]:
     return out
 
 
+def snapshot_fsck(root: str, fs: SnapshotFS | None = None) -> dict:
+    """Integrity check of the snapshot store — metadata-only, no Spark job:
+
+    - every retained manifest's data files exist (``missing_files`` is the
+      torn-store signal: an external process deleted data a version still
+      references — reads of that version will fail);
+    - the parent chain is consistent (each manifest's ``parent`` is an
+      older retained version or expired);
+    - ``orphan_files``: data files referenced by NO retained manifest
+      (abandoned commit attempts / expired-version leftovers —
+      reclaimable by :func:`expire_snapshots`, not an error);
+    - ``orphan_sidecars``: parquet manifest sidecars with no JSON pointer.
+
+    Returns counts plus bounded example lists; ``ok`` is True iff nothing
+    is missing and the chain is consistent."""
+    fs = _resolve_fs(root, None, fs)
+    vs = _versions(root, fs)
+    referenced: set[str] = set()
+    missing: list[str] = []
+    chain_breaks: list[str] = []
+    live_sidecars: set[str] = set()
+    vset = set(vs)
+    for v in vs:
+        m = _read_manifest(root, v, fs)
+        if m.get("files_parquet"):
+            live_sidecars.add(m["files_parquet"])
+        p = m.get("parent")
+        if p is not None and p >= v:
+            chain_breaks.append(f"v{v}: parent v{p} is not older")
+        if p is not None and p in vset and p >= v:
+            pass  # covered above; parents simply expired are fine
+        for f in m["files"]:
+            referenced.add(f)
+            if not fs.exists(_join(root, f)):
+                missing.append(f"v{v}:{f}")
+    on_disk = {
+        _join(_DATA_DIR, name)
+        for name in fs.listdir(_join(root, _DATA_DIR))
+        if name.endswith(".parquet")
+    }
+    orphans = sorted(on_disk - referenced)
+    snap_names = fs.listdir(_snap_root(root))
+    orphan_sidecars = sorted(
+        n for n in snap_names if n.endswith(".files.parquet") and n not in live_sidecars
+    )
+    return {
+        "ok": not missing and not chain_breaks,
+        "versions": len(vs),
+        "referenced_files": len(referenced),
+        "missing_files": len(missing),
+        "missing_examples": missing[:10],
+        "chain_breaks": chain_breaks[:10],
+        "orphan_files": len(orphans),
+        "orphan_examples": orphans[:10],
+        "orphan_sidecars": len(orphan_sidecars),
+    }
+
+
+def refresh_mv(
+    spark: SparkSession,
+    src_root: str,
+    mv_root: str,
+    keys: list[str],
+    group_cols: list[str],
+    sum_cols: list[str],
+    consumer_id: str,
+    checkpoints,
+    fs: SnapshotFS | None = None,
+    min_cols: list[str] | None = None,
+    max_cols: list[str] | None = None,
+    avg_cols: list[str] | None = None,
+) -> int | None:
+    """One incremental MATERIALIZED-VIEW refresh cycle, end to end: the
+    operational composition of the pieces —
+
+    1. :func:`changes_since` gives the consumer's pending version interval
+       (first call bootstraps with the initial snapshot, so the MV starts
+       complete);
+    2. :func:`incremental_agg` applies the interval's deltas to the MV's
+       CURRENT stored rows (``base=`` — refresh cost ∝ churn + affected
+       groups, never the source table);
+    3. the result lands as a new version of the MV's OWN snapshot table
+       (itself time-travelable and CDC-consumable downstream);
+    4. only then is the position acknowledged — a crash between write and
+       ack replays the same closed interval, and the overwrite commit is
+       idempotent per interval, so the effect is exactly-once.
+
+    Returns the MV's new version, or None when the source had nothing new.
+    """
+    fs_r = _resolve_fs(src_root, spark, fs)
+    vs = _versions(src_root, fs_r)
+    if not vs:
+        raise FileNotFoundError(f"no snapshots at {src_root}")
+    latest = vs[-1]
+    last = checkpoints.last_processed(consumer_id, src_root)
+    v_from = int(last) if last is not None else 0
+    if v_from != latest and v_from != 0 and v_from not in vs:
+        raise LookupError(
+            f"MV consumer {consumer_id!r} checkpoint points at expired "
+            f"v{v_from} of {src_root} (retained: v{vs[0]}..v{latest}); reset "
+            "the checkpoint to rebuild the view from the initial snapshot"
+        )
+    if v_from >= latest:
+        return None
+    base = None
+    if v_from > 0:
+        base = read_table(spark, mv_root, fs=fs)
+    out = incremental_agg(
+        spark,
+        src_root,
+        keys,
+        group_cols,
+        sum_cols,
+        v_from=v_from,
+        v_to=latest,
+        fs=fs,
+        base=base,
+        min_cols=min_cols,
+        max_cols=max_cols,
+        avg_cols=avg_cols,
+    )
+    mv_v = write_table(
+        out,
+        mv_root,
+        mode="overwrite",
+        note=f"mv refresh {src_root} v{v_from}->v{latest}",
+        fs=fs,
+    )
+    checkpoints.save(consumer_id, {src_root: latest})
+    return mv_v
+
+
 def table_skip_stats(
     root: str,
     x_col: str,
@@ -1300,7 +1434,15 @@ def incremental_agg(
         )
 
     if base is None:
-        base = _agg(read_table(spark, root, version=v_from, fs=fs))
+        # v_from=0 is the empty base (the initial-snapshot interval): the
+        # delta carries every row as an insert, so the base aggregate is
+        # the empty frame in the output schema.
+        src = (
+            read_table(spark, root, version=v_to, fs=fs).limit(0)
+            if v_from == 0
+            else read_table(spark, root, version=v_from, fs=fs)
+        )
+        base = _agg(src)
     else:
         base = base.select(
             *group_cols,

@@ -1046,3 +1046,91 @@ def test_compact_zorder_improves_row_group_pruning(spark, tmp_path):
     out = expire_snapshots(root, keep_last=1, min_age_seconds=0)
     assert out["deleted_files"] >= 4
     assert _rows(read_table(spark, root)) == rows_before
+
+
+def test_snapshot_fsck_detects_missing_and_orphans(spark, tmp_path):
+    from marketpipe_spark.snapshots import snapshot_fsck
+
+    root = str(tmp_path / "snap")
+    write_table(
+        spark.createDataFrame([(1, "a")], "id long, v string").coalesce(1), root
+    )
+    write_table(
+        spark.createDataFrame([(2, "b")], "id long, v string").coalesce(1),
+        root,
+        mode="overwrite",
+    )
+    rep = snapshot_fsck(root)
+    assert rep["ok"] and rep["versions"] == 2 and rep["missing_files"] == 0
+    assert rep["orphan_files"] == 0  # v1's file is still referenced by v1
+    # Expire v1 but keep its (now-unreferenced) file young -> orphan.
+    expire_snapshots(root, keep_last=1)  # age guard keeps the file on disk
+    rep2 = snapshot_fsck(root)
+    assert rep2["ok"] and rep2["versions"] == 1 and rep2["orphan_files"] >= 1
+    # Delete a referenced data file out from under the store -> NOT ok.
+    import json as _json
+
+    live = _json.load(open(os.path.join(root, "_snapshots", "v2.json")))["files"]
+    os.remove(os.path.join(root, live[0]))
+    rep3 = snapshot_fsck(root)
+    assert not rep3["ok"] and rep3["missing_files"] == 1
+
+
+def test_refresh_mv_end_to_end_exactly_once(spark, tmp_path):
+    """The operational MV loop: bootstrap from the initial snapshot, then
+    churn-bounded refreshes against the stored view, exactly-once via the
+    checkpoint; the MV hash-equals a direct recompute after every cycle."""
+    from pyspark.sql import functions as F
+
+    from marketpipe_spark.snapshots import refresh_mv
+    from marketpipe_spark.streaming.incremental import CheckpointStore
+
+    src = str(tmp_path / "src")
+    mv = str(tmp_path / "mv")
+    ckpt = CheckpointStore(spark, str(tmp_path / "ckpt"))
+
+    def direct():
+        return sorted(
+            (r["g"], float(r["sum_x"]), r["n_rows"], r["min_x"])
+            for r in read_table(spark, src)
+            .groupBy("g")
+            .agg(
+                F.sum(F.col("x").cast("decimal(38,6)")).alias("sum_x"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.min("x").alias("min_x"),
+            )
+            .collect()
+        )
+
+    def mv_rows():
+        return sorted(
+            (r["g"], float(r["sum_x"]), r["n_rows"], r["min_x"])
+            for r in read_table(spark, mv).collect()
+        )
+
+    write_table(
+        spark.createDataFrame(
+            [(1, "g1", 1.0), (2, "g1", 9.0), (3, "g2", 5.0)],
+            "id long, g string, x double",
+        ),
+        src,
+    )
+    v = refresh_mv(
+        spark, src, mv, ["id"], ["g"], ["x"], "mv1", ckpt, min_cols=["x"]
+    )
+    assert v == 1 and mv_rows() == direct()
+    # Caught up: no new version, no MV commit.
+    assert refresh_mv(spark, src, mv, ["id"], ["g"], ["x"], "mv1", ckpt, min_cols=["x"]) is None
+    # Churn: delete g1's min (dirty rescan) + new group.
+    write_table(
+        spark.createDataFrame(
+            [(2, "g1", 9.0), (3, "g2", 5.0), (4, "g3", 7.0)],
+            "id long, g string, x double",
+        ),
+        src,
+        mode="overwrite",
+    )
+    v2 = refresh_mv(
+        spark, src, mv, ["id"], ["g"], ["x"], "mv1", ckpt, min_cols=["x"]
+    )
+    assert v2 == 2 and mv_rows() == direct()
