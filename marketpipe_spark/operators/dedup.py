@@ -236,6 +236,30 @@ def keep_last(df: DataFrame, key_cols: list[str], order_col: str) -> DataFrame:
     return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
 
 
+def keep_last_agg(
+    df: DataFrame, key_cols: list[str], order_cols: list[str]
+) -> DataFrame:
+    """Keep-last as a plain AGGREGATION — the hot-key-proof form of
+    :func:`keep_last`. ``max(struct(order_cols..., payload...))`` per key:
+    partial aggregation combines map-side, so a key holding half the table
+    costs one running max per partition instead of a single-task sort
+    (the ``Window.partitionBy`` straggler needs no chunking machinery here
+    — the aggregate form removes the problem outright). Also MORE
+    deterministic than the window form: ties on ``order_cols`` break by
+    the remaining payload columns (struct comparison is lexicographic),
+    a total order, where ``row_number`` ties depend on partition layout.
+
+    Column order is preserved; rows are whole original rows (the struct
+    carries every non-key column)."""
+    payload = [c for c in df.columns if c not in key_cols and c not in order_cols]
+    m = df.groupBy(*key_cols).agg(
+        F.max(F.struct(*order_cols, *payload)).alias("_m")
+    )
+    return m.select(
+        *key_cols, *[F.col(f"_m.{c}").alias(c) for c in order_cols + payload]
+    ).select(*df.columns)
+
+
 # ---------------------------------------------------------------------------
 # shingling
 

@@ -50,7 +50,7 @@ _JPEG_SOF = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
 def parse_media_header(b: bytes) -> tuple[str, int | None, int | None]:
     """Decode (format, width, height) from a media payload's header bytes.
 
-    Pure stdlib parsing of the four ubiquitous fixed-header image formats:
+    Pure stdlib parsing of the five ubiquitous fixed-header image formats:
 
     - PNG: 8-byte signature, then the IHDR chunk's big-endian u32 pair.
     - GIF (87a/89a): logical-screen little-endian u16 pair at offset 6.
@@ -60,6 +60,9 @@ def parse_media_header(b: bytes) -> tuple[str, int | None, int | None]:
       progressive (SOF2) and the rest of the SOF family.
     - BMP: BITMAPINFOHEADER little-endian i32 pair at offset 18 (height is
       negative for top-down rows — dimensions report the magnitude).
+    - WebP: all three container layouts — VP8 lossy (sync-coded 14-bit
+      dims), VP8L lossless (packed minus-one dims), VP8X extended
+      (24-bit little-endian canvas, minus-one coded).
 
     Anything else — truncated headers included — returns
     ``('unknown', None, None)``; callers surface that explicitly rather
@@ -328,4 +331,41 @@ def extract_audio_meta(docs_with_payload: DataFrame) -> DataFrame:
 
     return docs_with_payload.select("doc_id", "payload").mapInPandas(
         batches, AUDIO_META_SCHEMA
+    )
+
+
+#: Typed video metadata (container-header decode — no frame is read).
+VIDEO_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("format", T.StringType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+    ]
+)
+
+
+def extract_video_meta(docs_with_payload: DataFrame) -> DataFrame:
+    """Arrow-batched ISO-BMFF (MP4) header decode over a binary payload
+    column — the video sibling of :func:`extract_media_meta`."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = pdf["payload"]
+            meta = [parse_video_header(bytes(p)) for p in payloads]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "n_bytes": payloads.map(len).astype("int64"),
+                    "format": [m[0] for m in meta],
+                    "width": pd.Series([m[1] for m in meta], dtype="Int32"),
+                    "height": pd.Series([m[2] for m in meta], dtype="Int32"),
+                    "duration_ms": pd.Series([m[3] for m in meta], dtype="Int64"),
+                }
+            )
+
+    return docs_with_payload.select("doc_id", "payload").mapInPandas(
+        batches, VIDEO_META_SCHEMA
     )

@@ -625,6 +625,29 @@ def q_keep_last(spark, sf_dir):
     )
 
 
+@register(
+    "dedup_keep_last_skewsafe",
+    SQL_KEEP_LAST,
+    doc="P7 keep-last as a plain max(struct) AGGREGATION — partial-combined "
+    "map-side, so a hot key costs one running max per partition instead of "
+    "a single-task window sort; IDENTICAL oracle as dedup_keep_last (ts_ns, "
+    "event_id) is a total order, so parity proves the two plans pick the "
+    "same rows",
+    tags=("dedup", "agg", "skew"),
+)
+def q_keep_last_skewsafe(spark, sf_dir):
+    b = bars(spark, sf_dir)
+    bucket = (F.col("ts_ns") - F.col("ts_ns") % F.lit(300 * NS_PER_SEC)).alias("bucket")
+    g = (
+        b.select("symbol", bucket, "ts_ns", "event_id", "close")
+        .groupBy("symbol", "bucket")
+        .agg(F.max(F.struct("ts_ns", "event_id", "close")).alias("_m"))
+    )
+    return g.select(
+        "symbol", F.col("bucket").alias("ts_ns"), F.col("_m.close").alias("last_close")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Exact percentiles per symbol (O-family: ordered statistics). Spark's exact
 # `percentile` and DuckDB's `quantile_cont` both linear-interpolate on the

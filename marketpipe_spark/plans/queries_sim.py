@@ -443,22 +443,45 @@ def q_multimodal_meta(spark, sf_dir):
 # values the byte-level parser must recover: synthesis → bytes → parse is
 # verified end-to-end, not assumed.
 #
-# doc_id % 4: 0 → PNG (big-endian u32 dims in IHDR), 1 → JPEG (APP0 segment
+# doc_id % 6: 0 → PNG (big-endian u32 dims in IHDR), 1 → JPEG (APP0 segment
 # first, then SOF0 with big-endian u16 dims — exercises segment walking),
-# 2 → GIF89a (little-endian u16 dims), 3 → a non-media payload (must come
-# back format='unknown' with NULL dims, never fabricated numbers).
+# 2 → GIF89a (little-endian u16 dims), 3 → BMP (little-endian i32 dims),
+# 4 → WebP VP8X (24-bit little-endian minus-one canvas), 5 → a non-media
+# payload (must come back format='unknown' with NULL dims, never
+# fabricated numbers).
 
 SQL_MEDIA_DIMENSIONS = """
 SELECT doc_id,
-       CASE CAST(doc_id % 4 AS INT)
+       CASE CAST(doc_id % 6 AS INT)
          WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' WHEN 2 THEN 'gif'
+         WHEN 3 THEN 'bmp' WHEN 4 THEN 'webp'
          ELSE 'unknown' END AS format,
-       CASE WHEN doc_id % 4 IN (0, 1, 2)
+       CASE WHEN doc_id % 6 <= 4
             THEN CAST(16 + doc_id % 1009 AS INT) ELSE NULL END AS width,
-       CASE WHEN doc_id % 4 IN (0, 1, 2)
+       CASE WHEN doc_id % 6 <= 4
             THEN CAST(16 + doc_id % 751 AS INT) ELSE NULL END AS height
 FROM documents
 """
+
+
+def _le16(c):
+    return F.format_string("%02x%02x", c % 256, (c / 256).cast("int") % 256)
+
+
+def _le24(c):
+    return F.format_string(
+        "%02x%02x%02x", c % 256, (c / 256).cast("int") % 256, (c / 65536).cast("int") % 256
+    )
+
+
+def _le32(c):
+    return F.format_string(
+        "%02x%02x%02x%02x",
+        c % 256,
+        (c / 256).cast("int") % 256,
+        (c / 65536).cast("int") % 256,
+        (c / 16777216).cast("int") % 256,
+    )
 
 
 def _media_payload_expr():
@@ -494,11 +517,32 @@ def _media_payload_expr():
         F.format_string("%02x%02x", h % 256, (h / 256).cast("int")),
         F.lit("f70000"),
     )
+    bmp = F.concat(
+        F.lit("424d"),  # 'BM'
+        _le32(F.lit(26)),  # file size (header-only payload)
+        F.lit("00000000"),  # reserved
+        _le32(F.lit(26)),  # pixel-data offset (unused by the parser)
+        _le32(F.lit(40)),  # BITMAPINFOHEADER size -> width lands at byte 18
+        _le32(w),
+        _le32(h),
+    )
+    webp = F.concat(
+        F.lit("52494646"),  # RIFF
+        _le32(F.lit(22)),
+        F.lit("57454250"),  # WEBP
+        F.lit("56503858"),  # VP8X
+        _le32(F.lit(10)),
+        F.lit("00000000"),  # flags + reserved
+        _le24(w - F.lit(1)),  # canvas is minus-one coded
+        _le24(h - F.lit(1)),
+    )
     other = F.lit("6e6f74206d65646961")  # b"not media"
     hex_payload = (
-        F.when(F.col("doc_id") % 4 == 0, png)
-        .when(F.col("doc_id") % 4 == 1, jpeg)
-        .when(F.col("doc_id") % 4 == 2, gif)
+        F.when(F.col("doc_id") % 6 == 0, png)
+        .when(F.col("doc_id") % 6 == 1, jpeg)
+        .when(F.col("doc_id") % 6 == 2, gif)
+        .when(F.col("doc_id") % 6 == 3, bmp)
+        .when(F.col("doc_id") % 6 == 4, webp)
         .otherwise(other)
     )
     return F.unhex(hex_payload)
@@ -1058,4 +1102,76 @@ def q_wav_audio_meta(spark, sf_dir):
     payloads = spread(docs, "doc_id").withColumn("payload", _wav_payload_expr())
     return extract_audio_meta(payloads).select(
         "doc_id", "format", "channels", "sample_rate", "bits_per_sample", "duration_ms"
+    )
+
+
+# mp4_video_meta: ISO-BMFF boxes synthesized JVM-side (big-endian sizes and
+# fields via format_string + unhex): ftyp, then moov{mvhd v0 (timescale
+# 1000, duration in ms), trak{tkhd (16.16-fixed dims)}}. The Arrow-batched
+# box walker recovers width/height/duration; the oracle pins the
+# closed-form values. doc_id % 3 == 2 rows carry a non-BMFF payload.
+
+SQL_MP4_VIDEO_META = """
+SELECT doc_id,
+       CASE WHEN doc_id % 3 = 2 THEN 'unknown' ELSE 'mp4' END AS format,
+       CASE WHEN doc_id % 3 = 2 THEN NULL
+            ELSE CAST(16 + doc_id % 1009 AS INT) END AS width,
+       CASE WHEN doc_id % 3 = 2 THEN NULL
+            ELSE CAST(16 + doc_id % 751 AS INT) END AS height,
+       CASE WHEN doc_id % 3 = 2 THEN NULL
+            ELSE CAST(1000 + doc_id % 100000 AS BIGINT) END AS duration_ms
+FROM documents
+"""
+
+
+def _mp4_payload_expr():
+    """Binary ISO-BMFF payload as a JVM-side column expression. Fixed box
+    sizes (header-only payload): ftyp 16; tkhd 8+84; trak 8+92; mvhd 8+100;
+    moov 8+108+100 = 216."""
+    w = (F.lit(16) + F.col("doc_id") % F.lit(1009)).cast("long")
+    h = (F.lit(16) + F.col("doc_id") % F.lit(751)).cast("long")
+    dur = (F.lit(1000) + F.col("doc_id") % F.lit(100000)).cast("long")
+
+    def be32(c):
+        return F.format_string("%08x", c)
+
+    ftyp = F.concat(be32(F.lit(16)), F.lit("66747970"), F.lit("69736f6d"), be32(F.lit(0)))
+    mvhd = F.concat(
+        be32(F.lit(108)),
+        F.lit("6d766864"),  # 'mvhd'
+        F.lit("00000000"),  # version 0 + flags
+        F.lit("00" * 8),  # ctime/mtime
+        be32(F.lit(1000)),  # timescale: 1000 ticks/s -> duration IS ms
+        be32(dur),
+        F.lit("00" * 80),
+    )
+    tkhd = F.concat(
+        be32(F.lit(92)),
+        F.lit("746b6864"),  # 'tkhd'
+        F.lit("00000000"),
+        F.lit("00" * 72),
+        be32(w * F.lit(65536)),  # 16.16 fixed
+        be32(h * F.lit(65536)),
+    )
+    trak = F.concat(be32(F.lit(100)), F.lit("7472616b"), tkhd)
+    moov = F.concat(be32(F.lit(216)), F.lit("6d6f6f76"), mvhd, trak)
+    mp4 = F.concat(ftyp, moov)
+    other = F.lit("6e6f7420766964656f")  # b"not video"
+    return F.unhex(F.when(F.col("doc_id") % 3 == 2, other).otherwise(mp4))
+
+
+@register(
+    "mp4_video_meta",
+    SQL_MP4_VIDEO_META,
+    doc="real MP4 container decode (stdlib ISO-BMFF box walk via mapInPandas) over JVM-synthesized boxes; oracle pins dims + duration",
+    tags=("multimodal", "video"),
+)
+def q_mp4_video_meta(spark, sf_dir):
+    from ..operators.multimodal import extract_video_meta
+    from ..operators.similarity import spread
+
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    payloads = spread(docs, "doc_id").withColumn("payload", _mp4_payload_expr())
+    return extract_video_meta(payloads).select(
+        "doc_id", "format", "width", "height", "duration_ms"
     )

@@ -685,3 +685,27 @@ def test_setsim_prefix_filter_prunes_candidate_volume(spark):
     plen = F.col("n") - F.floor(F.lit(800_000) * F.col("n") / F.lit(1_000_000)) + F.lit(1)
     prefix_postings = ranked.filter(F.col("rk") <= plen).count()
     assert prefix_postings < 0.35 * full_postings
+
+
+def test_keep_last_agg_matches_window_and_breaks_ties_deterministically(spark):
+    from marketpipe_spark.operators.dedup import keep_last, keep_last_agg
+
+    df = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 3, 30.0), ("a", 2, 20.0), ("b", 5, 50.0)],
+        "k string, ord long, v double",
+    )
+    win = sorted(tuple(r) for r in keep_last(df, ["k"], "ord").collect())
+    agg = sorted(tuple(r) for r in keep_last_agg(df, ["k"], ["ord"]).collect())
+    assert win == agg == [("a", 3, 30.0), ("b", 5, 50.0)]
+    # Ties on the order column: struct comparison breaks by payload —
+    # a total order, stable under any partitioning.
+    ties = spark.createDataFrame(
+        [("a", 1, 2.0), ("a", 1, 9.0), ("a", 1, 5.0)], "k string, ord long, v double"
+    )
+    out = [tuple(r) for r in keep_last_agg(ties, ["k"], ["ord"]).collect()]
+    assert out == [("a", 1, 9.0)]
+    again = [
+        tuple(r)
+        for r in keep_last_agg(ties.repartition(7), ["k"], ["ord"]).collect()
+    ]
+    assert again == out
