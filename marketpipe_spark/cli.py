@@ -468,15 +468,24 @@ def cmd_serve(args) -> int:
             return _json.dumps({"name": name, "error": str(exc)[:200]})
         return _json.dumps({"name": name, "rows": n, "sec": round(_time.time() - t0, 3)})
 
+    # Stream each response as soon as its query finishes (under a print
+    # lock) — a long-lived client piping requests sees results live instead
+    # of only after it closes stdin. Response ORDER is completion order, not
+    # request order; the "name" field correlates responses to requests.
+    import threading as _threading
+
+    out_lock = _threading.Lock()
+
+    def emit(fut) -> None:
+        with out_lock:
+            print(fut.result(), flush=True)
+
     with ThreadPoolExecutor(max_workers=args.threads) as ex:
-        futs = []
         for line in _sys.stdin:
             line = line.strip()
             if not line or line.startswith("#"):
                 continue
-            futs.append(ex.submit(handle, line))
-        for f in futs:
-            print(f.result(), flush=True)
+            ex.submit(handle, line).add_done_callback(emit)
     return 0
 
 

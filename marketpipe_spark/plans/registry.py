@@ -370,6 +370,13 @@ def prebuilt(
     # session (id() can be reused after GC) — same pattern as _TABLE_CACHE.
     if not refresh and ent is not None and ent[0] is spark and ent[1] == fp:
         return ent[2]
+    if ent is not None and ent[0] is not spark:
+        # A replaced/stopped session: purge EVERY entry pinned to it, not
+        # just this key — otherwise a long-lived serve process leaks py4j-
+        # backed plans (and the dead session) for entries never re-requested.
+        stale = ent[0]
+        for k in [k for k, e in _PLAN_CACHE.items() if e[0] is stale]:
+            del _PLAN_CACHE[k]
     df = q.fn(spark, sf_dir)
     _PLAN_CACHE[key] = (spark, fp, df)
     return df

@@ -355,9 +355,13 @@ class S3SimFS:
 
     def listdir(self, path: str) -> list[str]:
         import random as _random
+        import zlib as _zlib
 
         names = self._inner.listdir(path)
-        _random.Random(hash(path) & 0xFFFF).shuffle(names)
+        # Process-stable seed (built-in hash() is salted per interpreter via
+        # PYTHONHASHSEED — an ordering-sensitive failure would flake between
+        # runs instead of reproducing).
+        _random.Random(_zlib.crc32(path.encode()) & 0xFFFF).shuffle(names)
         return names
 
     def try_publish(self, tmp: str, final: str) -> bool:
@@ -1040,8 +1044,7 @@ def snapshot_fsck(root: str, fs: SnapshotFS | None = None) -> dict:
         p = m.get("parent")
         if p is not None and p >= v:
             chain_breaks.append(f"v{v}: parent v{p} is not older")
-        if p is not None and p in vset and p >= v:
-            pass  # covered above; parents simply expired are fine
+        # (parents simply expired from vset are fine — not a chain break)
         for f in m["files"]:
             referenced.add(f)
             if not fs.exists(_join(root, f)):
@@ -1093,10 +1096,12 @@ def refresh_mv(
        CURRENT stored rows (``base=`` — refresh cost ∝ churn + affected
        groups, never the source table);
     3. the result lands as a new version of the MV's OWN snapshot table
-       (itself time-travelable and CDC-consumable downstream);
+       (itself time-travelable and CDC-consumable downstream) whose manifest
+       note records the applied SOURCE version;
     4. only then is the position acknowledged — a crash between write and
-       ack replays the same closed interval, and the overwrite commit is
-       idempotent per interval, so the effect is exactly-once.
+       ack is recovered on the next call by reading the applied source
+       version back out of the MV's manifest note and re-acking it, so the
+       interval's deltas are never applied twice (exactly-once).
 
     Returns the MV's new version, or None when the source had nothing new.
     """
@@ -1107,6 +1112,30 @@ def refresh_mv(
     latest = vs[-1]
     last = checkpoints.last_processed(consumer_id, src_root)
     v_from = int(last) if last is not None else 0
+    # Crash recovery: the manifest note of every MV commit records the
+    # applied source version ("mv refresh <src> vA->vB"). If the newest
+    # such note shows a version AHEAD of the checkpoint, the previous cycle
+    # crashed between write_table and checkpoints.save — the MV already
+    # contains that interval's deltas, so re-ack and resume from there
+    # instead of applying them a second time. Metadata-only (hydrate=False),
+    # and robust to non-refresh commits (compaction) interleaved on the MV:
+    # we walk back to the newest refresh note.
+    fs_mv = _resolve_fs(mv_root, spark, fs)
+    _note_prefix = f"mv refresh {src_root} v"
+    for mv_v in reversed(_versions(mv_root, fs_mv)):
+        note = (
+            _read_manifest(mv_root, mv_v, fs_mv, hydrate=False).get("note") or ""
+        )
+        if not note.startswith(_note_prefix):
+            continue
+        try:
+            applied = int(note.rsplit("->v", 1)[1])
+        except (IndexError, ValueError):
+            break
+        if applied > v_from:
+            checkpoints.save(consumer_id, {src_root: applied})
+            v_from = applied
+        break
     if v_from != latest and v_from != 0 and v_from not in vs:
         raise LookupError(
             f"MV consumer {consumer_id!r} checkpoint points at expired "

@@ -90,6 +90,62 @@ def test_serve_subcommand_wired():
     assert args.warm == ["vwap"] and args.threads == 4
 
 
+def test_stale_session_entries_purged_on_collision(spark):
+    """A replaced/stopped session's cache entries are evicted wholesale the
+    first time a key collision reveals them — a long-lived serve process
+    must not pin dead sessions and their py4j-backed plans forever."""
+    registry.clear_plan_cache()
+    ghost = object()  # stands in for a stopped SparkSession
+    key = (id(spark), "vwap", SF)  # same key the live session will request
+    registry._PLAN_CACHE[key] = (ghost, (), None)
+    registry._PLAN_CACHE[(id(ghost), "daily_summary", SF)] = (ghost, (), None)
+    registry._PLAN_CACHE[(id(ghost), "sma_20", SF)] = (ghost, (), None)
+    df = registry.prebuilt(spark, "vwap", SF)
+    assert df is not None
+    # Every ghost-pinned entry is gone, not just the collided key.
+    assert all(e[0] is spark for e in registry._PLAN_CACHE.values())
+    assert len(registry._PLAN_CACHE) == 1
+
+
+def test_serve_streams_responses_before_stdin_eof(spark, monkeypatch):
+    """cmd_serve must emit each response as the query completes — a
+    long-lived client piping requests sees results live, not only after it
+    closes its input (r9 ADVICE medium)."""
+    import sys
+    import threading
+    from types import SimpleNamespace
+
+    from marketpipe_spark import cli, session
+
+    monkeypatch.setattr(session, "get_spark", lambda *a, **k: spark)
+    responded = threading.Event()
+
+    class OutWrap:
+        def __init__(self, inner):
+            self.inner = inner
+
+        def write(self, s):
+            self.inner.write(s)
+            if s.strip():
+                responded.set()
+
+        def flush(self):
+            self.inner.flush()
+
+    class FakeStdin:
+        def __iter__(self):
+            yield "vwap\n"
+            # Block EOF until the first response has been printed. Under the
+            # old drain-at-EOF implementation this times out and fails.
+            assert responded.wait(120), "no response printed before stdin EOF"
+
+    monkeypatch.setattr(sys, "stdin", FakeStdin())
+    monkeypatch.setattr(sys, "stdout", OutWrap(sys.stdout))
+    args = SimpleNamespace(warm=None, sf_dir=SF, threads=2)
+    assert cli.cmd_serve(args) == 0
+    assert responded.is_set()
+
+
 def test_plan_builders_run_no_eager_jobs(spark):
     """Building ranksum_returns / embedding_near_dup_lsh must not run a
     Spark job (the r8 verdict nit: eager .count() inside the builder ran a

@@ -1134,3 +1134,89 @@ def test_refresh_mv_end_to_end_exactly_once(spark, tmp_path):
         spark, src, mv, ["id"], ["g"], ["x"], "mv1", ckpt, min_cols=["x"]
     )
     assert v2 == 2 and mv_rows() == direct()
+
+
+def test_refresh_mv_replay_after_crash_is_idempotent(spark, tmp_path):
+    """Crash BETWEEN write_table and checkpoints.save must not double-apply
+    the interval on replay: recovery reads the applied source version back
+    out of the MV manifest note, re-acks, and returns without touching the
+    MV (regression test for the r9 exactly-once hole)."""
+    from pyspark.sql import functions as F
+
+    from marketpipe_spark.snapshots import refresh_mv
+    from marketpipe_spark.streaming.incremental import CheckpointStore
+
+    src = str(tmp_path / "src")
+    mv = str(tmp_path / "mv")
+    ckpt = CheckpointStore(spark, str(tmp_path / "ckpt"))
+
+    write_table(
+        spark.createDataFrame(
+            [(1, "g1", 1.0), (2, "g1", 9.0), (3, "g2", 5.0)],
+            "id long, g string, x double",
+        ),
+        src,
+    )
+    assert refresh_mv(spark, src, mv, ["id"], ["g"], ["x"], "mvc", ckpt) == 1
+    # New source version, then a refresh whose ack "crashes".
+    write_table(
+        spark.createDataFrame([(4, "g1", 2.0)], "id long, g string, x double"),
+        src,
+    )
+
+    class CrashingCkpt:
+        def __init__(self, inner):
+            self.inner = inner
+
+        def last_processed(self, *a):
+            return self.inner.last_processed(*a)
+
+        def save(self, *a):
+            raise RuntimeError("simulated crash before ack")
+
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="simulated crash"):
+        refresh_mv(spark, src, mv, ["id"], ["g"], ["x"], "mvc", CrashingCkpt(ckpt))
+    # The MV write landed (v2) but the checkpoint still points at v1.
+    assert ckpt.last_processed("mvc", src) == 1
+
+    def mv_rows():
+        return sorted(
+            (r["g"], float(r["sum_x"]), r["n_rows"])
+            for r in read_table(spark, mv).collect()
+        )
+
+    expected = sorted(
+        (r["g"], float(r["sum_x"]), r["n_rows"])
+        for r in read_table(spark, src)
+        .groupBy("g")
+        .agg(
+            F.sum(F.col("x").cast("decimal(38,6)")).alias("sum_x"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .collect()
+    )
+    assert mv_rows() == expected
+    # Replay with a working checkpoint store: must be a metadata-only no-op
+    # (no new MV version, sums NOT doubled) that recovers the ack.
+    assert refresh_mv(spark, src, mv, ["id"], ["g"], ["x"], "mvc", ckpt) is None
+    assert ckpt.last_processed("mvc", src) == 2
+    assert mv_rows() == expected
+    # And the loop continues normally afterwards.
+    write_table(
+        spark.createDataFrame([(5, "g3", 7.0)], "id long, g string, x double"),
+        src,
+    )
+    assert refresh_mv(spark, src, mv, ["id"], ["g"], ["x"], "mvc", ckpt) is not None
+    expected2 = sorted(
+        (r["g"], float(r["sum_x"]), r["n_rows"])
+        for r in read_table(spark, src)
+        .groupBy("g")
+        .agg(
+            F.sum(F.col("x").cast("decimal(38,6)")).alias("sum_x"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .collect()
+    )
+    assert mv_rows() == expected2
