@@ -102,6 +102,11 @@ def asof_join(
 
         # Profile the COMBINED key/ts stream: the window task carries both
         # sides' rows, so either side's hot key is a straggler.
+        # sorted_threshold=0.95: the as-of carry is one last() per row, so
+        # on near-time-sorted input the hot task's sort is a near-free
+        # merge and chunking LOSES (SKEW_BENCH ×256 sorted skewed: chunked
+        # 27.3 s vs plain 18.9 s) — the guard keeps the plain plan there
+        # while genuinely unordered data still dispatches to chunking.
         span, hot_keys = resolve_trailing_skew(
             left.select(F.col(on), F.col(ts)).unionByName(
                 right.select(F.col(on), F.col(ts))
@@ -109,6 +114,7 @@ def asof_join(
             on,
             ts,
             skew_span,
+            sorted_threshold=0.95,
         )
 
     if span is None:

@@ -7,11 +7,18 @@ dimensions, :func:`parse_audio_header` decodes WAV channel/rate/bits/
 duration from the RIFF chunk list, and :func:`parse_video_header` walks
 ISO-BMFF (MP4) boxes for track dimensions and mvhd duration. Payloads in
 any other format come back honestly as ``format='unknown'`` with NULL
-fields — never fake numbers. Full pixel/sample decode (image resize,
-audio resample, video frame-sample) needs libs not present in this
-container, so those KERNELS remain clearly-marked stubs, while everything
-Spark-side is real and tested: binary column handling, explicit output
-schemas, Arrow batch iteration, and partition-parallel execution.
+fields — never fake numbers.
+
+Pixel-level decode (r10): PNG is fully decoded stdlib-only —
+:func:`decode_png_pixels` inflates IDAT with ``zlib`` and undoes all five
+scanline filters for color types 0/2/3/4/6 at bit depth 8, and
+:func:`box_resize_pixels` resamples with an integer-exact box filter, so
+:func:`resize_media` is a REAL kernel for PNG inputs. Other formats'
+pixel/sample kernels (JPEG entropy decode, audio resample, video
+frame-sample) need libs not present in this container and remain
+clearly-marked stubs; everything Spark-side is real and tested either
+way: binary column handling, explicit output schemas, Arrow batch
+iteration, and partition-parallel execution.
 
 Scale notes: payloads travel as parquet binary columns; mapInPandas streams
 Arrow record batches so executor memory holds one batch of payloads, not a
@@ -119,6 +126,136 @@ def parse_media_header(b: bytes) -> tuple[str, int | None, int | None]:
     return ("unknown", None, None)
 
 
+#: PNG color type → samples per pixel (8-bit depth). Type 3 is
+#: palette-indexed: one index byte per pixel, expanded to RGB via PLTE.
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def decode_png_pixels(b: bytes):
+    """REAL stdlib PNG pixel decode: returns a ``numpy.uint8`` array of
+    shape ``(height, width, channels)``, or ``None`` for anything this
+    decoder does not cover (non-PNG, bit depths ≠ 8, interlaced images,
+    truncated streams).
+
+    Pure stdlib: chunk walk → ``zlib`` inflate of the concatenated IDAT
+    stream → per-row unfilter (all five PNG filter types 0–4) → palette
+    expansion for color type 3. Covers color types 0 (gray), 2 (RGB),
+    3 (palette→RGB), 4 (gray+alpha), 6 (RGBA) at bit depth 8, the
+    overwhelming bulk of real-world PNGs.
+
+    Tolerances, chosen deliberately for a data-pipeline fast path: chunk
+    CRCs are NOT validated (skipped, as fast decoders do), and the zlib
+    stream is inflated via ``decompressobj`` so a missing/absent trailing
+    adler32 does not fail the decode — encoder-produced streams with a
+    correct adler pass through identically. Corrupt pixel DATA still
+    fails closed (returns ``None``), never fabricates pixels.
+    """
+    import zlib
+
+    import numpy as np
+
+    if len(b) < 45 or b[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    w = h = None
+    bitd = ctype = interlace = None
+    idat = bytearray()
+    plte = None
+    i = 8
+    while i + 8 <= len(b):
+        clen = struct.unpack(">I", b[i : i + 4])[0]
+        ctyp = b[i + 4 : i + 8]
+        data = b[i + 8 : i + 8 + clen]
+        if len(data) < clen:
+            return None  # truncated chunk
+        if ctyp == b"IHDR":
+            if clen < 13:
+                return None
+            w, h = struct.unpack(">II", data[:8])
+            bitd, ctype, _comp, _filt, interlace = data[8:13]
+        elif ctyp == b"PLTE":
+            plte = np.frombuffer(data[: (clen // 3) * 3], np.uint8).reshape(-1, 3)
+        elif ctyp == b"IDAT":
+            idat += data
+        elif ctyp == b"IEND":
+            break
+        i += 12 + clen  # length + type + data + crc (crc not validated)
+    if not w or not h or bitd != 8 or interlace != 0 or ctype not in _PNG_CHANNELS:
+        return None
+    if ctype == 3 and plte is None:
+        return None
+    bpp = _PNG_CHANNELS[ctype]
+    stride = w * bpp
+    try:
+        raw = zlib.decompressobj().decompress(bytes(idat))
+    except zlib.error:
+        return None
+    if len(raw) < h * (1 + stride):
+        return None
+    out = np.empty((h, stride), np.uint8)
+    pos = 0
+    for y in range(h):
+        f = raw[pos]
+        row = np.frombuffer(raw, np.uint8, stride, pos + 1).astype(np.int64)
+        pos += 1 + stride
+        up = out[y - 1].astype(np.int64) if y else np.zeros(stride, np.int64)
+        if f == 0:
+            rec = row
+        elif f == 2:  # Up
+            rec = row + up
+        elif f == 1:  # Sub: per-lane cumulative sum (mod 256 distributes)
+            rec = row.reshape(w, bpp).cumsum(axis=0).reshape(stride)
+        elif f in (3, 4):  # Average / Paeth: left-dependency, walk pixels
+            lanes = row.reshape(w, bpp)
+            ulanes = up.reshape(w, bpp)
+            rec2 = np.empty((w, bpp), np.int64)
+            left = np.zeros(bpp, np.int64)
+            ul = np.zeros(bpp, np.int64)
+            for x in range(w):
+                if f == 3:
+                    pred = (left + ulanes[x]) // 2
+                else:
+                    p = left + ulanes[x] - ul
+                    pa = np.abs(p - left)
+                    pb = np.abs(p - ulanes[x])
+                    pc = np.abs(p - ul)
+                    pred = np.where(
+                        (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, ulanes[x], ul)
+                    )
+                left = (lanes[x] + pred) & 255
+                ul = ulanes[x]
+                rec2[x] = left
+            rec = rec2.reshape(stride)
+        else:
+            return None
+        out[y] = (rec & 255).astype(np.uint8)
+    img = out.reshape(h, w, bpp)
+    if ctype == 3:
+        img = plte[img[:, :, 0]]
+    return img
+
+
+def box_resize_pixels(img, target_w: int, target_h: int):
+    """Integer-exact box-filter resample: output pixel (i, j) is the
+    round-half-up mean of the source box ``rows [i*h//th, max((i+1)*h//th,
+    +1)) × cols [j*w//tw, ...)``. Implemented with an int64 integral image
+    — one O(h·w) pass then O(th·tw) box sums, no per-pixel Python loop,
+    bit-deterministic on every platform (pure integer arithmetic)."""
+    import numpy as np
+
+    h, w, c = img.shape
+    ii = np.zeros((h + 1, w + 1, c), np.int64)
+    ii[1:, 1:] = img.astype(np.int64).cumsum(axis=0).cumsum(axis=1)
+    ys = np.arange(target_h + 1) * h // target_h
+    xs = np.arange(target_w + 1) * w // target_w
+    y0, y1 = ys[:-1], np.maximum(ys[1:], ys[:-1] + 1)
+    x0, x1 = xs[:-1], np.maximum(xs[1:], xs[:-1] + 1)
+    box = (
+        ii[np.ix_(y1, x1)] - ii[np.ix_(y0, x1)] - ii[np.ix_(y1, x0)] + ii[np.ix_(y0, x0)]
+    )
+    area = ((y1 - y0)[:, None] * (x1 - x0)[None, :])[..., None]
+    return ((2 * box + area) // (2 * area)).astype(np.uint8)
+
+
 def attach_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Build the opaque binary media column (here: utf-8 bytes of the text —
     a stand-in payload with the same Spark-side shape as real media).
@@ -156,16 +293,24 @@ def extract_media_meta(docs_with_payload: DataFrame) -> DataFrame:
 def resize_media(
     docs_with_payload: DataFrame, target_w: int = 224, target_h: int = 224
 ) -> DataFrame:
-    """STUB image-resize KERNEL: payload → fixed-size resized payload +
-    before/after dims. Source dims come from the REAL header parser
-    (:func:`parse_media_header`; NULL for unknown formats); the pixel
-    resample itself would be ``PIL.Image.open(...).resize((w, h)).tobytes()``
-    — unavailable here, so the stub emits a deterministic
-    ``target_w × target_h``-byte strided re-sample of the payload so output
-    SIZE and schema behave exactly like the real op (constant bytes-per-row
-    downstream — the property batch sizing relies on). Spark-side plumbing
-    (binary in → binary out through Arrow) is real.
+    """Image-resize kernel: payload → fixed-size resized payload +
+    before/after dims, Arrow-batched through ``mapInPandas``.
+
+    PNG payloads take the REAL path (r10): :func:`decode_png_pixels`
+    (stdlib zlib inflate + per-row unfilter) then
+    :func:`box_resize_pixels` (integer-exact box-filter mean) — rows come
+    back with ``decoded = true``, ``channels`` from the image, ``resized``
+    holding ``target_w × target_h × channels`` raw interleaved bytes, and
+    ``byte_sum``/``px0_*`` as engine-computed content checks (the oracle
+    pins them closed-form for synthesized payloads). Every other format
+    still lacks a pixel decoder in this container (no PIL/ffmpeg), so
+    those rows keep the clearly-marked deterministic strided-byte STUB
+    (``decoded = false``, ``channels`` NULL, ``target_w × target_h``
+    bytes) — output size and schema stay constant-bytes-per-row either
+    way, the property downstream batch sizing relies on.
     """
+    import numpy as np
+
     out_schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType(), False),
@@ -173,10 +318,17 @@ def resize_media(
             T.StructField("src_height", T.IntegerType(), True),
             T.StructField("width", T.IntegerType(), False),
             T.StructField("height", T.IntegerType(), False),
+            T.StructField("channels", T.IntegerType(), True),
+            T.StructField("decoded", T.BooleanType(), False),
             T.StructField("resized", T.BinaryType(), False),
+            T.StructField("byte_sum", T.LongType(), False),
+            T.StructField("px0_r", T.IntegerType(), True),
+            T.StructField("px0_g", T.IntegerType(), True),
+            T.StructField("px0_b", T.IntegerType(), True),
         ]
     )
     n_out = target_w * target_h
+    cols = [f.name for f in out_schema.fields]
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -184,13 +336,31 @@ def resize_media(
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 b = bytes(payload) or b"\x00"
                 _, sw, sh = parse_media_header(b)
-                # strided nearest-neighbor fake: sample n_out bytes evenly
+                img = decode_png_pixels(b)
+                if img is not None:
+                    small = box_resize_pixels(img, target_w, target_h)
+                    c = small.shape[2]
+                    resized = small.tobytes()
+                    px = small[0, 0]
+                    px0 = [int(px[0]), int(px[1]) if c >= 3 else None,
+                           int(px[2]) if c >= 3 else None]
+                    rows.append(
+                        (int(doc_id), sw, sh, target_w, target_h, c, True,
+                         resized, int(np.int64(small.sum())), *px0)
+                    )
+                    continue
+                # strided nearest-neighbor stub: sample n_out bytes evenly
                 step = max(len(b) // n_out, 1)
                 resized = (b[::step] * (n_out // max(len(b[::step]), 1) + 1))[:n_out]
-                rows.append((int(doc_id), sw, sh, target_w, target_h, resized))
-            yield pd.DataFrame(
-                rows, columns=["doc_id", "src_width", "src_height", "width", "height", "resized"]
-            )
+                rows.append(
+                    (int(doc_id), sw, sh, target_w, target_h, None, False,
+                     resized, sum(resized), None, None, None)
+                )
+            out = pd.DataFrame(rows, columns=cols)
+            out["channels"] = out["channels"].astype("Int32")
+            for c in ("px0_r", "px0_g", "px0_b"):
+                out[c] = out[c].astype("Int32")
+            yield out
 
     return docs_with_payload.select("doc_id", "payload").mapInPandas(batches, out_schema)
 

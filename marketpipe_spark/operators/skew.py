@@ -101,6 +101,175 @@ def hot_key_profile(
     ).select("key", "n", "share_ppm", "rank")
 
 
+def physical_sortedness(
+    df: DataFrame,
+    ts: str,
+    rows_per_partition: int = 100_000,
+    min_pairs: int = 1_000,
+) -> float | None:
+    """Fraction of ADJACENT same-partition row pairs with non-decreasing
+    ``ts``, in physical (on-disk / in-plan) row order, probing at most
+    ``rows_per_partition`` leading rows per partition — the cheap
+    detector for "this data is already time-sorted".
+
+    Why it matters: a per-key window's reduce-side sort over near-sorted
+    input is a near-free TimSort merge of sorted runs, so the hot-key
+    time-chunking mitigation buys little there while still paying its
+    auxiliary tails/carry passes (SKEW_BENCH ×256: chunked as-of pays
+    ~1.35× on BOTH uniform and skewed near-sorted cells). The probe runs
+    one Arrow ``mapInPandas`` pass that stops consuming each partition's
+    stream after the cap — cost bounded by cap × partitions, not table
+    size. Returns ``None`` below ``min_pairs`` observed pairs (too little
+    signal to veto anything). Timestamps are compared after a ``long``
+    cast: ties (including coarser-granularity collisions) count as
+    non-decreasing, which only ever biases TOWARD "sorted" — acceptable
+    for a dispatch heuristic whose both branches are bit-identical.
+    """
+    import pandas as pd
+
+    src = df.select(F.col(ts).cast("long").alias("_t"))
+
+    def probe(batches):
+        import numpy as np
+
+        seen = pairs = mono = 0
+        prev = None
+        for pdf in batches:
+            a = pdf["_t"].to_numpy(dtype="float64", na_value=np.nan)
+            a = a[~np.isnan(a)]
+            if a.size == 0:
+                continue
+            if prev is not None:
+                pairs += 1
+                mono += int(a[0] >= prev)
+            if a.size > 1:
+                d = np.diff(a)
+                pairs += d.size
+                mono += int((d >= 0).sum())
+            prev = float(a[-1])
+            seen += a.size
+            if seen >= rows_per_partition:
+                break  # stop pulling Arrow batches for this partition
+        yield pd.DataFrame({"pairs": [pairs], "mono": [mono]})
+
+    stats = src.mapInPandas(probe, "pairs long, mono long").collect()
+    tp = sum(r["pairs"] for r in stats)
+    tm = sum(r["mono"] for r in stats)
+    if tp < min_pairs:
+        return None
+    return tm / tp
+
+
+def trailing_skew_profile(
+    df: DataFrame, key: str, ts: str, max_tracked_keys: int = 65536
+) -> dict:
+    """ONE fused profiling job for the trailing-window skew dispatch —
+    everything :func:`plan_trailing_skew` needs from the data, in a single
+    narrow Arrow ``mapInPandas`` scan of ``(key, ts)`` with NO shuffle:
+
+    - ``n`` / ``t0`` / ``t1``: total rows and the ts range (span sizing);
+    - ``counts``: per-key row counts, exact while a partition tracks ≤
+      ``max_tracked_keys`` distinct keys; beyond that the partition evicts
+      its lightest half space-saving-style and the merged counts become
+      LOWER bounds (``exact=False`` — callers halve the detection
+      threshold, the same borderline-error trade the old sampled pass
+      made). A truly hot key can never be evicted to zero: it dominates
+      every eviction round by construction.
+    - ``pairs`` / ``mono``: physical adjacent-pair monotonic-ts stats per
+      partition (the sortedness probe), computed inline on the same rows.
+
+    The r9 dispatch ran THREE jobs (global agg, sampled per-key groupBy,
+    hot-row sortedness probe) — measured ~12 s of pure overhead on a ×256
+    sorted table whose final answer was "keep the plain plan". This pass
+    replaces all three with one column-pruned scan; partials merge
+    driver-side (one row per partition).
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    key_type = df.schema[key].dataType
+    key_is_int = isinstance(
+        key_type, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    )
+    src = df.select(F.col(key).alias("_k"), F.col(ts).cast("long").alias("_t"))
+    out_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("tmin", T.LongType()),
+            T.StructField("tmax", T.LongType()),
+            T.StructField("pairs", T.LongType()),
+            T.StructField("mono", T.LongType()),
+            T.StructField("exact", T.BooleanType()),
+            T.StructField("keys", T.ArrayType(key_type)),
+            T.StructField("counts", T.ArrayType(T.LongType())),
+        ]
+    )
+
+    def run(batches):
+        import numpy as np
+
+        counts: dict = {}
+        exact = True
+        n = pairs = mono = 0
+        tmin = tmax = prev = None
+        for pdf in batches:
+            n += len(pdf)
+            tv = pdf["_t"].to_numpy(dtype="float64", na_value=np.nan)
+            tv = tv[~np.isnan(tv)]
+            if tv.size:
+                if prev is not None:
+                    pairs += 1
+                    mono += int(tv[0] >= prev)
+                if tv.size > 1:
+                    d = np.diff(tv)
+                    pairs += d.size
+                    mono += int((d >= 0).sum())
+                prev = float(tv[-1])
+                bmin, bmax = float(tv.min()), float(tv.max())
+                tmin = bmin if tmin is None else min(tmin, bmin)
+                tmax = bmax if tmax is None else max(tmax, bmax)
+            kser = pdf["_k"].dropna()
+            if key_is_int and kser.dtype.kind == "f":
+                kser = kser.astype("int64")
+            for k, c in kser.value_counts().items():
+                kk = k.item() if hasattr(k, "item") else k
+                counts[kk] = counts.get(kk, 0) + int(c)
+            if len(counts) > max_tracked_keys:
+                keep = sorted(counts.items(), key=lambda kv: -kv[1])
+                counts = dict(keep[: max_tracked_keys // 2])
+                exact = False
+        ks = list(counts.keys())
+        yield pd.DataFrame(
+            {
+                "n": [n],
+                "tmin": [None if tmin is None else int(tmin)],
+                "tmax": [None if tmax is None else int(tmax)],
+                "pairs": [pairs],
+                "mono": [mono],
+                "exact": [exact],
+                "keys": [ks],
+                "counts": [[counts[k] for k in ks]],
+            }
+        )
+
+    rows = src.mapInPandas(run, out_schema).collect()
+    merged: dict = {}
+    for r in rows:
+        for k, c in zip(r["keys"], r["counts"]):
+            merged[k] = merged.get(k, 0) + c
+    tmins = [r["tmin"] for r in rows if r["tmin"] is not None]
+    tmaxs = [r["tmax"] for r in rows if r["tmax"] is not None]
+    return {
+        "n": sum(r["n"] for r in rows),
+        "t0": min(tmins) if tmins else None,
+        "t1": max(tmaxs) if tmaxs else None,
+        "pairs": sum(r["pairs"] for r in rows),
+        "mono": sum(r["mono"] for r in rows),
+        "exact": all(r["exact"] for r in rows),
+        "counts": merged,
+    }
+
+
 def plan_trailing_skew(
     df: DataFrame,
     key: str,
@@ -109,7 +278,9 @@ def plan_trailing_skew(
     safety: float = 4.0,
     chunks_per_slot: int = 4,
     max_hot: int = 64,
-    sample_rows: int = 1_000_000,
+    max_tracked_keys: int = 65536,
+    sorted_threshold: float | None = None,
+    min_mono_pairs: int = 1_000,
 ) -> tuple[int, list] | None:
     """Skew auto-dispatch: decide whether a trailing-window computation
     over ``key`` needs :func:`chunked_trailing_frame`, and for WHICH keys.
@@ -127,57 +298,77 @@ def plan_trailing_skew(
     of keys that actually need chunking — cold keys keep their one-task
     window and skip the carry machinery entirely.
 
-    Cost: two narrow passes — one global aggregate (count + ts min/max;
-    no shuffle) and one hot-key detection pass. Past ``sample_rows``
-    total rows the detection groups a seeded SAMPLE instead of the full
-    table: at ×1024 volume the full per-key count shuffles a ~100M-key
-    summary just to learn "no key is hot" (measured: the shuffle dwarfs
-    the scan), while a hot key — by definition holding ≥ threshold share
-    — is detected in a bounded sample with certainty for any real margin.
-    Sampling can only affect WHICH plan is chosen, never the result
-    (chunking any key is bit-identical — the equivalence tests/oracles
-    pin that), so the detection threshold is halved under sampling to
-    absorb sampling error on borderline keys; a borderline key chunked
-    unnecessarily costs a few percent, one missed while truly hot is
-    ~impossible at ``sample_rows`` = 1M (a 12.5%-share key is ~125k
-    sample rows). Small tables (≤ ``sample_rows``) always use exact
-    counts — plan choice stays deterministic for the shape baselines.
-    (Also measured and rejected: persisting a fused per-key summary —
-    caching the 100M-key frame costs more than the scan it saves.)
+    Cost: ONE fused profiling job (:func:`trailing_skew_profile`) — a
+    column-pruned, shuffle-free Arrow scan of ``(key, ts)`` computing the
+    row total, ts range, per-key counts, and the physical-order probe in
+    the same pass. The r9 split (global agg + sampled groupBy + hot-row
+    sortedness scan) cost three table scans ≈ 12 s of pure dispatch
+    overhead on a ×256 table — measured, which violated the "auto within
+    1.1× of best" bar on its own. Per-key tracking is exact up to
+    ``max_tracked_keys`` distinct keys per partition; beyond that counts
+    degrade to lower bounds and the detection threshold halves (the same
+    borderline trade the old sampled pass made — dispatch choice can
+    shift a few percent, results never change: chunking any key is
+    bit-identical, pinned by the equivalence tests/oracles).
+
+    ``sorted_threshold`` — the r10 sortedness guard, OFF by default and
+    enabled per operator class: when hot keys ARE found but the profiled
+    partitions' adjacent-pair monotonic-ts fraction is at/above the
+    threshold (over at least ``min_mono_pairs`` pairs), keep the plain
+    plan anyway. Whether that is right depends on the per-row WINDOW
+    cost, so the caller — who knows the workload class — decides:
+
+    - As-of (one ``last()`` carry per row): on near-time-sorted input the
+      hot partition's reduce-side sort is a near-free merge of sorted
+      runs and the carry is trivial, so chunking's tails/carry passes
+      cost MORE than the straggler they remove — SKEW_BENCH ×256 sorted:
+      chunked 27.3 s vs plain 18.9 s on the skewed cell. ``asof_join``
+      passes 0.95.
+    - Heavy window stacks (13-rule validation, multi-window sessions):
+      the straggler is per-row COMPUTE, not the sort — chunking wins even
+      on fully sorted input (×256 sorted skewed: chunked 86 s vs plain
+      102 s; sessions ×1024: chunked 50 s vs plain 118 s). Those callers
+      leave the guard off.
+
+    The global monotonic fraction is a PROXY for the hot key's own order
+    — a subset of a sorted stream is sorted, so globally-sorted always
+    implies hot-sorted; the reverse miss only costs the known chunk
+    overhead. On genuinely unordered data (fraction ≈ 0.5) the guard
+    never fires regardless.
     """
-    g = df.agg(
-        F.count(F.lit(1)).alias("tot"),
-        F.min(ts).alias("t0"),
-        F.max(ts).alias("t1"),
-    ).collect()[0]
-    if not g["tot"]:
+    prof = trailing_skew_profile(df, key, ts, max_tracked_keys=max_tracked_keys)
+    if not prof["n"]:
         return None
     # Share threshold, capped at 50%: a majority key is a straggler at ANY
     # cluster size (and without the cap, safety/partitions >= 1 on small
     # local sessions would disable dispatch entirely).
-    thr_rows = int(g["tot"] * min(safety / shuffle_partitions, 0.5))
-    frac = min(1.0, sample_rows / g["tot"])
-    if frac >= 1.0:
-        src, sthr = df.select(key), thr_rows
-    else:
-        src = df.select(key).sample(fraction=frac, seed=42)
-        sthr = int(thr_rows * frac * 0.5)
-    hot = (
-        src.groupBy(key)
-        .agg(F.count(F.lit(1)).alias("n"))
-        .where(F.col("n") > sthr)
-        .orderBy(F.col("n").desc(), F.col(key).asc())
-        .limit(max_hot)
-        .collect()
-    )
+    thr_rows = prof["n"] * min(safety / shuffle_partitions, 0.5)
+    if not prof["exact"]:
+        thr_rows *= 0.5
+    hot = sorted(
+        (kv for kv in prof["counts"].items() if kv[1] > thr_rows),
+        key=lambda kv: (-kv[1], str(kv[0])),
+    )[:max_hot]
     if not hot:
         return None
-    span = max(1, (g["t1"] - g["t0"] + 1) // (shuffle_partitions * chunks_per_slot))
-    return span, [r[key] for r in hot]
+    if (
+        sorted_threshold is not None
+        and prof["pairs"] >= min_mono_pairs
+        and prof["mono"] / prof["pairs"] >= sorted_threshold
+    ):
+        return None
+    span = max(
+        1, (prof["t1"] - prof["t0"] + 1) // (shuffle_partitions * chunks_per_slot)
+    )
+    return span, [k for k, _ in hot]
 
 
 def resolve_trailing_skew(
-    df: DataFrame, key: str, ts: str, skew_span: int | str | None
+    df: DataFrame,
+    key: str,
+    ts: str,
+    skew_span: int | str | None,
+    sorted_threshold: float | None = None,
 ) -> tuple[int | None, list | None]:
     """Normalize the window operators' ``skew_span`` parameter:
 
@@ -191,6 +382,10 @@ def resolve_trailing_skew(
       regression baselines;
     - an int → ``(span, None)``: chunk EVERY key at that span (the r7
       always-on behavior the registry skewsafe twins pin).
+
+    ``sorted_threshold`` forwards to :func:`plan_trailing_skew`'s
+    sortedness guard — set by operators whose per-row window cost is
+    trivial (as-of), left ``None`` by heavy window stacks.
     """
     if skew_span is None:
         return None, None
@@ -199,7 +394,9 @@ def resolve_trailing_skew(
             sp = int(skew_span.split(":", 1)[1])
         else:
             sp = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
-        plan = plan_trailing_skew(df, key, ts, shuffle_partitions=sp)
+        plan = plan_trailing_skew(
+            df, key, ts, shuffle_partitions=sp, sorted_threshold=sorted_threshold
+        )
         return (None, None) if plan is None else plan
     return skew_span, None
 

@@ -562,6 +562,97 @@ def q_media_dimensions(spark, sf_dir):
     return extract_media_meta(payloads).select("doc_id", "format", "width", "height")
 
 
+# media_resize (r10): REAL pixel path end-to-end. The synthesis builds a
+# COMPLETE valid PNG per doc JVM-side (no Python in the build): IHDR with
+# per-doc dims, an IDAT whose zlib stream is a STORED deflate block (so the
+# bytes are expressible as hex literals — decode_png_pixels inflates real
+# encoder streams and adler-less stored blocks alike), and scanlines that
+# exercise three filter types — row 0 Sub(1), middle rows Up(2), last row
+# Paeth(4) — encoding a per-doc SOLID RGB color. The kernel must inflate,
+# unfilter, and box-resample to recover that color exactly (integer-exact
+# box mean of a solid image is the color), so the oracle pins dims,
+# channels, the resized byte_sum, and the first pixel closed-form in
+# doc_id. doc_id % 4 == 3 rows carry a non-media payload and must take the
+# clearly-marked stub path (decoded=false, NULL channels, strided-byte
+# checksum 2980 = 3*sum(b'not media') + sum(b'not')).
+
+SQL_MEDIA_RESIZE = """
+SELECT doc_id,
+       CASE WHEN doc_id % 4 <> 3 THEN CAST(2 + doc_id % 31 AS INT) END AS src_width,
+       CASE WHEN doc_id % 4 <> 3 THEN CAST(3 + doc_id % 17 AS INT) END AS src_height,
+       CAST(6 AS INT) AS width,
+       CAST(5 AS INT) AS height,
+       CASE WHEN doc_id % 4 <> 3 THEN CAST(3 AS INT) END AS channels,
+       doc_id % 4 <> 3 AS decoded,
+       CASE WHEN doc_id % 4 <> 3
+            THEN CAST((doc_id % 251 + (doc_id * 7) % 241 + (doc_id * 13) % 239) * 30 AS BIGINT)
+            ELSE CAST(2980 AS BIGINT) END AS byte_sum,
+       CASE WHEN doc_id % 4 <> 3 THEN CAST(doc_id % 251 AS INT) END AS px0_r,
+       CASE WHEN doc_id % 4 <> 3 THEN CAST((doc_id * 7) % 241 AS INT) END AS px0_g,
+       CASE WHEN doc_id % 4 <> 3 THEN CAST((doc_id * 13) % 239 AS INT) END AS px0_b
+FROM documents
+"""
+
+
+def _media_png_full_payload_expr():
+    """A complete per-doc PNG (signature, IHDR, stored-block IDAT, IEND)
+    as a JVM-side hex expression — solid RGB color, Sub/Up/Paeth filtered
+    scanlines. Chunk CRCs are zeros (the decoder skips them; adler is
+    omitted, which decompressobj tolerates)."""
+    d = F.col("doc_id")
+    w = (F.lit(2) + d % 31).cast("int")
+    h = (F.lit(3) + d % 17).cast("int")
+    r = (d % 251).cast("int")
+    g = ((d * 7) % 241).cast("int")
+    bl = ((d * 13) % 239).cast("int")
+
+    def be32(c):
+        return F.format_string("%08x", c)
+
+    zeros = lambda n: F.repeat(F.lit("00"), n)  # noqa: E731
+    rgb = F.format_string("%02x%02x%02x", r, g, bl)
+    row_sub = F.concat(F.lit("01"), rgb, zeros((w - 1) * 3))
+    row_up = F.concat(F.lit("02"), zeros(w * 3))
+    row_paeth = F.concat(F.lit("04"), zeros(w * 3))
+    d_hex = F.concat(row_sub, F.repeat(row_up, h - 2), row_paeth)
+    len_d = (h * (1 + 3 * w)).cast("int")
+    stored = F.concat(
+        F.lit("780101"), _le16(len_d), _le16(F.lit(65535) - len_d), d_hex
+    )
+    ihdr = F.concat(
+        F.lit("0000000d49484452"), be32(w), be32(h), F.lit("0802000000"),
+        F.lit("00000000"),  # crc zeros — skipped by the decoder
+    )
+    png = F.concat(
+        F.lit("89504e470d0a1a0a"),
+        ihdr,
+        be32(F.lit(7) + len_d),  # IDAT length: 2 zlib hdr + 5 stored hdr + D
+        F.lit("49444154"),
+        stored,
+        F.lit("00000000"),  # IDAT crc zeros
+        F.lit("0000000049454e44ae426082"),  # IEND
+    )
+    other = F.lit("6e6f74206d65646961")  # b"not media"
+    return F.unhex(F.when(d % 4 != 3, png).otherwise(other))
+
+
+@register(
+    "media_resize",
+    SQL_MEDIA_RESIZE,
+    doc="REAL stdlib PNG pixel decode (zlib inflate + Sub/Up/Paeth unfilter) and integer-exact box resize over JVM-synthesized full PNGs; oracle pins dims, channels, resized byte_sum and first pixel; non-PNG rows take the marked stub path",
+    tags=("multimodal",),
+)
+def q_media_resize(spark, sf_dir):
+    from ..operators.multimodal import resize_media
+    from ..operators.similarity import spread
+
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    payloads = spread(docs, "doc_id").withColumn(
+        "payload", _media_png_full_payload_expr()
+    )
+    return resize_media(payloads, target_w=6, target_h=5).drop("resized")
+
+
 # ---------------------------------------------------------------------------
 # Dedup clustering: connected components over the n-gram Jaccard pair graph.
 # Spark runs iterative min-label propagation; the oracle computes the same

@@ -56,9 +56,15 @@ DEFAULT_OPS = [
 ]
 
 
-def build_events(spark, factor: int, out_dir: str, skewed: bool) -> None:
+def build_events(
+    spark, factor: int, out_dir: str, skewed: bool, unordered: bool = False
+) -> None:
     """Events-only ×factor replication (scale_bench's shift model). When
-    ``skewed``, replicas >= factor/2 collapse onto one symbol + one user."""
+    ``skewed``, replicas >= factor/2 collapse onto one symbol + one user.
+    ``unordered`` scrambles PHYSICAL row order (sortWithinPartitions on a
+    row hash) — same rows, ~0.5 monotonic-ts fraction instead of the
+    near-sorted layout the source parquet has; the r10 sortedness guard
+    dispatches the two layouts differently, so the bench needs both."""
     from pyspark.sql import functions as F
 
     from marketpipe_spark.session import tune
@@ -76,20 +82,30 @@ def build_events(spark, factor: int, out_dir: str, skewed: bool) -> None:
     if skewed:
         sym = F.when(hot, F.lit("hot")).otherwise(sym)
         uid = F.when(hot, F.lit(0)).otherwise(uid)
-    ev.select(
+    out = ev.select(
         (F.col("event_id") + r * F.lit(10**9)).alias("event_id"),
         "ts",
         uid.alias("user_id"),
         sym.alias("event_type"),
         "value",
         "props",
-    ).write.mode("overwrite").parquet(f"{out_dir}/events.parquet")
+    )
+    if unordered:
+        out = out.sortWithinPartitions(F.pmod(F.xxhash64("event_id"), F.lit(1 << 20)))
+    out.write.mode("overwrite").parquet(f"{out_dir}/events.parquet")
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--factor", type=int, default=64)
     ap.add_argument("--ops", default=",".join(DEFAULT_OPS))
+    ap.add_argument(
+        "--order",
+        choices=["sorted", "unordered"],
+        default="sorted",
+        help="physical row order of the built tables; unordered cells land "
+        "under the x{factor}_unordered key",
+    )
     args = ap.parse_args()
     ops = args.ops.split(",")
 
@@ -100,11 +116,13 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = registry.spark_queries()
 
+    unordered = args.order == "unordered"
+    suffix = "_unordered" if unordered else ""
     dirs = {}
     for tag, skewed in (("uniform", False), ("skewed", True)):
-        d = os.path.join(TMP, f"ev{args.factor}_{tag}")
+        d = os.path.join(TMP, f"ev{args.factor}_{tag}{suffix}")
         if not os.path.exists(os.path.join(d, "_built")):
-            build_events(spark, args.factor, d, skewed)
+            build_events(spark, args.factor, d, skewed, unordered=unordered)
             open(os.path.join(d, "_built"), "w").close()
         dirs[tag] = d
 
@@ -133,10 +151,10 @@ def main() -> None:
                 doc["cells"][f"x{prior['factor']}"] = prior["ops"]
         except Exception:
             pass
-    doc["cells"].setdefault(f"x{args.factor}", {}).update(results)
+    doc["cells"].setdefault(f"x{args.factor}{suffix}", {}).update(results)
     with open(path, "w") as f:
         json.dump(doc, f, indent=2)
-    print(json.dumps({"factor": args.factor, "ops": results}))
+    print(json.dumps({"factor": args.factor, "order": args.order, "ops": results}))
 
 
 if __name__ == "__main__":

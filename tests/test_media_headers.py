@@ -182,3 +182,169 @@ def test_extract_audio_meta_end_to_end(spark):
     )
     assert (out[2].channels, out[2].sample_rate, out[2].duration_ms) == (2, 16000, 2000)
     assert (out[3].format, out[3].channels) == ("unknown", None)
+
+
+# ---------------------------------------------------------------------------
+# r10: real PNG pixel decode + integer-exact box resize
+
+
+import numpy as np
+import zlib
+
+
+def _filt_row(row, prev, f, bpp):
+    """Encode-side PNG filter (spec-exact) for the test encoder."""
+    row = row.astype(np.int64)
+    prev = prev.astype(np.int64)
+    zero = np.zeros(bpp, np.int64)
+    left = np.concatenate([zero, row[:-bpp]]) if row.size > bpp else np.zeros_like(row)
+    ul = np.concatenate([zero, prev[:-bpp]]) if row.size > bpp else np.zeros_like(prev)
+    if f == 0:
+        pred = np.zeros_like(row)
+    elif f == 1:
+        pred = left
+    elif f == 2:
+        pred = prev
+    elif f == 3:
+        pred = (left + prev) // 2
+    else:
+        p = left + prev - ul
+        pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - ul)
+        pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, ul))
+    return ((row - pred) & 255).astype(np.uint8)
+
+
+def _chunk(typ: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data)) + typ + data
+        + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+    )
+
+
+def _png_encode(img: np.ndarray, ctype: int, filters, palette=None) -> bytes:
+    """Minimal REAL PNG encoder (zlib stream with correct adler, correct
+    chunk CRCs) so the decoder is tested against spec-exact bytes without
+    an external imaging library."""
+    h, w = img.shape[:2]
+    bpp = 1 if img.ndim == 2 else img.shape[2]
+    flat = img.reshape(h, w * bpp)
+    raw = bytearray()
+    prev = np.zeros(w * bpp, np.uint8)
+    for y in range(h):
+        f = filters[y % len(filters)]
+        raw.append(f)
+        raw += _filt_row(flat[y], prev, f, bpp).tobytes()
+        prev = flat[y]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    out = b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += _chunk(b"PLTE", palette.astype(np.uint8).tobytes())
+    out += _chunk(b"IDAT", zlib.compress(bytes(raw))) + _chunk(b"IEND", b"")
+    return out
+
+
+def test_png_pixel_decode_all_filters_and_color_types():
+    from marketpipe_spark.operators.multimodal import decode_png_pixels
+
+    rng = np.random.default_rng(42)
+    for ctype, ch in ((0, 1), (2, 3), (4, 2), (6, 4)):
+        img = rng.integers(0, 256, size=(7, 5, ch), dtype=np.uint8)
+        # cycle through every filter type, including Average and Paeth
+        b = _png_encode(img, ctype, filters=[0, 1, 2, 3, 4])
+        got = decode_png_pixels(b)
+        assert got is not None and got.shape == (7, 5, ch), ctype
+        assert np.array_equal(got, img), f"ctype {ctype} pixel mismatch"
+
+
+def test_png_pixel_decode_palette():
+    from marketpipe_spark.operators.multimodal import decode_png_pixels
+
+    rng = np.random.default_rng(7)
+    palette = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, size=(6, 4, 1), dtype=np.uint8)
+    b = _png_encode(idx, 3, filters=[0, 1, 2, 3, 4], palette=palette)
+    got = decode_png_pixels(b)
+    assert got is not None and got.shape == (6, 4, 3)
+    assert np.array_equal(got, palette[idx[:, :, 0]])
+
+
+def test_png_decode_tolerates_stored_block_without_adler():
+    """The JVM-synthesized oracle payloads use zlib STORED blocks with no
+    trailing adler32 — the decoder must inflate them (and still decode
+    encoder-produced streams with a real adler, covered above)."""
+    from marketpipe_spark.operators.multimodal import decode_png_pixels
+
+    w, h = 3, 2
+    color = bytes([10, 200, 30])
+    raw = b""
+    for _ in range(h):
+        raw += b"\x00" + color * w
+    stored = b"\x78\x01\x01" + struct.pack("<HH", len(raw), len(raw) ^ 0xFFFF) + raw
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    b = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13) + b"IHDR" + ihdr + b"\x00" * 4  # crc ignored
+        + struct.pack(">I", len(stored)) + b"IDAT" + stored + b"\x00" * 4
+        + struct.pack(">I", 0) + b"IEND" + b"\xaeB`\x82"
+    )
+    got = decode_png_pixels(b)
+    assert got is not None and got.shape == (2, 3, 3)
+    assert np.array_equal(got, np.tile(np.frombuffer(color, np.uint8), (2, 3, 1)))
+
+
+def test_png_decode_rejects_unsupported_and_corrupt():
+    from marketpipe_spark.operators.multimodal import decode_png_pixels
+
+    img = np.zeros((4, 4, 3), np.uint8)
+    ok = _png_encode(img, 2, filters=[0])
+    assert decode_png_pixels(ok) is not None
+    assert decode_png_pixels(b"not a png") is None
+    assert decode_png_pixels(ok[:40]) is None  # truncated
+    # 16-bit depth: honest None, never garbage pixels
+    deep = bytearray(ok)
+    deep[8 + 8 + 8] = 16  # IHDR bit-depth byte
+    assert decode_png_pixels(bytes(deep)) is None
+    # corrupt zlib data fails closed
+    bad = ok.replace(b"IDAT", b"IDAT")  # locate idat
+    i = bad.index(b"IDAT")
+    bad = bad[: i + 8] + b"\xff\xff" + bad[i + 10 :]
+    assert decode_png_pixels(bad) is None
+
+
+def test_box_resize_exact_means():
+    from marketpipe_spark.operators.multimodal import box_resize_pixels
+
+    img = np.arange(16, dtype=np.uint8).reshape(4, 4, 1)
+    out = box_resize_pixels(img, 2, 2)
+    # 2x2 block means: [[0,1,4,5]->2.5->3 (half-up), [2,3,6,7]->4.5->5, ...]
+    assert out.shape == (2, 2, 1)
+    assert out[:, :, 0].tolist() == [[3, 5], [11, 13]]
+    # solid color survives any scale exactly
+    solid = np.full((5, 7, 3), 123, np.uint8)
+    assert np.all(box_resize_pixels(solid, 3, 4) == 123)
+    # upscale replicates
+    one = np.array([[[9]]], np.uint8)
+    assert np.all(box_resize_pixels(one, 3, 3) == 9)
+
+
+def test_resize_media_real_png_path_end_to_end(spark):
+    from marketpipe_spark.operators.multimodal import (
+        box_resize_pixels,
+        resize_media,
+    )
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(10, 8, 3), dtype=np.uint8)
+    png = _png_encode(img, 2, filters=[0, 1, 2, 3, 4])
+    rows = [(1, bytearray(png)), (2, bytearray(b"plain text payload"))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r.doc_id: r for r in resize_media(df, 4, 4).collect()}
+    real = out[1]
+    expect = box_resize_pixels(img, 4, 4)
+    assert real.decoded and real.channels == 3
+    assert (real.src_width, real.src_height) == (8, 10)
+    assert bytes(real.resized) == expect.tobytes()
+    assert real.byte_sum == int(expect.astype(np.int64).sum())
+    assert (real.px0_r, real.px0_g, real.px0_b) == tuple(int(v) for v in expect[0, 0])
+    stub = out[2]
+    assert not stub.decoded and stub.channels is None and len(stub.resized) == 16

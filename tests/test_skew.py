@@ -143,7 +143,10 @@ def test_chunked_frame_hot_keys_bit_identical(spark):
 
 
 def test_plan_trailing_skew_threshold(spark):
-    """Uniform data -> None (plain plan); a dominant key -> (span, [key])."""
+    """Uniform data -> None (plain plan); a dominant key -> (span, [key])
+    regardless of physical order by default; the OPT-IN sortedness guard
+    (as-of's setting) keeps the plain plan for a dominant key over
+    time-sorted rows but still chunks unordered ones."""
     from marketpipe_spark.operators.skew import plan_trailing_skew
 
     uniform = spark.range(4000).select(
@@ -152,11 +155,59 @@ def test_plan_trailing_skew_threshold(spark):
     )
     assert plan_trailing_skew(uniform, "symbol", "ts_ns", shuffle_partitions=4) is None
 
-    skewed = _bars(spark, hot_rows=1000, cold_rows=20)
-    plan = plan_trailing_skew(skewed, "symbol", "ts_ns", shuffle_partitions=4)
+    n = 5000
+    ns_min = 60_000_000_000
+    # Scrambled ts order: i -> (i*7919 mod n) is a permutation, so the hot
+    # key has the same SET of timestamps as the sorted variant but a low
+    # physical monotonic fraction.
+    rows = [("HOT", ((i * 7919) % n) * ns_min) for i in range(n)]
+    rows += [(s, i * ns_min) for s in ("C1", "C2", "C3") for i in range(20)]
+    unordered = spark.createDataFrame(rows, "symbol string, ts_ns long")
+    plan = plan_trailing_skew(unordered, "symbol", "ts_ns", shuffle_partitions=4)
     assert plan is not None
     span, hot = plan
     assert hot == ["HOT"] and span >= 1
+    # Unordered + guard on: still chunks (the guard never fires at ~0.5).
+    plan_g = plan_trailing_skew(
+        unordered, "symbol", "ts_ns", shuffle_partitions=4, sorted_threshold=0.95
+    )
+    assert plan_g is not None and plan_g[1] == ["HOT"]
+
+    srows = [("HOT", i * ns_min) for i in range(n)]
+    srows += [(s, i * ns_min) for s in ("C1", "C2", "C3") for i in range(20)]
+    sorted_df = spark.createDataFrame(srows, "symbol string, ts_ns long")
+    # Default (heavy window stacks): chunk the hot key even when sorted —
+    # their straggler is per-row compute, measured to win chunked.
+    plan2 = plan_trailing_skew(sorted_df, "symbol", "ts_ns", shuffle_partitions=4)
+    assert plan2 is not None and plan2[1] == ["HOT"]
+    # As-of's opt-in guard: sorted + hot -> keep the plain plan.
+    assert (
+        plan_trailing_skew(
+            sorted_df, "symbol", "ts_ns", shuffle_partitions=4, sorted_threshold=0.95
+        )
+        is None
+    )
+
+
+def test_physical_sortedness_probe(spark):
+    """~1.0 on sorted input, ~0.5 on a scrambled permutation, None when too
+    few pairs to judge."""
+    from marketpipe_spark.operators.skew import physical_sortedness
+
+    n = 4000
+    asc = spark.range(n).select((F.col("id") * 10).alias("ts_ns"))
+    mono = physical_sortedness(asc, "ts_ns", min_pairs=100)
+    assert mono is not None and mono >= 0.99
+
+    # xxhash64 ordering is pseudo-random: expect ~0.5 monotonic pairs.
+    scrambled = spark.range(n).select(
+        F.pmod(F.xxhash64("id"), F.lit(1_000_000)).alias("ts_ns")
+    )
+    mono2 = physical_sortedness(scrambled, "ts_ns", min_pairs=100)
+    assert mono2 is not None and 0.3 <= mono2 <= 0.7
+
+    tiny = spark.range(10).select(F.col("id").alias("ts_ns"))
+    assert physical_sortedness(tiny, "ts_ns", min_pairs=100) is None
 
 
 def test_validate_bars_auto_matches_plain_both_regimes(spark):
