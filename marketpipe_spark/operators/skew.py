@@ -160,116 +160,6 @@ def physical_sortedness(
     return tm / tp
 
 
-def trailing_skew_profile(
-    df: DataFrame, key: str, ts: str, max_tracked_keys: int = 65536
-) -> dict:
-    """ONE fused profiling job for the trailing-window skew dispatch —
-    everything :func:`plan_trailing_skew` needs from the data, in a single
-    narrow Arrow ``mapInPandas`` scan of ``(key, ts)`` with NO shuffle:
-
-    - ``n`` / ``t0`` / ``t1``: total rows and the ts range (span sizing);
-    - ``counts``: per-key row counts, exact while a partition tracks ≤
-      ``max_tracked_keys`` distinct keys; beyond that the partition evicts
-      its lightest half space-saving-style and the merged counts become
-      LOWER bounds (``exact=False`` — callers halve the detection
-      threshold, the same borderline-error trade the old sampled pass
-      made). A truly hot key can never be evicted to zero: it dominates
-      every eviction round by construction.
-    - ``pairs`` / ``mono``: physical adjacent-pair monotonic-ts stats per
-      partition (the sortedness probe), computed inline on the same rows.
-
-    The r9 dispatch ran THREE jobs (global agg, sampled per-key groupBy,
-    hot-row sortedness probe) — measured ~12 s of pure overhead on a ×256
-    sorted table whose final answer was "keep the plain plan". This pass
-    replaces all three with one column-pruned scan; partials merge
-    driver-side (one row per partition).
-    """
-    import pandas as pd
-    from pyspark.sql import types as T
-
-    key_type = df.schema[key].dataType
-    key_is_int = isinstance(
-        key_type, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
-    )
-    src = df.select(F.col(key).alias("_k"), F.col(ts).cast("long").alias("_t"))
-    out_schema = T.StructType(
-        [
-            T.StructField("n", T.LongType()),
-            T.StructField("tmin", T.LongType()),
-            T.StructField("tmax", T.LongType()),
-            T.StructField("pairs", T.LongType()),
-            T.StructField("mono", T.LongType()),
-            T.StructField("exact", T.BooleanType()),
-            T.StructField("keys", T.ArrayType(key_type)),
-            T.StructField("counts", T.ArrayType(T.LongType())),
-        ]
-    )
-
-    def run(batches):
-        import numpy as np
-
-        counts: dict = {}
-        exact = True
-        n = pairs = mono = 0
-        tmin = tmax = prev = None
-        for pdf in batches:
-            n += len(pdf)
-            tv = pdf["_t"].to_numpy(dtype="float64", na_value=np.nan)
-            tv = tv[~np.isnan(tv)]
-            if tv.size:
-                if prev is not None:
-                    pairs += 1
-                    mono += int(tv[0] >= prev)
-                if tv.size > 1:
-                    d = np.diff(tv)
-                    pairs += d.size
-                    mono += int((d >= 0).sum())
-                prev = float(tv[-1])
-                bmin, bmax = float(tv.min()), float(tv.max())
-                tmin = bmin if tmin is None else min(tmin, bmin)
-                tmax = bmax if tmax is None else max(tmax, bmax)
-            kser = pdf["_k"].dropna()
-            if key_is_int and kser.dtype.kind == "f":
-                kser = kser.astype("int64")
-            for k, c in kser.value_counts().items():
-                kk = k.item() if hasattr(k, "item") else k
-                counts[kk] = counts.get(kk, 0) + int(c)
-            if len(counts) > max_tracked_keys:
-                keep = sorted(counts.items(), key=lambda kv: -kv[1])
-                counts = dict(keep[: max_tracked_keys // 2])
-                exact = False
-        ks = list(counts.keys())
-        yield pd.DataFrame(
-            {
-                "n": [n],
-                "tmin": [None if tmin is None else int(tmin)],
-                "tmax": [None if tmax is None else int(tmax)],
-                "pairs": [pairs],
-                "mono": [mono],
-                "exact": [exact],
-                "keys": [ks],
-                "counts": [[counts[k] for k in ks]],
-            }
-        )
-
-    rows = src.mapInPandas(run, out_schema).collect()
-    merged: dict = {}
-    for r in rows:
-        for k, c in zip(r["keys"], r["counts"]):
-            merged[k] = merged.get(k, 0) + c
-    tmins = [r["tmin"] for r in rows if r["tmin"] is not None]
-    tmaxs = [r["tmax"] for r in rows if r["tmax"] is not None]
-    return {
-        "n": sum(r["n"] for r in rows),
-        "t0": min(tmins) if tmins else None,
-        "t1": max(tmaxs) if tmaxs else None,
-        "pairs": sum(r["pairs"] for r in rows),
-        "mono": sum(r["mono"] for r in rows),
-        "exact": all(r["exact"] for r in rows),
-        "counts": merged,
-    }
-
-
 def plan_trailing_skew(
     df: DataFrame,
     key: str,
@@ -278,9 +168,7 @@ def plan_trailing_skew(
     safety: float = 4.0,
     chunks_per_slot: int = 4,
     max_hot: int = 64,
-    max_tracked_keys: int = 65536,
     sorted_threshold: float | None = None,
-    min_mono_pairs: int = 1_000,
 ) -> tuple[int, list] | None:
     """Skew auto-dispatch: decide whether a trailing-window computation
     over ``key`` needs :func:`chunked_trailing_frame`, and for WHICH keys.
@@ -298,25 +186,26 @@ def plan_trailing_skew(
     of keys that actually need chunking — cold keys keep their one-task
     window and skip the carry machinery entirely.
 
-    Cost: ONE fused profiling job (:func:`trailing_skew_profile`) — a
-    column-pruned, shuffle-free Arrow scan of ``(key, ts)`` computing the
-    row total, ts range, per-key counts, and the physical-order probe in
-    the same pass. The r9 split (global agg + sampled groupBy + hot-row
-    sortedness scan) cost three table scans ≈ 12 s of pure dispatch
-    overhead on a ×256 table — measured, which violated the "auto within
-    1.1× of best" bar on its own. Per-key tracking is exact up to
-    ``max_tracked_keys`` distinct keys per partition; beyond that counts
-    degrade to lower bounds and the detection threshold halves (the same
-    borderline trade the old sampled pass made — dispatch choice can
-    shift a few percent, results never change: chunking any key is
-    bit-identical, pinned by the equivalence tests/oracles).
+    Cost, staged so the COMMON case pays least (r10 — the r9 split of
+    global agg + sampled groupBy + hot-row sortedness scan cost three
+    full scans ≈ 12 s at ×256 before any query work):
+
+    1. ONE all-JVM job: ``groupBy(key).agg(count, min/max ts)`` partials
+       re-aggregated to (total, ts range, max per-key count). Codegen +
+       map-side combine; shuffle = distinct keys, spill-safe at high
+       cardinality. No key over the threshold → plain plan, done — the
+       uniform/no-skew case costs exactly one column-pruned scan.
+    2. Hot detected + guard enabled → the capped Arrow order probe
+       (:func:`physical_sortedness`, cost ∝ cap × partitions, not table
+       size). Near-sorted → plain plan, done — the top-k job is skipped.
+    3. Only a genuinely hot, genuinely unordered table pays the third
+       job (top-``max_hot`` hot keys) — the regime where chunking wins
+       multiples, so the dispatch cost is noise there.
 
     ``sorted_threshold`` — the r10 sortedness guard, OFF by default and
-    enabled per operator class: when hot keys ARE found but the profiled
-    partitions' adjacent-pair monotonic-ts fraction is at/above the
-    threshold (over at least ``min_mono_pairs`` pairs), keep the plain
-    plan anyway. Whether that is right depends on the per-row WINDOW
-    cost, so the caller — who knows the workload class — decides:
+    enabled per operator class: whether a sorted hot partition is fine
+    depends on the per-row WINDOW cost, so the caller — who knows the
+    workload class — decides:
 
     - As-of (one ``last()`` carry per row): on near-time-sorted input the
       hot partition's reduce-side sort is a near-free merge of sorted
@@ -330,37 +219,47 @@ def plan_trailing_skew(
       102 s; sessions ×1024: chunked 50 s vs plain 118 s). Those callers
       leave the guard off.
 
-    The global monotonic fraction is a PROXY for the hot key's own order
-    — a subset of a sorted stream is sorted, so globally-sorted always
-    implies hot-sorted; the reverse miss only costs the known chunk
-    overhead. On genuinely unordered data (fraction ≈ 0.5) the guard
-    never fires regardless.
+    The probe measures GLOBAL physical order as a proxy for the hot
+    key's own — a subset of a sorted stream is sorted, so globally-sorted
+    always implies hot-sorted; the reverse miss only costs the known
+    chunk overhead. On genuinely unordered data (fraction ≈ 0.5) the
+    guard never fires regardless. Dispatch is a plan-BUILD cost amortized
+    to zero by the serving plan cache; cold-build overhead is bounded by
+    one 2-column scan (stage 1) for uncontended tables.
     """
-    prof = trailing_skew_profile(df, key, ts, max_tracked_keys=max_tracked_keys)
-    if not prof["n"]:
+    counts = df.groupBy(F.col(key).alias("_k")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(ts).alias("_t0"),
+        F.max(ts).alias("_t1"),
+    )
+    g = counts.agg(
+        F.sum("n").alias("tot"),
+        F.min("_t0").alias("t0"),
+        F.max("_t1").alias("t1"),
+        F.max("n").alias("max_n"),
+    ).collect()[0]
+    if not g["tot"]:
         return None
     # Share threshold, capped at 50%: a majority key is a straggler at ANY
     # cluster size (and without the cap, safety/partitions >= 1 on small
     # local sessions would disable dispatch entirely).
-    thr_rows = prof["n"] * min(safety / shuffle_partitions, 0.5)
-    if not prof["exact"]:
-        thr_rows *= 0.5
-    hot = sorted(
-        (kv for kv in prof["counts"].items() if kv[1] > thr_rows),
-        key=lambda kv: (-kv[1], str(kv[0])),
-    )[:max_hot]
+    thr_rows = g["tot"] * min(safety / shuffle_partitions, 0.5)
+    if g["max_n"] <= thr_rows:
+        return None
+    if sorted_threshold is not None:
+        mono = physical_sortedness(df.select(ts), ts)
+        if mono is not None and mono >= sorted_threshold:
+            return None
+    hot = (
+        counts.where(F.col("n") > thr_rows)
+        .orderBy(F.col("n").desc(), F.col("_k").asc())
+        .limit(max_hot)
+        .collect()
+    )
     if not hot:
         return None
-    if (
-        sorted_threshold is not None
-        and prof["pairs"] >= min_mono_pairs
-        and prof["mono"] / prof["pairs"] >= sorted_threshold
-    ):
-        return None
-    span = max(
-        1, (prof["t1"] - prof["t0"] + 1) // (shuffle_partitions * chunks_per_slot)
-    )
-    return span, [k for k, _ in hot]
+    span = max(1, (g["t1"] - g["t0"] + 1) // (shuffle_partitions * chunks_per_slot))
+    return span, [r["_k"] for r in hot]
 
 
 def resolve_trailing_skew(

@@ -1239,6 +1239,14 @@ def q_ranksum_returns(spark, sf_dir):
         "symbol", (F.col("cm") - F.lag("cm").over(wo)).alias("rm")
     ).where(F.col("rm").isNotNull())
     hist = rr.groupBy("rm").agg(F.count(F.lit(1)).alias("c"))
+    # Global cumulative window over the DISTINCT-value histogram, not the
+    # data: rows ≤ min(#(symbol,day) pairs, observed µ-return range) — the
+    # daily grain caps it at ~10⁷–10⁸ even for a 100 TB minute-bar lake
+    # (10k symbols × decades), and the window's payload is two longs.
+    # Allow-listed in tests/test_plan_hygiene.py global-window inventory;
+    # if the grain ever drops below daily, replace with a two-phase
+    # bucketed scan (fixed-width rm buckets: per-bucket cumsum + bucket
+    # offsets) before widening this allowance.
     wg = W.orderBy("rm").rowsBetween(W.unboundedPreceding, -1)
     rx = hist.select(
         "rm",

@@ -494,6 +494,98 @@ PARQUET_MANIFEST_MIN_FILES = int(
     os.environ.get("MP_SNAPSHOT_PARQUET_MANIFEST_MIN", "100000")
 )
 
+#: Roll manifest METADATA (version/parent/note/n_files/committed_at — not
+#: file lists) into a checkpoint file every N commits, Delta-checkpoint
+#: style (r10). Without it, every metadata walk (``version_as_of``,
+#: ``table_history``) reads one JSON per retained version — at 10⁴+
+#: commits the metadata scan, not the data, becomes the read-path
+#: bottleneck. With it, readers load ONE checkpoint + the ≤ N-commit
+#: suffix of newer manifests: resolution cost ∝ suffix, not history.
+SNAPSHOT_CHECKPOINT_EVERY = int(
+    os.environ.get("MP_SNAPSHOT_CHECKPOINT_EVERY", "100")
+)
+
+_CKPT_PREFIX = "checkpoint-v"
+
+
+def _checkpoint_path(root: str, version: int) -> str:
+    return _join(_snap_root(root), f"{_CKPT_PREFIX}{version}.json")
+
+
+def _checkpoint_versions(names: list[str]) -> list[int]:
+    out = []
+    for n in names:
+        if n.startswith(_CKPT_PREFIX) and n.endswith(".json"):
+            try:
+                out.append(int(n[len(_CKPT_PREFIX) : -5]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def _latest_checkpoint(
+    root: str, fs: SnapshotFS, names: list[str] | None = None
+) -> tuple[int, dict] | None:
+    """Newest checkpoint as ``(version, {version: meta-entry})``, or None.
+    Corrupt/unreadable checkpoints degrade to None — every caller falls
+    back to per-manifest reads, so a bad checkpoint can slow a walk but
+    never wrong it."""
+    if names is None:
+        names = fs.listdir(_snap_root(root))
+    cks = _checkpoint_versions(names)
+    if not cks:
+        return None
+    try:
+        doc = json.loads(fs.read_text(_checkpoint_path(root, cks[-1])))
+        return cks[-1], {int(e["version"]): e for e in doc.get("entries", [])}
+    except Exception:
+        return None
+
+
+_META_KEYS = ("version", "parent", "note", "n_files", "committed_at")
+
+
+def _manifest_meta_all(root: str, fs: SnapshotFS) -> list[dict]:
+    """Metadata rows for every RETAINED version, oldest first — served from
+    checkpoint + suffix: one listdir, one checkpoint read, and a manifest
+    read only for versions newer than the checkpoint (or for gaps a
+    checkpoint predating expiry doesn't cover). The shared walk under
+    :func:`table_history` and :func:`version_as_of`."""
+    names = fs.listdir(_snap_root(root))
+    vs = sorted(
+        int(n[1:-5])
+        for n in names
+        if n.startswith("v") and n.endswith(".json") and n[1:-5].isdigit()
+    )
+    ck = _latest_checkpoint(root, fs, names)
+    entries = ck[1] if ck else {}
+    out = []
+    for v in vs:
+        e = entries.get(v)
+        if e is None:
+            m = _read_manifest(root, v, fs, hydrate=False)
+            e = {k: m.get(k) for k in _META_KEYS}
+        out.append(e)
+    return out
+
+
+def _maybe_write_checkpoint(root: str, version: int, fs: SnapshotFS) -> None:
+    """Roll up a metadata checkpoint at every ``SNAPSHOT_CHECKPOINT_EVERY``-th
+    commit — incremental (prior checkpoint + the manifests since), and
+    best-effort: the commit that triggered it has already PUBLISHED, so a
+    checkpoint failure degrades walk cost, never durability. No publish
+    race: only the single writer that won v=N writes checkpoint-vN."""
+    if SNAPSHOT_CHECKPOINT_EVERY <= 0 or version % SNAPSHOT_CHECKPOINT_EVERY:
+        return
+    try:
+        entries = _manifest_meta_all(root, fs)
+        fs.write_text(
+            _checkpoint_path(root, version),
+            json.dumps({"checkpoint_version": version, "entries": entries}),
+        )
+    except Exception:
+        pass
+
 
 def _read_manifest(
     root: str, version: int, fs: SnapshotFS, hydrate: bool = True
@@ -558,6 +650,7 @@ def _commit(
         raise CommitConflict(
             f"v{version} at {root} was published by a concurrent writer"
         )
+    _maybe_write_checkpoint(root, version, fs)
     return version
 
 
@@ -643,13 +736,15 @@ def version_as_of(root: str, as_of: str, fs: SnapshotFS | None = None) -> int:
     if want.tzinfo is None:
         want = want.replace(tzinfo=_dt.timezone.utc)
     best, stamped = None, False
-    for v in _versions(root, fs):
-        ts = _read_manifest(root, v, fs, hydrate=False).get("committed_at")
+    # checkpoint + suffix, not one read per retained manifest (r10):
+    # resolution cost ∝ commits since the last checkpoint, not history.
+    for m in _manifest_meta_all(root, fs):
+        ts = m.get("committed_at")
         if ts is None:
             continue
         stamped = True
         if _dt.datetime.fromisoformat(ts) <= want:
-            best = v
+            best = m["version"]
     if best is None:
         detail = (
             "no retained manifest carries committed_at"
@@ -1004,15 +1099,11 @@ def restore_table(
 def table_history(root: str, fs: SnapshotFS | None = None) -> list[dict]:
     """All retained versions, oldest first: version, parent, note, n_files,
     committed_at (ISO-8601 UTC; None on manifests written before timestamps
-    were recorded). Metadata only — file-list sidecars are not hydrated."""
+    were recorded). Metadata only — file-list sidecars are not hydrated,
+    and the walk reads checkpoint + suffix (r10), not one JSON per
+    version."""
     fs = _resolve_fs(root, None, fs)
-    out = []
-    for v in _versions(root, fs):
-        m = _read_manifest(root, v, fs, hydrate=False)
-        row = {k: m[k] for k in ("version", "parent", "note", "n_files")}
-        row["committed_at"] = m.get("committed_at")
-        out.append(row)
-    return out
+    return [dict(m) for m in _manifest_meta_all(root, fs)]
 
 
 def snapshot_fsck(root: str, fs: SnapshotFS | None = None) -> dict:
@@ -1265,13 +1356,19 @@ def expire_snapshots(
         fs.delete(_join(_snap_root(root), f"v{v}.json"))
     # Parquet manifest sidecars of dropped versions AND of commit attempts
     # that lost the publish race are now unreferenced — reclaim them.
-    for name in fs.listdir(_snap_root(root)):
+    snap_names = fs.listdir(_snap_root(root))
+    for name in snap_names:
         if (
             name.endswith(".files.parquet")
             and name not in kept_sidecars
             and _old_enough(_join(_snap_root(root), name))
         ):
             fs.delete(_join(_snap_root(root), name))
+    # Superseded metadata checkpoints: only the newest is ever read, so the
+    # rest are reclaimable (entries covering dropped versions in the kept
+    # checkpoint are harmless — readers intersect with retained manifests).
+    for cv in _checkpoint_versions(snap_names)[:-1]:
+        fs.delete(_checkpoint_path(root, cv))
     return {
         "dropped_versions": len(drop),
         "kept_versions": len(keep),

@@ -90,16 +90,34 @@ class _FilePartition(InputPartition):
 
 
 class SnapshotChangesStreamReader(DataSourceStreamReader):
-    def __init__(self, root: str, starting_version: int):
+    def __init__(
+        self,
+        root: str,
+        starting_version: int,
+        max_versions: int | None = None,
+        clamp_base: int | None = None,
+    ):
         self._root = root
         self._start = starting_version
+        self._max = max_versions
+        self._clamp_base = clamp_base
 
     def initialOffset(self) -> dict:
         return {"version": self._start}
 
     def latestOffset(self) -> dict:
         vs = _versions(self._root)
-        return {"version": vs[-1] if vs else self._start}
+        latest = vs[-1] if vs else self._start
+        if self._max is not None:
+            # Version-bounded draining (r10): AvailableNow's Python-source
+            # fallback computes ONE target offset per run, so clamping the
+            # reported latest to clampBase + maxVersionsPerBatch bounds the
+            # batch to a version window; the outer drain loop
+            # (stream_snapshot_changes) advances the base from the
+            # checkpoint's committed offset between runs.
+            base = self._clamp_base if self._clamp_base is not None else self._start
+            latest = max(base, min(latest, base + self._max))
+        return {"version": latest}
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
         v_from, v_to = int(start["version"]), int(end["version"])
@@ -137,7 +155,10 @@ class SnapshotChangesDataSource(DataSource):
     - ``root`` (required): snapshot table root;
     - ``startingVersion`` (default ``"0"``): first offset; 0 delivers the
       initial snapshot as inserts, ``"latest"`` skips history and streams
-      only commits after stream start.
+      only commits after stream start;
+    - ``maxVersionsPerBatch`` (optional): clamp how many source versions a
+      single micro-batch may span (see ``latestOffset``); used with
+      ``clampBase`` by the bounded drain loop.
     """
 
     @classmethod
@@ -175,7 +196,14 @@ class SnapshotChangesDataSource(DataSource):
             start = vs[-1] if vs else 0
         else:
             start = int(opt)
-        return SnapshotChangesStreamReader(root, start)
+        max_v = self.options.get("maxVersionsPerBatch")
+        clamp = self.options.get("clampBase")
+        return SnapshotChangesStreamReader(
+            root,
+            start,
+            max_versions=int(max_v) if max_v is not None else None,
+            clamp_base=int(clamp) if clamp is not None else None,
+        )
 
 
 def register_snapshot_source(spark: SparkSession) -> None:
@@ -193,6 +221,25 @@ def classify_batch(batch: DataFrame, keys: list[str]) -> DataFrame:
     return classify_changes(old, new, keys)
 
 
+def _last_committed_offset_version(checkpoint: str) -> int | None:
+    """The version offset of the newest COMMITTED micro-batch in a stream
+    checkpoint — read driver-side from Spark's offset/commit logs (tiny
+    JSON files). Returns None when nothing committed yet or the layout is
+    unrecognized (callers fall back to an unbounded drain, never wrongness:
+    the engine's own offset log still guards exactly-once)."""
+    cdir = os.path.join(checkpoint, "commits")
+    odir = os.path.join(checkpoint, "offsets")
+    try:
+        ids = [int(n) for n in os.listdir(cdir) if n.isdigit()]
+        if not ids:
+            return None
+        with open(os.path.join(odir, str(max(ids)))) as f:
+            lines = [ln.strip() for ln in f if ln.strip()]
+        return int(json.loads(lines[-1])["version"])
+    except Exception:
+        return None
+
+
 def stream_snapshot_changes(
     spark: SparkSession,
     root: str,
@@ -200,25 +247,58 @@ def stream_snapshot_changes(
     apply,
     starting_version: int | str = 0,
     checkpoint: str | None = None,
+    max_versions_per_batch: int | None = None,
 ) -> None:
-    """Drain the snapshot table's pending versions ONCE (AvailableNow):
-    each micro-batch is classified with the shared CDC kernel and handed
-    to ``apply(changes_df, batch_id)`` — the engine-checkpointed sibling
-    of :func:`snapshots.changes_since`. Restarting with the same
-    ``checkpoint`` resumes from the last committed version offset."""
+    """Drain the snapshot table's pending versions (AvailableNow): each
+    micro-batch is classified with the shared CDC kernel and handed to
+    ``apply(changes_df, batch_id)`` — the engine-checkpointed sibling of
+    :func:`snapshots.changes_since`. Restarting with the same
+    ``checkpoint`` resumes from the last committed version offset.
+
+    ``max_versions_per_batch`` (r10, requires ``checkpoint``): the Python
+    DataSource API has no SupportsTriggerAvailableNow, so a plain drain
+    lands the WHOLE backlog in one batch (Spark logs the fallback
+    warning). With a bound set, the drain becomes a loop of AvailableNow
+    runs whose reader clamps its reported latest offset to ``committed +
+    bound`` — each run is one version-bounded micro-batch, the engine
+    offset log still guards exactly-once, and a crash mid-backlog resumes
+    at the committed boundary. The loop stops when the checkpoint's
+    committed offset reaches the table's latest version (or stops
+    advancing — e.g. an unparsable offset layout degrades to the single
+    big-batch behavior rather than spinning)."""
     register_snapshot_source(spark)
-    reader = (
-        spark.readStream.format("snapshot_changes")
-        .option("root", root)
-        .option("startingVersion", str(starting_version))
-        .load()
-    )
 
     def _each(batch: DataFrame, batch_id: int) -> None:
         apply(classify_batch(batch, keys), batch_id)
 
-    writer = reader.writeStream.foreachBatch(_each).trigger(availableNow=True)
-    if checkpoint:
-        writer = writer.option("checkpointLocation", checkpoint)
-    q = writer.start()
-    q.awaitTermination()
+    def _run_once(clamp_base: int | None) -> None:
+        reader = (
+            spark.readStream.format("snapshot_changes")
+            .option("root", root)
+            .option("startingVersion", str(starting_version))
+        )
+        if max_versions_per_batch is not None:
+            reader = reader.option("maxVersionsPerBatch", str(max_versions_per_batch))
+            if clamp_base is not None:
+                reader = reader.option("clampBase", str(clamp_base))
+        writer = (
+            reader.load().writeStream.foreachBatch(_each).trigger(availableNow=True)
+        )
+        if checkpoint:
+            writer = writer.option("checkpointLocation", checkpoint)
+        q = writer.start()
+        q.awaitTermination()
+
+    if max_versions_per_batch is None or checkpoint is None:
+        _run_once(None)
+        return
+    while True:
+        committed = _last_committed_offset_version(checkpoint)
+        _run_once(committed)
+        vs = _versions(root)
+        latest = vs[-1] if vs else 0
+        now_committed = _last_committed_offset_version(checkpoint)
+        if now_committed is not None and now_committed >= latest:
+            return
+        if now_committed is None or now_committed == committed:
+            return  # no progress this run — don't spin

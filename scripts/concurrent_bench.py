@@ -47,6 +47,13 @@ def main() -> None:
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--no-oracle", action="store_true", help="skip the DuckDB comparator")
     ap.add_argument(
+        "--repeats", type=int, default=5,
+        help="repeat the concurrent basket N times and report per-repeat "
+        "walls plus median/p95 — r9 saw ~20%% run-to-run variance on a "
+        "single measurement, so the serving bar is now judged on the "
+        "repeat distribution (p95), not one draw",
+    )
+    ap.add_argument(
         "--round", default=None,
         help="also write CONCURRENT_BENCH_r{N}.json at the repo root — the "
         "per-round artifact tracking the deployment-reality number next to "
@@ -96,10 +103,21 @@ def main() -> None:
         execute(registry.prebuilt(spark, name, args.sf_dir))
         return round(time.time() - t1, 3)
 
-    t0 = time.time()
-    with ThreadPoolExecutor(max_workers=args.threads) as ex:
-        conc = dict(zip(names, ex.map(run_one, names)))
-    conc_wall = round(time.time() - t0, 3)
+    conc_walls = []
+    conc = {}
+    for _rep in range(max(1, args.repeats)):
+        t0 = time.time()
+        with ThreadPoolExecutor(max_workers=args.threads) as ex:
+            lat = dict(zip(names, ex.map(run_one, names)))
+        conc_walls.append(round(time.time() - t0, 3))
+        if not conc:
+            conc = lat  # keep the first repeat's per-query latencies
+    sw = sorted(conc_walls)
+    conc_median = sw[len(sw) // 2] if len(sw) % 2 else round(
+        (sw[len(sw) // 2 - 1] + sw[len(sw) // 2]) / 2, 3
+    )
+    conc_p95 = sw[min(len(sw) - 1, int(0.95 * len(sw)))]
+    conc_wall = conc_median  # headline = median of repeats
 
     oracle_wall = None
     if not args.no_oracle:
@@ -127,9 +145,15 @@ def main() -> None:
         "sequential_cold_wall_sec": cold_wall,
         "sequential_cached_wall_sec": cached_wall,
         "concurrent_wall_sec": conc_wall,
+        "concurrent_repeats_sec": conc_walls,
+        "concurrent_median_sec": conc_median,
+        "concurrent_p95_sec": conc_p95,
         "oracle_wall_sec": oracle_wall,
         "concurrent_vs_oracle": (
             round(conc_wall / oracle_wall, 2) if oracle_wall else None
+        ),
+        "concurrent_p95_vs_oracle": (
+            round(conc_p95 / oracle_wall, 2) if oracle_wall else None
         ),
         "speedup_vs_cold": round(cold_wall / conc_wall, 2),
         "cold_latencies": cold,

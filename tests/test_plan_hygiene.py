@@ -192,3 +192,45 @@ def test_approx_distinct_sketch_bounds(spark):
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx"),
     ).collect()[0]
     assert abs(row.approx - row.exact) <= max(3 * 0.02 * row.exact, 1.0)
+
+
+def test_global_window_inventory_is_allowlisted():
+    """An unpartitioned window (`W.orderBy(...)` with no partitionBy) is a
+    single-task sort — fine on control-plane-sized frames, a straggler on
+    data-sized ones. This gate pins the exact inventory of allowed sites;
+    any NEW global window anywhere in the package fails here until it is
+    reviewed and its input proven bounded. Current sites and their bounds:
+
+    - plans/queries_ta.py (1): rank-sum cumulative histogram — input is
+      groupBy(rm) DISTINCT quantized µ-return values, bounded by
+      min(#(symbol,day) pairs, value range); documented trade: at extreme
+      distinct-value growth this becomes a two-phase bucketed scan.
+    - operators/sampling.py (1): ordered float normalizer over |groups|
+      rows (one per stratum) — ordering is load-bearing for bit-stable
+      float summation vs the oracle.
+    - operators/sketches.py (2): KLL quantile walk — rows bounded by the
+      sketch's compaction parameter k, independent of data volume.
+    - operators/skew.py (1): rank over the already-limited top-N hot-key
+      profile (≤ `top` rows by construction).
+    """
+    import pathlib
+    import re
+
+    allowed = {
+        "marketpipe_spark/plans/queries_ta.py": 1,
+        "marketpipe_spark/operators/sampling.py": 1,
+        "marketpipe_spark/operators/sketches.py": 2,
+        "marketpipe_spark/operators/skew.py": 1,
+    }
+    pat = re.compile(r"\bW(?:indow)?\.orderBy\(")
+    pkg = pathlib.Path(__file__).resolve().parent.parent / "marketpipe_spark"
+    found = {}
+    for p in sorted(pkg.rglob("*.py")):
+        n = len(pat.findall(p.read_text()))
+        if n:
+            found[str(p.relative_to(pkg.parent))] = n
+    assert found == allowed, (
+        f"global-window inventory drifted:\n  found   {found}\n  allowed {allowed}\n"
+        "New unpartitioned windows must be reviewed for a cardinality bound "
+        "and added here explicitly."
+    )

@@ -122,3 +122,74 @@ def test_partitions_are_churn_bounded(spark, tmp_path):
     assert sides.count(0) == 1 and sides.count(1) >= 1
     assert r.latestOffset() == {"version": 3}
     assert r.partitions({"version": 3}, {"version": 3}) == []
+
+
+def test_bounded_drain_multiple_batches_and_mid_drain_crash(spark, tmp_path):
+    """max_versions_per_batch drains a 6-version backlog as version-bounded
+    micro-batches (not one giant batch), and a crash MID-drain resumes at
+    the committed boundary with exactly-once totals. Append-only commits,
+    so every row must arrive exactly once as an insert."""
+    import pytest
+
+    root = str(tmp_path / "snap")
+    ckpt = str(tmp_path / "ckpt")
+    for i in range(6):
+        write_table(
+            spark.createDataFrame([(i, f"r{i}")], "id long, v string"),
+            root,
+            mode="append",
+        )
+
+    batches: list[tuple[int, list]] = []
+
+    def apply(changes, batch_id):
+        batches.append(
+            (batch_id, sorted((r["id"], r["_change"]) for r in changes.collect()))
+        )
+
+    stream_snapshot_changes(
+        spark, root, ["id"], apply,
+        starting_version=0, checkpoint=ckpt, max_versions_per_batch=2,
+    )
+    # 6 versions / bound 2 -> 3 non-empty version-bounded batches.
+    non_empty = [b for b in batches if b[1]]
+    assert len(non_empty) == 3, f"expected 3 bounded batches, got {batches}"
+    all_rows = sorted(r for _, rows in batches for r in rows)
+    assert all_rows == [(i, "insert") for i in range(6)]
+
+    # Backlog again, crash after the FIRST applied batch of the drain.
+    for i in range(6, 12):
+        write_table(
+            spark.createDataFrame([(i, f"r{i}")], "id long, v string"),
+            root,
+            mode="append",
+        )
+    applied: list[tuple] = []
+    state = {"ok": 0}
+
+    def crashing_apply(changes, batch_id):
+        rows = sorted((r["id"], r["_change"]) for r in changes.collect())
+        if rows:
+            if state["ok"] >= 1:
+                raise RuntimeError("simulated crash mid-drain")
+            state["ok"] += 1
+            applied.extend(rows)
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    with pytest.raises((RuntimeError, StreamingQueryException)):
+        stream_snapshot_changes(
+            spark, root, ["id"], crashing_apply,
+            starting_version=0, checkpoint=ckpt, max_versions_per_batch=2,
+        )
+    assert 0 < len(applied) < 6  # partial progress, bounded by the window
+
+    def resume_apply(changes, batch_id):
+        applied.extend(sorted((r["id"], r["_change"]) for r in changes.collect()))
+
+    stream_snapshot_changes(
+        spark, root, ["id"], resume_apply,
+        starting_version=0, checkpoint=ckpt, max_versions_per_batch=2,
+    )
+    # Exactly-once across the crash: every backlog row once, no dupes.
+    assert sorted(applied) == [(i, "insert") for i in range(6, 12)]

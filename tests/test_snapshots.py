@@ -1220,3 +1220,85 @@ def test_refresh_mv_replay_after_crash_is_idempotent(spark, tmp_path):
         .collect()
     )
     assert mv_rows() == expected2
+
+
+class _CountingFS:
+    """Delegating FS wrapper that counts read_text calls — the metric the
+    checkpoint exists to bound."""
+
+    def __init__(self, inner):
+        self._inner = inner
+        self.reads = 0
+
+    def read_text(self, path):
+        self.reads += 1
+        return self._inner.read_text(path)
+
+    def __getattr__(self, name):
+        return getattr(self._inner, name)
+
+
+def test_manifest_checkpoint_bounds_metadata_walks(spark, tmp_path, monkeypatch):
+    """With a checkpoint every 5 commits, version_as_of/table_history read
+    checkpoint + suffix (reads ∝ commits since checkpoint, not history),
+    and return exactly what per-manifest walks return — including after
+    every checkpoint is deleted (fallback path)."""
+    from marketpipe_spark import snapshots as S
+    from marketpipe_spark.snapshots import version_as_of
+
+    monkeypatch.setattr(S, "SNAPSHOT_CHECKPOINT_EVERY", 5)
+    root = str(tmp_path / "snap")
+    for i in range(12):
+        write_table(
+            spark.createDataFrame([(i, i)], "id long, x long"), root, note=f"c{i}"
+        )
+    fs = S._resolve_fs(root, None, None)
+    names = fs.listdir(S._snap_root(root))
+    assert "checkpoint-v5.json" in names and "checkpoint-v10.json" in names
+
+    truth = [S._read_manifest(root, v, fs, hydrate=False) for v in range(1, 13)]
+    hist = table_history(root)
+    assert [
+        (m["version"], m["parent"], m["note"], m["n_files"], m["committed_at"])
+        for m in hist
+    ] == [
+        (t["version"], t["parent"], t["note"], t["n_files"], t.get("committed_at"))
+        for t in truth
+    ]
+
+    cfs = _CountingFS(fs)
+    assert version_as_of(root, truth[-1]["committed_at"], fs=cfs) == 12
+    # 1 checkpoint + suffix manifests (v11, v12) — NOT 12 manifest reads.
+    assert cfs.reads <= 4, f"walk read {cfs.reads} files, checkpoint not used"
+    assert version_as_of(root, truth[6]["committed_at"], fs=fs) == 7
+
+    # Remove every checkpoint: identical answers via per-manifest fallback.
+    for n in fs.listdir(S._snap_root(root)):
+        if n.startswith("checkpoint-"):
+            fs.delete(S._join(S._snap_root(root), n))
+    assert [m["version"] for m in table_history(root)] == list(range(1, 13))
+    assert version_as_of(root, truth[6]["committed_at"]) == 7
+
+
+def test_expire_reclaims_superseded_checkpoints(spark, tmp_path, monkeypatch):
+    """Expiry keeps only the newest checkpoint; walks over the expired
+    table stay correct (checkpoint entries for dropped versions are
+    ignored) and fsck still reports ok."""
+    from marketpipe_spark import snapshots as S
+    from marketpipe_spark.snapshots import snapshot_fsck, version_as_of
+
+    monkeypatch.setattr(S, "SNAPSHOT_CHECKPOINT_EVERY", 3)
+    root = str(tmp_path / "snap")
+    for i in range(11):
+        write_table(
+            spark.createDataFrame([(i, i)], "id long, x long"), root, note=f"c{i}"
+        )
+    fs = S._resolve_fs(root, None, None)
+    assert S._checkpoint_versions(fs.listdir(S._snap_root(root))) == [3, 6, 9]
+    expire_snapshots(root, keep_last=2, min_age_seconds=0)
+    assert S._checkpoint_versions(fs.listdir(S._snap_root(root))) == [9]
+    hist = table_history(root)
+    assert [m["version"] for m in hist] == [10, 11]
+    assert version_as_of(root, hist[-1]["committed_at"]) == 11
+    rep = snapshot_fsck(root)
+    assert rep["ok"] and rep["versions"] == 2
