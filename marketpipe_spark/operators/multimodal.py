@@ -234,6 +234,58 @@ def decode_png_pixels(b: bytes):
     return img
 
 
+def decode_bmp_pixels(b: bytes):
+    """REAL stdlib BMP pixel decode: returns ``numpy.uint8`` of shape
+    ``(height, width, channels)`` in RGB(A) order, or ``None`` for
+    variants this decoder does not cover.
+
+    BMP pixel data is UNCOMPRESSED (BI_RGB), so decode is pure indexing:
+    BITMAPINFOHEADER dims, pixel array at ``bfOffBits``, rows padded to
+    4-byte boundaries, bottom-up for positive heights (top-down for
+    negative), BGR(A) byte order flipped to RGB(A). Covers 24-bit RGB,
+    32-bit RGBA, and 8-bit palette images; compressed (RLE) or 1/4/16-bit
+    variants return ``None`` — fail closed, never fabricate pixels.
+    """
+    import numpy as np
+
+    if len(b) < 54 or b[:2] != b"BM":
+        return None
+    off = struct.unpack("<I", b[10:14])[0]
+    hdr_size = struct.unpack("<I", b[14:18])[0]
+    if hdr_size < 40:
+        return None
+    w, h_raw = struct.unpack("<ii", b[18:26])
+    planes, bpp = struct.unpack("<HH", b[26:30])
+    comp = struct.unpack("<I", b[30:34])[0]
+    if w <= 0 or h_raw == 0 or planes != 1 or comp != 0:
+        return None
+    h = abs(h_raw)
+    top_down = h_raw < 0
+    if bpp == 8:
+        n_colors = struct.unpack("<I", b[46:50])[0] or 256
+        pal_off = 14 + hdr_size
+        pal = np.frombuffer(b, np.uint8, n_colors * 4, pal_off).reshape(-1, 4)
+        palette = pal[:, [2, 1, 0]]  # BGRX -> RGB
+        nch_in, nch_out = 1, 3
+    elif bpp in (24, 32):
+        palette = None
+        nch_in = nch_out = bpp // 8
+    else:
+        return None
+    stride = (w * nch_in + 3) & ~3  # rows pad to 4-byte boundaries
+    if off + stride * h > len(b):
+        return None
+    rows = np.frombuffer(b, np.uint8, stride * h, off).reshape(h, stride)
+    img = rows[:, : w * nch_in].reshape(h, w, nch_in)
+    if not top_down:
+        img = img[::-1]
+    if palette is not None:
+        return palette[img[:, :, 0]].copy()
+    # BGR(A) -> RGB(A)
+    order = [2, 1, 0] if nch_out == 3 else [2, 1, 0, 3]
+    return img[:, :, order].copy()
+
+
 def box_resize_pixels(img, target_w: int, target_h: int):
     """Integer-exact box-filter resample: output pixel (i, j) is the
     round-half-up mean of the source box ``rows [i*h//th, max((i+1)*h//th,
@@ -296,18 +348,20 @@ def resize_media(
     """Image-resize kernel: payload → fixed-size resized payload +
     before/after dims, Arrow-batched through ``mapInPandas``.
 
-    PNG payloads take the REAL path (r10): :func:`decode_png_pixels`
-    (stdlib zlib inflate + per-row unfilter) then
-    :func:`box_resize_pixels` (integer-exact box-filter mean) — rows come
-    back with ``decoded = true``, ``channels`` from the image, ``resized``
-    holding ``target_w × target_h × channels`` raw interleaved bytes, and
-    ``byte_sum``/``px0_*`` as engine-computed content checks (the oracle
-    pins them closed-form for synthesized payloads). Every other format
-    still lacks a pixel decoder in this container (no PIL/ffmpeg), so
-    those rows keep the clearly-marked deterministic strided-byte STUB
-    (``decoded = false``, ``channels`` NULL, ``target_w × target_h``
-    bytes) — output size and schema stay constant-bytes-per-row either
-    way, the property downstream batch sizing relies on.
+    PNG and BMP payloads take the REAL path (r10):
+    :func:`decode_png_pixels` (stdlib zlib inflate + per-row unfilter) or
+    :func:`decode_bmp_pixels` (uncompressed BGR(A)/palette indexing),
+    then :func:`box_resize_pixels` (integer-exact box-filter mean) — rows
+    come back with ``decoded = true``, ``channels`` from the image,
+    ``resized`` holding ``target_w × target_h × channels`` raw
+    interleaved bytes, and ``byte_sum``/``px0_*`` as engine-computed
+    content checks (the oracle pins them closed-form for synthesized
+    payloads). Every other format still lacks a pixel decoder in this
+    container (no PIL/ffmpeg), so those rows keep the clearly-marked
+    deterministic strided-byte STUB (``decoded = false``, ``channels``
+    NULL, ``target_w × target_h`` bytes) — output size and schema stay
+    constant-bytes-per-row either way, the property downstream batch
+    sizing relies on.
     """
     import numpy as np
 
@@ -337,6 +391,8 @@ def resize_media(
                 b = bytes(payload) or b"\x00"
                 _, sw, sh = parse_media_header(b)
                 img = decode_png_pixels(b)
+                if img is None:
+                    img = decode_bmp_pixels(b)
                 if img is not None:
                     small = box_resize_pixels(img, target_w, target_h)
                     c = small.shape[2]

@@ -563,18 +563,22 @@ def q_media_dimensions(spark, sf_dir):
 
 
 # media_resize (r10): REAL pixel path end-to-end. The synthesis builds a
-# COMPLETE valid PNG per doc JVM-side (no Python in the build): IHDR with
-# per-doc dims, an IDAT whose zlib stream is a STORED deflate block (so the
-# bytes are expressible as hex literals — decode_png_pixels inflates real
-# encoder streams and adler-less stored blocks alike), and scanlines that
-# exercise three filter types — row 0 Sub(1), middle rows Up(2), last row
-# Paeth(4) — encoding a per-doc SOLID RGB color. The kernel must inflate,
-# unfilter, and box-resample to recover that color exactly (integer-exact
-# box mean of a solid image is the color), so the oracle pins dims,
+# COMPLETE valid image per doc JVM-side (no Python in the build). For
+# doc_id % 4 in (0, 2): a PNG — IHDR with per-doc dims, an IDAT whose
+# zlib stream is a STORED deflate block (so the bytes are expressible as
+# hex literals — decode_png_pixels inflates real encoder streams and
+# adler-less stored blocks alike), and scanlines that exercise three
+# filter types — row 0 Sub(1), middle rows Up(2), last row Paeth(4) —
+# encoding a per-doc SOLID RGB color. For doc_id % 4 == 1: a 24-bit
+# uncompressed BMP with the SAME dims and color (BGR rows, 4-byte row
+# padding, bottom-up) — decode_bmp_pixels' path. Either kernel must
+# decode and box-resample to recover that color exactly (integer-exact
+# box mean of a solid image is the color), so ONE oracle pins dims,
 # channels, the resized byte_sum, and the first pixel closed-form in
-# doc_id. doc_id % 4 == 3 rows carry a non-media payload and must take the
-# clearly-marked stub path (decoded=false, NULL channels, strided-byte
-# checksum 2980 = 3*sum(b'not media') + sum(b'not')).
+# doc_id for both formats. doc_id % 4 == 3 rows carry a non-media payload
+# and must take the clearly-marked stub path (decoded=false, NULL
+# channels, strided-byte checksum 2980 = 3*sum(b'not media') +
+# sum(b'not')).
 
 SQL_MEDIA_RESIZE = """
 SELECT doc_id,
@@ -632,14 +636,36 @@ def _media_png_full_payload_expr():
         F.lit("00000000"),  # IDAT crc zeros
         F.lit("0000000049454e44ae426082"),  # IEND
     )
+    # 24-bit BI_RGB BMP, same dims/color: rows are BGR×w plus (w % 4) pad
+    # bytes (stride rounds to 4), bottom-up — order is invisible for a
+    # solid color but the decoder still walks it for real.
+    pad = w % 4
+    stride = 3 * w + pad
+    bgr = F.format_string("%02x%02x%02x", bl, g, r)
+    bmp_row = F.concat(F.repeat(bgr, w), F.repeat(F.lit("00"), pad))
+    bmp = F.concat(
+        F.lit("424d"),
+        _le32(F.lit(54) + stride * h),  # file size
+        F.lit("00000000"),
+        _le32(F.lit(54)),  # bfOffBits
+        _le32(F.lit(40)),  # BITMAPINFOHEADER
+        _le32(w),
+        _le32(h),
+        F.lit("0100"),  # planes = 1 (LE u16)
+        F.lit("1800"),  # bitcount = 24 (LE u16)
+        F.repeat(F.lit("00"), 24),  # compression..clrimportant = 0
+        F.repeat(bmp_row, h),
+    )
     other = F.lit("6e6f74206d65646961")  # b"not media"
-    return F.unhex(F.when(d % 4 != 3, png).otherwise(other))
+    return F.unhex(
+        F.when(d % 4 == 1, bmp).when(d % 4 != 3, png).otherwise(other)
+    )
 
 
 @register(
     "media_resize",
     SQL_MEDIA_RESIZE,
-    doc="REAL stdlib PNG pixel decode (zlib inflate + Sub/Up/Paeth unfilter) and integer-exact box resize over JVM-synthesized full PNGs; oracle pins dims, channels, resized byte_sum and first pixel; non-PNG rows take the marked stub path",
+    doc="REAL stdlib pixel decode — PNG (zlib inflate + Sub/Up/Paeth unfilter) and 24-bit BMP (padded BGR rows) — plus integer-exact box resize over JVM-synthesized full images; one oracle pins dims, channels, resized byte_sum and first pixel for both formats; other rows take the marked stub path",
     tags=("multimodal",),
 )
 def q_media_resize(spark, sf_dir):

@@ -348,3 +348,72 @@ def test_resize_media_real_png_path_end_to_end(spark):
     assert (real.px0_r, real.px0_g, real.px0_b) == tuple(int(v) for v in expect[0, 0])
     stub = out[2]
     assert not stub.decoded and stub.channels is None and len(stub.resized) == 16
+
+
+def _bmp_encode(img: np.ndarray, top_down=False, bpp=None, palette=None) -> bytes:
+    """Minimal spec-exact BMP encoder (BI_RGB) for decoder round-trips."""
+    h, w = img.shape[:2]
+    nch = 1 if palette is not None else img.shape[2]
+    bpp = bpp or (8 if palette is not None else nch * 8)
+    stride = (w * nch + 3) & ~3
+    pal_bytes = b""
+    if palette is not None:
+        pal = np.zeros((len(palette), 4), np.uint8)
+        pal[:, [2, 1, 0]] = palette  # RGB -> BGRX
+        pal_bytes = pal.tobytes()
+    off = 14 + 40 + len(pal_bytes)
+    rows = img if top_down else img[::-1]
+    data = bytearray()
+    for y in range(h):
+        row = rows[y]
+        if palette is None:
+            row = row[:, [2, 1, 0] if nch == 3 else [2, 1, 0, 3]]  # RGB(A)->BGR(A)
+        data += row.tobytes()
+        data += b"\x00" * (stride - w * nch)
+    hdr = b"BM" + struct.pack("<IHHI", off + len(data), 0, 0, off)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, (-h if top_down else h), 1, bpp, 0, 0, 0, 0,
+        len(palette) if palette is not None else 0, 0,
+    )
+    return hdr + info + pal_bytes + bytes(data)
+
+
+def test_bmp_pixel_decode_roundtrips():
+    from marketpipe_spark.operators.multimodal import decode_bmp_pixels
+
+    rng = np.random.default_rng(11)
+    # 24-bit bottom-up with row padding (w=5 -> pad 3), and top-down
+    img = rng.integers(0, 256, size=(6, 5, 3), dtype=np.uint8)
+    assert np.array_equal(decode_bmp_pixels(_bmp_encode(img)), img)
+    assert np.array_equal(decode_bmp_pixels(_bmp_encode(img, top_down=True)), img)
+    # 32-bit RGBA
+    img4 = rng.integers(0, 256, size=(3, 4, 4), dtype=np.uint8)
+    assert np.array_equal(decode_bmp_pixels(_bmp_encode(img4)), img4)
+    # 8-bit palette
+    palette = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, size=(5, 7, 1), dtype=np.uint8)
+    got = decode_bmp_pixels(_bmp_encode(idx, palette=palette))
+    assert np.array_equal(got, palette[idx[:, :, 0]])
+    # RLE-compressed and 16-bit fail closed
+    rle = bytearray(_bmp_encode(img))
+    rle[30] = 1  # biCompression = BI_RLE8
+    assert decode_bmp_pixels(bytes(rle)) is None
+    assert decode_bmp_pixels(b"BM" + b"\x00" * 20) is None
+
+
+def test_resize_media_real_bmp_path(spark):
+    from marketpipe_spark.operators.multimodal import (
+        box_resize_pixels,
+        resize_media,
+    )
+
+    rng = np.random.default_rng(13)
+    img = rng.integers(0, 256, size=(9, 7, 3), dtype=np.uint8)
+    df = spark.createDataFrame(
+        [(1, bytearray(_bmp_encode(img)))], "doc_id long, payload binary"
+    )
+    r = resize_media(df, 4, 4).collect()[0]
+    expect = box_resize_pixels(img, 4, 4)
+    assert r.decoded and r.channels == 3
+    assert (r.src_width, r.src_height) == (7, 9)
+    assert bytes(r.resized) == expect.tobytes()
