@@ -230,6 +230,8 @@ def decode_png_pixels(b: bytes):
         out[y] = (rec & 255).astype(np.uint8)
     img = out.reshape(h, w, bpp)
     if ctype == 3:
+        if int(img[:, :, 0].max(initial=0)) >= len(plte):
+            return None  # index past the palette: corrupt, fail closed
         img = plte[img[:, :, 0]]
     return img
 
@@ -264,6 +266,8 @@ def decode_bmp_pixels(b: bytes):
     if bpp == 8:
         n_colors = struct.unpack("<I", b[46:50])[0] or 256
         pal_off = 14 + hdr_size
+        if n_colors > 256 or pal_off + n_colors * 4 > len(b):
+            return None  # implausible/truncated palette: fail closed
         pal = np.frombuffer(b, np.uint8, n_colors * 4, pal_off).reshape(-1, 4)
         palette = pal[:, [2, 1, 0]]  # BGRX -> RGB
         nch_in, nch_out = 1, 3
@@ -280,6 +284,8 @@ def decode_bmp_pixels(b: bytes):
     if not top_down:
         img = img[::-1]
     if palette is not None:
+        if int(img[:, :, 0].max(initial=0)) >= len(palette):
+            return None  # index past the palette: corrupt, fail closed
         return palette[img[:, :, 0]].copy()
     # BGR(A) -> RGB(A)
     order = [2, 1, 0] if nch_out == 3 else [2, 1, 0, 3]
@@ -390,9 +396,16 @@ def resize_media(
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 b = bytes(payload) or b"\x00"
                 _, sw, sh = parse_media_header(b)
-                img = decode_png_pixels(b)
-                if img is None:
-                    img = decode_bmp_pixels(b)
+                # The decoders fail closed (None) on everything they
+                # recognize as corrupt; the belt-and-braces except keeps
+                # the CONTRACT — one adversarial payload must degrade to
+                # the stub row, never kill the whole Spark job.
+                try:
+                    img = decode_png_pixels(b)
+                    if img is None:
+                        img = decode_bmp_pixels(b)
+                except Exception:
+                    img = None
                 if img is not None:
                     small = box_resize_pixels(img, target_w, target_h)
                     c = small.shape[2]

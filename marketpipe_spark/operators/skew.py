@@ -127,7 +127,12 @@ def physical_sortedness(
     """
     import pandas as pd
 
-    src = df.select(F.col(ts).cast("long").alias("_t"))
+    # NULLs are dropped JVM-side so the Arrow batches stay int64 end to
+    # end — a float64 detour would quantize epoch-ns values (ulp ≈ 256 ns
+    # at 1.7e18) and count sub-ulp inversions as ties, i.e. as sorted.
+    src = df.select(F.col(ts).cast("long").alias("_t")).where(
+        F.col(ts).isNotNull()
+    )
 
     def probe(batches):
         import numpy as np
@@ -135,18 +140,17 @@ def physical_sortedness(
         seen = pairs = mono = 0
         prev = None
         for pdf in batches:
-            a = pdf["_t"].to_numpy(dtype="float64", na_value=np.nan)
-            a = a[~np.isnan(a)]
+            a = pdf["_t"].to_numpy(dtype="int64")
             if a.size == 0:
                 continue
             if prev is not None:
                 pairs += 1
                 mono += int(a[0] >= prev)
             if a.size > 1:
-                d = np.diff(a)
+                d = a[1:] >= a[:-1]
                 pairs += d.size
-                mono += int((d >= 0).sum())
-            prev = float(a[-1])
+                mono += int(d.sum())
+            prev = int(a[-1])
             seen += a.size
             if seen >= rows_per_partition:
                 break  # stop pulling Arrow batches for this partition

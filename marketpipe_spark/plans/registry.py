@@ -330,13 +330,17 @@ PLAN_CACHE_CONF_KEYS = (
     "spark.sql.adaptive.enabled",
 )
 
-#: (session id, entry name, sf_dir) → (session, conf fingerprint, DataFrame).
-#: A DataFrame is an immutable analyzed logical plan: rebuilding it for every
-#: invocation re-pays ~15% of the sequential bench wall in driver-side py4j
-#: plan construction (FLOOR_EXPERIMENT.json: rebuild 10.8 s vs reuse 9.2 s
-#: sequential; 8 threads over prebuilt plans run the basket in 1.69 s, UNDER
-#: the DuckDB comparator). Serving deployments build once and execute many.
-_PLAN_CACHE: dict[tuple[int, str, str], tuple[SparkSession, tuple, DataFrame]] = {}
+#: (session id, entry name, sf_dir) → (weakref to session, conf
+#: fingerprint, DataFrame). A DataFrame is an immutable analyzed logical
+#: plan: rebuilding it for every invocation re-pays ~15% of the sequential
+#: bench wall in driver-side py4j plan construction (FLOOR_EXPERIMENT.json:
+#: rebuild 10.8 s vs reuse 9.2 s sequential; 8 threads over prebuilt plans
+#: run the basket in 1.69 s, UNDER the DuckDB comparator). Serving
+#: deployments build once and execute many. The session reference is WEAK
+#: so the cache never pins a dead session: GC'd sessions' entries are
+#: swept opportunistically on every call, and a live-but-replaced session
+#: discovered via key collision is purged wholesale.
+_PLAN_CACHE: dict[tuple[int, str, str], tuple] = {}
 
 
 def _conf_fingerprint(spark: SparkSession) -> tuple:
@@ -362,23 +366,32 @@ def prebuilt(
     sinks, snapshot fixtures, trained models) amortize that work too: the
     cache holds the post-materialization plan. ``refresh=True`` forces a
     rebuild (e.g. after external data changed under a fixture root)."""
+    import weakref
+
     q = all_queries()[name]  # KeyError on unknown entry, same as spark_queries
     fp = _conf_fingerprint(spark)
     key = (id(spark), name, sf_dir)
+    # Opportunistic sweep: entries whose session was garbage-collected are
+    # dead regardless of key — drop them so plans of sessions never
+    # re-requested don't accumulate across session generations.
+    for k in [k for k, e in _PLAN_CACHE.items() if e[0]() is None]:
+        del _PLAN_CACHE[k]
     ent = _PLAN_CACHE.get(key)
-    # The stored session reference proves the cached plan belongs to THIS
-    # session (id() can be reused after GC) — same pattern as _TABLE_CACHE.
-    if not refresh and ent is not None and ent[0] is spark and ent[1] == fp:
+    # The stored (weak) session reference proves the cached plan belongs to
+    # THIS session (id() can be reused after GC) — same pattern as
+    # _TABLE_CACHE.
+    if not refresh and ent is not None and ent[0]() is spark and ent[1] == fp:
         return ent[2]
-    if ent is not None and ent[0] is not spark:
-        # A replaced/stopped session: purge EVERY entry pinned to it, not
-        # just this key — otherwise a long-lived serve process leaks py4j-
-        # backed plans (and the dead session) for entries never re-requested.
-        stale = ent[0]
-        for k in [k for k, e in _PLAN_CACHE.items() if e[0] is stale]:
+    if ent is not None and ent[0]() is not spark:
+        # A replaced (still-referenced) session discovered by key
+        # collision: purge EVERY entry pinned to it, not just this key.
+        stale = ent[0]()
+        for k in [
+            k for k, e in _PLAN_CACHE.items() if stale is not None and e[0]() is stale
+        ]:
             del _PLAN_CACHE[k]
     df = q.fn(spark, sf_dir)
-    _PLAN_CACHE[key] = (spark, fp, df)
+    _PLAN_CACHE[key] = (weakref.ref(spark), fp, df)
     return df
 
 

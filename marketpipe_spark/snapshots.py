@@ -1210,9 +1210,13 @@ def refresh_mv(
     # contains that interval's deltas, so re-ack and resume from there
     # instead of applying them a second time. Metadata-only (hydrate=False),
     # and robust to non-refresh commits (compaction) interleaved on the MV:
-    # we walk back to the newest refresh note.
+    # we walk back to the newest refresh note. Recovery only applies while
+    # the noted version is still RETAINED at the source: if it expired, an
+    # operator who reset the checkpoint (the documented remedy) must get
+    # the v_from=0 full rebuild, not a re-ack into the same LookupError.
     fs_mv = _resolve_fs(mv_root, spark, fs)
     _note_prefix = f"mv refresh {src_root} v"
+    vset = set(vs)
     for mv_v in reversed(_versions(mv_root, fs_mv)):
         note = (
             _read_manifest(mv_root, mv_v, fs_mv, hydrate=False).get("note") or ""
@@ -1223,7 +1227,7 @@ def refresh_mv(
             applied = int(note.rsplit("->v", 1)[1])
         except (IndexError, ValueError):
             break
-        if applied > v_from:
+        if applied > v_from and applied in vset:
             checkpoints.save(consumer_id, {src_root: applied})
             v_from = applied
         break

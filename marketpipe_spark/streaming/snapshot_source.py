@@ -227,8 +227,11 @@ def _last_committed_offset_version(checkpoint: str) -> int | None:
     JSON files). Returns None when nothing committed yet or the layout is
     unrecognized (callers fall back to an unbounded drain, never wrongness:
     the engine's own offset log still guards exactly-once)."""
-    cdir = os.path.join(checkpoint, "commits")
-    odir = os.path.join(checkpoint, "offsets")
+    root = checkpoint
+    if root.startswith("file:"):
+        root = root[len("file:") :] or "/"
+    cdir = os.path.join(root, "commits")
+    odir = os.path.join(root, "offsets")
     try:
         ids = [int(n) for n in os.listdir(cdir) if n.isdigit()]
         if not ids:
@@ -271,13 +274,13 @@ def stream_snapshot_changes(
     def _each(batch: DataFrame, batch_id: int) -> None:
         apply(classify_batch(batch, keys), batch_id)
 
-    def _run_once(clamp_base: int | None) -> None:
+    def _run_once(clamp_base: int | None, bounded: bool = True) -> None:
         reader = (
             spark.readStream.format("snapshot_changes")
             .option("root", root)
             .option("startingVersion", str(starting_version))
         )
-        if max_versions_per_batch is not None:
+        if bounded and max_versions_per_batch is not None:
             reader = reader.option("maxVersionsPerBatch", str(max_versions_per_batch))
             if clamp_base is not None:
                 reader = reader.option("clampBase", str(clamp_base))
@@ -290,7 +293,7 @@ def stream_snapshot_changes(
         q.awaitTermination()
 
     if max_versions_per_batch is None or checkpoint is None:
-        _run_once(None)
+        _run_once(None, bounded=False)
         return
     while True:
         committed = _last_committed_offset_version(checkpoint)
@@ -300,5 +303,14 @@ def stream_snapshot_changes(
         now_committed = _last_committed_offset_version(checkpoint)
         if now_committed is not None and now_committed >= latest:
             return
-        if now_committed is None or now_committed == committed:
+        if now_committed is None:
+            # The offset/commit log is not readable from the driver (e.g.
+            # a non-POSIX checkpoint path): the clamp base cannot advance,
+            # so a bounded loop would stall mid-backlog. Degrade to the
+            # documented single-big-batch behavior — one UNBOUNDED drain
+            # finishes the backlog; the engine offset log still guards
+            # exactly-once.
+            _run_once(None, bounded=False)
+            return
+        if now_committed == committed:
             return  # no progress this run — don't spin

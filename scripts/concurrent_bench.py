@@ -116,7 +116,12 @@ def main() -> None:
     conc_median = sw[len(sw) // 2] if len(sw) % 2 else round(
         (sw[len(sw) // 2 - 1] + sw[len(sw) // 2]) / 2, 3
     )
-    conc_p95 = sw[min(len(sw) - 1, int(0.95 * len(sw)))]
+    # Nearest-rank p95: ceil(0.95 * n) - 1. At the default n=5 this IS the
+    # sample maximum — deliberately conservative (the bar is judged on the
+    # worst of 5 stable repeats, labeled as such in the artifact).
+    import math as _math
+
+    conc_p95 = sw[min(len(sw) - 1, _math.ceil(0.95 * len(sw)) - 1)]
     conc_wall = conc_median  # headline = median of repeats
 
     oracle_wall = None

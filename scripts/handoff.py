@@ -81,9 +81,15 @@ def main() -> int:
         if line is not None:
             import json as _json
 
-            with open(os.path.join(REPO, f"BENCH_FULL_r{rnd}.json"), "w") as f:
-                _json.dump(_json.loads(line), f, indent=2)
-            print(f"-> BENCH_FULL_r{rnd}.json", flush=True)
+            try:
+                parsed = _json.loads(line)
+                with open(os.path.join(REPO, f"BENCH_FULL_r{rnd}.json"), "w") as f:
+                    _json.dump(parsed, f, indent=2)
+                print(f"-> BENCH_FULL_r{rnd}.json", flush=True)
+            except ValueError:
+                # an unparsable '{'-prefixed log line must not abort the
+                # remaining handoff steps
+                print("bench output not parsable as JSON; artifact skipped", flush=True)
         print(f"=== bench: rc={proc.returncode} in {time.time() - t0:.0f}s", flush=True)
     except subprocess.TimeoutExpired:
         print("=== bench: TIMED OUT after 1200s", flush=True)

@@ -417,3 +417,40 @@ def test_resize_media_real_bmp_path(spark):
     assert r.decoded and r.channels == 3
     assert (r.src_width, r.src_height) == (7, 9)
     assert bytes(r.resized) == expect.tobytes()
+
+
+def test_decoders_fail_closed_on_corrupt_palettes():
+    """Palette corruption returns None (stub path), never raises — one
+    adversarial payload must not kill a whole Spark job (review r10)."""
+    from marketpipe_spark.operators.multimodal import (
+        decode_bmp_pixels,
+        decode_png_pixels,
+    )
+
+    # PNG: indices point past a 2-entry palette.
+    palette = np.array([[1, 2, 3], [4, 5, 6]], np.uint8)
+    idx = np.full((3, 3, 1), 7, np.uint8)  # 7 >= 2
+    assert decode_png_pixels(_png_encode(idx, 3, filters=[0], palette=palette)) is None
+
+    # BMP: truncated palette bytes, implausible biClrUsed, OOB index.
+    pal16 = np.arange(48, dtype=np.uint8).reshape(16, 3)
+    idx16 = np.zeros((2, 2, 1), np.uint8)
+    ok = _bmp_encode(idx16, palette=pal16)
+    assert decode_bmp_pixels(ok) is not None
+    truncated = ok[: 14 + 40 + 8]  # palette cut short, no pixel data
+    assert decode_bmp_pixels(truncated) is None
+    huge = bytearray(ok)
+    huge[46:50] = struct.pack("<I", 1 << 30)  # biClrUsed absurd
+    assert decode_bmp_pixels(bytes(huge)) is None
+    oob = _bmp_encode(np.full((2, 2, 1), 99, np.uint8), palette=pal16[:4])
+    assert decode_bmp_pixels(oob) is None
+
+
+def test_resize_media_degrades_to_stub_on_corrupt_image(spark):
+    from marketpipe_spark.operators.multimodal import resize_media
+
+    palette = np.array([[1, 2, 3]], np.uint8)
+    bad = _png_encode(np.full((2, 2, 1), 9, np.uint8), 3, [0], palette=palette)
+    df = spark.createDataFrame([(1, bytearray(bad))], "doc_id long, payload binary")
+    r = resize_media(df, 4, 4).collect()[0]
+    assert not r.decoded and r.channels is None and len(r.resized) == 16

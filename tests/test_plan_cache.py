@@ -91,19 +91,30 @@ def test_serve_subcommand_wired():
 
 
 def test_stale_session_entries_purged_on_collision(spark):
-    """A replaced/stopped session's cache entries are evicted wholesale the
-    first time a key collision reveals them — a long-lived serve process
-    must not pin dead sessions and their py4j-backed plans forever."""
+    """A replaced session's cache entries are evicted wholesale the first
+    time a key collision reveals them, and entries whose session was
+    GC'd are swept on ANY call — a long-lived serve process must not pin
+    dead sessions and their py4j-backed plans forever."""
+    import weakref
+
+    class Ghost:  # stands in for a stopped SparkSession
+        pass
+
     registry.clear_plan_cache()
-    ghost = object()  # stands in for a stopped SparkSession
+    ghost = Ghost()  # still referenced: collision purge path
     key = (id(spark), "vwap", SF)  # same key the live session will request
-    registry._PLAN_CACHE[key] = (ghost, (), None)
-    registry._PLAN_CACHE[(id(ghost), "daily_summary", SF)] = (ghost, (), None)
-    registry._PLAN_CACHE[(id(ghost), "sma_20", SF)] = (ghost, (), None)
+    registry._PLAN_CACHE[key] = (weakref.ref(ghost), (), None)
+    registry._PLAN_CACHE[(id(ghost), "daily_summary", SF)] = (
+        weakref.ref(ghost), (), None,
+    )
+    # A GC'd session under an unrelated key: the opportunistic sweep path.
+    gone = Ghost()
+    registry._PLAN_CACHE[(id(gone), "sma_20", SF)] = (weakref.ref(gone), (), None)
+    del gone
     df = registry.prebuilt(spark, "vwap", SF)
     assert df is not None
-    # Every ghost-pinned entry is gone, not just the collided key.
-    assert all(e[0] is spark for e in registry._PLAN_CACHE.values())
+    # Every ghost-pinned AND every dead-session entry is gone.
+    assert all(e[0]() is spark for e in registry._PLAN_CACHE.values())
     assert len(registry._PLAN_CACHE) == 1
 
 

@@ -193,3 +193,25 @@ def test_bounded_drain_multiple_batches_and_mid_drain_crash(spark, tmp_path):
     )
     # Exactly-once across the crash: every backlog row once, no dupes.
     assert sorted(applied) == [(i, "insert") for i in range(6, 12)]
+
+
+def test_last_committed_offset_parses_file_scheme(tmp_path):
+    """file:-prefixed checkpoint paths parse like plain paths; unreadable
+    layouts return None (review r10 — the drain loop then degrades to one
+    unbounded batch instead of stalling)."""
+    import json as _json
+    import os as _os
+
+    from marketpipe_spark.streaming.snapshot_source import (
+        _last_committed_offset_version,
+    )
+
+    ck = tmp_path / "ckpt"
+    (ck / "offsets").mkdir(parents=True)
+    (ck / "commits").mkdir()
+    (ck / "offsets" / "0").write_text('v1\n{"batchWatermarkMs":0}\n{"version": 4}\n')
+    (ck / "commits" / "0").write_text("v1\n{}")
+    assert _last_committed_offset_version(str(ck)) == 4
+    assert _last_committed_offset_version("file:" + str(ck)) == 4
+    assert _last_committed_offset_version(str(tmp_path / "nope")) is None
+    _ = _json, _os

@@ -1302,3 +1302,53 @@ def test_expire_reclaims_superseded_checkpoints(spark, tmp_path, monkeypatch):
     assert version_as_of(root, hist[-1]["committed_at"]) == 11
     rep = snapshot_fsck(root)
     assert rep["ok"] and rep["versions"] == 2
+
+
+def test_refresh_mv_checkpoint_reset_after_expiry_rebuilds(spark, tmp_path):
+    """The documented remedy for an expired checkpoint — reset and rebuild
+    from the initial snapshot — must WORK: crash recovery may not re-ack a
+    noted source version that is no longer retained (review r10: the
+    unguarded recovery re-raised the same LookupError forever)."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from marketpipe_spark.snapshots import expire_snapshots, refresh_mv
+    from marketpipe_spark.streaming.incremental import CheckpointStore
+
+    src = str(tmp_path / "src")
+    mv = str(tmp_path / "mv")
+    ckpt = CheckpointStore(spark, str(tmp_path / "ckpt"))
+    for i in range(3):
+        write_table(
+            spark.createDataFrame([(i, f"g{i % 2}", float(i))], "id long, g string, x double"),
+            src,
+        )
+    assert refresh_mv(spark, src, mv, ["id"], ["g"], ["x"], "mvr", ckpt) is not None
+    # More commits, then expire everything but the newest: the acked
+    # version (3) is gone from retention.
+    for i in range(3, 6):
+        write_table(
+            spark.createDataFrame([(i, f"g{i % 2}", float(i))], "id long, g string, x double"),
+            src,
+        )
+    expire_snapshots(src, keep_last=1, min_age_seconds=0)
+    with _pytest.raises(LookupError, match="expired"):
+        refresh_mv(spark, src, mv, ["id"], ["g"], ["x"], "mvr", ckpt)
+    # The remedy: reset the checkpoint -> full rebuild, NOT the same error.
+    fresh = CheckpointStore(spark, str(tmp_path / "ckpt2"))
+    assert refresh_mv(spark, src, mv, ["id"], ["g"], ["x"], "mvr", fresh) is not None
+    got = sorted(
+        (r["g"], float(r["sum_x"]), r["n_rows"])
+        for r in read_table(spark, mv).collect()
+    )
+    want = sorted(
+        (r["g"], float(r["sum_x"]), r["n_rows"])
+        for r in read_table(spark, src)
+        .groupBy("g")
+        .agg(
+            F.sum(F.col("x").cast("decimal(38,6)")).alias("sum_x"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .collect()
+    )
+    assert got == want
