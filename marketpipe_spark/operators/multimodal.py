@@ -292,6 +292,130 @@ def decode_bmp_pixels(b: bytes):
     return img[:, :, order].copy()
 
 
+def _gif_lzw_decode(data: bytes, min_code: int, max_pixels: int):
+    """GIF-variant LZW decode (LSB-first variable-width codes, clear/end
+    codes, deferred-clear tolerant). Returns index bytes or ``None`` on a
+    corrupt stream."""
+    clear = 1 << min_code
+    end = clear + 1
+    width = min_code + 1
+    table = {i: bytes([i]) for i in range(clear)}
+    next_code = end + 1
+    out = bytearray()
+    prev = None
+    acc = nbits = 0
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                table = {i: bytes([i]) for i in range(clear)}
+                next_code = end + 1
+                width = min_code + 1
+                prev = None
+                continue
+            if code == end:
+                return bytes(out)
+            if prev is None:
+                entry = table.get(code)
+                if entry is None:
+                    return None
+            else:
+                if code in table:
+                    entry = table[code]
+                elif code == next_code:
+                    entry = prev + prev[:1]  # the KwKwK case
+                else:
+                    return None
+                if next_code < 4096:
+                    table[next_code] = prev + entry[:1]
+                    next_code += 1
+                    if next_code == (1 << width) and width < 12:
+                        width += 1
+            out += entry
+            prev = entry
+            if len(out) >= max_pixels:
+                return bytes(out[:max_pixels])
+    return bytes(out)
+
+
+def decode_gif_pixels(b: bytes):
+    """REAL stdlib GIF pixel decode: first image frame as ``numpy.uint8``
+    of shape ``(height, width, 3)`` (palette-expanded RGB), or ``None``
+    for anything not covered.
+
+    Full LZW decompression (:func:`_gif_lzw_decode`) plus container walk:
+    logical screen descriptor, global/local color tables, extension-block
+    skipping, sub-block reassembly. Interlaced frames and corrupt streams
+    return ``None`` — fail closed, never fabricate pixels. Animation is
+    out of scope: the FIRST frame is the image (matching what thumbnail
+    pipelines use)."""
+    import numpy as np
+
+    try:
+        if len(b) < 14 or b[:6] not in (b"GIF87a", b"GIF89a"):
+            return None
+        packed = b[10]
+        pos = 13
+        gct = None
+        if packed & 0x80:
+            n = 2 ** ((packed & 7) + 1)
+            if pos + 3 * n > len(b):
+                return None
+            gct = np.frombuffer(b, np.uint8, 3 * n, pos).reshape(-1, 3)
+            pos += 3 * n
+        while pos < len(b):
+            intro = b[pos]
+            if intro == 0x21:  # extension: label byte + sub-blocks
+                pos += 2
+                while pos < len(b) and b[pos] != 0:
+                    pos += 1 + b[pos]
+                pos += 1
+            elif intro == 0x2C:  # image descriptor
+                if pos + 10 > len(b):
+                    return None
+                _, _, iw, ih = struct.unpack("<HHHH", b[pos + 1 : pos + 9])
+                ipacked = b[pos + 9]
+                pos += 10
+                if ipacked & 0x40 or not iw or not ih:
+                    return None  # interlace unsupported: fail closed
+                table = gct
+                if ipacked & 0x80:
+                    n = 2 ** ((ipacked & 7) + 1)
+                    if pos + 3 * n > len(b):
+                        return None
+                    table = np.frombuffer(b, np.uint8, 3 * n, pos).reshape(-1, 3)
+                    pos += 3 * n
+                if table is None or pos >= len(b):
+                    return None
+                min_code = b[pos]
+                pos += 1
+                if not 2 <= min_code <= 11:
+                    return None
+                data = bytearray()
+                while pos < len(b) and b[pos] != 0:
+                    sz = b[pos]
+                    data += b[pos + 1 : pos + 1 + sz]
+                    pos += 1 + sz
+                idx = _gif_lzw_decode(bytes(data), min_code, iw * ih)
+                if idx is None or len(idx) < iw * ih:
+                    return None
+                arr = np.frombuffer(idx, np.uint8, iw * ih).reshape(ih, iw)
+                if int(arr.max(initial=0)) >= len(table):
+                    return None  # index past the palette: fail closed
+                return table[arr].copy()
+            elif intro == 0x3B:
+                return None  # trailer before any image frame
+            else:
+                return None
+        return None
+    except (struct.error, IndexError, ValueError):
+        return None
+
+
 def box_resize_pixels(img, target_w: int, target_h: int):
     """Integer-exact box-filter resample: output pixel (i, j) is the
     round-half-up mean of the source box ``rows [i*h//th, max((i+1)*h//th,
@@ -404,6 +528,8 @@ def resize_media(
                     img = decode_png_pixels(b)
                     if img is None:
                         img = decode_bmp_pixels(b)
+                    if img is None:
+                        img = decode_gif_pixels(b)
                 except Exception:
                     img = None
                 if img is not None:

@@ -569,31 +569,40 @@ def q_media_dimensions(spark, sf_dir):
 # hex literals — decode_png_pixels inflates real encoder streams and
 # adler-less stored blocks alike), and scanlines that exercise three
 # filter types — row 0 Sub(1), middle rows Up(2), last row Paeth(4) —
-# encoding a per-doc SOLID RGB color. For doc_id % 4 == 1: a 24-bit
+# encoding a per-doc SOLID RGB color. For doc_id % 5 == 1: a 24-bit
 # uncompressed BMP with the SAME dims and color (BGR rows, 4-byte row
-# padding, bottom-up) — decode_bmp_pixels' path. Either kernel must
-# decode and box-resample to recover that color exactly (integer-exact
-# box mean of a solid image is the color), so ONE oracle pins dims,
-# channels, the resized byte_sum, and the first pixel closed-form in
-# doc_id for both formats. doc_id % 4 == 3 rows carry a non-media payload
-# and must take the clearly-marked stub path (decoded=false, NULL
-# channels, strided-byte checksum 2980 = 3*sum(b'not media') +
-# sum(b'not')).
+# padding, bottom-up) — decode_bmp_pixels' path. For doc_id % 5 == 4: a
+# GIF89a whose LZW stream interleaves a CLEAR code before every pixel
+# code — a VALID stream any conformant decoder accepts, and one whose
+# constant 3-bit code width makes the bytes a closed-form repeating unit
+# ("044110" per 4 pixels + "05" END), so a full container with GCT is
+# expressible as hex literals; decode_gif_pixels must run its real LZW
+# loop over it. Every kernel must decode and box-resample to recover the
+# color exactly (integer-exact box mean of a solid image is the color),
+# so ONE oracle pins dims, channels, the resized byte_sum, and the first
+# pixel closed-form in doc_id for all three formats. doc_id % 5 == 3 rows
+# carry a non-media payload and must take the clearly-marked stub path
+# (decoded=false, NULL channels, strided-byte checksum 2980 =
+# 3*sum(b'not media') + sum(b'not')). GIF dims differ (width a multiple
+# of 4 keeps the LZW body on the repeating-unit boundary; w*h ≤ 320 keeps
+# the stream in one ≤255-byte sub-block).
 
 SQL_MEDIA_RESIZE = """
 SELECT doc_id,
-       CASE WHEN doc_id % 4 <> 3 THEN CAST(2 + doc_id % 31 AS INT) END AS src_width,
-       CASE WHEN doc_id % 4 <> 3 THEN CAST(3 + doc_id % 17 AS INT) END AS src_height,
+       CASE WHEN doc_id % 5 = 4 THEN CAST(4 * (1 + doc_id % 5) AS INT)
+            WHEN doc_id % 5 <> 3 THEN CAST(2 + doc_id % 31 AS INT) END AS src_width,
+       CASE WHEN doc_id % 5 = 4 THEN CAST(3 + doc_id % 14 AS INT)
+            WHEN doc_id % 5 <> 3 THEN CAST(3 + doc_id % 17 AS INT) END AS src_height,
        CAST(6 AS INT) AS width,
        CAST(5 AS INT) AS height,
-       CASE WHEN doc_id % 4 <> 3 THEN CAST(3 AS INT) END AS channels,
-       doc_id % 4 <> 3 AS decoded,
-       CASE WHEN doc_id % 4 <> 3
+       CASE WHEN doc_id % 5 <> 3 THEN CAST(3 AS INT) END AS channels,
+       doc_id % 5 <> 3 AS decoded,
+       CASE WHEN doc_id % 5 <> 3
             THEN CAST((doc_id % 251 + (doc_id * 7) % 241 + (doc_id * 13) % 239) * 30 AS BIGINT)
             ELSE CAST(2980 AS BIGINT) END AS byte_sum,
-       CASE WHEN doc_id % 4 <> 3 THEN CAST(doc_id % 251 AS INT) END AS px0_r,
-       CASE WHEN doc_id % 4 <> 3 THEN CAST((doc_id * 7) % 241 AS INT) END AS px0_g,
-       CASE WHEN doc_id % 4 <> 3 THEN CAST((doc_id * 13) % 239 AS INT) END AS px0_b
+       CASE WHEN doc_id % 5 <> 3 THEN CAST(doc_id % 251 AS INT) END AS px0_r,
+       CASE WHEN doc_id % 5 <> 3 THEN CAST((doc_id * 7) % 241 AS INT) END AS px0_g,
+       CASE WHEN doc_id % 5 <> 3 THEN CAST((doc_id * 13) % 239 AS INT) END AS px0_b
 FROM documents
 """
 
@@ -656,16 +665,42 @@ def _media_png_full_payload_expr():
         F.repeat(F.lit("00"), 24),  # compression..clrimportant = 0
         F.repeat(bmp_row, h),
     )
+    # GIF89a, CLEAR-interleaved constant-width LZW (see SQL comment): each
+    # pixel is the code pair (CLEAR=4, 0) at width 3, so 4 pixels pack to
+    # the byte unit "044110" and END(5) lands byte-aligned as "05".
+    wg = (F.lit(4) * (F.lit(1) + d % 5)).cast("int")
+    hg = (F.lit(3) + d % 14).cast("int")
+    n_units = ((wg * hg) / F.lit(4)).cast("int")
+    gif = F.concat(
+        F.lit("474946383961"),  # GIF89a
+        _le16(wg),
+        _le16(hg),
+        F.lit("810000"),  # GCT present, 4 entries; bg 0; aspect 0
+        rgb,  # GCT entry 0 = the solid color (GIF palettes are RGB)
+        F.lit("000000000000000000"),  # entries 1-3 zero
+        F.lit("2c00000000"),  # image descriptor at (0,0)
+        _le16(wg),
+        _le16(hg),
+        F.lit("00"),  # no LCT, not interlaced
+        F.lit("02"),  # LZW min code size
+        F.format_string("%02x", F.lit(3) * n_units + F.lit(1)),  # sub-block len
+        F.repeat(F.lit("044110"), n_units),
+        F.lit("05"),  # END code, byte-aligned
+        F.lit("003b"),  # sub-block terminator + trailer
+    )
     other = F.lit("6e6f74206d65646961")  # b"not media"
     return F.unhex(
-        F.when(d % 4 == 1, bmp).when(d % 4 != 3, png).otherwise(other)
+        F.when(d % 5 == 1, bmp)
+        .when(d % 5 == 4, gif)
+        .when(d % 5 != 3, png)
+        .otherwise(other)
     )
 
 
 @register(
     "media_resize",
     SQL_MEDIA_RESIZE,
-    doc="REAL stdlib pixel decode — PNG (zlib inflate + Sub/Up/Paeth unfilter) and 24-bit BMP (padded BGR rows) — plus integer-exact box resize over JVM-synthesized full images; one oracle pins dims, channels, resized byte_sum and first pixel for both formats; other rows take the marked stub path",
+    doc="REAL stdlib pixel decode — PNG (zlib inflate + Sub/Up/Paeth unfilter), 24-bit BMP (padded BGR rows), and GIF (full LZW decompression + palette expansion) — plus integer-exact box resize over JVM-synthesized full images; one oracle pins dims, channels, resized byte_sum and first pixel for all three formats; other rows take the marked stub path",
     tags=("multimodal",),
 )
 def q_media_resize(spark, sf_dir):

@@ -454,3 +454,141 @@ def test_resize_media_degrades_to_stub_on_corrupt_image(spark):
     df = spark.createDataFrame([(1, bytearray(bad))], "doc_id long, payload binary")
     r = resize_media(df, 4, 4).collect()[0]
     assert not r.decoded and r.channels is None and len(r.resized) == 16
+
+
+def _gif_lzw_encode(indices: bytes, min_code: int) -> bytes:
+    """Real GIF LZW encoder (string table, variable width, LSB-first) for
+    decoder round-trips. Width sync rule: the decoder bumps its read width
+    when ITS next_code hits 2^width; the encoder's counter runs one ahead
+    (it adds an entry when emitting, the decoder when reading the NEXT
+    code), so the encoder bumps at next_code == 2^width + 1."""
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    width = min_code + 1
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+    emitted = []  # (code, width at emission)
+
+    def emit(code):
+        emitted.append((code, width))
+
+    emit(clear)
+    s = b""
+    for px in indices:
+        c = bytes([px])
+        if s + c in table:
+            s += c
+            continue
+        emit(table[s])
+        if next_code < 4096:
+            table[s + c] = next_code
+            next_code += 1
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+        s = c
+    if s:
+        emit(table[s])
+    emit(end)
+    acc = nbits = 0
+    out = bytearray()
+    for code, w in emitted:
+        acc |= code << nbits
+        nbits += w
+        while nbits >= 8:
+            out.append(acc & 255)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        out.append(acc & 255)
+    return bytes(out)
+
+
+def _gif_encode(idx: np.ndarray, palette: np.ndarray, local_table=False) -> bytes:
+    """Minimal real GIF89a encoder (single frame, no interlace)."""
+    h, w = idx.shape
+    n = max(4, 1 << (int(palette.shape[0] - 1).bit_length()))
+    pal = np.zeros((n, 3), np.uint8)
+    pal[: len(palette)] = palette
+    size_bits = n.bit_length() - 2  # 2^(size_bits+1) == n
+    min_code = max(2, (n - 1).bit_length())
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    if local_table:
+        out += bytes([0x00, 0, 0])  # no GCT
+    else:
+        out += bytes([0x80 | size_bits, 0, 0])
+        out += pal.tobytes()
+    # a graphic-control extension the walker must skip
+    out += b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h)
+    if local_table:
+        out += bytes([0x80 | size_bits])
+        out += pal.tobytes()
+    else:
+        out += b"\x00"
+    out += bytes([min_code])
+    data = _gif_lzw_encode(idx.tobytes(), min_code)
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def test_gif_pixel_decode_roundtrips():
+    from marketpipe_spark.operators.multimodal import decode_gif_pixels
+
+    rng = np.random.default_rng(17)
+    # Big enough that LZW grows the table through several width bumps.
+    palette = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, size=(40, 50), dtype=np.uint8)
+    got = decode_gif_pixels(_gif_encode(idx, palette))
+    assert got is not None and got.shape == (40, 50, 3)
+    assert np.array_equal(got, palette[idx])
+    # local color table variant
+    got2 = decode_gif_pixels(_gif_encode(idx, palette, local_table=True))
+    assert np.array_equal(got2, palette[idx])
+    # highly repetitive input (long runs -> KwKwK cases)
+    runs = np.repeat(np.arange(8, dtype=np.uint8), 97).reshape(8, 97)
+    pal8 = rng.integers(0, 256, size=(8, 3), dtype=np.uint8)
+    got3 = decode_gif_pixels(_gif_encode(runs, pal8))
+    assert np.array_equal(got3, pal8[runs])
+
+
+def test_gif_decode_fails_closed():
+    from marketpipe_spark.operators.multimodal import decode_gif_pixels
+
+    rng = np.random.default_rng(19)
+    palette = rng.integers(0, 256, size=(4, 3), dtype=np.uint8)
+    idx = rng.integers(0, 4, size=(6, 6), dtype=np.uint8)
+    ok = _gif_encode(idx, palette)
+    assert decode_gif_pixels(ok) is not None
+    assert decode_gif_pixels(b"GIF89a\x00") is None
+    assert decode_gif_pixels(ok[: len(ok) // 2]) is None  # truncated stream
+    interlaced = bytearray(ok)
+    # image descriptor packed byte: set the interlace bit
+    ipos = interlaced.index(b"\x2c") + 9
+    interlaced[ipos] |= 0x40
+    assert decode_gif_pixels(bytes(interlaced)) is None
+    # corrupt LZW: garbage where codes should be
+    bad = bytearray(ok)
+    bad[-12:-2] = b"\xff" * 10
+    assert decode_gif_pixels(bytes(bad)) is None or True  # must not raise
+
+
+def test_resize_media_real_gif_path(spark):
+    from marketpipe_spark.operators.multimodal import (
+        box_resize_pixels,
+        resize_media,
+    )
+
+    rng = np.random.default_rng(23)
+    palette = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, size=(12, 10), dtype=np.uint8)
+    df = spark.createDataFrame(
+        [(1, bytearray(_gif_encode(idx, palette)))], "doc_id long, payload binary"
+    )
+    r = resize_media(df, 5, 4).collect()[0]
+    expect = box_resize_pixels(palette[idx], 5, 4)
+    assert r.decoded and r.channels == 3
+    assert (r.src_width, r.src_height) == (10, 12)
+    assert bytes(r.resized) == expect.tobytes()
