@@ -674,6 +674,129 @@ def parse_video_header(b: bytes) -> tuple:
     return ("mp4", w, h, dur)
 
 
+def decode_wav_samples(b: bytes):
+    """REAL stdlib WAV sample decode: returns ``(samples, sample_rate)``
+    where ``samples`` is ``numpy.int16`` of shape ``(n_frames, channels)``,
+    or ``None`` for anything not 16-bit integer PCM (format tag 1).
+
+    Pure indexing: the RIFF chunk walk of :func:`parse_audio_header` plus
+    a ``frombuffer`` view of the ``data`` chunk — compressed/float/other
+    bit depths fail closed."""
+    import numpy as np
+
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    fmt = None
+    data = None
+    i = 12
+    while i + 8 <= len(b):
+        cid = b[i : i + 4]
+        csz = struct.unpack("<I", b[i + 4 : i + 8])[0]
+        if cid == b"fmt " and i + 24 <= len(b):
+            tag, ch, sr, _br, _ba, bps = struct.unpack("<HHIIHH", b[i + 8 : i + 24])
+            fmt = (tag, ch, sr, bps)
+        elif cid == b"data":
+            data = b[i + 8 : i + 8 + csz]
+        i += 8 + csz + (csz & 1)
+    if fmt is None or data is None:
+        return None
+    tag, ch, sr, bps = fmt
+    if tag != 1 or bps != 16 or ch < 1 or not sr:
+        return None
+    n = len(data) // (2 * ch)
+    if n == 0:
+        return None
+    samples = np.frombuffer(data, "<i2", n * ch).reshape(n, ch)
+    return samples, sr
+
+
+def resample_pcm(samples, src_rate: int, target_rate: int):
+    """Integer-exact linear-interpolation resample of int16 PCM frames.
+
+    Output frame ``i`` sits at source position ``p = i·src/target``;
+    its value is ``(s[⌊p⌋]·(d−f) + s[⌊p⌋+1]·f) // d`` with
+    ``f = (i·src) mod target``, ``d = target`` — pure int64 arithmetic
+    (floor semantics), so the result is bit-identical on every platform
+    and expressible closed-form for synthetic inputs (the oracle's
+    contract). The last source frame clamps (⌊p⌋+1 capped at n−1).
+    ``n_out = n·target // src``."""
+    import numpy as np
+
+    n = samples.shape[0]
+    s = samples.astype(np.int64)
+    n_out = n * target_rate // src_rate
+    i = np.arange(n_out, dtype=np.int64)
+    pnum = i * src_rate
+    idx = pnum // target_rate
+    frac = pnum % target_rate
+    idx1 = np.minimum(idx + 1, n - 1)
+    out = (s[idx] * (target_rate - frac)[:, None] + s[idx1] * frac[:, None]) // target_rate
+    return out.astype(np.int16)
+
+
+def resample_audio(
+    docs_with_payload: DataFrame, target_rate: int = 6000
+) -> DataFrame:
+    """Audio-resample kernel, Arrow-batched through ``mapInPandas``: WAV
+    16-bit-PCM payloads take the REAL path (:func:`decode_wav_samples` →
+    :func:`resample_pcm`) and come back with ``decoded = true``, the
+    resampled frames as little-endian int16 ``pcm`` bytes, and
+    ``sample_sum`` (int64 sum over all resampled values) as the
+    engine-computed content check the oracle pins closed-form. Payloads
+    this container cannot decode (compressed codecs, float PCM) surface
+    ``decoded = false`` with NULL metadata and empty pcm — fail closed,
+    never fabricated samples."""
+    import numpy as np
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("src_rate", T.IntegerType(), True),
+            T.StructField("src_samples", T.IntegerType(), True),
+            T.StructField("channels", T.IntegerType(), True),
+            T.StructField("rate", T.IntegerType(), False),
+            T.StructField("n_samples", T.IntegerType(), False),
+            T.StructField("decoded", T.BooleanType(), False),
+            T.StructField("pcm", T.BinaryType(), False),
+            T.StructField("sample_sum", T.LongType(), False),
+        ]
+    )
+    cols = [f.name for f in out_schema.fields]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    dec = decode_wav_samples(bytes(payload))
+                except Exception:
+                    dec = None
+                if dec is None:
+                    rows.append(
+                        (int(doc_id), None, None, None, target_rate, 0, False,
+                         b"", 0)
+                    )
+                    continue
+                samples, sr = dec
+                out = resample_pcm(samples, sr, target_rate)
+                rows.append(
+                    (
+                        int(doc_id), int(sr), int(samples.shape[0]),
+                        int(samples.shape[1]), target_rate, int(out.shape[0]),
+                        True, out.astype("<i2").tobytes(),
+                        int(out.astype(np.int64).sum()),
+                    )
+                )
+            out_pdf = pd.DataFrame(rows, columns=cols)
+            for c in ("src_rate", "src_samples", "channels"):
+                out_pdf[c] = out_pdf[c].astype("Int32")
+            yield out_pdf
+
+    return docs_with_payload.select("doc_id", "payload").mapInPandas(
+        batches, out_schema
+    )
+
+
 def extract_audio_meta(docs_with_payload: DataFrame) -> DataFrame:
     """Arrow-batched WAV header decode over a binary payload column —
     the audio sibling of :func:`extract_media_meta`."""

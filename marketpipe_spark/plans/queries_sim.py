@@ -714,6 +714,101 @@ def q_media_resize(spark, sf_dir):
     return resize_media(payloads, target_w=6, target_h=5).drop("resized")
 
 
+# audio_resample (r10): the REAL audio kernel end-to-end. Synthesis builds
+# a complete 16-bit PCM WAV per doc JVM-side whose samples are a LINEAR
+# RAMP v_k = c0 + step·k (F.transform over a sequence — no Python in the
+# build). The kernel must parse RIFF, decode int16 frames, and run the
+# integer-exact linear-interpolation resample; for a ramp the resampled
+# value has the closed form c0 + least((step·i·src) // 6000, step·(n−1))
+# (floor interp of a linear signal, last-frame clamp), so the oracle pins
+# n_samples and the full sample_sum by summing that expression over
+# range(n_out) — every resampled frame participates in the check.
+# doc_id % 9 == 8 rows carry a non-audio payload and must fail closed
+# (decoded=false, NULL metadata, sample_sum 0).
+
+SQL_AUDIO_RESAMPLE = """
+WITH p AS (
+  SELECT doc_id,
+         CAST(50 + doc_id % 100 AS BIGINT) AS n_in,
+         CAST(8000 + (doc_id % 7) * 1000 AS BIGINT) AS src,
+         CAST(doc_id % 200 AS BIGINT) AS c0,
+         CAST(doc_id % 5 AS BIGINT) AS step,
+         doc_id % 9 = 8 AS is_stub
+  FROM documents
+),
+idx AS (SELECT range AS i FROM range(0, 120))
+SELECT doc_id,
+       CASE WHEN NOT is_stub THEN CAST(src AS INT) END AS src_rate,
+       CASE WHEN NOT is_stub THEN CAST(n_in AS INT) END AS src_samples,
+       CASE WHEN NOT is_stub THEN CAST(1 AS INT) END AS channels,
+       CAST(6000 AS INT) AS rate,
+       CAST(CASE WHEN is_stub THEN 0 ELSE (n_in * 6000) // src END AS INT) AS n_samples,
+       NOT is_stub AS decoded,
+       CAST(CASE WHEN is_stub THEN 0 ELSE (
+         SELECT COALESCE(SUM(c0 + LEAST((step * idx.i * src) // 6000,
+                                        step * (n_in - 1))), 0)
+         FROM idx WHERE idx.i < (n_in * 6000) // src
+       ) END AS BIGINT) AS sample_sum
+FROM p
+"""
+
+
+def _audio_wav_payload_expr():
+    """A complete 16-bit PCM mono WAV (ramp samples) as a JVM-side hex
+    expression — RIFF/fmt/data chunks, little-endian throughout."""
+    d = F.col("doc_id")
+    n = (F.lit(50) + d % 100).cast("int")
+    src = (F.lit(8000) + (d % 7) * 1000).cast("int")
+    c0 = (d % 200).cast("int")
+    step = (d % 5).cast("int")
+    samples = F.concat_ws(
+        "",
+        F.transform(
+            F.sequence(F.lit(0), n - 1),
+            lambda k: F.format_string(
+                "%02x%02x",
+                (c0 + step * k) % 256,
+                ((c0 + step * k) / 256).cast("int") % 256,
+            ),
+        ),
+    )
+    wav = F.concat(
+        F.lit("52494646"),  # RIFF
+        _le32(F.lit(36) + 2 * n),
+        F.lit("57415645"),  # WAVE
+        F.lit("666d7420"),  # "fmt "
+        _le32(F.lit(16)),
+        _le16(F.lit(1)),  # PCM
+        _le16(F.lit(1)),  # mono
+        _le32(src),
+        _le32(2 * src),  # byte rate
+        _le16(F.lit(2)),  # block align
+        _le16(F.lit(16)),  # bits per sample
+        F.lit("64617461"),  # "data"
+        _le32(2 * n),
+        samples,
+    )
+    other = F.lit("6e6f7420617564696f")  # b"not audio"
+    return F.unhex(F.when(d % 9 == 8, other).otherwise(wav))
+
+
+@register(
+    "audio_resample",
+    SQL_AUDIO_RESAMPLE,
+    doc="REAL stdlib WAV PCM16 decode + integer-exact linear-interp resample over JVM-synthesized ramp-signal WAVs; oracle pins n_samples and the full resampled sample_sum closed-form; non-audio rows fail closed",
+    tags=("multimodal", "audio"),
+)
+def q_audio_resample(spark, sf_dir):
+    from ..operators.multimodal import resample_audio
+    from ..operators.similarity import spread
+
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    payloads = spread(docs, "doc_id").withColumn(
+        "payload", _audio_wav_payload_expr()
+    )
+    return resample_audio(payloads, target_rate=6000).drop("pcm")
+
+
 # ---------------------------------------------------------------------------
 # Dedup clustering: connected components over the n-gram Jaccard pair graph.
 # Spark runs iterative min-label propagation; the oracle computes the same

@@ -592,3 +592,74 @@ def test_resize_media_real_gif_path(spark):
     assert r.decoded and r.channels == 3
     assert (r.src_width, r.src_height) == (10, 12)
     assert bytes(r.resized) == expect.tobytes()
+
+
+def _wav_pcm(samples: np.ndarray, sr: int) -> bytes:
+    """Real 16-bit PCM WAV bytes from an (n, ch) int16 array."""
+    n, ch = samples.shape
+    ba = ch * 2
+    data = samples.astype("<i2").tobytes()
+    fmt = b"fmt " + struct.pack("<I", 16) + struct.pack(
+        "<HHIIHH", 1, ch, sr, sr * ba, ba, 16
+    )
+    return (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE" + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+def test_wav_sample_decode_and_exact_resample():
+    from marketpipe_spark.operators.multimodal import (
+        decode_wav_samples,
+        resample_pcm,
+    )
+
+    rng = np.random.default_rng(29)
+    mono = rng.integers(-32768, 32767, size=(100, 1), dtype=np.int16)
+    got, sr = decode_wav_samples(_wav_pcm(mono, 8000))
+    assert sr == 8000 and np.array_equal(got, mono)
+    stereo = rng.integers(-32768, 32767, size=(64, 2), dtype=np.int16)
+    got2, sr2 = decode_wav_samples(_wav_pcm(stereo, 16000))
+    assert sr2 == 16000 and np.array_equal(got2, stereo)
+    # non-PCM variants fail closed
+    assert decode_wav_samples(_wav(bps=8)) is None
+    assert decode_wav_samples(b"RIFFxxxxWAVE") is None
+
+    # constant signal resamples to the constant exactly, any direction
+    const = np.full((50, 1), -1234, np.int16)
+    assert np.all(resample_pcm(const, 8000, 6000) == -1234)
+    assert np.all(resample_pcm(const, 8000, 11025) == -1234)
+    # linear ramp: floor(interp) has the closed form c0 + (step*i*src)//tgt
+    # capped at the clamped last frame
+    n, c0, step, src, tgt = 100, 7, 3, 8000, 6000
+    ramp = (c0 + step * np.arange(n, dtype=np.int64))[:, None].astype(np.int16)
+    out = resample_pcm(ramp, src, tgt)
+    n_out = n * tgt // src
+    i = np.arange(n_out, dtype=np.int64)
+    expect = c0 + np.minimum((step * i * src) // tgt, step * (n - 1))
+    assert out.shape == (n_out, 1)
+    assert np.array_equal(out[:, 0].astype(np.int64), expect)
+    # stereo channels resample independently
+    st = np.stack([ramp[:, 0], -ramp[:, 0]], axis=1).astype(np.int16)
+    out2 = resample_pcm(st, src, tgt)
+    assert np.array_equal(out2[:, 0], out[:, 0])
+
+
+def test_resample_audio_end_to_end(spark):
+    from marketpipe_spark.operators.multimodal import (
+        resample_audio,
+        resample_pcm,
+    )
+
+    rng = np.random.default_rng(31)
+    wav = rng.integers(-1000, 1000, size=(120, 1), dtype=np.int16)
+    rows = [(1, bytearray(_wav_pcm(wav, 8000))), (2, bytearray(b"not audio"))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r.doc_id: r for r in resample_audio(df, 6000).collect()}
+    real = out[1]
+    expect = resample_pcm(wav, 8000, 6000)
+    assert real.decoded and (real.src_rate, real.src_samples) == (8000, 120)
+    assert real.n_samples == 90 and bytes(real.pcm) == expect.astype("<i2").tobytes()
+    assert real.sample_sum == int(expect.astype(np.int64).sum())
+    stub = out[2]
+    assert not stub.decoded and stub.src_rate is None and stub.sample_sum == 0
