@@ -173,6 +173,7 @@ def plan_trailing_skew(
     chunks_per_slot: int = 4,
     max_hot: int = 64,
     sorted_threshold: float | None = None,
+    min_hot_rows: int = 8_000_000,
 ) -> tuple[int, list] | None:
     """Skew auto-dispatch: decide whether a trailing-window computation
     over ``key`` needs :func:`chunked_trailing_frame`, and for WHICH keys.
@@ -230,6 +231,14 @@ def plan_trailing_skew(
     guard never fires regardless. Dispatch is a plan-BUILD cost amortized
     to zero by the serving plan cache; cold-build overhead is bounded by
     one 2-column scan (stage 1) for uncontended tables.
+
+    ``min_hot_rows`` — the absolute-straggler floor (r10): share measures
+    how UNEVEN the work is, but whether the hot task is a wall-clock
+    straggler worth chunking depends on its absolute size. SKEW_BENCH
+    unordered cells put the crossover between 3.2M hot rows (×64:
+    chunking loses even at 4.2× plain skew tax) and 12.8M (×256: wins
+    1.8–3×; ×1024: 2.4×), so the default floor sits at 8M. Set 0 to
+    force share-only dispatch (the unit-test fixtures do).
     """
     counts = df.groupBy(F.col(key).alias("_k")).agg(
         F.count(F.lit(1)).alias("n"),
@@ -249,6 +258,15 @@ def plan_trailing_skew(
     # local sessions would disable dispatch entirely).
     thr_rows = g["tot"] * min(safety / shuffle_partitions, 0.5)
     if g["max_n"] <= thr_rows:
+        return None
+    # Absolute floor (r10): share says how UNEVEN the work is; whether the
+    # hot task is a wall-clock straggler worth the chunk machinery depends
+    # on its ABSOLUTE row count. Measured crossover on the ×F unordered
+    # bench tables: at ×64 (hot key = 3.2M rows) chunking LOSES even at
+    # 4.2× plain skew tax (asof auto 16.5 s vs plain 10.5 s), at ×256
+    # (12.8M) it wins 1.8–3×, at ×1024 (51M) 2.4×. Below the floor the
+    # plain plan's one task finishes before chunking's aux passes pay off.
+    if g["max_n"] < min_hot_rows:
         return None
     if sorted_threshold is not None:
         mono = physical_sortedness(df.select(ts), ts)

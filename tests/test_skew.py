@@ -163,13 +163,16 @@ def test_plan_trailing_skew_threshold(spark):
     rows = [("HOT", ((i * 7919) % n) * ns_min) for i in range(n)]
     rows += [(s, i * ns_min) for s in ("C1", "C2", "C3") for i in range(20)]
     unordered = spark.createDataFrame(rows, "symbol string, ts_ns long")
-    plan = plan_trailing_skew(unordered, "symbol", "ts_ns", shuffle_partitions=4)
+    plan = plan_trailing_skew(
+        unordered, "symbol", "ts_ns", shuffle_partitions=4, min_hot_rows=0
+    )
     assert plan is not None
     span, hot = plan
     assert hot == ["HOT"] and span >= 1
     # Unordered + guard on: still chunks (the guard never fires at ~0.5).
     plan_g = plan_trailing_skew(
-        unordered, "symbol", "ts_ns", shuffle_partitions=4, sorted_threshold=0.95
+        unordered, "symbol", "ts_ns", shuffle_partitions=4, sorted_threshold=0.95,
+        min_hot_rows=0,
     )
     assert plan_g is not None and plan_g[1] == ["HOT"]
 
@@ -178,12 +181,15 @@ def test_plan_trailing_skew_threshold(spark):
     sorted_df = spark.createDataFrame(srows, "symbol string, ts_ns long")
     # Default (heavy window stacks): chunk the hot key even when sorted —
     # their straggler is per-row compute, measured to win chunked.
-    plan2 = plan_trailing_skew(sorted_df, "symbol", "ts_ns", shuffle_partitions=4)
+    plan2 = plan_trailing_skew(
+        sorted_df, "symbol", "ts_ns", shuffle_partitions=4, min_hot_rows=0
+    )
     assert plan2 is not None and plan2[1] == ["HOT"]
     # As-of's opt-in guard: sorted + hot -> keep the plain plan.
     assert (
         plan_trailing_skew(
-            sorted_df, "symbol", "ts_ns", shuffle_partitions=4, sorted_threshold=0.95
+            sorted_df, "symbol", "ts_ns", shuffle_partitions=4, sorted_threshold=0.95,
+            min_hot_rows=0,
         )
         is None
     )
