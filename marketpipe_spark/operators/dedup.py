@@ -397,8 +397,16 @@ def lsh_candidate_pairs(
 
     All bands are emitted from ONE pass over the signatures — a per-band
     union would recompute the upstream signature aggregation once per band.
+
+    The banded frame itself feeds THREE consumers (bucket sizes, join side
+    a, join side b): without a pin, lazy evaluation re-runs the upstream
+    signature aggregation — the explode + ``num_perm`` mins over the whole
+    shingle stream, the dominant CPU of the pipeline — once per consumer
+    (measured: 3 Generate subtrees in containment_dedup's physical plan).
+    Pinning ``banded`` (narrow ``(id, band_id, band_hash)`` rows, n×bands of
+    them) computes signatures once; executor-local disk bounds memory.
     """
-    banded = _banded_sigs(signatures, id_col, bands, rows_per_band, hash_family)
+    banded = _pin(_banded_sigs(signatures, id_col, bands, rows_per_band, hash_family))
 
     sizes = banded.groupBy("band_id", "band_hash").agg(F.count(F.lit(1)).alias("_n"))
     banded = banded.join(
@@ -1001,8 +1009,16 @@ def embedding_near_duplicates_lsh(
     if n_planes is None:
         n = emb.count() if n_rows is None else n_rows
         n_planes = auto_plane_count(n)
-    bk = hyperplane_buckets(
-        emb, n_planes, id_col, vec_col, n_tables=n_tables, plane_family=plane_family
+    # The bucket table feeds four consumers (skew-cap sizes, join sides a
+    # and b — the size filter lands on both); without a pin the Arrow
+    # mapInPandas projection pass over the WHOLE corpus re-runs once per
+    # consumer (measured: 4 MapInPandas nodes, each above its own scan of
+    # the input, in embedding_near_dup_lsh's physical plan). Pinning the
+    # narrow (id, table_id, bucket) rows computes the projection once.
+    bk = _pin(
+        hyperplane_buckets(
+            emb, n_planes, id_col, vec_col, n_tables=n_tables, plane_family=plane_family
+        )
     )
     sizes = bk.groupBy("table_id", "bucket").agg(F.count(F.lit(1)).alias("_n"))
     bk = bk.join(sizes.filter(F.col("_n") <= max_bucket), ["table_id", "bucket"]).drop("_n")
@@ -1271,7 +1287,11 @@ def fuzzy_contamination(
     )
     sig_tr = _signatures_from_shingles(sh_tr, id_col, num_perm, hash_family)
     sig_te = _signatures_from_shingles(sh_te, id_col, num_perm, hash_family)
-    btr = _banded_sigs(sig_tr, id_col, bands, rows_per_band, hash_family)
+    # btr feeds two consumers (skew-cap sizes + the bipartite join); pin it
+    # so the train-side signature aggregation — the corpus-scale explode +
+    # num_perm mins — runs once, not once per consumer (the
+    # lsh_candidate_pairs precedent). bte has a single consumer: no pin.
+    btr = _pin(_banded_sigs(sig_tr, id_col, bands, rows_per_band, hash_family))
     bte = _banded_sigs(sig_te, id_col, bands, rows_per_band, hash_family)
     sizes = btr.groupBy("band_id", "band_hash").agg(F.count(F.lit(1)).alias("_n"))
     btr = btr.join(sizes.filter(F.col("_n") <= max_bucket), ["band_id", "band_hash"]).drop("_n")

@@ -254,7 +254,14 @@ def ngram_contamination(
     train_raw = train.select(
         F.explode(_gram_text(F.col(text_col), n)).alias("gram")
     ).select(gh.alias("gram_h"))
-    test_g = ngram_hashes(test, id_col, text_col, n, family)
+    # The test-side gram table feeds two consumers (the broadcast bucket
+    # set and the probe side of the membership join); without a pin the
+    # test corpus is re-tokenized, re-exploded and re-deduped once per
+    # consumer. The test side is the small side by assumption, so the pin
+    # is bounded (the minhash sh_base precedent).
+    from .dedup import _pin
+
+    test_g = _pin(ngram_hashes(test, id_col, text_col, n, family))
     if prefilter_bits is not None:
         m = 1 << prefilter_bits
         buckets = test_g.select(F.pmod(F.col("gram_h"), F.lit(m)).alias("_bkt")).distinct()

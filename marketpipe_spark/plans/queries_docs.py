@@ -798,7 +798,13 @@ def q_tfidf_top_terms(spark, sf_dir):
         "doc_id",
         F.explode(F.split(F.trim(F.lower(F.col("text"))), TOKEN_SPLIT_RE)).alias("token"),
     )
-    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    from ..operators.dedup import _pin
+
+    # `tf` feeds two consumers (the df rollup and the scored probe side);
+    # unpinned, each re-runs the corpus-wide token explode + pre-agg from
+    # the parquet text. Pin the (doc,token,tf) inverted index — it is the
+    # shared intermediate of the whole query (lm_perplexity precedent).
+    tf = _pin(tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf")))
     df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     n = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     # Fixed-point micro-score: ln() is libm-dependent (JVM vs DuckDB differ
@@ -872,15 +878,26 @@ def q_bm25_search(spark, sf_dir):
     # token list without a corpus-wide explode + shuffle (the explode branch
     # below only feeds the term-filtered tf, which DuckDB and Catalyst both
     # prune to the IN-list before grouping).
-    dl = d.select(
-        "doc_id",
-        F.size(F.split(F.trim(F.lower(F.col("text"))), TOKEN_SPLIT_RE)).cast("long").alias("dl"),
+    from ..operators.dedup import _pin
+
+    # `dl` feeds two consumers (the avgdl/n_docs stats and the per-doc
+    # length join): pinned, the parquet text column — the expensive column
+    # at scale — is read and tokenized for lengths once, and the pin is two
+    # narrow columns per doc.
+    dl = _pin(
+        d.select(
+            "doc_id",
+            F.size(F.split(F.trim(F.lower(F.col("text"))), TOKEN_SPLIT_RE)).cast("long").alias("dl"),
+        )
     )
     stats = dl.agg(
         (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
         F.count(F.lit(1)).cast("double").alias("n_docs"),
     )
-    tf = (
+    # `tf` feeds two consumers (df rollup + probe); unpinned, each re-runs
+    # the corpus-wide explode. The term-filtered pin is at most |terms|
+    # rows per doc, so it is bounded.
+    tf = _pin(
         tok.filter(F.col("token").isin(*BM25_TERMS))
         .groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).alias("tf"))
@@ -1166,7 +1183,15 @@ def q_lm_perplexity(spark, sf_dir):
         )
         .select("doc_id", "b.w1", "b.w2")
     )
-    inst = bg.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("m"))
+    from ..operators.dedup import _pin
+
+    # `inst` feeds THREE consumers (the scored probe side, c12, c1); without
+    # a pin each consumer re-runs the corpus-scale bigram explode + pre-agg
+    # from the parquet text (measured: three Generate subtrees in the
+    # physical plan — the explode is the dominant cost at scale and ran 3x).
+    # Pinning the (doc,w1,w2,m) pre-agg — already shrunk to bigram-type
+    # cardinality — computes it once (the duplicated_spans precedent).
+    inst = _pin(bg.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("m")))
     # Model counts are vocabulary-scale (V and V² bounded), not corpus-scale:
     # both roll up from `inst`, which the (doc,w1,w2) pre-agg has already
     # shrunk, and both get map-side partials.
