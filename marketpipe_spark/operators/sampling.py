@@ -272,7 +272,15 @@ def dsir_weights(
         "tgt",
         F.pmod(_hash64(F.col("token"), None, hash_family), F.lit(buckets)).alias("bucket"),
     )
-    inst = tk.groupBy(id_col, "tgt", "bucket").agg(F.count(F.lit(1)).alias("m"))
+    # `inst` feeds the bucket-model rollup AND the scoring probe; `per_doc`
+    # (below) feeds the corpus-mean aggregate AND the final keep probe.
+    # Unpinned, lazy evaluation re-runs the corpus explode once per branch
+    # (measured: 6 Generate subtrees in this entry's physical plan). Pin
+    # both shared pre-aggs — (doc,tgt,bucket,m) and the per-doc scores —
+    # so the explode runs exactly once (the lm_perplexity precedent).
+    from .dedup import _pin
+
+    inst = _pin(tk.groupBy(id_col, "tgt", "bucket").agg(F.count(F.lit(1)).alias("m")))
     stats = inst.groupBy("bucket").agg(
         F.sum(F.when(F.col("tgt"), F.col("m")).otherwise(F.lit(0))).alias("ct"),
         F.sum("m").alias("cr"),
@@ -294,9 +302,11 @@ def dsir_weights(
         F.sum("m").alias("n_tokens"),
         F.sum(F.col("m") * F.col("lam_micro")).alias("dsir_micro"),
     )
-    per_doc = per_doc.withColumn(
-        "avg_micro",
-        F.floor(F.col("dsir_micro").cast("double") / F.col("n_tokens")).cast("long"),
+    per_doc = _pin(
+        per_doc.withColumn(
+            "avg_micro",
+            F.floor(F.col("dsir_micro").cast("double") / F.col("n_tokens")).cast("long"),
+        )
     )
     corpus = per_doc.agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("avg_micro").alias("tot_avg")

@@ -48,6 +48,17 @@ def test_no_recomputed_shared_subtree(spark, name, banned, why):
     assert banned not in plan, f"{name}: {why}; found re-evaluated {banned} in:\n{plan[:2000]}"
 
 
+@pytest.mark.parametrize("name", ["dsir_weights", "dsir_resample"])
+def test_dsir_single_corpus_explode(spark, name):
+    """inst (doc,tgt,bucket,m) and per_doc are both pinned: their five
+    downstream consumers (bucket-model rollup, scoring probe, corpus mean,
+    keep probe, resample keying) all read pins, so the corpus token explode
+    must not appear in the final plan at all."""
+    plan = _plan(spark, name)
+    assert "Scan ExistingRDD" in plan
+    assert "Generate" not in plan, plan[:2000]
+
+
 def test_lm_perplexity_single_bigram_explode(spark):
     """inst (bigram pre-agg) pinned: its three consumers (probe, c12, c1)
     read the pin, so only the vocab branch's token explode may remain."""
