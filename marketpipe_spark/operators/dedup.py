@@ -681,8 +681,14 @@ def simhash_near_duplicates(
         ]
     )
     # one pass (explode), not a per-chunk union that recomputes the simhash agg
-    blocked = fps.select(F.col(id_col), F.col("simhash"), F.explode(chunk_structs).alias("ck")).select(
-        id_col, "simhash", F.col("ck.chunk_id").alias("chunk_id"), F.col("ck.chunk_val").alias("chunk_val")
+    # `blocked` is BOTH sides of the chunk self-join: unpinned, the corpus
+    # tokenize + per-bit vote aggregation behind the fingerprints ran twice
+    # (4 scans in simhash_near_dup's physical plan). The pin is n_docs ×
+    # chunks narrow rows — bounded, vs a full corpus pass per consumer.
+    blocked = _pin(
+        fps.select(F.col(id_col), F.col("simhash"), F.explode(chunk_structs).alias("ck")).select(
+            id_col, "simhash", F.col("ck.chunk_id").alias("chunk_id"), F.col("ck.chunk_val").alias("chunk_val")
+        )
     )
     a = blocked.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("fp_a"), "chunk_id", "chunk_val")
     b = blocked.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("fp_b"), "chunk_id", "chunk_val")
@@ -1149,7 +1155,11 @@ def edit1_token_pairs(
     if max_dist == 2:
         d2 = F.array_distinct(F.flatten(F.transform(dels_of(F.col("tok")), dels_of)))
         variants = F.array_union(variants, d2)
-    vr = tk.select("tok", F.explode(variants).alias("var")).distinct()
+    # `vr` is BOTH sides of the candidate self-join: unpinned, the corpus
+    # tokenize + variant explode + distinct ran twice (4 scans in
+    # token_edit_pairs' physical plan). The pin is vocabulary-scale
+    # (distinct tokens × delete-variants), bounded regardless of corpus.
+    vr = _pin(tk.select("tok", F.explode(variants).alias("var")).distinct())
     a = vr.alias("a")
     b = vr.alias("b")
     cand = (

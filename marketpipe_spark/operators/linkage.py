@@ -60,13 +60,25 @@ def nearest_field_match(
     ascending, DuckDB NULLS LAST), so a NULL field would make the winner
     engine-dependent. Filter or coalesce upstream.
     """
-    base = df.select(
-        F.col(id_col).alias("id"),
-        F.col(field_col).alias("f"),
-        F.col(block_col).alias("blk"),
+    from .dedup import _pin
+
+    # Multi-consumer pins (the lm_perplexity/dsir precedent): unpinned,
+    # this plan re-ran the source scan + projection and the block-cap
+    # window once per consumer — 11 scans of the source table in
+    # part_name_match's physical plan. `base` feeds three branches (cand
+    # derivation, the dist-0 join's left side, the remainder anti-join);
+    # `cand` feeds three more (dist-0 candidates, the probe, the band
+    # join). Both are three narrow columns per record, so the pins are
+    # bounded while the avoided work is a full scan + window sort each.
+    base = _pin(
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(field_col).alias("f"),
+            F.col(block_col).alias("blk"),
+        )
     )
     wcap = Window.partitionBy("blk").orderBy("id")
-    cand = (
+    cand = _pin(
         base.withColumn("rn", F.row_number().over(wcap))
         .where(F.col("rn") <= max_block)
         .select("id", "f", "blk")
@@ -88,7 +100,9 @@ def nearest_field_match(
     # equal-name candidate, so phase 1 runs on an empty remainder.
     c = cand.alias("c")
     b = base.alias("b")
-    zero = (
+    # `zero` feeds the remainder anti-join AND the final union: pin the
+    # (id, match_id, dist) result so the equality join runs once.
+    zero = _pin(
         b.join(
             c,
             (F.col("b.blk") == F.col("c.blk"))
@@ -117,7 +131,9 @@ def nearest_field_match(
         .alias("p")
     )
     r = rem.alias("r")
-    probe_pair = (
+    # `probe_pair` feeds the band join's probe side AND the pair union:
+    # pinned, the probe scoring (join + window + levenshtein) runs once.
+    probe_pair = _pin(
         r.join(
             probe2,
             (F.col("r.blk") == F.col("p.blk")) & (F.col("r.id") != F.col("p.id")),
@@ -214,13 +230,18 @@ def blocked_similarity_pairs(
     NON-NULL (levenshtein(NULL, x) is NULL — same contract as
     nearest_field_match).
     """
+    from .dedup import _pin
+
     base = df.select(
         F.col(id_col).alias("id"),
         F.col(field_col).alias("f"),
         *[F.col(c) for c in block_cols],
     )
     wcap = Window.partitionBy(*block_cols).orderBy("id")
-    cand = (
+    # `cand` is BOTH sides of the pair self-join: unpinned, the source
+    # scan + block-cap window runs twice. The pin is narrow (id, field,
+    # block cols) and bounded by the input.
+    cand = _pin(
         base.withColumn("rn", F.row_number().over(wcap))
         .where(F.col("rn") <= max_block)
         .drop("rn")

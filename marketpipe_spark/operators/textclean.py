@@ -630,7 +630,13 @@ def token_psi(
         tok = F.explode(F.split(F.trim(F.lower(F.col(text_col))), TOKEN_SPLIT_RE)).alias("token")
         return df.select(tok).groupBy("token").agg(F.count(F.lit(1)).cast("long").alias(name))
 
-    comb = (
+    from .dedup import _pin
+
+    # `comb` feeds the top-k probe AND the bucket rollup: unpinned, BOTH
+    # sides' corpus explode + hash-agg ran twice (4 scans in
+    # token_drift_psi's physical plan). The pin is the vocabulary-scale
+    # joined count table — bounded while the avoided pass is corpus-scale.
+    comb = _pin(
         counts(a, side_a)
         .join(counts(b, side_b), "token", "full_outer")
         .select(

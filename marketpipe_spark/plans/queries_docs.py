@@ -654,12 +654,24 @@ LIMIT 20
 def q_cm_top_tokens(spark, sf_dir):
     from ..operators.sketches import cm_estimate, cm_sketch
 
+    from ..operators.dedup import _pin
+
     d = t(spark, sf_dir, "documents")
     toks = d.select(
         F.explode(F.split(F.trim(F.lower(F.col("text"))), TOKEN_SPLIT_RE)).alias("tok")
     ).filter(F.col("tok") != "")
-    sk = cm_sketch(toks, "tok", depth=_CM_DEPTH, width=_CM_WIDTH, hash_family="md5_60")
-    truth = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("true_cnt"))
+    # One corpus pass instead of three: the exact per-token counts are
+    # pinned (vocabulary-scale), and the sketch is built FROM them with
+    # true_cnt as the cell weight — sum of per-token counts per (d, bucket)
+    # is identical to counting raw token instances per bucket, so every
+    # sketch cell is bit-equal while the sketch input shrinks from
+    # corpus-scale to vocabulary-scale. truth's other consumers (estimate
+    # keys + final join) read the pin too (was 5 scans / 3 explodes).
+    truth = _pin(toks.groupBy("tok").agg(F.count(F.lit(1)).alias("true_cnt")))
+    sk = cm_sketch(
+        truth, "tok", depth=_CM_DEPTH, width=_CM_WIDTH, hash_family="md5_60",
+        weight="true_cnt",
+    )
     est = cm_estimate(truth, "tok", sk, _CM_DEPTH, _CM_WIDTH, hash_family="md5_60")
     return (
         truth.join(est, "tok")
@@ -1988,15 +2000,22 @@ def q_bloom_decontaminate(spark, sf_dir):
     from ..operators.sketches import bloom_bits, bloom_member
     from ..operators.textclean import ngram_hashes
 
+    from ..operators.dedup import _pin
+
     d = t(spark, sf_dir, "documents")
     s = with_split(d, {"train": 0.9, "val": 0.05, "test": 0.05}, salt="split")
-    train_g = (
+    # Both gram tables feed two consumers each (train: Bloom bits + exact
+    # truth; test: Bloom probe + truth join) — unpinned, each side's
+    # corpus tokenize + 5-gram explode ran twice (6 scans in the physical
+    # plan). The pins are bounded: train_g is the DISTINCT gram-hash set
+    # (vocabulary-scale), test_g is (doc_id, gram_h) for the 5% test split.
+    train_g = _pin(
         ngram_hashes(s.filter(F.col("split") == "train"), "doc_id", "text", 5, "md5_60")
         .select("gram_h")
         .distinct()
     )
-    test_g = ngram_hashes(
-        s.filter(F.col("split") == "test"), "doc_id", "text", 5, "md5_60"
+    test_g = _pin(
+        ngram_hashes(s.filter(F.col("split") == "test"), "doc_id", "text", 5, "md5_60")
     )
     bits = bloom_bits(train_g, "gram_h", m_bits=_BLOOM_M_BITS, k=_BLOOM_K)
     flags = bloom_member(test_g, bits, "gram_h", m_bits=_BLOOM_M_BITS, k=_BLOOM_K)
@@ -2225,7 +2244,12 @@ def q_source_overlap(spark, sf_dir):
     d = t(spark, sf_dir, "documents").where(F.col("source").isNotNull())
     from ..operators.textclean import _gram_text
 
-    sg = (
+    from ..operators.dedup import _pin
+
+    # `sg` feeds the per-source sizes AND the pair enumeration: unpinned,
+    # the corpus 3-gram explode + distinct ran twice. The pin is the
+    # distinct (source, gram_h) set — far smaller than the gram stream.
+    sg = _pin(
         d.select(
             "source", F.explode(_gram_text(F.col("text"), 3)).alias("gram")
         )

@@ -48,6 +48,38 @@ def test_no_recomputed_shared_subtree(spark, name, banned, why):
     assert banned not in plan, f"{name}: {why}; found re-evaluated {banned} in:\n{plan[:2000]}"
 
 
+@pytest.mark.parametrize(
+    "name",
+    [
+        # Every corpus/table pass of these entries feeds >= 2 consumers and
+        # is pinned, so the visible plan must read ONLY pinned RDDs — a
+        # parquet scan reappearing means a shared subtree is recomputed.
+        "part_name_match",
+        "bloom_decontaminate",
+        "source_overlap",
+        "cm_top_tokens",
+        "token_edit_pairs",
+        "token_drift_psi",
+        "heavy_hitter_tokens",
+        "basket_rules",
+        "simhash_near_dup",
+    ],
+)
+def test_all_source_passes_pinned(spark, name):
+    plan = _plan(spark, name)
+    assert "Scan ExistingRDD" in plan, f"{name}: shared intermediate no longer pinned"
+    assert "Scan parquet" not in plan, (
+        f"{name}: a source scan re-appeared above a pin:\n{plan[:2000]}"
+    )
+
+
+def test_heavy_hitter_tokens_no_visible_python_pass(spark):
+    """exact+MG both live below the pinned `joined`: the MG mapInPandas
+    partial counters must not re-run per consumer (was 4 Python nodes)."""
+    plan = _plan(spark, "heavy_hitter_tokens")
+    assert "MapInPandas" not in plan, plan[:2000]
+
+
 @pytest.mark.parametrize("name", ["dsir_weights", "dsir_resample"])
 def test_dsir_single_corpus_explode(spark, name):
     """inst (doc,tgt,bucket,m) and per_doc are both pinned: their five
