@@ -61,7 +61,15 @@ def gaps_by_symbol(
     crossJoin node, so the plan passes the repo's hygiene ban and the
     expected set is built where the symbol row already lives), anti-joined
     against observed (symbol, day) pairs."""
-    symbols = lake.select("symbol").distinct()
+    from .dedup import _pin
+
+    # One scan, not two: the distinct (symbol, day) frame is pinned and the
+    # symbol list derives from it (a distinct of a distinct — identical
+    # rows), so the calendar side and the anti-join side share one pass
+    # over the lake instead of scanning it once each.
+    present = _pin(
+        lake.select("symbol", F.col("date").cast("date").alias("day")).distinct()
+    )
+    symbols = present.select("symbol").distinct()
     expected = _with_calendar_days(symbols, start, end, weekdays_only)
-    present = lake.select("symbol", F.col("date").cast("date").alias("day")).distinct()
     return expected.join(present, ["symbol", "day"], "left_anti").orderBy("symbol", "day")

@@ -280,6 +280,14 @@ def kmeans_centroids(
     cents = cents / np.linalg.norm(cents, axis=1, keepdims=True)
 
     c = spread(corpus, id_col).select(F.col(vec_col).cast("array<double>").alias("v"))
+    if n_iter > 1:
+        # Every Lloyd's iteration is its own job over ``c``: unpinned, each
+        # re-reads + re-decodes the corpus parquet. Pin the vector frame on
+        # executor-local storage (the standard iterative-ML persist) so
+        # iterations 2..n read the materialized blocks instead.
+        from .dedup import _pin
+
+        c = _pin(c)
     for _ in range(n_iter):
         cmat = cents  # closure snapshot for this iteration
 

@@ -86,7 +86,12 @@ def hot_key_profile(
     from ..plans.registry import scalar_join
 
     k = F.col(key) if isinstance(key, str) else key
-    counts = df.groupBy(k.alias("key")).agg(F.count(F.lit(1)).alias("n"))
+    from .dedup import _pin
+
+    # ``counts`` feeds the scalar total AND the top-k: unpinned, the full
+    # scan + key aggregation runs twice. One narrow row per distinct key —
+    # pin it.
+    counts = _pin(df.groupBy(k.alias("key")).agg(F.count(F.lit(1)).alias("n")))
     total = counts.agg(F.sum("n").alias("_t"))
     topk = (
         scalar_join(counts, "key", total)

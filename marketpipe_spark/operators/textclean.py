@@ -185,7 +185,13 @@ def curate_corpus(
     """
     from .sampling import with_split
 
-    cleaned = clean_documents(df, text_col).drop("n_urls", "n_emails")
+    from .dedup import _pin
+
+    # ``cleaned`` feeds the repetition-signal pass AND the score join:
+    # unpinned, the regex clean (URL strip / email mask / collapse — the
+    # pipeline's priciest map pass) runs over the corpus once per
+    # consumer. Pin the cleaned rows so it runs once.
+    cleaned = _pin(clean_documents(df, text_col).drop("n_urls", "n_emails"))
     sig = repetition_signals(
         cleaned.select(id_col, F.col("clean_text").alias("text")), id_col, "text"
     )
@@ -490,8 +496,15 @@ def boilerplate_strip(
     left-anti-shaped join keyed by high-cardinality text. Reconstruction
     is one shuffle on the unique doc id.
     """
+    from .dedup import _pin
+
     t = F.split(F.trim(F.lower(F.col(text_col))), TOKEN_SPLIT_RE)
-    segs = (
+    # ``segs`` feeds the document-frequency aggregation AND the membership
+    # join back onto the segments: unpinned, the corpus scan + tokenize +
+    # segment explode runs once per consumer. The pin holds the segmented
+    # corpus (its rows ARE the operator's working set) on executor-local
+    # disk and saves the second full segmentation pass.
+    segs = _pin(
         df.select(F.col(id_col), t.alias("t"))
         .select(
             id_col,
@@ -567,6 +580,10 @@ def decontaminate_spans(
     from .similarity import spread
 
     toks_col = F.split(F.trim(F.lower(F.col(text_col))), TOKEN_SPLIT_RE)
+    # NOT pinned (measured): materializing the tokenized train corpus (one
+    # token array per doc) to checkpoint blocks costs more than re-running
+    # the map-only tokenize on the second consumer — interleaved A/B at
+    # sf0.1 put a pin here at 1.05x.
     tr = spread(train, text_col).select(F.col(id_col), toks_col.alias("toks"))
     positioned = F.when(
         F.size("toks") >= n,

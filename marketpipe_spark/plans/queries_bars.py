@@ -1202,6 +1202,9 @@ def q_incremental_rollup(spark, sf_dir):
     b = _bars_core(spark, sf_dir)
     from .registry import scalar_join
 
+    # NOT pinned (measured): the 1-row min/max aggregate is exchange-
+    # terminated, so runtime ReuseExchange dedups it across the two slices
+    # — an interleaved A/B at sf0.1 put a pin here at 1.03x.
     mm = b.agg(F.min("ts_ns").alias("_mn"), F.max("ts_ns").alias("_mx"))
     wb = scalar_join(b, "ts_ns", mm).withColumn(
         "_is_new", F.col("ts_ns") >= F.expr("_mn + (((_mx - _mn) * 4) div 5)")
@@ -1296,6 +1299,10 @@ SELECT '3_{_FUNNEL[2]}' AS step, COUNT(*) AS n_users FROM c
 @register("funnel_steps", SQL_FUNNEL, doc="ordered signup->click->purchase funnel (strictly increasing ts), users per stage", tags=("analytics",))
 def q_funnel_steps(spark, sf_dir):
     ev = bars(spark, sf_dir)
+    # NOT pinned (measured): each stage's per-user min frame is exchange-
+    # terminated (groupBy agg), so the static plan's 6 source scans dedup
+    # at runtime via ReuseExchange — an interleaved A/B at sf0.1 put pins
+    # here at 1.04x, pure pin-job overhead.
     a = (
         ev.filter(F.col("symbol") == _FUNNEL[0])
         .groupBy("user_id")

@@ -414,12 +414,19 @@ SELECT COUNT(*) AS n_test, CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n_contaminated
 def q_contamination_check(spark, sf_dir):
     from ..operators.sampling import with_split
 
+    from ..operators.dedup import _pin
+
     d = t(spark, sf_dir, "documents")
     s = with_split(d, {"train": 0.9, "val": 0.05, "test": 0.05}, salt="split").withColumn(
         "fp", F.md5(F.encode(F.lower(F.trim(F.col("text"))), "UTF-8"))
     )
-    train = s.filter(F.col("split") == "train").select("fp").distinct().withColumn("_hit", F.lit(1))
-    test = s.filter(F.col("split") == "test")
+    # Both sides only need (split, fp): pin that narrow projection so the
+    # corpus scan + split-hash + fingerprint md5 runs ONCE instead of once
+    # per side (the split predicate is hash-derived and cannot push down,
+    # so each unpinned side paid a full scan + full split-hash pass).
+    sf = _pin(s.select("split", "fp"))
+    train = sf.filter(F.col("split") == "train").select("fp").distinct().withColumn("_hit", F.lit(1))
+    test = sf.filter(F.col("split") == "test")
     # The train side is the distinct fingerprints of ~90% of the corpus —
     # linear in corpus size, so it must NOT be broadcast (r3 verdict item 2:
     # at 100 TB this is billions of rows). A plain equi-join on fp (128-bit

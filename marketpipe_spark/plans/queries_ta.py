@@ -414,13 +414,19 @@ FROM q GROUP BY r_q, f_q, m_q
 
 @register("rfm_segments", SQL_RFM, doc="RFM quartile segmentation (threshold-bucketed, no global-order window)", tags=("analytics", "agg"))
 def q_rfm_segments(spark, sf_dir):
+    from ..operators.dedup import _pin
     from .registry import scalar_join
 
     ev = t(spark, sf_dir, "events")
-    u = ev.groupBy("user_id").agg(
-        F.max(ts_ns_expr(ev)).alias("last_ns"),
-        F.count(F.lit(1)).alias("freq"),
-        F.sum(F.floor(F.col("value") * F.lit(1e6)).cast("long")).cast("long").alias("mon_micro"),
+    # The per-user RFM frame feeds the percentile-threshold aggregate AND
+    # the bucketing join: unpinned, the full events scan + hash agg runs
+    # twice. One narrow row per user — pin it.
+    u = _pin(
+        ev.groupBy("user_id").agg(
+            F.max(ts_ns_expr(ev)).alias("last_ns"),
+            F.count(F.lit(1)).alias("freq"),
+            F.sum(F.floor(F.col("value") * F.lit(1e6)).cast("long")).cast("long").alias("mon_micro"),
+        )
     )
     th = u.agg(
         F.expr("percentile(last_ns, 0.25)").alias("r25"),
@@ -540,9 +546,14 @@ SQL_KLL_VALUE_QUANTILES = "\nUNION ALL\n".join(
     tags=("sketch", "percentile"),
 )
 def q_kll_value_quantiles(spark, sf_dir):
+    from ..operators.dedup import _pin
     from ..operators.sketches import kll_rank_check
 
-    ev = t(spark, sf_dir, "events").select("value")
+    # The single-column value frame feeds THREE consumers (sketch build,
+    # true-rank count, exact percentile agg): unpinned, each re-scans the
+    # events parquet. Pin the narrow column once; the pin keeps the scan's
+    # partition layout, so the layout-dependent sketch state is unchanged.
+    ev = _pin(t(spark, sf_dir, "events").select("value"))
     check = kll_rank_check(ev, "value", _KLL_PROBS, k=256, bound=0.05)
     exact = ev.agg(
         *[F.expr(f"percentile(value, {p})").alias(f"e{i}") for i, p in enumerate(_KLL_PROBS)]
@@ -704,11 +715,18 @@ FROM s
 
 @register("return_correlations", SQL_RETURN_CORRELATIONS, doc="pairwise Pearson correlation of 5m returns (bucket equi-join, exact power sums)", tags=("agg", "ta", "join"))
 def q_return_correlations(spark, sf_dir):
+    from ..operators.dedup import _pin
+
     r5 = _r5(spark, sf_dir)
     wo = W.partitionBy("symbol").orderBy("ts_ns")
     cc = F.floor(F.col("close") * F.lit(100)).cast("long")
-    rx = r5.select("symbol", "ts_ns", (cc - F.lag(cc).over(wo)).alias("x")).filter(
-        F.col("x").isNotNull()
+    # ``rx`` is BOTH sides of the pair self-join: unpinned, the scan + 5m
+    # resample + return window runs once per side. Narrow (symbol, ts_ns,
+    # x) rows at the 5m grain — pin so the upstream runs once.
+    rx = _pin(
+        r5.select("symbol", "ts_ns", (cc - F.lag(cc).over(wo)).alias("x")).filter(
+            F.col("x").isNotNull()
+        )
     )
     a = rx.select(F.col("symbol").alias("sym_a"), "ts_ns", F.col("x").alias("xa"))
     b = rx.select(F.col("symbol").alias("sym_b"), "ts_ns", F.col("x").alias("xb"))
@@ -1122,6 +1140,10 @@ def q_bootstrap_return_ci(spark, sf_dir):
         (F.col("ts_ns") - F.col("ts_ns") % F.lit(NS_PER_DAY)).alias("day"),
     ).agg(F.expr("CAST(FLOOR(max_by(close, ts_ns) * 1e6) AS BIGINT)").alias("cm"))
     wo = W.partitionBy("symbol").orderBy("day")
+    # NOT pinned (measured): an interleaved A/B at sf0.1 put a pin here at
+    # 1.04x — the pin job on the per-symbol-day frame costs more than the
+    # deduped recompute saves (the daily agg below it is exchange-
+    # terminated and reused at runtime).
     ri = (
         bd.select(
             "symbol",
@@ -1235,9 +1257,16 @@ def q_ranksum_returns(spark, sf_dir):
         (F.col("ts_ns") - F.col("ts_ns") % F.lit(NS_PER_DAY)).alias("day"),
     ).agg(F.expr("CAST(FLOOR(max_by(close, ts_ns) * 1e6) AS BIGINT)").alias("cm"))
     wo = W.partitionBy("symbol").orderBy("day")
-    rr = rd.select(
-        "symbol", (F.col("cm") - F.lag("cm").over(wo)).alias("rm")
-    ).where(F.col("rm").isNotNull())
+    from ..operators.dedup import _pin
+
+    # ``rr`` feeds the distinct-value histogram AND the rank join below:
+    # unpinned, the daily-close scan + agg + return window runs once per
+    # consumer. One narrow (symbol, rm) row per symbol-day — pin it.
+    rr = _pin(
+        rd.select(
+            "symbol", (F.col("cm") - F.lag("cm").over(wo)).alias("rm")
+        ).where(F.col("rm").isNotNull())
+    )
     hist = rr.groupBy("rm").agg(F.count(F.lit(1)).alias("c"))
     # Global cumulative window over the DISTINCT-value histogram, not the
     # data: rows ≤ min(#(symbol,day) pairs, observed µ-return range) — the
@@ -1333,19 +1362,25 @@ def q_acf_returns(spark, sf_dir):
     rx = r5.select("symbol", "ts_ns", (cc - F.lag(cc).over(wo)).alias("x")).filter(
         F.col("x").isNotNull()
     )
-    legs = []
-    for lag in _ACF_LAGS:
-        legs.append(
-            rx.select(
-                "symbol",
-                F.lit(lag).cast("long").alias("lag"),
-                F.col("x").alias("y"),
-                F.lag("x", lag).over(wo).alias("xl"),
-            ).filter(F.col("xl").isNotNull())
-        )
-    lp = legs[0]
-    for leg in legs[1:]:
-        lp = lp.unionByName(leg)
+    # All lags come from ONE window pass: a per-lag union re-evaluated the
+    # whole upstream (scan + 5m resample + return window) once per lag —
+    # three source scans and three sort+window stages in the physical plan.
+    # lag(x,1..3) over the same spec is a single Window node; stack() then
+    # unpivots the row to (lag, xl) pairs, identical rows to the old
+    # per-leg form (each leg kept (symbol, lag, y=x, xl) where xl was the
+    # lag-L predecessor, null rows dropped).
+    lagged = rx.select(
+        "symbol",
+        F.col("x").alias("y"),
+        *[F.lag("x", lag).over(wo).alias(f"_xl{lag}") for lag in _ACF_LAGS],
+    )
+    stack_expr = "stack({}, {}) AS (lag, xl)".format(
+        len(_ACF_LAGS),
+        ", ".join(f"CAST({lag} AS BIGINT), _xl{lag}" for lag in _ACF_LAGS),
+    )
+    lp = lagged.select("symbol", "y", F.expr(stack_expr)).filter(
+        F.col("xl").isNotNull()
+    )
     s = lp.groupBy("symbol", "lag").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("xl").cast("long").alias("sa"),

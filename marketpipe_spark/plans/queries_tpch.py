@@ -1114,6 +1114,9 @@ def q_important_parts(spark, sf_dir):
     ).select("n_nationkey")
     s_kept = dim_join(s, n, s.s_nationkey == n.n_nationkey, "left_semi", always_broadcast=True)
     li = dim_join(l, s_kept, F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+    # NOT pinned (measured): the per-part aggregate is exchange-terminated,
+    # so the static plan's duplicate lineitem subtrees dedup at runtime via
+    # ReuseExchange — an interleaved A/B at sf0.1 put a pin here at 1.11x.
     vals = li.groupBy(F.col("l_partkey").alias("p_partkey")).agg(
         F.sum(F.col("l_extendedprice").cast("decimal(38,6)")).alias("vald")
     )
@@ -1414,31 +1417,53 @@ ON c.{ck} = p.{pk}""")
     tags=("joins", "validation"),
 )
 def q_fk_integrity_audit(spark, sf_dir):
+    # The child side is pre-aggregated to (key, n) BEFORE the full-outer
+    # join: the classification only needs per-key child counts, so the
+    # join's child input shrinks from every child row to one row per
+    # distinct FK value (map-side partial aggregation does the heavy
+    # lifting — guide §2.3 "aggregate before you shuffle"). The parent
+    # side stays row-level (parent keys are primary keys, so it is already
+    # ~one row per key, and ``parents``/``childless_parents`` keep their
+    # row-level definitions). Count equivalence: a NULL-FK child group
+    # joins nothing (equi-join NULL semantics match the row-level form),
+    # an orphan group carries its n, and sums of per-key counts replace
+    # row counts — verified value-identical against the unchanged oracle.
     out = None
     for name, ct, ck, pt, pk in _FK_RELATIONS:
-        c = t(spark, sf_dir, ct).select(
-            F.col(ck).alias("_ck"), F.lit(1).alias("_cp")
+        cg = (
+            t(spark, sf_dir, ct)
+            .groupBy(F.col(ck).alias("_ck"))
+            .agg(F.count(F.lit(1)).alias("_cn"))
         )
         p = t(spark, sf_dir, pt).select(
             F.col(pk).alias("_pk"), F.lit(1).alias("_pp")
         )
-        j = c.join(p, c._ck == p._pk, "full_outer")
+        j = cg.join(p, cg._ck == p._pk, "full_outer")
         row = j.agg(
-            F.count("_cp").cast("long").alias("child_rows"),
-            F.count(
-                F.when(
-                    (F.col("_cp") == 1)
-                    & F.col("_ck").isNotNull()
-                    & F.col("_pp").isNull(),
-                    1,
-                )
+            F.coalesce(F.sum("_cn"), F.lit(0)).cast("long").alias("child_rows"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("_cn").isNotNull()
+                        & F.col("_ck").isNotNull()
+                        & F.col("_pp").isNull(),
+                        F.col("_cn"),
+                    )
+                ),
+                F.lit(0),
             ).cast("long").alias("orphan_children"),
-            F.count(
-                F.when((F.col("_cp") == 1) & F.col("_ck").isNull(), 1)
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("_cn").isNotNull() & F.col("_ck").isNull(),
+                        F.col("_cn"),
+                    )
+                ),
+                F.lit(0),
             ).cast("long").alias("null_fk_children"),
             F.countDistinct("_pk").cast("long").alias("parents"),
             F.count(
-                F.when((F.col("_pp") == 1) & F.col("_cp").isNull(), 1)
+                F.when((F.col("_pp") == 1) & F.col("_cn").isNull(), 1)
             ).cast("long").alias("childless_parents"),
         ).select(F.lit(name).alias("relation"), "*")
         out = row if out is None else out.unionByName(row)

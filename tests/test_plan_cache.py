@@ -157,11 +157,19 @@ def test_serve_streams_responses_before_stdin_eof(spark, monkeypatch):
     assert responded.is_set()
 
 
-def test_plan_builders_run_no_eager_jobs(spark):
+def test_plan_builders_run_no_eager_jobs(spark, monkeypatch):
     """Building ranksum_returns / embedding_near_dup_lsh must not run a
     Spark job (the r8 verdict nit: eager .count() inside the builder ran a
     full scan+aggregate per invocation; totals now attach via scalar_join /
-    parquet footer metadata)."""
+    parquet footer metadata).
+
+    Built with pins DISABLED (``MP_PIN_MODE=off``): under AQE a shared-
+    intermediate ``localCheckpoint`` pin executes its upstream stages at
+    plan-build time (AdaptiveSparkPlanExec finalizes the plan to hand back
+    an RDD), which is legitimate, timed query work — not the redundant
+    eager-scan regression this test guards against. With pins off, any
+    job at build is a real eager-count bug again."""
+    monkeypatch.setenv("MP_PIN_MODE", "off")
     qs = registry.all_queries()
     tracker = spark.sparkContext.statusTracker()
     for name in ("ranksum_returns", "embedding_near_dup_lsh"):
