@@ -1407,17 +1407,42 @@ def setsim_join_exact(
     # runtime ReuseExchange dedups — an interleaved A/B at sf0.1 put a pin
     # here at 1.21x (12.6 s vs 10.4 s): materializing the prefix postings
     # costs more than the deduped recompute saves.
-    prefix = ranked.filter(F.col("rk") <= prefix_len).select(id_col, "h", "n")
-    a = prefix.select(F.col(id_col).alias("id_a"), "h", F.col("n").alias("n_a"))
-    b = prefix.select(F.col(id_col).alias("id_b"), "h", F.col("n").alias("n_b"))
+    prefix = ranked.filter(F.col("rk") <= prefix_len).select(id_col, "h", "n", "rk")
+    a = prefix.select(
+        F.col(id_col).alias("id_a"), "h", F.col("n").alias("n_a"), F.col("rk").alias("rk_a")
+    )
+    b = prefix.select(
+        F.col(id_col).alias("id_b"), "h", F.col("n").alias("n_b"), F.col("rk").alias("rk_b")
+    )
+    # PPJoin positional filter (Xiao et al. WWW'08 §3.2), aggregated form.
+    # The per-pair aggregation replaces the former ``.distinct()`` — same
+    # shuffle (keyed by pair), two extra min columns — and prunes pairs
+    # whose Jaccard provably cannot reach t, which at sf0.1 drops 2/3 of
+    # the candidates BEFORE the verify join (201k -> 69k pairs), the
+    # pipeline's dominant stage. Soundness of the aggregated bound: rk is
+    # the same global (_df, h) total order in every document, so shared
+    # tokens appear in the same relative order in both lists; the
+    # minimum-rank token shared by both PREFIXES is therefore the
+    # minimum-rank shared token overall (any earlier shared token would
+    # precede it inside both prefixes too), and min(rk_a)/min(rk_b) refer
+    # to that one token. Every other shared token sits strictly after it
+    # in both lists, so overlap <= 1 + min(n_a - rk_a, n_b - rk_b).
+    # Threshold: Jaccard >= t  <=>  overlap*(1e6 + t_ppm) >= t_ppm*(n_a+n_b)
+    # — kept in integers (no float ceil) like every other comparison here.
     cand = (
         a.join(b, "h")
         .filter(F.col("id_a") < F.col("id_b"))
         # PPJoin length filter, integer-exact: t*max(n_a,n_b) <= min(n_a,n_b)
         .filter(F.col("n_a") * 1_000_000 >= F.lit(threshold_ppm) * F.col("n_b"))
         .filter(F.col("n_b") * 1_000_000 >= F.lit(threshold_ppm) * F.col("n_a"))
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.min("rk_a").alias("_ra"), F.min("rk_b").alias("_rb"))
+        .filter(
+            (F.lit(1) + F.least(F.col("n_a") - F.col("_ra"), F.col("n_b") - F.col("_rb")))
+            * F.lit(1_000_000 + threshold_ppm)
+            >= F.lit(threshold_ppm) * (F.col("n_a") + F.col("n_b"))
+        )
         .select("id_a", "id_b", "n_a", "n_b")
-        .distinct()
     )
     pa = sh.select(F.col(id_col).alias("id_a"), "h")
     pb = sh.select(F.col(id_col).alias("id_b"), "h")

@@ -687,6 +687,33 @@ def test_setsim_prefix_filter_prunes_candidate_volume(spark):
     assert prefix_postings < 0.35 * full_postings
 
 
+def test_setsim_positional_filter_keeps_exact_threshold_boundary_pair(spark):
+    """A pair engineered so the positional filter's overlap upper bound
+    EQUALS the minimum overlap — the case an off-by-one (strict > instead
+    of >=) or a float ceil in the bound arithmetic would wrongly prune.
+
+    k=1 word shingles, |A| = |B| = 8, 6 shared words: Jaccard = 6/10 = 0.6
+    exactly at t_ppm=600000. Each doc's 2 unique words have df=1 so they
+    outrank (rarity-ascending) every shared word (df=2): prefix length is
+    8 - floor(0.6*8) + 1 = 5, so the first shared-in-both-prefix token
+    sits at rank 3 in both lists and the bound is 1 + min(8-3, 8-3) = 6 ==
+    minoverlap ceil(0.6*16/1.6) = 6.
+    """
+    from marketpipe_spark.operators.dedup import setsim_join_exact
+
+    shared = [f"s{i}" for i in range(6)]
+    rows = [
+        (1, " ".join(["a1", "a2"] + shared)),
+        (2, " ".join(["b1", "b2"] + shared)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = setsim_join_exact(df, k=1, threshold_ppm=600_000, family="xxhash64").collect()
+    assert [(r["id_a"], r["id_b"], r["shared"], r["n_a"], r["n_b"]) for r in got] == [
+        (1, 2, 6, 8, 8)
+    ]
+    assert abs(got[0]["jac"] - 0.6) < 1e-12
+
+
 def test_keep_last_agg_matches_window_and_breaks_ties_deterministically(spark):
     from marketpipe_spark.operators.dedup import keep_last, keep_last_agg
 
