@@ -1298,36 +1298,58 @@ SELECT '3_{_FUNNEL[2]}' AS step, COUNT(*) AS n_users FROM c
 
 @register("funnel_steps", SQL_FUNNEL, doc="ordered signup->click->purchase funnel (strictly increasing ts), users per stage", tags=("analytics",))
 def q_funnel_steps(spark, sf_dir):
+    # Single-scan form (was: one filtered scan + equi-join + hash-agg PER
+    # STAGE — 6 source scans in the static plan, and because each scan
+    # carries a DIFFERENT pushed symbol filter, runtime ReuseExchange
+    # cannot dedup them: at 100 TB that is three full passes over the
+    # events table). One pass now feeds three chained per-user window
+    # aggregates over the SAME partitioning (one exchange, no per-window
+    # re-sort): ta = min signup ts; tb = min click ts with ts > ta (the
+    # WHEN is null for users outside stage 1, so tb inherits the stage-2
+    # ⊆ stage-1 constraint exactly like the old join); tc likewise above
+    # tb. Stage counts are then non-null counts per user. Window state is
+    # one user's funnel events (no orderBy, spillable), and the final
+    # groupBy reuses the window's hash partitioning — plan: 1 scan and 2
+    # exchanges instead of 6 scans and 16.
     ev = bars(spark, sf_dir)
-    # NOT pinned (measured): each stage's per-user min frame is exchange-
-    # terminated (groupBy agg), so the static plan's 6 source scans dedup
-    # at runtime via ReuseExchange — an interleaved A/B at sf0.1 put pins
-    # here at 1.04x, pure pin-job overhead.
-    a = (
-        ev.filter(F.col("symbol") == _FUNNEL[0])
-        .groupBy("user_id")
-        .agg(F.min("ts_ns").alias("ta"))
+    evf = ev.filter(F.col("symbol").isin(*_FUNNEL)).select("symbol", "ts_ns", "user_id")
+    w = W.partitionBy("user_id")
+    staged = (
+        evf.withColumn(
+            "ta",
+            F.min(F.when(F.col("symbol") == _FUNNEL[0], F.col("ts_ns"))).over(w),
+        )
+        .withColumn(
+            "tb",
+            F.min(
+                F.when(
+                    (F.col("symbol") == _FUNNEL[1]) & (F.col("ts_ns") > F.col("ta")),
+                    F.col("ts_ns"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "tc",
+            F.min(
+                F.when(
+                    (F.col("symbol") == _FUNNEL[2]) & (F.col("ts_ns") > F.col("tb")),
+                    F.col("ts_ns"),
+                )
+            ).over(w),
+        )
     )
-    b = (
-        ev.filter(F.col("symbol") == _FUNNEL[1])
-        .join(a, "user_id")
-        .filter(F.col("ts_ns") > F.col("ta"))
-        .groupBy("user_id")
-        .agg(F.min("ts_ns").alias("tb"))
+    per_user = staged.groupBy("user_id").agg(
+        F.max("ta").alias("ta"), F.max("tb").alias("tb"), F.max("tc").alias("tc")
     )
-    c = (
-        ev.filter(F.col("symbol") == _FUNNEL[2])
-        .join(b, "user_id")
-        .filter(F.col("ts_ns") > F.col("tb"))
-        .groupBy("user_id")
-        .agg(F.min("ts_ns").alias("tc"))
+    counts = per_user.agg(
+        F.count("ta").alias("n1"), F.count("tb").alias("n2"), F.count("tc").alias("n3")
     )
-    parts = [
-        a.agg(F.count(F.lit(1)).alias("n_users")).select(F.lit(f"1_{_FUNNEL[0]}").alias("step"), "n_users"),
-        b.agg(F.count(F.lit(1)).alias("n_users")).select(F.lit(f"2_{_FUNNEL[1]}").alias("step"), "n_users"),
-        c.agg(F.count(F.lit(1)).alias("n_users")).select(F.lit(f"3_{_FUNNEL[2]}").alias("step"), "n_users"),
-    ]
-    return parts[0].unionByName(parts[1]).unionByName(parts[2])
+    return counts.select(
+        F.expr(
+            f"stack(3, '1_{_FUNNEL[0]}', n1, '2_{_FUNNEL[1]}', n2, '3_{_FUNNEL[2]}', n3)"
+            " as (step, n_users)"
+        )
+    )
 
 
 # ---------------------------------------------------------------------------
