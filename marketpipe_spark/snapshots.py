@@ -1542,7 +1542,13 @@ def incremental_agg(
       a semi-join — aggregation cost ∝ dirty groups, not the view. In
       steady state retractions rarely hit the exact extreme, so most
       refreshes never rescan (the dirty branch short-circuits to an
-      empty plan when no group qualifies).
+      empty plan when no group qualifies);
+    - when the interval provably contains NO retraction at all — a
+      metadata-only manifest check: immutable data files mean any
+      delete/update must remove one of ``v_from``'s files — the plan is
+      built WITHOUT the dirty/rescan machinery (and without the
+      retraction union branch): the append-dominated steady state pays
+      for fold-only maintenance.
 
     ``avg_cols`` (⊆ ``sum_cols``) adds derived ``avg_<c> =
     sum_<c> / n_rows`` — double division of the EXACT decimal sum, so
@@ -1555,6 +1561,24 @@ def incremental_agg(
     if not set(avg_cols) <= set(sum_cols):
         raise ValueError(f"avg_cols {avg_cols} must be a subset of sum_cols {sum_cols}")
     ext = [("min", c) for c in min_cols] + [("max", c) for c in max_cols]
+
+    # Metadata-only retraction check: data files are immutable, so a
+    # delete/update in (v_from, v_to] MUST remove at least one of
+    # v_from's files from the manifest (COW rewrites remove the affected
+    # file; deletes drop it). If v_from's file set survives intact into
+    # v_to, every CDC row in the interval is an insert — the retraction
+    # union branch drops out of the delta, and for MIN/MAX the fold-only
+    # path is exact so the whole dirty-flag + targeted-rescan machinery
+    # (a second v_to scan subtree + semi-join + patch join) is omitted
+    # from the plan. This is the append-dominated steady state of a
+    # 100 TB fact table; the decision costs two manifest reads the CDC
+    # derivation performs anyway.
+    fs_r = _resolve_fs(root, spark, fs)
+    v_to_r = v_to if v_to is not None else _latest(root, fs_r)
+    from_files = [] if v_from == 0 else _read_manifest(root, v_from, fs_r)["files"]
+    no_retractions = not (
+        set(from_files) - set(_read_manifest(root, v_to_r, fs_r)["files"])
+    )
 
     def _agg(df: DataFrame) -> DataFrame:
         return df.groupBy(*group_cols).agg(
@@ -1593,6 +1617,10 @@ def incremental_agg(
         # row's key in BOTH versions (keys identify rows), so it is valid.
         return F.col(col) if col in keys else F.col(f"{struct}.{col}")
 
+    # Retracted-side extreme columns are only consulted by the dirty-flag
+    # machinery, which the append-only plan omits entirely.
+    ret_ext = [] if no_retractions else ext
+
     def _contrib(struct: str, sign: int, change_in: tuple[str, str]) -> DataFrame:
         return ch.where(F.col("_change").isin(*change_in)).select(
             *[_side(struct, g).alias(g) for g in group_cols],
@@ -1610,22 +1638,23 @@ def incremental_agg(
             ],
             *[
                 (_side(struct, c) if sign < 0 else F.lit(None).cast(ch.schema["_new"].dataType[c].dataType)).alias(f"ret_{k}_{c}")
-                for k, c in ext
+                for k, c in ret_ext
             ],
         )
 
-    delta = (
-        _contrib("_old", -1, ("delete", "update"))
-        .unionByName(_contrib("_new", 1, ("insert", "update")))
-        .groupBy(*group_cols)
-        .agg(
-            *[F.sum(f"d_{c}").alias(f"d_{c}") for c in sum_cols],
-            F.sum("dn").alias("dn"),
-            # min over inserted values / min over retracted values (resp.
-            # max) — all the delta knows about the group's extremes.
-            *[getattr(F, k)(f"ins_{k}_{c}").alias(f"ins_{k}_{c}") for k, c in ext],
-            *[getattr(F, k)(f"ret_{k}_{c}").alias(f"ret_{k}_{c}") for k, c in ext],
-        )
+    adds = _contrib("_new", 1, ("insert", "update"))
+    contribs = (
+        adds
+        if no_retractions
+        else _contrib("_old", -1, ("delete", "update")).unionByName(adds)
+    )
+    delta = contribs.groupBy(*group_cols).agg(
+        *[F.sum(f"d_{c}").alias(f"d_{c}") for c in sum_cols],
+        F.sum("dn").alias("dn"),
+        # min over inserted values / min over retracted values (resp.
+        # max) — all the delta knows about the group's extremes.
+        *[getattr(F, k)(f"ins_{k}_{c}").alias(f"ins_{k}_{c}") for k, c in ext],
+        *[getattr(F, k)(f"ret_{k}_{c}").alias(f"ret_{k}_{c}") for k, c in ret_ext],
     )
     b = base.select(
         *[F.col(g).alias(f"_bg_{g}") for g in group_cols],
@@ -1638,7 +1667,7 @@ def incremental_agg(
         *[F.col(f"d_{c}") for c in sum_cols],
         "dn",
         *[F.col(f"ins_{k}_{c}") for k, c in ext],
-        *[F.col(f"ret_{k}_{c}") for k, c in ext],
+        *[F.col(f"ret_{k}_{c}") for k, c in ret_ext],
     )
     cond = functools.reduce(
         operator.and_,
@@ -1685,6 +1714,20 @@ def incremental_agg(
     # row arrived through the delta, so the inserted candidate IS the
     # extreme.
     fold = {"min": F.least, "max": F.greatest}
+    if no_retractions:
+        # Proven append-only above (manifest check): no group can be
+        # dirty, so fold-only is exact and the plan carries no second
+        # v_to scan, no semi-join, no patch join.
+        out = j.select(
+            *out_groups,
+            *sums,
+            n.alias("n_rows"),
+            *[
+                fold[k](F.col(f"{k}_{c}"), F.col(f"ins_{k}_{c}")).alias(f"{k}_{c}")
+                for k, c in ext
+            ],
+        ).where(F.col("n_rows") > 0)
+        return out.select("*", *_avg_out(avg_cols)) if avg_cols else out
     dirty_flags = [
         (
             F.col("n_rows").isNotNull()
@@ -1704,7 +1747,6 @@ def incremental_agg(
         operator.or_, [F.col(f"_dirty_{k}_{c}") for k, c in ext]
     )
     dirty_groups = merged.where(any_dirty).select(*group_cols)
-    v_to_r = v_to if v_to is not None else _latest(root, _resolve_fs(root, spark, fs))
     rescan = (
         read_table(spark, root, version=v_to_r, fs=fs)
         .join(dirty_groups, group_cols, "left_semi")

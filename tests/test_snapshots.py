@@ -986,6 +986,83 @@ def test_incremental_agg_minmax_steady_state_base_reuse(spark, tmp_path):
     )
 
 
+def test_incremental_agg_minmax_append_only_skips_rescan_plan(spark, tmp_path):
+    """An interval whose commits only ADD files (pure appends) provably
+    contains no retraction, so the MIN/MAX maintenance plan must carry
+    neither the dirty-group rescan (no second v_to scan, no semi-join)
+    nor the retraction union branch — metadata-only decision — while the
+    result still hash-equals a direct recompute (including a new group
+    and a new global extreme arriving through the appends)."""
+    from pyspark.sql import functions as F
+
+    from marketpipe_spark.snapshots import incremental_agg, read_table
+
+    root = str(tmp_path / "snap")
+    write_table(
+        spark.createDataFrame(
+            [(1, "g1", 3.0), (2, "g1", 7.0)], "id long, g string, x double"
+        ),
+        root,
+    )
+    # v2/v3: appends only — a new group, and a new MIN for g1.
+    write_table(
+        spark.createDataFrame([(3, "g2", 5.0)], "id long, g string, x double"),
+        root,
+        mode="append",
+    )
+    write_table(
+        spark.createDataFrame([(4, "g1", 1.0)], "id long, g string, x double"),
+        root,
+        mode="append",
+    )
+    out = incremental_agg(
+        spark, root, ["id"], ["g"], ["x"], v_from=1, v_to=3,
+        min_cols=["x"], max_cols=["x"], avg_cols=["x"],
+    )
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "LeftSemi" not in plan  # no dirty-group rescan subtree
+    got = {
+        r["g"]: (float(r["sum_x"]), r["n_rows"], r["min_x"], r["max_x"], r["avg_x"])
+        for r in out.collect()
+    }
+    direct = {
+        r["g"]: (float(r["sum_x"]), r["n_rows"], r["min_x"], r["max_x"], r["avg_x"])
+        for r in read_table(spark, root, version=3)
+        .groupBy("g")
+        .agg(
+            F.sum(F.col("x").cast("decimal(38,6)")).alias("sum_x"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("x").alias("min_x"),
+            F.max("x").alias("max_x"),
+        )
+        .withColumn("avg_x", F.col("sum_x").cast("double") / F.col("n_rows"))
+        .collect()
+    }
+    assert got == direct == {
+        "g1": (11.0, 3, 1.0, 7.0, 11.0 / 3),
+        "g2": (5.0, 1, 5.0, 5.0, 5.0),
+    }
+    # Control: the retracting-interval plan DOES carry the rescan.
+    write_table(
+        spark.createDataFrame(
+            [(1, "g1", 3.0), (3, "g2", 5.0), (4, "g1", 1.0)],
+            "id long, g string, x double",
+        ),
+        root,
+        mode="overwrite",
+    )
+    out2 = incremental_agg(
+        spark, root, ["id"], ["g"], ["x"], v_from=3, v_to=4,
+        min_cols=["x"], max_cols=["x"],
+    )
+    plan2 = out2._sc._jvm.PythonSQLUtils.explainString(
+        out2._jdf.queryExecution(), "formatted"
+    )
+    assert "LeftSemi" in plan2
+
+
 def test_read_as_of_timestamp_resolution(spark, tmp_path):
     """version_as_of picks the LAST version committed at or before the
     timestamp; pre-history reads and both-pinned misuse fail loudly."""
