@@ -314,8 +314,19 @@ def duplicated_spans(
     count); both shuffles are keyed high-cardinality (span hash, then doc
     id), rows crossing are two longs wide. The span-hash groupBy and the
     join back share an identical child exchange, which Spark's
-    ReuseExchange dedupes. ``hash_family='md5_60'`` is the
-    oracle-verifiable configuration (see :func:`ngram_hashes`).
+    ReuseExchange dedupes.
+
+    Span identity is hash-of-token-hashes: each token is hashed ONCE per
+    document (``hash_family`` picks that hash), and every window position
+    then hashes its 20-long slice with the JVM's native array xxhash64 —
+    instead of materializing the joined span STRING and digesting ~all of
+    its bytes per position, which re-copies and re-hashes every token
+    ``window`` times (measured the dominant map CPU of this operator).
+    The span-hash values are internal only — the output is COUNTS of
+    equal spans, and two spans are hash-equal iff their token sequences
+    are equal up to a 64-bit collision, the same contract the previous
+    whole-string digest (and the oracle's own md5-based count) already
+    had.
     """
     from .dedup import _hash64
     from .similarity import spread
@@ -324,17 +335,18 @@ def duplicated_spans(
     # coarsely-partitioned input first (no-op when the scan gives splits).
     df = spread(df, id_col)
     toks = F.split(F.trim(F.lower(F.col(text_col))), TOKEN_SPLIT_RE)
-    eligible = df.select(F.col(id_col), toks.alias("toks")).filter(
-        F.size("toks") >= window
+    tok_hashes = F.transform(toks, lambda c: _hash64(c, None, hash_family))
+    eligible = df.select(F.col(id_col), tok_hashes.alias("ths")).filter(
+        F.size("ths") >= window
     )
-    starts = F.sequence(F.lit(1), F.size("toks") - F.lit(window - 1))
+    starts = F.sequence(F.lit(1), F.size("ths") - F.lit(window - 1))
     win = eligible.select(
         id_col,
         F.explode(starts).alias("i"),
-        F.col("toks"),
+        F.col("ths"),
     ).select(
         id_col,
-        _hash64(F.array_join(F.slice(F.col("toks"), F.col("i"), window), " "), None, hash_family).alias("wh"),
+        F.xxhash64(F.slice(F.col("ths"), F.col("i"), window)).alias("wh"),
     )
     # Two consumers (span-frequency counts + the join back): pin the
     # two-longs-per-row span table instead of re-running the windowed
