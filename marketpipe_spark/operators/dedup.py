@@ -101,6 +101,41 @@ def _pin(df: DataFrame, scope: list | None = None) -> DataFrame:
     return df.localCheckpoint(eager=False)
 
 
+def _pin_parallel(*dfs: DataFrame, scope: list | None = None) -> list[DataFrame]:
+    """Pin several INDEPENDENT frames with their jobs overlapped (guide
+    §2.6: Spark's scheduler runs concurrent jobs happily; actions are only
+    sequential because driver code calls them sequentially).
+
+    ``_pin``'s expensive part runs inside the call itself: under AQE,
+    ``localCheckpoint``/``checkpoint`` go through ``queryExecution.toRdd``,
+    which finalizes the adaptive plan by EXECUTING the subtree's shuffle
+    stages as jobs. Two independent pins called sequentially therefore
+    serialize two multi-stage jobs, each with a straggler tail and
+    driver-side AQE latency the other could back-fill. Calling them from a
+    small thread pool lets the second pin's tasks fill executor slots the
+    first pin's tail leaves idle.
+
+    Only for frames with NO dependency between them (a pin whose input is
+    another pin in the same call would deadlock nothing, but would also
+    overlap nothing). Results are identical to sequential ``_pin`` calls —
+    same frames, same blocks, order preserved in the returned list. Under
+    ``MP_PIN_MODE=off`` this is the identity map with no threads and no
+    jobs (the zero-jobs-at-build hygiene gate stays sharp).
+
+    ``MP_PIN_PARALLEL=0`` forces the sequential path — the measurement
+    knob the interleaved A/B flips so both arms run in one JVM."""
+    if (
+        _pin_mode() == "off"
+        or len(dfs) <= 1
+        or os.environ.get("MP_PIN_PARALLEL", "1") == "0"
+    ):
+        return [_pin(df, scope=scope) for df in dfs]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(len(dfs), 4)) as ex:
+        return list(ex.map(lambda d: _pin(d, scope=scope), dfs))
+
+
 def _pin_keyed(df: DataFrame, *keys: str, scope: list | None = None) -> DataFrame:
     """Pin a loop-invariant frame, co-partitioned on its per-round join key.
 
@@ -1316,11 +1351,12 @@ def fuzzy_contamination(
     from .similarity import spread
 
     rows_per_band = num_perm // bands
-    sh_tr = _pin(
-        with_shingles(spread(train, id_col), text_col, k).select(F.col(id_col), F.col("shingles"))
-    )
-    sh_te = _pin(
-        with_shingles(spread(test, id_col), text_col, k).select(F.col(id_col), F.col("shingles"))
+    # The two shingle pins are independent (train side vs test side):
+    # overlap their AQE-finalization jobs so the test side's (small) pass
+    # back-fills the train pass's straggler tail (guide §2.6).
+    sh_tr, sh_te = _pin_parallel(
+        with_shingles(spread(train, id_col), text_col, k).select(F.col(id_col), F.col("shingles")),
+        with_shingles(spread(test, id_col), text_col, k).select(F.col(id_col), F.col("shingles")),
     )
     sig_tr = _signatures_from_shingles(sh_tr, id_col, num_perm, hash_family)
     sig_te = _signatures_from_shingles(sh_te, id_col, num_perm, hash_family)

@@ -897,29 +897,28 @@ def q_bm25_search(spark, sf_dir):
     # token list without a corpus-wide explode + shuffle (the explode branch
     # below only feeds the term-filtered tf, which DuckDB and Catalyst both
     # prune to the IN-list before grouping).
-    from ..operators.dedup import _pin
+    from ..operators.dedup import _pin_parallel
 
     # `dl` feeds two consumers (the avgdl/n_docs stats and the per-doc
     # length join): pinned, the parquet text column — the expensive column
     # at scale — is read and tokenized for lengths once, and the pin is two
-    # narrow columns per doc.
-    dl = _pin(
+    # narrow columns per doc. `tf` feeds two consumers (df rollup + probe);
+    # unpinned, each re-runs the corpus-wide explode; the term-filtered pin
+    # is at most |terms| rows per doc, so it is bounded. The two pins are
+    # independent corpus passes — overlap their jobs (guide §2.6) so the
+    # second pass back-fills the first one's straggler tail.
+    dl, tf = _pin_parallel(
         d.select(
             "doc_id",
             F.size(F.split(F.trim(F.lower(F.col("text"))), TOKEN_SPLIT_RE)).cast("long").alias("dl"),
-        )
+        ),
+        tok.filter(F.col("token").isin(*BM25_TERMS))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf")),
     )
     stats = dl.agg(
         (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
         F.count(F.lit(1)).cast("double").alias("n_docs"),
-    )
-    # `tf` feeds two consumers (df rollup + probe); unpinned, each re-runs
-    # the corpus-wide explode. The term-filtered pin is at most |terms|
-    # rows per doc, so it is bounded.
-    tf = _pin(
-        tok.filter(F.col("token").isin(*BM25_TERMS))
-        .groupBy("doc_id", "token")
-        .agg(F.count(F.lit(1)).alias("tf"))
     )
     df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     j = dim_join(tf, df_, "token").join(dl, "doc_id")
@@ -2007,7 +2006,7 @@ def q_bloom_decontaminate(spark, sf_dir):
     from ..operators.sketches import bloom_bits, bloom_member
     from ..operators.textclean import ngram_hashes
 
-    from ..operators.dedup import _pin
+    from ..operators.dedup import _pin_parallel
 
     d = t(spark, sf_dir, "documents")
     s = with_split(d, {"train": 0.9, "val": 0.05, "test": 0.05}, salt="split")
@@ -2016,13 +2015,14 @@ def q_bloom_decontaminate(spark, sf_dir):
     # corpus tokenize + 5-gram explode ran twice (6 scans in the physical
     # plan). The pins are bounded: train_g is the DISTINCT gram-hash set
     # (vocabulary-scale), test_g is (doc_id, gram_h) for the 5% test split.
-    train_g = _pin(
+    # The two sides are independent passes over disjoint splits — overlap
+    # their pin jobs (guide §2.6): the small test pass back-fills the
+    # train pass's straggler tail instead of waiting for it.
+    train_g, test_g = _pin_parallel(
         ngram_hashes(s.filter(F.col("split") == "train"), "doc_id", "text", 5, "md5_60")
         .select("gram_h")
-        .distinct()
-    )
-    test_g = _pin(
-        ngram_hashes(s.filter(F.col("split") == "test"), "doc_id", "text", 5, "md5_60")
+        .distinct(),
+        ngram_hashes(s.filter(F.col("split") == "test"), "doc_id", "text", 5, "md5_60"),
     )
     bits = bloom_bits(train_g, "gram_h", m_bits=_BLOOM_M_BITS, k=_BLOOM_K)
     flags = bloom_member(test_g, bits, "gram_h", m_bits=_BLOOM_M_BITS, k=_BLOOM_K)

@@ -114,3 +114,32 @@ def test_ngram_contamination_single_test_tokenization(spark):
     plan = _plan(spark, "ngram_contamination")
     assert "Scan ExistingRDD" in plan
     assert plan.count("Generate") <= 1, plan[:2000]
+
+
+def test_pin_parallel_same_results_and_pinned(spark):
+    """_pin_parallel must return PINNED frames (Scan ExistingRDD) with
+    row-identical contents to the inputs, in input order — overlapping the
+    pin jobs (guide §2.6) may not change what is pinned."""
+    from marketpipe_spark.operators.dedup import _pin_parallel
+
+    a = spark.range(100).selectExpr("id", "id * 2 AS x")
+    b = spark.range(50).selectExpr("id", "id + 7 AS y")
+    pa, pb = _pin_parallel(a, b)
+    for pinned in (pa, pb):
+        plan = pinned._jdf.queryExecution().executedPlan().toString()
+        assert "Scan ExistingRDD" in plan, plan
+    assert sorted(r.x for r in pa.collect()) == sorted(r.x for r in a.collect())
+    assert sorted(r.y for r in pb.collect()) == sorted(r.y for r in b.collect())
+
+
+def test_pin_parallel_off_mode_is_identity(spark, monkeypatch):
+    """Under MP_PIN_MODE=off the helper must be the identity map — no pin,
+    no threads, no jobs — so the zero-jobs-at-build hygiene gate stays
+    sharp for builders that use it."""
+    monkeypatch.setenv("MP_PIN_MODE", "off")
+    from marketpipe_spark.operators.dedup import _pin_parallel
+
+    a = spark.range(10)
+    b = spark.range(20)
+    out = _pin_parallel(a, b)
+    assert out[0] is a and out[1] is b
