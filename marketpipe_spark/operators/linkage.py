@@ -165,6 +165,14 @@ def nearest_field_match(
         F.col("c.id").alias("match_id"),
         F.levenshtein(F.col("rp.f"), F.col("c.f")).cast("long").alias("dist"),
     )
+    # NOT threshold-lev (measured): a per-row-threshold form
+    # (levenshtein(rp.f, c.f, U), drop the -1 sentinel) is winner-exact —
+    # a band pair with dist > U can never beat the probe pair at
+    # (U, probe_id) — but the column-threshold expression measured
+    # part_name_match at 3.1 s warm vs 1.4 s plain on this data (the
+    # remainder is tiny once phase 0 fires, so the early exit buys nothing
+    # and the non-codegen threshold path taxes the stage). Revisit only if
+    # a profile shows a large remainder with wide bands.
     rem_pairs = probe_pair.select("id", "match_id", "dist").unionByName(band_pairs)
     wbest = Window.partitionBy("id").orderBy("dist", "match_id")
     rem_winner = (
@@ -252,9 +260,15 @@ def blocked_similarity_pairs(
     )
     for c in block_cols:
         cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    # Threshold form (Spark 3.5+): banded DP that stops as soon as the
+    # distance provably exceeds max_dist and returns the -1 sentinel, so
+    # `>= 0` IS `lev <= max_dist` — and within the threshold the returned
+    # value is the exact distance. Measured 2.5× on this join (the
+    # repo's heaviest pin job: 6.9M banded pairs, 15-18 s -> 6-7 s at
+    # sf0.1), zero predicate/value mismatches vs the naive form.
     return (
         a.join(b, cond)
-        .where(F.levenshtein(F.col("a.f"), F.col("b.f")) <= max_dist)
+        .where(F.levenshtein(F.col("a.f"), F.col("b.f"), max_dist) >= 0)
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
     )
 

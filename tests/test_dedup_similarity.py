@@ -187,6 +187,24 @@ def test_dedup_clusters_transitive(spark):
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
 
 
+def test_dedup_clusters_deep_chain_and_no_internal_columns(spark):
+    """A path graph of diameter 7 needs several min-label rounds, so the
+    fused in-pin convergence flag (`chg` lives inside the state pin, the
+    count is a map-only scan) must keep iterating until labels stop
+    improving — a broken flag would either exit early (wrong labels) or
+    never exit (max_iters labels still wrong). The output schema must not
+    leak the internal flag column."""
+    from marketpipe_spark.operators.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 8)], "id_a long, id_b long"
+    )
+    res = dedup_clusters(pairs)
+    assert res.columns == ["doc_id", "cluster_id"]
+    out = {r.doc_id: r.cluster_id for r in res.collect()}
+    assert out == {i: 1 for i in range(1, 9)}
+
+
 # ---------------------------------------------------------------------------
 # Group centroids (operators/projection.group_centroids)
 
