@@ -1041,12 +1041,21 @@ def hyperball_harmonic(
     value is engine- and partition-exact and the SQL oracle replicates the
     whole loop literally.
 
-    Scale: state is <= |V| * m register rows; each round is ONE shuffle
-    join of the (pinned, co-partitionable) adjacency against the state +
-    ONE hash agg with map-side combine (partial MAX bounds the shuffle at
-    |V| * m per task). m trades accuracy (sigma ~ 1.04/sqrt(m)) against
-    the edge-join fan-out (deg * occupied-buckets rows) — p=5 keeps the
-    ×16 fan-out ~40M three-long rows, the measured-fine band.
+    Scale: state is ONE array row per node (``regs[m]``, 0 = empty — real
+    registers are >= 1), so each round joins the (pinned,
+    co-partitionable) adjacency against |V| rows and aggregates with m
+    element-wise MAX functions (map-side partial combine bounds the
+    shuffle at |V| arrays per task). The earlier row-per-register state
+    made the join fan out deg * occupied-buckets rows — ~40M three-long
+    rows per round at sf0.1 — and the per-row machinery, not bytes, was
+    the measured cost: the array form ran the identical loop 73.5 s ->
+    29.7 s (rounds 2+3: 57 s -> 7 s) with 0 differing output rows.
+    Per-round register DELTA propagation (Boldi & Vigna's systolic trick)
+    was also prototyped and REJECTED: on this dense co-purchase graph
+    83-100% of registers still change in every round before saturation,
+    so the anti-join bookkeeping cost more than the re-sends it saved
+    (110 s vs 73.5 s). m trades accuracy (sigma ~ 1.04/sqrt(m)) against
+    the array width.
     """
     from .dedup import _hash64
 
@@ -1072,32 +1081,43 @@ def hyperball_harmonic(
             F.lit(max_rho) - F.length(F.bin(w))
         ),
     )
+    # One-hot initial array: regs[i] = rho at the node's own bucket, 0
+    # elsewhere. 0 is a safe empty marker because every real register is
+    # >= 1 (rho >= 1 by construction), so element-wise MAX over arrays is
+    # exactly the per-(id, bucket) MAX over present register rows.
+    init = F.expr(
+        f"transform(sequence(0, {m - 1}), "
+        "i -> CASE WHEN i = _b THEN _r ELSE CAST(0 AS BIGINT) END)"
+    )
     regs = _pin_state(
         nodes.select(
             "id",
-            h.bitwiseAND(F.lit(m - 1)).alias("bucket"),
-            rho.cast("long").alias("reg"),
-        )
+            h.bitwiseAND(F.lit(m - 1)).alias("_b"),
+            rho.cast("long").alias("_r"),
+        ).select("id", init.alias("regs"))
     )
-    ests = [
-        hll_estimate(regs, ["id"], p, alpha_ppm).select(
-            "id", F.col("hll_est_x1000").alias("e0")
+
+    def _est(regs_arr: DataFrame, alias: str) -> DataFrame:
+        # hll_estimate consumes the row form; exploding the array and
+        # dropping empty slots reproduces the register multiset exactly
+        # (a slot is > 0 iff some ball member hashed to that bucket).
+        rows = regs_arr.select(
+            "id", F.posexplode("regs").alias("bucket", "reg")
+        ).filter(F.col("reg") > 0)
+        return hll_estimate(rows, ["id"], p, alpha_ppm).select(
+            "id", F.col("hll_est_x1000").alias(alias)
         )
-    ]
+
+    ests = [_est(regs, "e0")]
+    elem_max = F.array(*[F.max(F.col("regs")[i]) for i in range(m)]).alias("regs")
     for t in range(1, rounds + 1):
         moved = ad.join(regs, ad.src == regs.id).select(
-            F.col("dst").alias("id"), "bucket", "reg"
+            F.col("dst").alias("id"), "regs"
         )
         regs = _pin_state(
-            regs.unionByName(moved)
-            .groupBy("id", "bucket")
-            .agg(F.max("reg").alias("reg"))
+            regs.unionByName(moved).groupBy("id").agg(elem_max)
         )
-        ests.append(
-            hll_estimate(regs, ["id"], p, alpha_ppm).select(
-                "id", F.col("hll_est_x1000").alias(f"e{t}")
-            )
-        )
+        ests.append(_est(regs, f"e{t}"))
     out = nodes
     for fr in ests:
         out = out.join(fr, "id")

@@ -482,6 +482,60 @@ def test_hyperball_small_balls_near_exact(spark):
     assert abs(rows[0]["ball_x1000"] - 4000) < 700
 
 
+def test_hyperball_array_state_matches_row_form_reference(spark):
+    """The register state is one array row per node (0 = empty slot); this
+    pins the array internals — one-hot init, element-wise MAX merge,
+    empty-slot filtering before the estimate — against an independent
+    row-form reference computed in Python for a graph whose balls saturate
+    mid-rounds (triangle + pendant), at every round's estimate."""
+    from marketpipe_spark.operators.dedup import _hash64
+    from marketpipe_spark.operators.graph import HB_RHO_CAP, hyperball_harmonic
+    from marketpipe_spark.operators.sketches import hll_estimate
+    from pyspark.sql import functions as F
+
+    edges = [(0, 1), (1, 2), (2, 0), (2, 3)]
+    e = spark.createDataFrame(edges, "u long, v long")
+    got = {r["id"]: r for r in hyperball_harmonic(e, rounds=2).collect()}
+
+    # Row-form reference: per-node register dict, dense max propagation.
+    p, m = 5, 32
+    max_rho = 60 - p + 1
+    hv = {
+        r["id"]: r["h"]
+        for r in spark.createDataFrame([(i,) for i in range(4)], "id long")
+        .select("id", _hash64(F.col("id").cast("string"), None, "md5_60").alias("h"))
+        .collect()
+    }
+    regs = {}
+    for i, h in hv.items():
+        w = h >> p
+        rho = min(HB_RHO_CAP, max_rho if w == 0 else max_rho - w.bit_length())
+        regs[i] = {h & (m - 1): rho}
+    adj = {0: [1, 2], 1: [0, 2], 2: [0, 1, 3], 3: [2]}
+    snaps = [dict((i, dict(r)) for i, r in regs.items())]
+    for _ in range(2):
+        nxt = {i: dict(r) for i, r in regs.items()}
+        for u, nbrs in adj.items():
+            for v in nbrs:
+                for b, rho in regs[u].items():
+                    if rho > nxt[v].get(b, 0):
+                        nxt[v][b] = rho
+        regs = nxt
+        snaps.append(dict((i, dict(r)) for i, r in regs.items()))
+    ests = []
+    for snap in snaps:
+        rows = [(i, b, r) for i, d in snap.items() for b, r in d.items()]
+        df = spark.createDataFrame(rows, "id long, bucket long, reg long")
+        ests.append(
+            {r["id"]: r["hll_est_x1000"] for r in hll_estimate(df, ["id"], p, 697_000).collect()}
+        )
+    for i in range(4):
+        ball = ests[2][i]
+        harm = max(0, ests[1][i] - ests[0][i]) // 1 + max(0, ests[2][i] - ests[1][i]) // 2
+        assert got[i]["ball_x1000"] == ball, (i, got[i], ball)
+        assert got[i]["harmonic_x1000"] == harm, (i, got[i], harm)
+
+
 def test_hyperball_star_hub_most_central(spark):
     from marketpipe_spark.operators.graph import hyperball_harmonic
 
