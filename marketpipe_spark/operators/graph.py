@@ -230,7 +230,20 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
         | ((F.col("w_db") == F.col("w_dc")) & (F.col("w_b") < F.col("w_c")))
     )
     closing = eo.select(F.col("a").alias("w_b"), F.col("b").alias("w_c"))
-    tri = wedges.join(closing, ["w_b", "w_c"], "left_semi")
+    # The semi-join probe side is the WEDGE stream — the largest
+    # intermediate of the whole pass (sum_a C(outdeg(a), 2) rows). Left to
+    # the planner it became Exchange + Sort + SortMergeJoin LeftSemi on
+    # the wedges (the pinned closing side has no stats, so auto-broadcast
+    # never fires). The closing side is only |E| two-long rows: broadcast
+    # it through the size-gated `_state` helper (same 5M-row gate +
+    # MP_BROADCAST_STATE_MAX_NODES override as every iterative loop here;
+    # above the gate it degrades to the shuffle form, never an OOM). The
+    # count runs over the already-pinned canonical edge frame. Measured
+    # at sf0.1: exec 13.3 s -> see OPTIMIZATION_r10.md §14.
+    from .dedup import _state
+
+    n_edges = e.count()
+    tri = wedges.join(_state(closing, n_edges), ["w_b", "w_c"], "left_semi")
     per_node = (
         tri.select(
             F.explode(F.array("w_a", "w_b", "w_c")).alias("id")
