@@ -459,10 +459,16 @@ def lsh_candidate_pairs(
     # The CAPPED frame feeds both self-join sides: without its own pin the
     # bucket-size aggregation + cap join over the pinned rows re-runs once
     # per side (two agg+broadcast subtrees in the physical plan). Same
-    # narrow rows minus the capped buckets — pin it too.
+    # narrow rows minus the capped buckets — pin it too. Singleton buckets
+    # (_n = 1, the bulk of an LSH bucket table at constant expected
+    # occupancy) can never produce an id_a < id_b pair in a SELF-join, so
+    # they are dropped before the pin: less pinned I/O and smaller join
+    # sides, same pair set. (Bipartite cap sites must NOT do this — a
+    # singleton train bucket still matches test rows.)
     banded = _pin(
         banded.join(
-            sizes.filter(F.col("_n") <= max_bucket), ["band_id", "band_hash"]
+            sizes.filter((F.col("_n") >= 2) & (F.col("_n") <= max_bucket)),
+            ["band_id", "band_hash"],
         ).drop("_n")
     )
 
@@ -1089,8 +1095,14 @@ def embedding_near_duplicates_lsh(
     # The CAPPED bucket table feeds both self-join sides: without its own
     # pin the size agg + cap join over the pinned rows re-runs once per
     # side (two agg+broadcast subtrees in the physical plan). Pin it too.
+    # Singleton buckets can never produce a self-join pair — drop them
+    # before the pin (same pair set, less pinned I/O; see
+    # lsh_candidate_pairs).
     bk = _pin(
-        bk.join(sizes.filter(F.col("_n") <= max_bucket), ["table_id", "bucket"]).drop("_n")
+        bk.join(
+            sizes.filter((F.col("_n") >= 2) & (F.col("_n") <= max_bucket)),
+            ["table_id", "bucket"],
+        ).drop("_n")
     )
     a = bk.select(F.col(id_col).alias("id_a"), "table_id", "bucket")
     b = bk.select(F.col(id_col).alias("id_b"), "table_id", "bucket")
