@@ -92,7 +92,16 @@ LIMIT 10
 
 @register("top_customers", SQL_TOP_CUSTOMERS, doc="join + top-k revenue per customer", tags=("join", "topk"))
 def q_top_customers(spark, sf_dir):
-    l = t(spark, sf_dir, "lineitem")
+    from ..operators.similarity import spread
+
+    # Spread the fact scan on the PRE-AGG key: a coarse scan (one parquet
+    # row group = one task) otherwise fuses the per-order partial agg into
+    # a single-core stage. Hash partitioning on l_orderkey is deterministic
+    # (retry-safe, no sort-before-repartition) and is exactly the groupBy's
+    # required distribution, so the agg's own exchange is absorbed — same
+    # exchange count, parallel agg (measured 0.76-0.91x; no-op at scale
+    # where the scan already splits).
+    l = spread(t(spark, sf_dir, "lineitem"), "l_orderkey")
     o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     c = t(spark, sf_dir, "customer")
     # Two-level pre-agg: per-order subtotals before the orders join (the
@@ -132,7 +141,10 @@ GROUP BY r_name, n_name
 
 @register("regional_revenue", SQL_REGIONAL_REVENUE, doc="star join over 5 tables, broadcast dims", tags=("join", "agg"))
 def q_regional_revenue(spark, sf_dir):
-    l = t(spark, sf_dir, "lineitem")
+    from ..operators.similarity import spread
+
+    # Spread on the pre-agg key — see q_top_customers (measured 0.80x).
+    l = spread(t(spark, sf_dir, "lineitem"), "l_orderkey")
     o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     n = t(spark, sf_dir, "nation")
@@ -355,7 +367,10 @@ GROUP BY ROLLUP (r_name, n_name)
 
 @register("revenue_rollup", SQL_REVENUE_ROLLUP, doc="region→nation revenue ROLLUP with grouping markers (subtotals + grand total)", tags=("agg", "rollup"))
 def q_revenue_rollup(spark, sf_dir):
-    l = t(spark, sf_dir, "lineitem")
+    from ..operators.similarity import spread
+
+    # Spread on the pre-agg key — see q_top_customers (measured 0.79x).
+    l = spread(t(spark, sf_dir, "lineitem"), "l_orderkey")
     o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     n = t(spark, sf_dir, "nation")
@@ -651,7 +666,10 @@ LIMIT 20
 
 @register("big_orders", SQL_BIG_ORDERS, doc="TPC-H Q18 shape: HAVING pre-agg shrinks fact before order/customer joins", tags=("join", "agg", "topk"))
 def q_big_orders(spark, sf_dir):
-    l = t(spark, sf_dir, "lineitem")
+    from ..operators.similarity import spread
+
+    # Spread on the pre-agg key — see q_top_customers (measured 0.84x).
+    l = spread(t(spark, sf_dir, "lineitem"), "l_orderkey")
     o = t(spark, sf_dir, "orders")
     c = t(spark, sf_dir, "customer")
     q = (
