@@ -336,18 +336,21 @@ FROM e
 
 
 def _spark_wsum(rev, warr: list[int]):
+    # Numerator: zip_with against the weight-literal prefix of matching
+    # length — one fused elementwise pass, no index sequence and no per-
+    # element element_at pair (r10: the sequence+element_at form allocated
+    # two index arrays and did 2x40 catalyst array lookups per ROW). The
+    # denominator is a pure function of len(rev): index the PRECOMPUTED
+    # prefix-sum literal instead of re-summing 40 weights per row — the
+    # exact trick the DuckDB oracle already uses (p12/p26 CTE literals).
+    # Same integers by construction, one double division at the end.
     wlit = F.lit(warr)
-    idx = F.sequence(F.lit(1), F.size(rev))
     num = F.aggregate(
-        F.transform(idx, lambda i: F.element_at(rev, i) * F.element_at(wlit, i)),
+        F.zip_with(rev, F.slice(wlit, 1, F.size(rev)), lambda x, w: x * w),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
-    den = F.aggregate(
-        F.transform(idx, lambda i: F.element_at(wlit, i)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
+    den = F.element_at(F.lit(_prefix(warr)), F.size(rev))
     return num.cast("double") / den.cast("double")
 
 
