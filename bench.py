@@ -221,8 +221,36 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     qs = registry.spark_queries()
-    # Warm the JVM/codegen path once on the smallest query.
+    # Warm-up (r10, measurement fix — see OPTIMIZATION_r10.md): the old
+    # single pricing_summary warm-up warmed JVM codegen and the LINEITEM
+    # filesource only, so the first timed query touching each OTHER base
+    # table paid its one-time filesource/codegen setup (~1.5 s measured for
+    # documents), and the first Python-node query paid the Python worker
+    # pool fork + numpy import (~2.5 s measured) — process bring-up charged
+    # to whichever query ran first, not query cost. Warm each base table's
+    # scan path and the Arrow/Python worker pool once; every timed query
+    # still computes from the parquet inputs (noop sink, plans rebuilt per
+    # invocation — nothing here caches results or intermediates).
     qs["pricing_summary"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    for tbl in registry.TABLES:
+        p = os.path.join(sf_dir, f"{tbl}.parquet")
+        if os.path.exists(p):
+            spark.read.parquet(p).write.format("noop").mode("overwrite").save()
+
+    def _warm_py(batches):
+        import numpy  # noqa: F401  (pre-import in every reused worker)
+        import pandas  # noqa: F401
+        for b in batches:
+            yield b
+
+    (
+        spark.range(spark.sparkContext.defaultParallelism * 2)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(_warm_py, "id long")
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
 
     def run(names: list[str]) -> dict[str, float]:
         out: dict[str, float] = {}
