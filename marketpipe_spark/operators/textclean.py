@@ -354,13 +354,19 @@ def duplicated_spans(
     from .dedup import _pin
 
     win = _pin(win)
-    counts = win.groupBy("wh").agg(F.countDistinct(id_col).alias("nd"))
+    # "Held by >= 2 distinct documents" is a BINARY predicate, so
+    # min(id) != max(id) answers it with plain partial-aggregating min/max
+    # instead of countDistinct's expand machinery (r10: 0.87x, rows
+    # identical; a full (wh, id) pre-agg before the join was also tried
+    # and measured SLOWER — 1.4 -> 2.3 s exec — because the position
+    # stream then crosses two keyed exchanges instead of one).
+    counts = win.groupBy("wh").agg((F.min(id_col) != F.max(id_col)).alias("_dup"))
     j = win.join(counts, "wh")
     return (
         j.groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_windows"),
-            F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0)).alias("n_dup"),
+            F.sum(F.when(F.col("_dup"), 1).otherwise(0)).alias("n_dup"),
         )
         .withColumn("dup_frac", F.col("n_dup") / F.col("n_windows"))
     )

@@ -1203,7 +1203,14 @@ ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
 
 @register("supplier_part_counts", SQL_SUPPLIER_PART_COUNTS, doc="TPC-H Q16 shape: COUNT(DISTINCT supplier) per part triple with NOT-IN anti-join", tags=("join", "agg", "distinct"))
 def q_supplier_part_counts(spark, sf_dir):
-    l = t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    # No pre-distinct on (l_partkey, l_suppkey) (r10): COUNT(DISTINCT
+    # l_suppkey) per triple is invariant to duplicate pairs (each part maps
+    # to exactly one triple, and the countDistinct's own partial phase
+    # dedups (triple, suppkey) map-side), and the left-anti supplier filter
+    # is row-wise. Dropping the distinct removes a full-fact shuffle and
+    # lets the selective broadcast part filter prune ~86% of rows BEFORE
+    # the first exchange (measured 0.51x, rows ordered-identical).
+    l = t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
     p = t(spark, sf_dir, "part").filter(
         (F.col("p_brand") != "Brand#1")
         & (F.col("p_type") != "PROMO")
