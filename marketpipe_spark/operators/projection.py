@@ -227,25 +227,47 @@ def nearest_centroid_label(
             "max_labels only if the per-row scoring expression (labels x dims "
             "literals) is genuinely intended"
         )
+    import math
+
     v = corpus.select(
         F.col(id_col),
         F.col(group_col).cast("long").alias("true_label"),
         F.col(vec_col).cast("array<double>").alias("v"),
     )
+    # Plan-size discipline (r10): each centroid's own norm is a CONSTANT —
+    # fold it here with the identical sequential order _dot uses
+    # (acc = 0.0; acc += x*x left-to-right, then a correctly-rounded sqrt),
+    # so the value is bit-equal to the old in-plan
+    # sqrt(aggregate(zip_with(cv, cv, *))) over literals — and name each
+    # label's cosine ONCE as a projected column instead of inlining its
+    # 64-element fold tree twice (negcos + cos) inside every struct. The
+    # struct-least argmax and every per-row value are unchanged; only the
+    # expression tree shrinks (~4x fewer fold subtrees), which is
+    # driver-side plan-construction and codegen cost at high label counts.
+    srt = sorted(carr, key=lambda r: r.cand_label)
     vn = F.sqrt(_dot(F.col("v"), F.col("v")))
-    cands = []
-    for r in sorted(carr, key=lambda r: r.cand_label):
+    scored = v.select("*", vn.alias("_vn"))
+    cos_cols = []
+    for i, r in enumerate(srt):
         cv = F.array(*[F.lit(float(x)) for x in r.cv])
-        cos = _dot(F.col("v"), cv) / (vn * F.sqrt(_dot(cv, cv)))
-        cands.append(
-            F.struct(
-                (-cos).alias("negcos"),
-                F.lit(int(r.cand_label)).cast("long").alias("cand_label"),
-                cos.alias("cos"),
-            )
+        acc = 0.0
+        for x in r.cv:
+            acc += float(x) * float(x)
+        cn = math.sqrt(acc)
+        cos_cols.append(
+            (_dot(F.col("v"), cv) / (F.col("_vn") * F.lit(cn))).alias(f"_c{i}")
         )
+    scored = scored.select("*", *cos_cols)
+    cands = [
+        F.struct(
+            (-F.col(f"_c{i}")).alias("negcos"),
+            F.lit(int(r.cand_label)).cast("long").alias("cand_label"),
+            F.col(f"_c{i}").alias("cos"),
+        )
+        for i, r in enumerate(srt)
+    ]
     m = cands[0] if len(cands) == 1 else F.least(*cands)
-    return v.select(
+    return scored.select(
         id_col,
         "true_label",
         m["cand_label"].alias("pred_label"),
