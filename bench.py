@@ -3,10 +3,23 @@
 
 Prints ONE JSON line:
   {"metric": "...", "value": <total_sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": <sf>}
+   "queries": {name: sec, ...}, "sf": <sf>, "parallelism": N, "master": ...}
 
 Each query materializes fully through the noop sink (no driver collect —
 measures the distributed plan, not result serialization).
+
+Output contract (r11 measurement fix, declared in OPTIMIZATION_r11.md):
+the stdout line must survive a bounded tail capture — the r10 driver
+artifact shows exactly 2000 chars of tail while the r10 line was 2716
+chars, so the line's FRONT (metric/value/headline queries) was cut and the
+round-over-round comparison zeroed out (PERF_r10 ``prev_bench_ok: false``).
+The line therefore now carries the headline per-query dict plus short
+scalars only (~700 chars); the per-extra timings, cached_total detail and
+warm-up policy move to a sidecar file ``BENCH_DETAIL_c{parallelism}.json``
+written next to this script. Nothing about the TIMED methodology changed:
+same queries, same order, same noop sink, same warm-up as r10. The line
+also records the RESOLVED ``defaultParallelism``/``master`` so the
+core-count contract ($SPARK_GRAFT_CPUS -> local[N]) is self-evidencing.
 """
 
 from __future__ import annotations
@@ -280,16 +293,35 @@ def main() -> None:
     cached_total = round(time.time() - t0, 3)
 
     total = round(sum(timings.values()), 3)
+    parallelism = spark.sparkContext.defaultParallelism
     out = {
         "metric": "headline_queries_total_time",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "cached_total": cached_total,
-        "extra_queries": extra,
         "extra_total": round(sum(extra.values()), 3),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # Self-evidencing core-count contract: the RESOLVED parallelism and
+        # master string, so "does the bench honor $SPARK_GRAFT_CPUS" is
+        # answerable from the artifact itself (PERF_r10 flagged
+        # suspect_cpus_ignored against a bench that does honor it).
+        "parallelism": parallelism,
+        "master": spark.sparkContext.master,
+        "detail": f"BENCH_DETAIL_c{parallelism}.json",
     }
+    # Full detail sidecar: per-extra timings (too long for the driver's
+    # 2000-char stdout tail capture) + the warm-up policy stamp (ADVICE r10:
+    # record the r10 warm-up methodology change alongside the artifacts so
+    # old/new numbers aren't compared across the boundary).
+    detail = dict(out)
+    detail["extra_queries"] = extra
+    detail["warmup"] = (
+        "r10 policy: untimed noop scan of each base table + one trivial "
+        "numpy-importing mapInPandas before timing (process bring-up is "
+        "warmed; every timed query still computes from parquet). Numbers "
+        "before BENCH_r10 charged first-touch costs to the first query."
+    )
 
     # Opt-in comparator: time the SAME oracle SQL in DuckDB (threads=4, the
     # reference's pragma) on the same parquet. Off by default — the sandbox
@@ -311,10 +343,22 @@ def main() -> None:
                 t0 = time.time()
                 con.execute(oracles[name]).fetchall()
                 otimes[name] = round(time.time() - t0, 3)
-        out["oracle_queries"] = otimes
-        out["oracle_total"] = round(sum(otimes.values()), 3)
+        detail["oracle_queries"] = otimes
+        out["oracle_total"] = detail["oracle_total"] = round(sum(otimes.values()), 3)
 
-    print(json.dumps(out))
+    try:
+        with open(
+            os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), out["detail"]
+            ),
+            "w",
+        ) as f:
+            json.dump(detail, f, indent=2)
+    except OSError:
+        pass  # read-only checkout: the stdout line still carries the contract
+
+    # Compact separators: every byte of the line competes with the tail cap.
+    print(json.dumps(out, separators=(",", ":")))
 
 
 if __name__ == "__main__":

@@ -83,6 +83,17 @@ def main() -> int:
 
             try:
                 parsed = _json.loads(line)
+                # Since r11 the stdout line is headline-only (it must fit the
+                # driver's 2000-char tail capture); the per-extra timings live
+                # in the sidecar bench.py writes — merge it so BENCH_FULL stays
+                # the complete artifact.
+                sidecar = parsed.get("detail")
+                if sidecar:
+                    try:
+                        with open(os.path.join(REPO, sidecar)) as f:
+                            parsed = _json.load(f)
+                    except (OSError, ValueError):
+                        pass  # stdout line alone is still a valid artifact
                 with open(os.path.join(REPO, f"BENCH_FULL_r{rnd}.json"), "w") as f:
                     _json.dump(parsed, f, indent=2)
                 print(f"-> BENCH_FULL_r{rnd}.json", flush=True)
