@@ -626,21 +626,32 @@ def minhash_incremental_pairs(
     """
     from .similarity import spread
 
+    k = 3  # shingle length — must match minhash_signatures' default below
     new_docs = spread(new_docs, id_col)
-    sigs_new = _pin(
-        minhash_signatures(
-            new_docs, id_col, num_perm, hash_family=hash_family, text_col=text_col
-        )
+    sigs_new_plan = minhash_signatures(
+        new_docs, id_col, num_perm, k=k, hash_family=hash_family, text_col=text_col
     )
-    # all_sigs feeds five consumers (bucket sizes, b-side, both verify sides,
-    # the returned store); when known_sigs is a live plan rather than a
-    # materialized table, pinning here stops the store computation from
-    # re-executing once per branch (ADVICE r4).
-    all_sigs = _pin(
-        known_sigs.select(id_col, "sig")
-        .join(sigs_new.select(id_col), id_col, "left_anti")
-        .unionByName(sigs_new.select(id_col, "sig"))
+    # The two corpus passes here — signing the NEW batch, and the store
+    # anti-join (which evaluates the whole known_sigs plan when the store
+    # is live) — used to be two SEQUENTIAL pin jobs, the second consuming
+    # the first: the anti-join keyed on sigs_new's ids. But the id set of
+    # sigs_new is just "new docs with >= k tokens" (with_shingles' filter),
+    # derivable without any shingling/hashing — so key the anti-join on
+    # that cheap filter instead, which makes the two pins INDEPENDENT and
+    # lets _pin_parallel overlap their jobs (guide §2.6: the small new-side
+    # pass back-fills the store pass's straggler tail). all_sigs then needs
+    # no pin of its own: it is a lazy UNION of two pinned frames, so each
+    # of its five consumers (bucket sizes, b-side, both verify sides, the
+    # returned store) re-runs only a map-side concat of materialized
+    # blocks, never the store computation (the ADVICE r4 protection the old
+    # all_sigs pin provided, now without its pin job). Measured at sf0.1:
+    # entry build+exec median 6.5 -> 5.8 s, pairs and store row-identical.
+    new_ids = with_shingles(new_docs, text_col, k).select(id_col)
+    store_leg_plan = known_sigs.select(id_col, "sig").join(
+        new_ids, id_col, "left_anti"
     )
+    sigs_new, store_leg = _pin_parallel(sigs_new_plan, store_leg_plan)
+    all_sigs = store_leg.unionByName(sigs_new.select(id_col, "sig"))
     rows_per_band = num_perm // bands
     # NOT pinned (measured): the band explode and the bucket-size agg are
     # exchange-terminated on (band_id, band_hash), so runtime ReuseExchange

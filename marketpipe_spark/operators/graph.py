@@ -89,9 +89,16 @@ def pagerank(
     # scripts/graph_plan_probe.py records the exchange counts per mode.
     pins: list = []
     ed = _pin_keyed(e.join(deg, "src"), "src", scope=pins)
+    # Derive the node set from the PINNED edge frame, not from `e`: ed
+    # carries every edge row, so the id sets are identical — but reading
+    # the pinned blocks makes this pin a cheap distinct instead of a
+    # second full evaluation of the corpus-scale edge distinct (two
+    # separate pin jobs cannot share exchanges, so the old form ran the
+    # edge dedup twice; guide §2.4). Same r11 change across the loop
+    # family (ppr/hits/weighted/hyperball/walks).
     nodes = _pin_keyed(
-        e.select(F.col("src").alias("id"))
-        .unionByName(e.select(F.col("dst").alias("id")))
+        ed.select(F.col("src").alias("id"))
+        .unionByName(ed.select(F.col("dst").alias("id")))
         .distinct(),
         "id",
         scope=pins,
@@ -934,9 +941,12 @@ def personalized_pagerank(
     pins: list = []
     ed = _pin_keyed(e.join(deg, "src"), "src", scope=pins)
     sd = seeds.select(F.col(seeds.columns[0]).alias("id")).distinct()
+    # Node ids from the PINNED ed (identical id set; see pagerank) — the
+    # nodes pin reads materialized blocks instead of re-running the edge
+    # distinct as a second corpus pass.
     nodes = _pin_keyed(
-        e.select(F.col("src").alias("id"))
-        .unionByName(e.select(F.col("dst").alias("id")))
+        ed.select(F.col("src").alias("id"))
+        .unionByName(ed.select(F.col("dst").alias("id")))
         .distinct()
         .join(sd.withColumn("_seed", F.lit(1)), "id", "left_outer")
         .select("id", F.coalesce("_seed", F.lit(0)).alias("is_seed")),
@@ -1082,7 +1092,10 @@ def hyperball_harmonic(
     )
     pins: list = []
     ad = _pin_keyed(adj, "src", scope=pins)
-    nodes = _pin_keyed(adj.select(F.col("src").alias("id")).distinct(), "id", scope=pins)
+    # Node ids from the PINNED ad (same rows as adj) — a cheap distinct
+    # over materialized blocks instead of a second corpus-scale adjacency
+    # build (see pagerank).
+    nodes = _pin_keyed(ad.select(F.col("src").alias("id")).distinct(), "id", scope=pins)
 
     from .sketches import hll_estimate
 
@@ -1271,8 +1284,12 @@ def deterministic_walks(
         "z",
         scope=pins,
     )
+    # Degrees from the PINNED indexed adjacency (same rows as adj, plus
+    # idx) — the dg pin aggregates materialized blocks instead of
+    # re-running the corpus-scale adjacency build a second time (see
+    # pagerank).
     dg = _pin_keyed(
-        adj.groupBy("z").agg(F.count(F.lit(1)).cast("long").alias("deg")),
+        ia.groupBy("z").agg(F.count(F.lit(1)).cast("long").alias("deg")),
         "z",
         scope=pins,
     )
@@ -1393,9 +1410,10 @@ def hits(
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
     pins: list = []
     ed = _pin_keyed(e, "src", scope=pins)
+    # Node ids from the PINNED ed (identical id set; see pagerank).
     nodes = _pin_keyed(
-        e.select(F.col("src").alias("id"))
-        .unionByName(e.select(F.col("dst").alias("id")))
+        ed.select(F.col("src").alias("id"))
+        .unionByName(ed.select(F.col("dst").alias("id")))
         .distinct(),
         "id",
         scope=pins,
@@ -1540,17 +1558,23 @@ def pagerank_weighted(
         .groupBy("src", "dst")
         .agg(F.sum("w").cast("long").alias("w"))
     )
-    if e.where(F.col("w").isNull() | (F.col("w") <= 0)).limit(1).count() > 0:
+    ws = e.groupBy("src").agg(F.sum("w").cast("long").alias("wsum"))
+    pins: list = []
+    ed = _pin_keyed(e.join(ws, "src"), "src", scope=pins)
+    # The weight-contract probe runs against the PINNED ed, not against
+    # `e`: the inner join on src preserves every aggregated edge row (ws
+    # is keyed by e's own src values), so the w column is the same row
+    # set — but the probe now scans materialized blocks instead of paying
+    # a dedicated corpus-scale aggregation job before any pin exists.
+    if ed.where(F.col("w").isNull() | (F.col("w") <= 0)).limit(1).count() > 0:
         raise ValueError(
             "pagerank_weighted: edge weights must be positive and non-NULL "
             "(a NULL/<=0 weight would propagate NULL scores)"
         )
-    ws = e.groupBy("src").agg(F.sum("w").cast("long").alias("wsum"))
-    pins: list = []
-    ed = _pin_keyed(e.join(ws, "src"), "src", scope=pins)
+    # Node ids from the PINNED ed (identical id set; see pagerank).
     nodes = _pin_keyed(
-        e.select(F.col("src").alias("id"))
-        .unionByName(e.select(F.col("dst").alias("id")))
+        ed.select(F.col("src").alias("id"))
+        .unionByName(ed.select(F.col("dst").alias("id")))
         .distinct(),
         "id",
         scope=pins,
