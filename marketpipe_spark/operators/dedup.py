@@ -1174,6 +1174,13 @@ def winnow_fingerprints(
     """
     from pyspark.sql.window import Window as W
 
+    from .similarity import spread
+
+    # Gram build + hashing is map CPU ahead of the per-doc window — spread
+    # a coarsely-partitioned input first (measured: single-task stages at
+    # sf0.1; no-op at scale). Window/min selection is per-document, so
+    # partitioning cannot change the selected fingerprints.
+    df = spread(df, id_col)
     t = F.split(F.trim(F.lower(F.col(text_col))), TOKEN_SPLIT_RE)
     grams = (
         df.select(F.col(id_col), t.alias("t"))

@@ -232,6 +232,16 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
         F.col("a").alias("w_a"), F.col("b").alias("w_c"),
         F.col("db").alias("w_dc"),
     )
+    # The wedge join is compute-dense but byte-tiny (|E| two-long rows in,
+    # sum C(outdeg, 2) rows out), so AQE's byte-based coalescing folds it
+    # onto one task (measured at sf0.1). spread_on repartitions both sides
+    # on the join key with an explicit count AQE won't re-coalesce — the
+    # join's own required distribution, guarded to a no-op at scale.
+    # Triangle counts are partition-independent, so results are unchanged.
+    from .similarity import spread_on
+
+    e1 = spread_on(e1, "w_a")
+    e2 = spread_on(e2, "w_a")
     wedges = e1.join(e2, "w_a").where(
         (F.col("w_db") < F.col("w_dc"))
         | ((F.col("w_db") == F.col("w_dc")) & (F.col("w_b") < F.col("w_c")))

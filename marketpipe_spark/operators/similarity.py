@@ -33,6 +33,24 @@ def spread(df: DataFrame, key: str, factor: int = 1) -> DataFrame:
     return df
 
 
+def spread_on(df: DataFrame, *keys: str) -> DataFrame:
+    """Multi-key :func:`spread` for JOIN inputs whose shuffle is
+    compute-dense but byte-tiny (wedge enumeration, edit-distance pair
+    verification): AQE's byte-based partition coalescing sees a few MB and
+    folds the post-shuffle stage onto ONE task, serializing seconds of
+    per-pair compute (measured: every stage of the triangle wedge join ran
+    1 task at sf0.1 on local[32]). Hash-repartitioning on the join keys
+    with an EXPLICIT partition count is absorbed as the join's required
+    distribution (no extra exchange) and is exempt from AQE coalescing.
+    Same scale guard as :func:`spread`: a no-op once the input already
+    arrives with cluster parallelism."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target, *[F.col(k) for k in keys])
+    return df
+
+
 def _dot(x: Column, y: Column) -> Column:
     """Sequential fold — bit-stable and matches DuckDB's list_dot_product."""
     return F.aggregate(F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda acc, z: acc + z)

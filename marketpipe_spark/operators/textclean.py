@@ -135,7 +135,14 @@ def ngram_novelty(
     """
     from pyspark.sql.window import Window as W
 
-    grams = ngram_hashes(df, id_col, text_col, n, family)
+    from .similarity import spread
+
+    # Gram hashing (md5 in the verification family) is map CPU ahead of
+    # any exchange — a coarsely-partitioned input would run it on one
+    # core (measured: every stage of this entry ran 1 task at sf0.1).
+    # No-op once the scan yields splits; counts/min are partition-
+    # independent, so results are unchanged.
+    grams = ngram_hashes(spread(df, id_col), id_col, text_col, n, family)
     first = F.min(id_col).over(W.partitionBy("gram_h"))
     novel = (F.col("_first") == F.col(id_col)).cast("long")
     return (
@@ -187,6 +194,10 @@ def curate_corpus(
 
     from .dedup import _pin
 
+    # NOT spread (measured, r11): 0.86 -> 0.92 s warm median with an
+    # id_col spread — the regex clean at this corpus size doesn't
+    # amortize the exchange (see the textclean spread split: only the
+    # md5-gram pipelines win).
     # ``cleaned`` feeds the repetition-signal pass AND the score join:
     # unpinned, the regex clean (URL strip / email mask / collapse — the
     # pipeline's priciest map pass) runs over the corpus once per
@@ -446,6 +457,10 @@ def segment_dedup(
     """
     from pyspark.sql.window import Window as W
 
+    # NOT spread (measured, r11): 0.55 -> 0.82 s warm median with an
+    # id_col spread — array-slice segmentation is map-cheap and the added
+    # exchange dominates at sf0.1. Only md5-gram pipelines win (see
+    # ngram_novelty).
     t = F.split(F.trim(F.lower(F.col(text_col))), TOKEN_SPLIT_RE)
     segs = (
         df.select(F.col(id_col), t.alias("t"))
@@ -516,6 +531,8 @@ def boilerplate_strip(
     """
     from .dedup import _pin
 
+    # NOT spread (measured, r11): 0.73 -> 0.97 s warm median with an
+    # id_col spread — same cheap-segmentation argument as segment_dedup.
     t = F.split(F.trim(F.lower(F.col(text_col))), TOKEN_SPLIT_RE)
     # ``segs`` feeds the document-frequency aggregation AND the membership
     # join back onto the segments: unpinned, the corpus scan + tokenize +

@@ -813,6 +813,10 @@ def q_tfidf_top_terms(spark, sf_dir):
     from .registry import dim_join, scalar_join
 
     d = t(spark, sf_dir, "documents")
+    # NOT spread (measured, r11): plain-tokenize map work is too cheap to
+    # amortize the added exchange at sf0.1 — warm median 0.78 -> 0.94 s
+    # with spread(d, doc_id). Only the md5-gram entries (bloom/
+    # source_overlap/novelty/winnow) win from pre-exchange spreading.
     tok = d.select(
         "doc_id",
         F.explode(F.split(F.trim(F.lower(F.col("text"))), TOKEN_SPLIT_RE)).alias("token"),
@@ -889,6 +893,9 @@ def q_bm25_search(spark, sf_dir):
     from .registry import dim_join, scalar_join
 
     d = t(spark, sf_dir, "documents")
+    # NOT spread (measured, r11): 0.70 -> 0.76 s warm median with a
+    # doc_id spread — tokenize-only map work doesn't amortize the
+    # exchange at sf0.1 (see tfidf note).
     tok = d.select(
         "doc_id",
         F.explode(F.split(F.trim(F.lower(F.col("text"))), TOKEN_SPLIT_RE)).alias("token"),
@@ -1190,6 +1197,9 @@ def q_lm_perplexity(spark, sf_dir):
     from .registry import dim_join, scalar_join
 
     d = t(spark, sf_dir, "documents")
+    # NOT spread (measured, r11): 1.37 -> 1.73 s warm median with a
+    # doc_id spread — the bigram struct explode is cheap enough that the
+    # added exchange dominates at sf0.1 (see tfidf note).
     toks = d.select("doc_id", F.split(F.trim(F.lower(F.col("text"))), TOKEN_SPLIT_RE).alias("t"))
     bg = (
         toks.filter(F.size("t") >= 2)
@@ -2009,6 +2019,14 @@ def q_bloom_decontaminate(spark, sf_dir):
     from ..operators.dedup import _pin_parallel
 
     d = t(spark, sf_dir, "documents")
+    from ..operators.similarity import spread
+
+    # 5-gram build + md5 hashing is map CPU ahead of any exchange; the
+    # single-row-group scan ran the whole train-side pass on one core
+    # (r11 census: every stage 1 task, 7.0 s). Spread once before the
+    # split filters so both pin jobs inherit the parallelism. No-op at
+    # scale; the split and gram hashes are row-deterministic.
+    d = spread(d, "doc_id")
     s = with_split(d, {"train": 0.9, "val": 0.05, "test": 0.05}, salt="split")
     # Both gram tables feed two consumers each (train: Bloom bits + exact
     # truth; test: Bloom probe + truth join) — unpinned, each side's
@@ -2249,6 +2267,13 @@ def q_source_overlap(spark, sf_dir):
     from ..operators.dedup import _hash64
 
     d = t(spark, sf_dir, "documents").where(F.col("source").isNotNull())
+    from ..operators.similarity import spread
+
+    # 3-gram explode + md5 is map CPU ahead of the distinct's exchange;
+    # the single-row-group scan ran it on one core (r11 census: every
+    # stage 1 task, 5.0 s). Spread on the high-cardinality doc id (source
+    # has only a handful of values). No-op at scale.
+    d = spread(d, "doc_id")
     from ..operators.textclean import _gram_text
 
     from ..operators.dedup import _pin
