@@ -217,7 +217,11 @@ _MEMORY_SINK_SEQ = 0
 
 
 def run_to_memory(
-    stream_df: DataFrame, name: str, output_mode: str, timeout_s: float = 900.0
+    stream_df: DataFrame,
+    name: str,
+    output_mode: str,
+    timeout_s: float = 900.0,
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Drain a bounded stream into a memory sink and return the result table.
 
@@ -232,27 +236,55 @@ def run_to_memory(
     collection is driver-bounded BY DESIGN — this is the verification
     harness for streaming semantics, not a production sink (production
     paths use :func:`stream_to_lake`'s foreachBatch upsert).
+
+    ``state_partitions`` sizes the STATE STORE partition count for this
+    drain (streaming has no AQE: the count is frozen from
+    ``spark.sql.shuffle.partitions`` at first commit, and every stateful
+    operator pays a per-partition per-batch commit/maintenance fixed cost —
+    a stream-stream join keeps four stores per partition). State partition
+    count must be sized to expected state volume, and for THIS harness the
+    state is bounded by the verification input by construction, so the
+    default is deliberately small (``MP_STREAM_VERIFY_STATE_PARTITIONS``,
+    default 8). Measured on the attribution join at sf0.1 (~40k state
+    rows): 32 partitions -> 17.8-36.3 s per drain, 8 -> 4.2-8.4 s,
+    2 -> 2.4-2.8 s; result rows identical at every count (hash-partitioned
+    state cannot change values). Production streams (stream_to_lake) do
+    not route through here and keep the session's own sizing.
     """
     global _MEMORY_SINK_SEQ
+    import os
     import tempfile
 
     _MEMORY_SINK_SEQ += 1
     qname = f"{name}_{_MEMORY_SINK_SEQ}"
     ckpt = tempfile.mkdtemp(prefix=f"mp_stream_{name}_")
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(qname)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .option("checkpointLocation", ckpt)
-        .start()
-    )
-    # Bounded wait: an AvailableNow drain over healthy input finishes in
-    # seconds; an unbounded awaitTermination would let a wedged source hang
-    # the caller (and the correctness driver) forever.
-    if not q.awaitTermination(timeout_s):
-        q.stop()
-        raise TimeoutError(f"stream {qname} did not drain within {timeout_s}s")
+    spark = stream_df.sparkSession
+    if state_partitions is None:
+        state_partitions = int(
+            os.environ.get("MP_STREAM_VERIFY_STATE_PARTITIONS", "8")
+        )
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        # Bounded wait: an AvailableNow drain over healthy input finishes in
+        # seconds; an unbounded awaitTermination would let a wedged source
+        # hang the caller (and the correctness driver) forever.
+        if not q.awaitTermination(timeout_s):
+            q.stop()
+            raise TimeoutError(f"stream {qname} did not drain within {timeout_s}s")
+    finally:
+        # The stream captures the value at start; restore the session conf
+        # for whatever batch work follows (the plan-cache fingerprint keys
+        # on it, so a stale value would only cost a rebuild — but don't).
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return stream_df.sparkSession.table(qname)
 
 
