@@ -246,7 +246,7 @@ def nearest_centroid_label(
     # driver-side plan-construction and codegen cost at high label counts.
     srt = sorted(carr, key=lambda r: r.cand_label)
     vn = F.sqrt(_dot(F.col("v"), F.col("v")))
-    scored = v.select("*", vn.alias("_vn"))
+    scored = v.select("*", vn.alias("__ncl_vn"))
     cos_cols = []
     for i, r in enumerate(srt):
         cv = F.array(*[F.lit(float(x)) for x in r.cv])
@@ -255,14 +255,14 @@ def nearest_centroid_label(
             acc += float(x) * float(x)
         cn = math.sqrt(acc)
         cos_cols.append(
-            (_dot(F.col("v"), cv) / (F.col("_vn") * F.lit(cn))).alias(f"_c{i}")
+            (_dot(F.col("v"), cv) / (F.col("__ncl_vn") * F.lit(cn))).alias(f"__ncl_c{i}")
         )
     scored = scored.select("*", *cos_cols)
     cands = [
         F.struct(
-            (-F.col(f"_c{i}")).alias("negcos"),
+            (-F.col(f"__ncl_c{i}")).alias("negcos"),
             F.lit(int(r.cand_label)).cast("long").alias("cand_label"),
-            F.col(f"_c{i}").alias("cos"),
+            F.col(f"__ncl_c{i}").alias("cos"),
         )
         for i, r in enumerate(srt)
     ]

@@ -101,6 +101,14 @@ def q_top_customers(spark, sf_dir):
     # required distribution, so the agg's own exchange is absorbed — same
     # exchange count, parallel agg (measured 0.76-0.91x; no-op at scale
     # where the scan already splits).
+    #
+    # Middle-regime trade (ADVICE r10): because the exchange lands BELOW
+    # the aggregate, raw fact rows cross it instead of per-order partial
+    # sums. That is free here (the alternative was a single-task agg) and
+    # a no-op at real scale (guarded), but the shape should NOT be
+    # cargo-culted to wider/filtered fact scans: in the in-between regime
+    # where the scan yields a few large splits just under parallelism,
+    # shuffling unaggregated rows loses to partial-agg-before-exchange.
     l = spread(t(spark, sf_dir, "lineitem"), "l_orderkey")
     o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     c = t(spark, sf_dir, "customer")

@@ -212,6 +212,26 @@ def test_nearest_centroid_label_recovers_separable_clusters(spark):
     assert all(r.correct for r in out2)
 
 
+def test_nearest_centroid_label_internal_names_collision_proof(spark):
+    # ADVICE r10: internal projected columns used to be named _vn/_c{i};
+    # a caller id_col with one of those names raised an ambiguous-column
+    # error. The __ncl_ prefix must make caller names like _vn/_c0 safe.
+    from marketpipe_spark.operators.projection import nearest_centroid_label
+
+    rows = [
+        (i, i % 2, [1.0, 0.0] if i % 2 == 0 else [0.0, 1.0]) for i in range(8)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, label long, embedding array<double>")
+    out = nearest_centroid_label(
+        df.withColumnRenamed("vec_id", "_vn"), id_col="_vn"
+    ).collect()
+    assert len(out) == 8 and all(r.correct for r in out)
+    out2 = nearest_centroid_label(
+        df.withColumnRenamed("vec_id", "_c0"), id_col="_c0"
+    ).collect()
+    assert len(out2) == 8 and all(r.correct for r in out2)
+
+
 def test_export_webdataset_roundtrip_and_determinism(spark, tmp_path):
     import hashlib
     import json as _json
