@@ -740,16 +740,29 @@ def label_propagation(edges: DataFrame, iterations: int = 4) -> DataFrame:
         )
     )
     n = labels.count()
+    # The per-round (id, label) vote count is the loop's one EDGE-scale
+    # aggregation, and its exchange is byte-tiny (two longs/row), so AQE's
+    # byte-based coalescing folds it onto ~3 tasks at sf0.1 while the
+    # count work is per-edge CPU. When the pinned edge frame itself has
+    # fewer partitions than the cluster (the coarse-input regime — probed
+    # ONCE on the materialized pin, no job), repartition the vote rows on
+    # the full groupBy key with an explicit count AQE won't re-coalesce:
+    # measured 8.0 -> 6.5 s on copurchase_communities, labels identical.
+    # (A broader variant — re-pinning the edge frame itself spread to
+    # cluster parallelism — measured WORSE on every loop entry (e.g.
+    # pagerank 4.3 -> 8.4 s): the extra pin materialization plus 32-task
+    # overhead on node-scale rounds exceeds the map-parallelism gain.)
+    P = sym.sparkSession.sparkContext.defaultParallelism
+    spread_votes = sym.rdd.getNumPartitions() < P
     for _ in range(iterations):
         nbr = (
             sym.join(_state(labels, n), sym.v == labels.id)
             .select(F.col("u").alias("id"), "label")
         )
-        votes = (
-            nbr.unionByName(labels.select("id", "label"))
-            .groupBy("id", "label")
-            .agg(F.count(F.lit(1)).alias("cnt"))
-        )
+        allv = nbr.unionByName(labels.select("id", "label"))
+        if spread_votes:
+            allv = allv.repartition(P, F.col("id"), F.col("label"))
+        votes = allv.groupBy("id", "label").agg(F.count(F.lit(1)).alias("cnt"))
         labels = _pin_state(
             votes.groupBy("id")
             .agg(F.expr("max_by(label, struct(cnt, -label))").alias("label"))
