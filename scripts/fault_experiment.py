@@ -95,6 +95,8 @@ def run_cell() -> None:
     delay = float(os.environ.get("MP_FAULT_DELAY", "2.0"))
 
     def killer():
+        if delay < 0:  # no-kill baseline arm (recovery-COST comparisons)
+            return
         time.sleep(delay)  # land mid-iteration of the 3-round loop
         pids = executor_pids()
         if not pids:
